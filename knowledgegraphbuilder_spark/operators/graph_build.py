@@ -1,0 +1,75 @@
+"""s8/s9: graph materialization — edges, triples, provenance.
+
+Reference (back/kgg/generator.py:278-286): each relation becomes one Edge
+whose endpoints resolve through the ``text -> Node`` dict (J2); Edge.id is the
+relation id (:281). Neo4j property shapes (back/kgg/io/graph.py:68-86):
+``(:Node {id, text})-[:Edge {id, relation_id, rel_type, description,
+weight=0.2}]->(:Node)`` — the default edge weight 0.2 is io/graph.py:77.
+
+Spark design: J2 is two equi joins on surface text. At sandbox/bench scale the
+node-key projection is tiny (broadcast); at 10^12 scale pass
+``broadcast_nodes=False`` and AQE picks a sort-merge join with skew split.
+Per-row Neo4j round-trips (S6/S7 anti-pattern) become bulk table writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def build_edges(
+    relations: DataFrame, nodes: DataFrame, default_weight: float = 0.2,
+    broadcast_nodes: bool = True,
+) -> DataFrame:
+    keys = nodes.select("node_id", "text")
+    if broadcast_nodes:
+        keys = F.broadcast(keys)
+    heads = keys.select(F.col("text").alias("head_text"), F.col("node_id").alias("head_node_id"))
+    tails = keys.select(F.col("text").alias("tail_text"), F.col("node_id").alias("tail_node_id"))
+    return (
+        relations.join(heads, "head_text")
+        .join(tails, "tail_text")
+        .select(
+            F.col("relation_id").alias("edge_id"),  # generator.py:281
+            "head_node_id",
+            "tail_node_id",
+            "rel_type",
+            "description",
+            "relation_id",
+            "doc_id",
+            F.lit(default_weight).cast("float").alias("weight"),
+        )
+    )
+
+
+def build_triples(edges: DataFrame, nodes: DataFrame, broadcast_nodes: bool = True) -> DataFrame:
+    """(subj, pred, obj) = (head node text, rel_type, tail node text) — the
+    parity surface checked against the reference at P/R >= 0.95."""
+    keys = nodes.select("node_id", "text")
+    if broadcast_nodes:
+        keys = F.broadcast(keys)
+    return (
+        edges.join(keys.select(F.col("node_id").alias("head_node_id"),
+                               F.col("text").alias("subj")), "head_node_id")
+        .join(keys.select(F.col("node_id").alias("tail_node_id"),
+                          F.col("text").alias("obj")), "tail_node_id")
+        .select("subj", F.col("rel_type").alias("pred"), "obj", "doc_id",
+                "edge_id", "relation_id")
+    )
+
+
+def build_provenance(relations: DataFrame, stage: str = "s5_relations") -> DataFrame:
+    """Per-triple provenance with the physical partition that produced it
+    (per-partition lineage requirement of the north rule)."""
+    return relations.select(
+        F.col("relation_id").alias("triple_id"),
+        F.col("head_text").alias("subj"),
+        F.col("rel_type").alias("pred"),
+        F.col("tail_text").alias("obj"),
+        "doc_id",
+        "head_mention_id",
+        "tail_mention_id",
+        F.lit(stage).alias("stage"),
+        F.spark_partition_id().alias("partition_id"),
+    )
