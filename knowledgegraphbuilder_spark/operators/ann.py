@@ -1,0 +1,140 @@
+"""Similarity search over an embedding column (array<float>).
+
+- ``topk_bruteforce``: exact cosine top-k for one query vector — dot product
+  via native zip_with/aggregate (JVM, codegen), global top-k is Spark's
+  TakeOrderedAndProject (no full sort). The correctness baseline.
+- ``topk_bruteforce_batch``: exact top-k for a table of query vectors via a
+  crossJoin + per-query window top-k (bench/oracle path; at scale use LSH).
+- ``ann_lsh``: random-hyperplane (signed) LSH bucketing — each vector lands
+  in ``n_tables`` buckets; a query probes its buckets only, cutting the
+  candidate set by ~bucket-count x. Hyperplanes are deterministic
+  (seeded hash of (table, bit, dim)), so results are reproducible across runs
+  and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _norm_expr(col: str) -> str:
+    return f"sqrt(aggregate({col}, 0.0d, (a, x) -> a + x * x))"
+
+
+def _as_double(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+
+
+def cosine_scores(embs: DataFrame, query: list[float],
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, score): cosine similarity of every vector to the literal query."""
+    q = [float(x) for x in query]
+    qn = math.sqrt(sum(x * x for x in q)) or 1.0
+    qlit = "array(" + ", ".join(f"{x!r}d" for x in q) + ")"
+    v = _as_double(embs, vec_col, id_col)
+    return v.select(
+        "id",
+        F.round(
+            F.expr(f"aggregate(zip_with(v, {qlit}, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+            / (F.expr(_norm_expr("v")) * F.lit(qn)),
+            4,
+        ).alias("score"),
+    )
+
+
+def topk_bruteforce(embs: DataFrame, query: list[float], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine; deterministic tie-break on id."""
+    return (
+        cosine_scores(embs, query, id_col, vec_col)
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def topk_bruteforce_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          qid_col: str = "query_id", qvec_col: str = "embedding") -> DataFrame:
+    """Exact per-query top-k: (query_id, id, score, rank)."""
+    v = _as_double(embs, vec_col, id_col).withColumn("nv", F.expr(_norm_expr("v")))
+    q = queries.select(
+        F.col(qid_col).cast("string").alias("query_id"),
+        F.expr(f"transform({qvec_col}, x -> cast(x as double))").alias("qv"),
+    ).withColumn("nq", F.expr(_norm_expr("qv")))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "query_id", "id",
+        F.round(
+            F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+            / (F.col("nv") * F.col("nq")),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
+def hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane."""
+    import random
+
+    rng = random.Random(seed * 1000003 + table * 10007 + bit)
+    v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+    n = math.sqrt(sum(x * x for x in v)) or 1.0
+    return [x / n for x in v]
+
+
+def lsh_bucket_expr(vec_col: str, dim: int, n_bits: int, table: int, seed: int = 42) -> F.Column:
+    """Signed-random-projection bucket id for one LSH table (native exprs)."""
+    bits = []
+    for b in range(n_bits):
+        h = hyperplane(seed, table, b, dim)
+        hl = "array(" + ", ".join(f"{x!r}d" for x in h) + ")"
+        bits.append(
+            f"(case when aggregate(zip_with({vec_col}, {hl}, (x, y) -> cast(x as double) * y), "
+            f"0.0d, (a, x) -> a + x) >= 0 then {1 << b} else 0 end)"
+        )
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+def ann_lsh(
+    embs: DataFrame, query: list[float], k: int = 10,
+    dim: int | None = None, n_bits: int = 8, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probe only the query's LSH buckets (union over
+    tables), exact-rescore the candidates. Output schema == topk_bruteforce."""
+    dim = dim or len(query)
+    v = _as_double(embs, vec_col, id_col)
+    cands = None
+    for t in range(n_tables):
+        qb = _bucket_of(query, t, n_bits, dim, seed)
+        ct = v.withColumn("bucket", lsh_bucket_expr("v", dim, n_bits, t, seed)).filter(
+            F.col("bucket") == qb
+        ).select("id", "v")
+        cands = ct if cands is None else cands.union(ct)
+    cands = cands.dropDuplicates(["id"])
+    return (
+        cosine_scores(cands.withColumnRenamed("v", "embedding"), query, "id", "embedding")
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )
+
+
+def _bucket_of(vec: list[float], table: int, n_bits: int, dim: int, seed: int) -> int:
+    out = 0
+    for b in range(n_bits):
+        h = hyperplane(seed, table, b, dim)
+        if sum(x * y for x, y in zip(vec, h)) >= 0:
+            out |= 1 << b
+    return out

@@ -111,15 +111,23 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
         .union(edges.select(F.col("dst").cast("string").alias("v")))
         .distinct()
     )
+    def _sig(df: DataFrame):
+        # cheap fixpoint detector: (row count, order-insensitive checksum);
+        # bit_xor cannot overflow (edge rows are distinct, so xor-cancellation
+        # of duplicate rows is not a concern)
+        return tuple(
+            df.agg(F.count("*"), F.expr("bit_xor(xxhash64(src, dst))")).collect()[0]
+        )
+
     e = _canon_edges(edges).localCheckpoint(eager=True)
+    sig = _sig(e)
     for _ in range(max_iter):
         e1 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            e1.exceptAll(e).limit(1).count() > 0 or e.exceptAll(e1).limit(1).count() > 0
-        )
+        sig1 = _sig(e1)
         e = e1
-        if not changed:
+        if sig1 == sig:
             break
+        sig = sig1
     # at fixpoint every edge is (v, root); vertices absent from e are their own root
     assign = e.select(F.col("src").alias("v"), F.col("dst").alias("component"))
     roots = vertices.join(assign, "v", "left_anti").select(

@@ -1,0 +1,113 @@
+"""s6: entity linking — similarity-edge generation between surface forms.
+
+North-rule design: broadcast alias-dictionary candidate generation, then
+MinHash-LSH blocking over character shingles, then cosine/Jaccard scoring;
+the resulting edge list feeds large-star/small-star connected components
+(operators/canonicalize.py) for coreference canonicalization.
+
+The reference canonicalizes by exact text only (back/kgg/generator.py:264-276)
+— this stage generalizes it: 'Google' / 'google inc' / 'GOOGLE' end up in one
+canonical node. Pipeline default keeps exact semantics (reference parity);
+linking is opt-in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from knowledgegraphbuilder_spark.config import KGConfig
+
+
+def normalize_surface(col: str = "text") -> F.Column:
+    """Shared normalization (reference label normalize F7 analog:
+    lower + trim + collapse separators)."""
+    return F.lower(F.trim(F.regexp_replace(F.col(col), r"[\s_\-]+", " ")))
+
+
+def alias_candidates(texts: DataFrame, alias_df: DataFrame) -> DataFrame:
+    """Broadcast alias-dictionary candidates: alias_df(alias, canonical) is a
+    small curated dimension — broadcast hash join, no shuffle of the big side.
+    Output: (src, dst) similarity edges."""
+    return (
+        texts.select(F.col("text").alias("src"), normalize_surface("text").alias("norm"))
+        .join(F.broadcast(alias_df.select(normalize_surface("alias").alias("norm"),
+                                          F.col("canonical").alias("dst"))), "norm")
+        .select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _char_shingles(col: str, k: int) -> str:
+    return (
+        f"array_distinct(transform(sequence(1, greatest(length({col}) - {k - 1}, 1)), "
+        f"i -> substring({col}, i, {k})))"
+    )
+
+
+def lsh_similarity_edges(
+    texts: DataFrame, config: KGConfig | None = None, threshold: float | None = None,
+) -> DataFrame:
+    """MinHash-LSH blocking over char-k shingles of normalized surface forms +
+    exact Jaccard verification at ``synonym_threshold`` (reference config.py:17
+    uses 0.8 for synonym similarity). Input: distinct (text); output:
+    (src, dst, jaccard) edges between *original* surface forms."""
+    cfg = config or KGConfig()
+    thr = threshold if threshold is not None else cfg.synonym_threshold
+    n_perm, bands, k = cfg.minhash_perm, cfg.lsh_bands, cfg.shingle_size
+    rows = n_perm // bands
+
+    base = texts.select(F.col("text")).distinct().withColumn("norm", normalize_surface("text"))
+    sh = base.withColumn("shingles", F.expr(_char_shingles("norm", k)))
+    sigs = sh.withColumn(
+        "sig",
+        F.expr(
+            f"transform(sequence(0, {n_perm - 1}), i -> array_min(transform(shingles, s -> xxhash64(s, i))))"
+        ),
+    )
+    buckets = sigs.select(
+        "text", "shingles",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'key', "
+                f"xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string))))))"
+            )
+        ).alias("bk"),
+    ).select("text", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    cand = (
+        buckets.alias("x")
+        .join(
+            buckets.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.text") < F.col("y.text")),
+        )
+        .select(
+            F.col("x.text").alias("src"), F.col("y.text").alias("dst"),
+            F.col("x.shingles").alias("sa"), F.col("y.shingles").alias("sb"),
+        )
+        .dropDuplicates(["src", "dst"])
+    )
+    return (
+        cand.withColumn(
+            "jaccard",
+            F.round(F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6),
+        )
+        .filter(F.col("jaccard") >= thr)
+        .select("src", "dst", "jaccard")
+    )
+
+
+def similarity_edges(
+    mentions: DataFrame,
+    config: KGConfig | None = None,
+    alias_df: DataFrame | None = None,
+) -> DataFrame:
+    """Union of alias-dictionary edges and LSH-blocked similarity edges over
+    the distinct mention surface forms. Output: (src, dst)."""
+    texts = mentions.select("text").distinct()
+    lsh = lsh_similarity_edges(texts, config).select("src", "dst")
+    if alias_df is not None:
+        return lsh.union(alias_candidates(texts, alias_df)).distinct()
+    return lsh

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: media as opaque binary + typed metadata.
+
+The interleaved spans table carries media by reference (``media_ref``). This
+module provides the Spark-side machinery a 100 TB multimodal pipeline needs:
+
+- ``fetch_media``: materialize a (media_ref, content binary, media_type,
+  n_bytes) table. In the sandbox, content is a deterministic fake payload
+  derived from the ref (sha256-seeded bytes) — the real implementation would
+  read object storage per partition.
+- ``extract_features``: decode + feature-extract via ``mapInPandas`` with
+  Arrow binary batches. The actual decode (PIL/ffmpeg) is STUBBED: image and
+  audio libraries are not available in this container, so the deterministic
+  fake computes byte-level stats with the same schema, partitioning and batch
+  shape the real kernel would use; pass ``decoder=`` to plug a real one.
+- ``frame_sample``: 1 media row -> N frame rows (UDTF shape), stubbed
+  deterministically.
+
+Everything respects the span-sequence invariant: media refs are never
+reordered or dropped, features join back by media_ref.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "media_ref string, media_type string, n_bytes long, "
+    "byte_mean double, byte_entropy double, feature array<float>"
+)
+
+
+def media_refs(spans_df: DataFrame) -> DataFrame:
+    """All media references with their kind, from the spans table."""
+    return (
+        spans_df.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") != "text")
+        .select(F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("media_type"))
+        .distinct()
+    )
+
+
+def _fake_payload(ref: str) -> bytes:
+    seed = hashlib.sha256(ref.encode()).digest()
+    size = 256 + seed[0]
+    return (seed * ((size // len(seed)) + 1))[:size]
+
+
+def fetch_media(refs: DataFrame) -> DataFrame:
+    """(media_ref, media_type) -> + (content binary, n_bytes). Deterministic
+    fake fetch; a real deployment replaces the inner map with object-store
+    reads (per-partition connection reuse)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["content"] = pdf["media_ref"].map(_fake_payload)
+            pdf["n_bytes"] = pdf["content"].map(len).astype("int64")
+            yield pdf[["media_ref", "media_type", "content", "n_bytes"]]
+
+    return refs.mapInPandas(
+        run, "media_ref string, media_type string, content binary, n_bytes long"
+    )
+
+
+def extract_features(media: DataFrame, dim: int = 8, decoder=None) -> DataFrame:
+    """Decode + featurize media content (Arrow-batched).
+
+    ``decoder(content: bytes, media_type: str) -> list[float]`` plugs a real
+    model; the default deterministic stub raises NotImplementedError for
+    real decoding and instead emits byte-level stats + a hashed feature
+    vector with the production schema/batch shape."""
+
+    def default_features(content: bytes, media_type: str) -> list[float]:
+        import numpy as np
+
+        arr = np.frombuffer(content, dtype=np.uint8)
+        out = np.zeros(dim, dtype=np.float64)
+        for i, b in enumerate(arr):
+            out[i % dim] += float(b)
+        n = float(np.sqrt((out * out).sum())) or 1.0
+        return [float(x / n) for x in out]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        fn = decoder or default_features
+        for pdf in batches:
+            feats, means, ents = [], [], []
+            for content, mt in zip(pdf["content"], pdf["media_type"]):
+                arr = np.frombuffer(content, dtype=np.uint8)
+                means.append(float(arr.mean()) if len(arr) else 0.0)
+                counts = np.bincount(arr, minlength=256) / max(len(arr), 1)
+                ent = -float(sum(p * math.log2(p) for p in counts if p > 0))
+                ents.append(round(ent, 6))
+                feats.append(fn(content, mt))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_mean": [round(m, 6) for m in means],
+                    "byte_entropy": ents,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def real_decode_stub(content: bytes, media_type: str):  # pragma: no cover
+    """Placeholder for the real decode kernel (PIL / torchaudio / ffmpeg).
+    Not available in this container."""
+    raise NotImplementedError(
+        "real media decoding requires image/audio libraries not present in "
+        "this environment; plug a decoder into extract_features(decoder=...)"
+    )
+
+
+def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """1 media row -> n_frames frame rows (video frame-sampling shape),
+    deterministic stub: frame content = sliced payload."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, frames = [], [], []
+            for ref, content in zip(pdf["media_ref"], pdf["content"]):
+                step = max(len(content) // n_frames, 1)
+                for i in range(n_frames):
+                    refs.append(ref)
+                    idxs.append(i)
+                    frames.append(bytes(content[i * step : (i + 1) * step]))
+            yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, "media_ref string, frame_idx int, frame binary")

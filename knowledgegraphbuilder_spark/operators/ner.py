@@ -166,3 +166,44 @@ def extract_mentions(
         .drop("rn", "chunk_idx")
     )
     return dedup.withColumn("mention_id", ids.mention_id()).select(*MENTION_COLS)
+
+
+def extract_mentions_stream(chunks: DataFrame, config: KGConfig,
+                            labels: list[str] | None = None,
+                            backend: object | None = None) -> DataFrame:
+    """Streaming-safe variant of :func:`extract_mentions`: the window-based
+    first-seen dedup is replaced by stateful ``dropDuplicates`` — safe here
+    because duplicate mention rows are identical in every output column once
+    ``chunk_idx`` is dropped (chunk overlap is the only duplicate source), so
+    arbitrary-winner semantics are still deterministic."""
+    cfg = config
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        be = backend if backend is not None else GazetteerExtractor(cfg.gazetteer)
+        for pdf in batches:
+            per_chunk = be.extract_batch(pdf["chunk_text"], labels)
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "start", "end", "label", "text", "score", "word_idx")}
+            for (doc_id, coff, cwoff), ents in zip(
+                zip(pdf["doc_id"], pdf["chunk_offset"], pdf["chunk_word_offset"]), per_chunk
+            ):
+                for e in ents:
+                    rows["doc_id"].append(doc_id)
+                    rows["start"].append(int(e["start"]) + int(coff))
+                    rows["end"].append(int(e["end"]) + int(coff))
+                    rows["label"].append(e["label"])
+                    rows["text"].append(e["text"])
+                    rows["score"].append(float(e["score"]))
+                    rows["word_idx"].append(int(e["word_idx"]) + int(cwoff))
+            pdf_out = pd.DataFrame(rows)
+            for c in ("start", "end", "word_idx"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="int32")
+            yield pdf_out
+
+    raw = chunks.mapInPandas(
+        run,
+        "doc_id string, start int, end int, label string, text string, score double, word_idx int",
+    )
+    raw = raw.filter(F.col("score") >= F.lit(cfg.ner_threshold))
+    dedup = raw.dropDuplicates(["doc_id", "start", "end", "label"])
+    return dedup.withColumn("mention_id", ids.mention_id()).select(*MENTION_COLS)

@@ -51,9 +51,9 @@ def personalized_pagerank(
         )
     )
     # normalized transition weights: w / W(src); map-side combinable agg
-    out_w = sym.groupBy("src").agg(F.sum("w").alias("W"))
+    out_w = sym.groupBy("src").agg(F.sum("w").alias("w_total"))
     trans = sym.join(out_w, "src").select(
-        "src", "dst", (F.col("w") / F.col("W")).alias("tw")
+        "src", "dst", (F.col("w") / F.col("w_total")).alias("tw")
     ).localCheckpoint(eager=True)
 
     vertices = trans.select(F.col("src").alias("node_id")).union(
@@ -70,38 +70,45 @@ def personalized_pagerank(
 
     ranks = pers.select("node_id", F.col("p").alias("score"))
     d = float(damping)
+    last_ckpt = ranks
     for it in range(max_iter):
+        # NOTE: new_ranks references ranks twice (contribs + dangling); left
+        # lazy the plan would double per iteration, so ranks is materialized
+        # (localCheckpoint) every round and the L1 convergence check runs
+        # every `checkpoint_every` rounds.
         contribs = (
             trans.join(ranks.withColumnRenamed("node_id", "src"), "src")
             .select(F.col("dst").alias("node_id"), (F.col("score") * F.col("tw")).alias("c"))
             .groupBy("node_id")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling mass (vertices with no out-edges) redistributed via p(v)
+        # dangling mass (vertices with no out-edges) redistributed via p(v);
+        # folded in as a broadcast 1-row crossJoin so no driver round-trip
         dangling = (
             ranks.join(out_w.withColumnRenamed("src", "node_id"), "node_id", "left_anti")
-            .agg(F.coalesce(F.sum("score"), F.lit(0.0)))
-            .collect()[0][0]
+            .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("dmass"))
         )
         new_ranks = (
             pers.join(contribs, "node_id", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node_id",
                 (
                     (1.0 - d) * F.col("p")
-                    + d * (F.coalesce("inflow", F.lit(0.0)) + F.lit(float(dangling)) * F.col("p"))
+                    + d * (F.coalesce("inflow", F.lit(0.0)) + F.col("dmass") * F.col("p"))
                 ).alias("score"),
             )
         )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
             delta = (
-                new_ranks.join(ranks.withColumnRenamed("score", "old"), "node_id")
+                new_ranks.join(last_ckpt.withColumnRenamed("score", "old"), "node_id")
                 .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
                 .collect()[0][0]
             )
             ranks = new_ranks
-            if delta is not None and delta < tol:
+            last_ckpt = new_ranks
+            if delta is not None and delta < tol * checkpoint_every:
                 break
         else:
             ranks = new_ranks

@@ -1,0 +1,108 @@
+"""Query-side retrieval: U5 embeddings, T2 vector top-k, J3 edge fan-out,
+G2 weight update, G3 PPR, J4/A5 doc weighting, T3 final ranking.
+
+Reference flow (back/kgg/retriever.py:62-94 + io/graph.py:115-168):
+1. embed query, FAISS inner-product top-5 over edge-description embeddings;
+2. endpoint node ids of those edges;
+3. personalized PageRank from those nodes with retrieved scores as edge
+   weights (others default 0.2);
+4. sum node scores into per-document weights via node membership;
+5. docs sorted desc, top-5.
+
+The deterministic embedding backend is a seeded character-trigram feature
+hash -> L2-normalized DIM-float vector (pandas_udf, Arrow-batched — plays
+BGE-M3's role, back/kgg/retriever.py:20-33, batch_size=100 becomes the Arrow
+batch). Steps 2-5 are pure DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+from knowledgegraphbuilder_spark.config import KGConfig
+from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce
+from knowledgegraphbuilder_spark.operators.pagerank import personalized_pagerank
+
+
+def hash_embed_text(text: str, dim: int = 64) -> list[float]:
+    """Deterministic trigram feature-hash embedding, unit norm."""
+    v = np.zeros(dim, dtype=np.float64)
+    t = f"^{text}$"
+    for i in range(len(t) - 2):
+        tri = t[i : i + 3]
+        h = int.from_bytes(hashlib.sha256(tri.encode()).digest()[:8], "big")
+        v[h % dim] += 1.0 if (h >> 8) % 2 == 0 else -1.0
+    n = math.sqrt(float((v * v).sum()))
+    if n > 0:
+        v /= n
+    return [float(x) for x in v]
+
+
+def embed_column(df: DataFrame, text_col: str, out_col: str = "embedding",
+                 dim: int = 64) -> DataFrame:
+    """U5: batched Arrow-native embedding of a text column."""
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def emb(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: hash_embed_text(t or "", dim))
+
+    return df.withColumn(out_col, emb(F.col(text_col)))
+
+
+def index_edges(edges: DataFrame, dim: int = 64) -> DataFrame:
+    """S10 analog: materialized (edge_id, description, embedding) table."""
+    return embed_column(
+        edges.select("edge_id", "description"), "description", "embedding", dim
+    )
+
+
+def retrieve_documents(
+    edges: DataFrame,
+    membership: DataFrame,
+    edge_index: DataFrame,
+    query: str,
+    config: KGConfig | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Full QA retrieval: (doc_id, weight) top-k, reproducing retriever.py:62-94."""
+    cfg = config or KGConfig()
+    k = k or cfg.retrieval_k
+    qv = hash_embed_text(query, cfg.embedding_dim)
+
+    # T2: vector top-k over edge descriptions (inner product == cosine, both normalized)
+    top_edges = topk_bruteforce(edge_index, qv, k, id_col="edge_id", vec_col="embedding")
+    top_edges = top_edges.select(F.col("id").alias("edge_id"), F.col("score"))
+
+    # G2: join-update edge weights (reference does one UPDATE per edge,
+    # io/graph.py:88-95 — ours is one bulk join)
+    weighted = edges.join(top_edges, "edge_id", "left").withColumn(
+        "weight", F.coalesce(F.col("score"), F.col("weight").cast("double"))
+    ).select("edge_id", "head_node_id", "tail_node_id", "weight")
+
+    # J3: endpoint nodes of retrieved edges
+    sources = (
+        edges.join(top_edges, "edge_id")
+        .select(F.explode(F.array("head_node_id", "tail_node_id")).alias("node_id"))
+        .distinct()
+    )
+
+    # G3: personalized PageRank (damping 0.85, <=100 iters, weighted, undirected)
+    ranks = personalized_pagerank(
+        weighted, sources, cfg.pagerank_damping, cfg.pagerank_max_iter, cfg.pagerank_tol
+    )
+
+    # J4 + A5: sum node scores into document weights through membership
+    doc_w = (
+        membership.join(ranks, "node_id")
+        .groupBy("doc_id")
+        .agg(F.sum("score").alias("weight"))
+    )
+    # T3: top-k docs, deterministic tie-break
+    return doc_w.orderBy(F.desc("weight"), F.col("doc_id")).limit(k)

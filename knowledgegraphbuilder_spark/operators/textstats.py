@@ -1,0 +1,126 @@
+"""Text-analysis operators for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All native column expressions (whole-stage codegen; zero Python in the hot
+path) and all portable to the DuckDB oracle — scores are deterministic
+integer/rounded arithmetic, hashes go through sha256 or position-weighted sums
+rather than engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny deterministic stopword lists for the n-gram/stopword language heuristic
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "y", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+QUALITY_STOPWORDS = ("the", "a", "an", "of", "and", "or", "is", "are")
+
+
+def _count_in(text_col: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"size(filter(split({text_col}, ' '), w -> array_contains(array({arr}), w)))"
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-vote language heuristic: argmax language by stopword hits,
+    deterministic tie-break by language code; 'und' when no hits.
+    Output: (doc_id, pred_lang, best_hits)."""
+    d = docs.select(F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("t"))
+    for lang, words in LANG_STOPWORDS.items():
+        d = d.withColumn(f"hits_{lang}", F.expr(_count_in("t", words)))
+    langs = sorted(LANG_STOPWORDS)
+    struct_arr = ", ".join(
+        f"named_struct('hits', hits_{lg}, 'lang', '{lg}')" for lg in langs
+    )
+    d = d.withColumn(
+        "best",
+        F.expr(
+            f"array_max(array({struct_arr}))"  # max by (hits, lang); lang breaks ties
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("best.hits") > 0, F.col("best.lang")).otherwise(F.lit("und")).alias("pred_lang"),
+        F.col("best.hits").cast("int").alias("best_hits"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features + composite score (rounded, portable):
+    n_words, n_chars, avg_word_len, stopword_ratio, distinct_ratio, score."""
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("t"),
+    )
+    d = (
+        d.withColumn("n_words", F.size(F.split("t", " ")))
+        .withColumn("n_chars", F.length("t"))
+        .withColumn("n_stop", F.expr(_count_in("t", QUALITY_STOPWORDS)))
+        .withColumn("n_distinct", F.size(F.array_distinct(F.split("t", " "))))
+    )
+    d = (
+        d.withColumn(
+            "avg_word_len",
+            F.round((F.col("n_chars") - (F.col("n_words") - 1)) / F.col("n_words"), 4),
+        )
+        .withColumn("stopword_ratio", F.round(F.col("n_stop") / F.col("n_words"), 4))
+        .withColumn("distinct_ratio", F.round(F.col("n_distinct") / F.col("n_words"), 4))
+    )
+    # composite in [0, ~1]: long-enough, lexically diverse, some-but-not-all stopwords
+    d = d.withColumn(
+        "score",
+        F.round(
+            F.least(F.col("n_words") / F.lit(100.0), F.lit(1.0)) * 0.4
+            + F.col("distinct_ratio") * 0.4
+            + F.least(F.col("stopword_ratio") * F.lit(5.0), F.lit(1.0)) * 0.2,
+            4,
+        ),
+    )
+    return d.select(
+        "doc_id", "n_words", "n_chars", "avg_word_len",
+        "stopword_ratio", "distinct_ratio", "score",
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4) per word, the common 4-chars-per-token rule of thumb —
+    deterministic and portable). Output: (doc_id, n_ws_tokens, n_bpe_tokens)."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.size(F.split(text_col, " ")).alias("n_ws_tokens"),
+        F.expr(
+            f"cast(aggregate(split({text_col}, ' '), 0L, "
+            f"(a, w) -> a + cast(ceil(length(w) / 4.0) as bigint)) as int)"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Order-sensitive document fingerprint: position-weighted word sum
+    mod 2^31-1 (portable: same arithmetic runs in DuckDB; word hash =
+    ascii(first char) * 31 + length). Distinguishes permutations, unlike a
+    bag-of-words hash. Output: (doc_id, fp)."""
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.expr(
+            f"""
+            pmod(
+              aggregate(
+                zip_with(split({text_col}, ' '),
+                         sequence(1, size(split({text_col}, ' '))),
+                         (w, i) -> (cast(ascii(w) as bigint) * 31 + length(w)) * i),
+                cast(0 as bigint), (a, x) -> a + x),
+              2147483647)
+            """
+        ).cast("long").alias("fp"),
+    )

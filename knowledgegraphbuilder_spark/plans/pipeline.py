@@ -49,14 +49,28 @@ def run_pipeline(
     re_backend: object | None = None,
     labels: list[str] | None = None,
     broadcast_nodes: bool = True,
+    cache: bool = True,
 ) -> KGResult:
+    """``cache=True`` persists the fan-out points (mentions feeds the relation
+    join, the resolution dictionary, clustering and membership; nodes feeds
+    edges and triples) so one action computes each inference UDF stage once —
+    the lazy-composition analog of the checkpointed runner's materialization.
+    At cluster scale prefer plans/checkpoint.py (durable + resumable)."""
+    from pyspark.storagelevel import StorageLevel
+
     cfg = config or KGConfig()
     docs = flatten_documents(spans_df)
     ner_chunks = chunk_documents(docs, cfg.ner_chunk_size, cfg.ner_chunk_overlap)
     mentions = extract_mentions(ner_chunks, cfg, labels=labels, backend=ner_backend)
+    if cache:
+        mentions = mentions.persist(StorageLevel.MEMORY_AND_DISK)
     re_chunks = chunk_documents(docs, cfg.re_chunk_size, cfg.re_chunk_overlap)
     relations = extract_relations(re_chunks, mentions, cfg, backend=re_backend)
+    if cache:
+        relations = relations.persist(StorageLevel.MEMORY_AND_DISK)
     nodes = cluster_mentions_exact(mentions, cfg)
+    if cache:
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
     membership = node_membership(mentions)
     edges = build_edges(relations, nodes, cfg.default_edge_weight, broadcast_nodes)
     triples = build_triples(edges, nodes, broadcast_nodes)

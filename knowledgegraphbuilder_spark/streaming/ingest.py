@@ -1,0 +1,64 @@
+"""Structured-Streaming ingest: incremental KG construction.
+
+The reference is batch-only (SURVEY.md §2.10); its ``use_cache`` flow is the
+closest analog of incremental processing. Because every stage of this engine
+is a pure DataFrame -> DataFrame function, the same stage functions run
+unchanged under ``readStream``: new document files landing in a directory are
+chunked, NER'd and relation-extracted incrementally, with exactly-once sink
+semantics via the streaming checkpoint.
+
+``Trigger.AvailableNow`` drains the backlog and stops — the pattern for
+micro-batch backfill; a production deployment would keep the query running
+and MERGE each micro-batch into the Iceberg graph tables (mentions/relations
+are append-only keyed by deterministic ids, so MERGE is idempotent).
+
+Aggregating stages (canonicalization groupBy) are not streamed — they are
+the batch compaction step over the streamed mention/relation tables, exactly
+how a lambda-free incremental KG build works at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from knowledgegraphbuilder_spark.config import KGConfig
+from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
+from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
+from knowledgegraphbuilder_spark.operators.ner import extract_mentions_stream
+from knowledgegraphbuilder_spark.sources.interleaved import SPAN_SCHEMA
+
+
+def read_span_stream(spark: SparkSession, input_dir: str,
+                     max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = (
+        spark.readStream.schema(f"doc_id string, spans {SPAN_SCHEMA}")
+        .format("parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(input_dir)
+
+
+def streaming_mentions(spans_stream: DataFrame, config: KGConfig | None = None) -> DataFrame:
+    """spans stream -> mention stream (flatten + chunk + NER; all narrow,
+    no watermark needed — stateless stages)."""
+    cfg = config or KGConfig()
+    docs = flatten_documents(spans_stream)
+    chunks = chunk_documents(docs, cfg.ner_chunk_size, cfg.ner_chunk_overlap)
+    return extract_mentions_stream(chunks, cfg)
+
+
+def run_ingest_available_now(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    config: KGConfig | None = None,
+) -> None:
+    """Drain the input directory into a mentions parquet table, exactly once."""
+    mentions = streaming_mentions(read_span_stream(spark, input_dir), config)
+    q = (
+        mentions.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,115 @@
+"""Dedup suite + ANN vs brute-force references."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphbuilder_spark.operators import ann as ann_ops
+from knowledgegraphbuilder_spark.operators import dedup as dd
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    rng = random.Random(11)
+    vocab = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    rows = []
+    for i in range(30):
+        words = [rng.choice(vocab) for _ in range(40)]
+        rows.append((f"d{i:02d}", " ".join(words)))
+        if i % 5 == 0:  # plant a near-duplicate: one word changed
+            w2 = list(words)
+            w2[rng.randrange(len(w2))] = rng.choice(vocab)
+            rows.append((f"d{i:02d}x", " ".join(w2)))
+        if i % 7 == 0:  # plant an exact duplicate
+            rows.append((f"d{i:02d}e", " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_duplicates(dup_docs):
+    rows = [(r["doc_id"], r["text"]) for r in dup_docs.collect()]
+    by_text = {}
+    for i, t in rows:
+        by_text.setdefault(t, []).append(i)
+    want = {",".join(sorted(v)) for v in by_text.values() if len(v) > 1}
+    got = {g["doc_ids_csv"] for g in dd.exact_duplicates(dup_docs).collect()}
+    assert got == want and len(got) >= 5  # >= the 5 planted exact dups
+
+
+def brute_jaccard_pairs(rows, k, thr):
+    def sh(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i : i + k]) for i in range(max(len(ws) - k, 0) + 1)}
+
+    out = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            a, b = (ia, ib) if ia < ib else (ib, ia)
+            sa, sb = sh(ta), sh(tb)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= thr:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_ngram_jaccard_matches_bruteforce(spark, dup_docs):
+    rows = [(r["doc_id"], r["text"]) for r in dup_docs.collect()]
+    want = brute_jaccard_pairs(rows, 3, 0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dd.ngram_jaccard_pairs(dup_docs, 0.5, 3).collect()}
+    assert got == want
+
+
+def test_minhash_lsh_recall(spark, dup_docs):
+    exact = {(r["id_a"], r["id_b"]) for r in dd.ngram_jaccard_pairs(dup_docs, 0.8, 3).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           dd.minhash_lsh_pairs(dup_docs, 0.8, n_perm=32, bands=32, k=3).collect()}
+    assert lsh == exact  # verification makes precision exact; bands=32 -> recall 1 here
+
+
+def test_simhash_near_dups(spark, dup_docs):
+    pairs = dd.simhash_pairs(dup_docs, max_hamming=6).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # exact duplicates must be at hamming 0
+    for r in pairs:
+        if r["id_a"].rstrip("e") == r["id_b"].rstrip("e"):
+            assert r["hamming"] == 0
+    assert ("d00", "d00e") in got
+
+
+def test_embedding_cosine_vs_numpy(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(20, 8).astype("float32")
+    vecs[5] = vecs[2] + 0.01 * rng.randn(8).astype("float32")  # planted near-dup
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dd.embedding_cosine_pairs(df, 0.9).collect()}
+    want = {}
+    for i in range(20):
+        for j in range(i + 1, 20):
+            c = float(np.dot(vecs[i], vecs[j]) / (np.linalg.norm(vecs[i]) * np.linalg.norm(vecs[j])))
+            if round(c, 4) >= 0.9:
+                want[(str(i), str(j))] = round(c, 4)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= 1e-4
+
+
+def test_ann_topk_and_lsh(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    exact = ann_ops.topk_bruteforce(embs, q, 10).collect()
+    assert exact[0]["id"] == "3" and exact[0]["score"] == 1.0
+    assert [r["score"] for r in exact] == sorted((r["score"] for r in exact), reverse=True)
+    approx = ann_ops.ann_lsh(embs, q, 10, n_bits=4, n_tables=8)
+    arows = approx.collect()
+    assert arows[0]["id"] == "3"  # the vector itself always lands in its own bucket
+    # recall vs exact (neighbors here have cosine ~0.4 — a hard LSH regime,
+    # hence generous bits/tables and a modest bar)
+    recall = len({r["id"] for r in arows} & {r["id"] for r in exact}) / 10
+    assert recall >= 0.4
+    assert arows == approx.collect()
