@@ -42,7 +42,12 @@ CFG = KGConfig()
 # ---------------------------------------------------------------------------
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # sandbox fixtures are single-split files; spread small dimension-free
+    # tables so per-partition operators parallelize (no-op at lake scale)
+    if name in ("documents", "embeddings", "events"):
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 _PIPE_CACHE: dict[str, object] = {}

@@ -105,7 +105,10 @@ def minhash_lsh_pairs(
     corpora; raise bands for higher recall at scale. Output matches
     ngram_jaccard_pairs (id_a, id_b, jaccard)."""
     rows = n_perm // bands
-    sigs = minhash_signatures(docs, n_perm, k, text_col, id_col)
+    # persist: signatures feed the bucket self-join twice (x/y aliases) and
+    # the verification join twice more — without this the 32-perm minhash
+    # expression is recomputed up to 4x
+    sigs = minhash_signatures(docs, n_perm, k, text_col, id_col).persist()
     buckets = sigs.select(
         "id",
         F.explode(
@@ -127,9 +130,8 @@ def minhash_lsh_pairs(
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
     )
-    sh = _with_shingles(docs, k, text_col, id_col)
-    av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
-    bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    av = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+    bv = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
     return (
         cand.join(av, "id_a")
         .join(bv, "id_b")

@@ -28,6 +28,41 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_ppr(edge_rows, source_ids, damping, max_iter, tol):
+    """Vectorized driver-side power iteration — same update rule as the
+    distributed loop. O(E) per iteration via np.add.at; for graphs that fit
+    on the driver, 100 iterations cost milliseconds instead of 100 Spark
+    jobs."""
+    import numpy as np
+
+    verts = sorted({v for e in edge_rows for v in (e[0], e[1])} | set(source_ids))
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    src = np.fromiter((idx[e[0]] for e in edge_rows), dtype=np.int64, count=len(edge_rows))
+    dst = np.fromiter((idx[e[1]] for e in edge_rows), dtype=np.int64, count=len(edge_rows))
+    w = np.fromiter((float(e[2]) for e in edge_rows), dtype=np.float64, count=len(edge_rows))
+    # symmetrize (undirected)
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    w = np.concatenate([w, w])
+    out_w = np.zeros(n)
+    np.add.at(out_w, src, w)
+    tw = w / out_w[src]
+    p = np.zeros(n)
+    for s in source_ids:
+        p[idx[s]] = 1.0 / len(source_ids)
+    r = p.copy()
+    for _ in range(max_iter):
+        contrib = np.zeros(n)
+        np.add.at(contrib, dst, r[src] * tw)
+        dangling = r[out_w == 0].sum()
+        r_new = (1.0 - damping) * p + damping * (contrib + dangling * p)
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        if delta < tol:
+            break
+    return [(v, float(r[idx[v]])) for v in verts]
+
+
 def personalized_pagerank(
     edges: DataFrame,
     source_nodes: DataFrame,
@@ -38,9 +73,28 @@ def personalized_pagerank(
     src_col: str = "head_node_id",
     dst_col: str = "tail_node_id",
     weight_col: str = "weight",
+    small_graph_threshold: int = 500_000,
 ) -> DataFrame:
     """edges(head_node_id, tail_node_id, weight) + source_nodes(node_id)
-    -> (node_id, score)."""
+    -> (node_id, score).
+
+    Adaptive: if the edge list fits comfortably on the driver
+    (< ``small_graph_threshold`` edges), run the identical update rule as a
+    vectorized driver-side power iteration — an iterative DataFrame loop on a
+    tiny graph pays ~seconds of job latency PER ITERATION for milliseconds of
+    math. The distributed loop below is the 10^9+-edge path; set the
+    threshold to 0 to force it (tests do)."""
+    if small_graph_threshold > 0:
+        n_edges = edges.limit(small_graph_threshold).count()
+        if n_edges < small_graph_threshold:
+            rows = edges.select(src_col, dst_col, weight_col).collect()
+            sources = [r["node_id"] for r in source_nodes.select("node_id").collect()]
+            if not sources:
+                raise ValueError("personalized pagerank needs at least one source node")
+            result = _driver_ppr(
+                [(r[0], r[1], r[2]) for r in rows], sources, float(damping), max_iter, tol
+            )
+            return edges.sparkSession.createDataFrame(result, "node_id string, score double")
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),

@@ -41,7 +41,7 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("KG_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("KG_SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():

@@ -111,9 +111,19 @@ def synthesize_spans(docs: DataFrame, n_span_mod: int = 3, media_mod: int = 5) -
     return d.select("doc_id", "spans")
 
 
-def read_documents_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver star-schema documents parquet -> interleaved spans table."""
-    return synthesize_spans(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+def read_documents_parquet(spark: SparkSession, sf_dir: str,
+                           repartition: bool = True) -> DataFrame:
+    """Driver star-schema documents parquet -> interleaved spans table.
+
+    The sandbox fixtures are single parquet files (one input split), which
+    would serialize every downstream mapInPandas stage onto one task; a
+    round-robin repartition to the session default parallelism restores the
+    multi-split layout a real lake has. At 100 TB the input already has
+    thousands of splits and this is a no-op choice (pass False)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if repartition:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return synthesize_spans(df)
 
 
 def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:

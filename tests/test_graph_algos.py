@@ -71,12 +71,21 @@ def test_ppr_matches_numpy(spark, sources):
     sdf = spark.createDataFrame([(s,) for s in sources], "node_id string")
     got = {
         r["node_id"]: r["score"]
-        for r in personalized_pagerank(edf, sdf, 0.85, 60, 1e-12, checkpoint_every=10).collect()
+        for r in personalized_pagerank(
+            edf, sdf, 0.85, 60, 1e-12, checkpoint_every=10, small_graph_threshold=0
+        ).collect()
     }
     want = numpy_ppr(edges, sources)
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    # the adaptive driver-side path must agree with the distributed loop
+    fast = {
+        r["node_id"]: r["score"]
+        for r in personalized_pagerank(edf, sdf, 0.85, 60, 1e-12).collect()
+    }
+    for v in want:
+        assert abs(fast[v] - want[v]) < 1e-6, (v, fast[v], want[v])
 
 
 def test_ppr_isolated_source_dangling(spark):
@@ -85,7 +94,8 @@ def test_ppr_isolated_source_dangling(spark):
     edf = spark.createDataFrame(edges, "head_node_id string, tail_node_id string, weight double")
     sdf = spark.createDataFrame([("z",)], "node_id string")
     got = {r["node_id"]: r["score"] for r in
-           personalized_pagerank(edf, sdf, 0.85, 40, 1e-12, checkpoint_every=8).collect()}
+           personalized_pagerank(edf, sdf, 0.85, 40, 1e-12, checkpoint_every=8,
+                                 small_graph_threshold=0).collect()}
     want = numpy_ppr(edges, ["z"])
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6
