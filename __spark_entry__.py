@@ -141,6 +141,22 @@ def q_kg_f8_sanitize(spark, sf_dir):
     )
 
 
+def q_kg_f9_strip_think(spark, sf_dir):
+    """F9 (graph_answering.py:55-66): strip <think> blocks from model answers
+    — exercised on synthetic answers built from the documents table."""
+    from knowledgegraphbuilder_spark.operators.answer import strip_think_col
+
+    d = _t(spark, sf_dir, "documents")
+    answers = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("<think>reasoning about "), F.col("text"), F.lit("\nmore</think>"),
+            F.lit("Answer: "), F.col("lang"),
+        ).alias("raw"),
+    )
+    return answers.select("doc_id", strip_think_col(F.col("raw")).alias("answer"))
+
+
 def q_dd_exact(spark, sf_dir):
     return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -312,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_t3_topdocs": q_kg_t3_topdocs,
         "kg_t1_sample": q_kg_t1_sample,
         "kg_f8_sanitize": q_kg_f8_sanitize,
+        "kg_f9_strip_think": q_kg_f9_strip_think,
         "dd_exact": q_dd_exact,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
         "dd_minhash_lsh": q_dd_minhash_lsh,
@@ -570,6 +587,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT rel_type,
                    upper(replace(replace(rel_type, ' ', '_'), '-', '_')) AS rel_type_neo4j
             FROM rels_id
+        """,
+        "kg_f9_strip_think": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   trim(regexp_replace('<think>reasoning about ' || text || chr(10) ||
+                        'more</think>' || 'Answer: ' || lang,
+                        '<think>.*?</think>', '', 's')) AS answer
+            FROM documents
         """,
         "dd_exact": """
             SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,

@@ -104,7 +104,7 @@ def run_kg_once(parallelism: int, sf_dir: str, amplify: int = 1,
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--scale-run":
         par = int(sys.argv[2])
-        amp = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "10"))
+        amp = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20"))
         mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted")
         cost = float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "60"))
         dt, n = run_kg_once(par, SF_DIR, amplify=amp, mode=mode, cost_us=cost)
@@ -178,7 +178,7 @@ def main() -> None:
                 n_cpus=n_small,
                 mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted"),
                 cost_us_per_token=float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "60")),
-                amplify=int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "10")),
+                amplify=int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20")),
                 throughput_ratio=round(ratio, 3),
                 efficiency=round(ratio / 4.0, 3),
             )

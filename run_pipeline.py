@@ -67,6 +67,7 @@ def main() -> None:
     print(json.dumps(summary))
 
     if args.query:
+        from knowledgegraphbuilder_spark.operators.answer import answer_question
         from knowledgegraphbuilder_spark.operators.retrieval import (
             index_edges,
             retrieve_documents,
@@ -74,7 +75,12 @@ def main() -> None:
 
         idx = index_edges(res.edges)
         top = retrieve_documents(res.edges, res.membership, idx, args.query)
-        print(json.dumps({"query": args.query, "top_docs": [r.asDict() for r in top.collect()]}))
+        answer = answer_question(top, res.documents, args.query)
+        print(json.dumps({
+            "query": args.query,
+            "top_docs": [r.asDict() for r in top.collect()],
+            "answer": answer,
+        }))
     spark.stop()
 
 
