@@ -62,14 +62,25 @@ def generate_labels(
             yield pd.DataFrame({"response": be.generate_batch(pdf["chunk_text"])})
 
     responses = chunks.mapInPandas(run, "response string")
-    # F4: bracket-list extract; F6: quote-normalized JSON parse; P5: drop nulls
+    # F4: bracket-list extract; F6: JSON parse with repair fallback (the
+    # reference runs repair_json then a quote-aware token regex,
+    # ner_labels_generator.py:66-91): first try strict JSON after quote
+    # normalization, else fall back to extracting quoted tokens.
     parsed = (
         responses.withColumn("arr_str", F.regexp_extract("response", r"(\[[\s\S]*?\])", 1))
         .filter(F.length("arr_str") > 0)
-        .withColumn("labels", F.from_json(F.regexp_replace("arr_str", r"'", '"'), "array<string>"))
+        .withColumn(
+            "labels",
+            F.coalesce(
+                F.from_json(F.regexp_replace("arr_str", r"'", '"'), "array<string>"),
+                F.regexp_extract_all(
+                    F.col("arr_str"), F.lit("[\"']([^\"',\\[\\]]+)[\"']"), F.lit(1)
+                ),
+            ),
+        )
         .filter(F.col("labels").isNotNull())
         .select(F.explode("labels").alias("raw"))
-        .filter(F.col("raw").isNotNull())
+        .filter(F.col("raw").isNotNull() & (F.length(F.trim("raw")) > 0))
     )
     # F7: lower/trim/underscore normalize; A4: distinct; T4: sorted
     return (
