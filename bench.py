@@ -106,11 +106,40 @@ def main() -> None:
         par = int(sys.argv[2])
         amp = int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20"))
         mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted")
-        cost = float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "60"))
+        cost = float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "80"))
         dt, n = run_kg_once(par, SF_DIR, amplify=amp, mode=mode, cost_us=cost)
         print(json.dumps({"par": par, "sec": dt, "docs": n,
                           "mode": mode, "cost_us_per_token": cost}))
         return
+
+    # Scaling subprocesses run FIRST, before this process owns a JVM: the 4N
+    # leg saturates every core (N task threads + N python workers) and any
+    # lingering parent JVM displaces it (measured ~2x). 4N is capped at
+    # CPUS/2 for the same reason — beyond cores/2 the single VM
+    # oversubscribes, which a real cluster (dedicated executor cores) would
+    # not.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        n_small = max(CPUS // 8, 1)
+        scaling = {}
+        for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
+                capture_output=True, text=True, env=os.environ.copy(),
+            )
+            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+            scaling[key] = json.loads(line[-1])["sec"] if line else None
+            time.sleep(5)
+        if scaling.get("t_n") and scaling.get("t_4n"):
+            ratio = scaling["t_n"] / scaling["t_4n"]
+            scaling.update(
+                n_cpus=n_small,
+                mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted"),
+                cost_us_per_token=float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "80")),
+                amplify=int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20")),
+                throughput_ratio=round(ratio, 3),
+                efficiency=round(ratio / 4.0, 3),
+            )
 
     from knowledgegraphbuilder_spark.session import build_session
 
@@ -157,31 +186,7 @@ def main() -> None:
         "cpus": CPUS,
     }
 
-    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
-        # N vs 4N parallelism on the same input (sandbox stand-in for N vs 4N
-        # executors). 4N is capped at CPUS/2: every local task thread pairs
-        # with a Python worker process, so beyond cores/2 the single VM
-        # oversubscribes — which a real cluster (dedicated cores per
-        # executor) would not.
-        n_small = max(CPUS // 8, 1)
-        scaling = {}
-        for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
-                capture_output=True, text=True, env=os.environ.copy(),
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-            scaling[key] = json.loads(line[-1])["sec"] if line else None
-        if scaling.get("t_n") and scaling.get("t_4n"):
-            ratio = scaling["t_n"] / scaling["t_4n"]
-            scaling.update(
-                n_cpus=n_small,
-                mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted"),
-                cost_us_per_token=float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "60")),
-                amplify=int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20")),
-                throughput_ratio=round(ratio, 3),
-                efficiency=round(ratio / 4.0, 3),
-            )
+    if scaling is not None:
         out["scaling"] = scaling
 
     print(json.dumps(out))
