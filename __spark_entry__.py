@@ -175,7 +175,9 @@ def q_dd_minhash_lsh(spark, sf_dir):
 
 
 def q_dd_simhash(spark, sf_dir):
-    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+    # max_hamming=3 < n_blocks=4: pigeonhole-complete, so the banded LSH
+    # output is EXACTLY the all-pairs Hamming join the DuckDB oracle runs
+    return dd.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3, n_blocks=4)
 
 
 def q_dd_embed_cosine(spark, sf_dir):
@@ -602,6 +604,79 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dd_ngram_jaccard": _JACCARD_09,
         "dd_minhash_lsh": _JACCARD_09,
+        # exact all-pairs Hamming join over the same 60-bit sha256-based
+        # simhash; the Spark side's pigeonhole banding (n_blocks > max_hamming)
+        # is complete, so the two sets are equal, not just approximately so
+        "dd_simhash": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     [('0x' || substr(sha256(w), 1, 15))::BIGINT
+                      FOR w IN string_split(text, ' ')] AS hs
+              FROM documents
+            ),
+            sh AS (
+              SELECT id,
+                     list_sum([CASE WHEN list_sum([CASE WHEN (h >> b) & 1 = 1
+                                                   THEN 1 ELSE -1 END FOR h IN hs]) > 0
+                               THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                               FOR b IN generate_series(0, 59)]) AS sim
+              FROM t
+            )
+            SELECT a.id AS id_a, b.id AS id_b,
+                   CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+            FROM sh a JOIN sh b ON a.id < b.id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
+        # byte-level stats of the deterministic sha256-seeded fake payloads:
+        # payload(ref) = sha256(ref) digest repeated, truncated to
+        # 256 + digest[0] bytes (operators/multimodal.py:_fake_payload) — so
+        # counts = full_copies * digest_counts + prefix_counts, all in SQL
+        "mm_features": """
+            WITH refs AS (
+              SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref,
+                     'image' AS media_type
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0', 'audio'
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            b AS (
+              SELECT media_ref, media_type,
+                     [('0x' || substr(sha256(media_ref), 2 * i + 1, 2))::INT
+                      FOR i IN generate_series(0, 31)] AS bytes
+              FROM refs
+            ),
+            s AS (
+              SELECT media_ref, media_type, bytes,
+                     256 + bytes[1] AS size,
+                     8 + bytes[1] // 32 AS copies,
+                     bytes[1] % 32 AS rem
+              FROM b
+            ),
+            u AS (
+              SELECT media_ref, media_type, size, copies, rem,
+                     UNNEST([{'v': bytes[i], 'i': i}
+                             FOR i IN generate_series(1, 32)]) AS e
+              FROM s
+            ),
+            cnt AS (
+              SELECT media_ref, media_type, size,
+                     any_value(copies) * count(*)
+                       + count(*) FILTER (WHERE e.i <= rem) AS c,
+                     e.v AS v
+              FROM u GROUP BY media_ref, media_type, size, e.v
+            ),
+            stat AS (
+              SELECT media_ref, media_type, size,
+                     sum(v * c) AS bsum,
+                     -sum((CAST(c AS DOUBLE) / size) * log2(CAST(c AS DOUBLE) / size)) AS ent
+              FROM cnt GROUP BY media_ref, media_type, size
+            )
+            SELECT media_ref, media_type, CAST(size AS BIGINT) AS n_bytes,
+                   round(CAST(bsum AS DOUBLE) / size, 6) AS byte_mean,
+                   round(ent, 6) AS byte_entropy
+            FROM stat
+        """,
         "dd_embed_cosine": """
             WITH v AS (
               SELECT CAST(vec_id AS VARCHAR) AS id,
@@ -631,6 +706,45 @@ def oracle_sql() -> dict[str, str]:
                              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
                              4) AS score
             FROM v, q ORDER BY score DESC, id LIMIT 10
+        """,
+        # full replay of the LSH algorithm: the sha256-derived hyperplanes
+        # (operators/ann.py:hyperplane) are recomputed in SQL, every vector's
+        # bucket per table is rebuilt, candidates = union of the query's
+        # buckets, then exact cosine rescoring — value-exact vs the Spark path
+        "ann_lsh": """
+            WITH planes AS (
+              SELECT t, b, d,
+                     ('0x' || substr(sha256('42,' || t || ',' || b || ',' || d), 1, 8))::BIGINT
+                       / 4294967296.0 - 0.5 AS w
+              FROM generate_series(0, 7) ts(t),
+                   generate_series(0, 3) bs(b),
+                   generate_series(0, 63) ds(d)
+            ),
+            v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT v.id, p.t, p.b, sum(v.e[p.d + 1] * p.w) AS dot
+              FROM v, planes p GROUP BY v.id, p.t, p.b
+            ),
+            buckets AS (
+              SELECT id, t, sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            qb AS (SELECT t, bucket FROM buckets WHERE id = '0'),
+            cand AS (
+              SELECT DISTINCT b.id FROM buckets b
+              JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+            ),
+            q AS (SELECT e AS qv FROM v WHERE id = '0')
+            SELECT v.id,
+                   round(list_dot_product(v.e, q.qv)
+                         / (sqrt(list_dot_product(v.e, v.e))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+            FROM v JOIN cand USING (id), q
+            ORDER BY score DESC, id LIMIT 10
         """,
         "ts_langid": f"""
             WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -85,13 +85,22 @@ def topk_bruteforce_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random unit hyperplane."""
-    import random
+    """Deterministic pseudo-random hyperplane, sha256-derived.
 
-    rng = random.Random(seed * 1000003 + table * 10007 + bit)
-    v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-    n = math.sqrt(sum(x * x for x in v)) or 1.0
-    return [x / n for x in v]
+    Component (seed, table, bit, d) = uniform(-0.5, 0.5) from the top 32 bits
+    of sha256 of the coordinate key. Sign-LSH only needs a symmetric component
+    distribution, and sha256 is bit-identical in DuckDB — so the exact bucket
+    assignment (and therefore the full approximate result) is replayable in
+    the SQL oracle, not just bounded by a recall proxy. Not normalized: scale
+    does not change the sign of a dot product."""
+    import hashlib
+
+    return [
+        int.from_bytes(
+            hashlib.sha256(f"{seed},{table},{bit},{d}".encode()).digest()[:4], "big"
+        ) / 2.0**32 - 0.5
+        for d in range(dim)
+    ]
 
 
 def lsh_bucket_expr(vec_col: str, dim: int, n_bits: int, table: int, seed: int = 42) -> F.Column:

@@ -54,21 +54,65 @@ def _with_shingles(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataF
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, k: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard >= threshold pairs via shingle inverted index.
+
+    ``max_shingle_df`` is the frequent-shingle guard (the standard DF-cutoff
+    trick): shingles appearing in more than that many documents are excluded
+    from *candidate generation* — one stop-shingle shared by 10^6 docs would
+    otherwise emit 10^12 pairs out of a single join key. The Jaccard value is
+    still computed over the FULL shingle sets (hot-shingle overlap is added
+    back from a per-doc hot-shingle array), so every reported pair is exact;
+    the only loss is pairs whose every common shingle is hot, which at
+    near-dup thresholds means a document made almost entirely of boilerplate.
+    Pass ``None`` for the fully exact all-pairs baseline (the test oracle).
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
     (portable float compare with the DuckDB oracle)."""
     sh = _with_shingles(docs, k, text_col, id_col)
     sizes = sh.select("id", F.size("shingles").alias("n"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
+    if max_shingle_df is not None:
+        # document frequency per shingle; the hot set is tiny by construction
+        # (<= total-shingle-volume / cutoff entries), so it broadcasts
+        hot = (
+            inv.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        inv_cold = inv.join(F.broadcast(hot), "shingle", "left_anti")
+        hot_per_doc = (
+            inv.join(F.broadcast(hot), "shingle")
+            .groupBy("id")
+            .agg(F.collect_list("shingle").alias("hot_arr"))
+        )
+    else:
+        inv_cold = inv
+        hot_per_doc = None
+    a = inv_cold.alias("a")
+    b = inv_cold.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("i"))
     )
+    if hot_per_doc is not None:
+        empty = F.array().cast("array<string>")
+        inter = (
+            inter.join(
+                hot_per_doc.select(F.col("id").alias("id_a"), F.col("hot_arr").alias("ha")),
+                "id_a", "left")
+            .join(
+                hot_per_doc.select(F.col("id").alias("id_b"), F.col("hot_arr").alias("hb")),
+                "id_b", "left")
+            .withColumn(
+                "i",
+                F.col("i") + F.size(F.array_intersect(
+                    F.coalesce("ha", empty), F.coalesce("hb", empty))),
+            )
+            .drop("ha", "hb")
+        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
@@ -148,18 +192,29 @@ def minhash_lsh_pairs(
     )
 
 
+SIMHASH_BITS = 60
+
+
 def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash over word token hashes (native bit arithmetic)."""
+    """60-bit SimHash over word token hashes (native bit arithmetic).
+
+    The word hash is the top 60 bits of sha256 (15 hex chars) rather than
+    xxhash64: sha256 is bit-identical across Spark and DuckDB, which makes the
+    whole operator oracle-checkable, and 60 bits keeps the value inside a
+    signed BIGINT on both engines ('0x...'::BIGINT caps at 63 bits)."""
     toks = docs.select(
         F.col(id_col).cast("string").alias("id"),
-        F.expr(f"transform(split({text_col}, ' '), w -> xxhash64(w))").alias("hs"),
+        F.expr(
+            f"transform(split({text_col}, ' '), "
+            f"w -> cast(conv(substring(sha2(w, 256), 1, 15), 16, 10) as bigint))"
+        ).alias("hs"),
     )
     # bit b of simhash = majority of bit b over token hashes
     return toks.withColumn(
         "simhash",
         F.expr(
-            """
-            aggregate(sequence(0, 63), cast(0 as bigint), (acc, b) ->
+            f"""
+            aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) ->
               acc | (case when
                 aggregate(hs, 0, (c, h) -> c + case when (h >> b) & 1 = 1 then 1 else -1 end)
                 > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))
@@ -173,17 +228,28 @@ def simhash_pairs(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming via the pigeonhole
-    banding trick: split 64 bits into n_blocks (> max_hamming) 16-bit blocks;
-    any pair within distance max_hamming agrees on >= 1 block -> candidate;
-    verify with popcount. Output: (id_a, id_b, hamming)."""
+    banding trick: split the 60 bits into n_blocks equal blocks; any pair
+    within distance max_hamming < n_blocks agrees on >= 1 block -> candidate;
+    verify with popcount. ``n_blocks > max_hamming`` is REQUIRED for
+    completeness (pigeonhole) and enforced here — with it, the banded output
+    equals the exact all-pairs Hamming join, which is what the DuckDB oracle
+    computes. Output: (id_a, id_b, hamming)."""
+    if n_blocks <= max_hamming:
+        raise ValueError(
+            f"pigeonhole completeness needs n_blocks > max_hamming "
+            f"(got {n_blocks} <= {max_hamming})"
+        )
+    if SIMHASH_BITS % n_blocks != 0:
+        raise ValueError(f"n_blocks must divide {SIMHASH_BITS}")
+    blk_bits = SIMHASH_BITS // n_blocks
     sh = simhash(docs, text_col, id_col)
     blocks = sh.select(
         "id", "simhash",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {n_blocks - 1}), "
-                f"b -> named_struct('blk', b, 'key', (simhash >> (b * {64 // n_blocks})) "
-                f"& {(1 << (64 // n_blocks)) - 1}))"
+                f"b -> named_struct('blk', b, 'key', (simhash >> (b * {blk_bits})) "
+                f"& {(1 << blk_bits) - 1}))"
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
