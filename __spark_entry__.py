@@ -54,11 +54,16 @@ _PIPE_CACHE: dict[str, object] = {}
 
 
 def _kg(spark: SparkSession, sf_dir: str):
-    """Pipeline results for sf_dir (cached per dir within a process)."""
+    """Pipeline results for sf_dir (cached per dir within a process).
+
+    materialize="ckpt" pins the expensive fan-out points (inference UDF
+    outputs) with localCheckpoint, so the many contract queries that consume
+    mentions/relations/edges hit the materialized tables instead of replaying
+    the whole inference chain per action."""
     key = sf_dir
     if key not in _PIPE_CACHE:
         spans = read_documents_parquet(spark, sf_dir)
-        _PIPE_CACHE[key] = run_pipeline(spans, CFG)
+        _PIPE_CACHE[key] = run_pipeline(spans, CFG, materialize="ckpt")
     return _PIPE_CACHE[key]
 
 
@@ -87,11 +92,14 @@ def q_kg_u4_relations(spark, sf_dir):
 
 
 def q_kg_a1_nodes(spark, sf_dir):
-    n = _kg(spark, sf_dir).nodes
-    return n.select(
-        "node_id", "text", "n_mentions",
-        F.concat_ws(",", "mention_ids").alias("mention_ids_csv"),
+    """A1 contract: node rows + member-id CSV. The pipeline only materializes
+    the normalized membership table (the 10^12-scale representation); the
+    per-node id list is aggregated here, in the small-sf contract query."""
+    kg = _kg(spark, sf_dir)
+    csv = kg.membership.groupBy("node_id").agg(
+        F.concat_ws(",", F.array_sort(F.collect_list("mention_id"))).alias("mention_ids_csv")
     )
+    return kg.nodes.select("node_id", "text", "n_mentions").join(csv, "node_id")
 
 
 def q_kg_j2_edges(spark, sf_dir):
@@ -229,9 +237,17 @@ def q_g3_pagerank(spark, sf_dir):
 
 
 def q_retrieval_topk(spark, sf_dir):
+    """Full QA retrieval (LSH probe -> rescore -> PPR -> doc weights). The
+    contract pins the PPR *fixed point*: tol 1e-12 / 300 iters on both sides
+    puts Spark's early-exit and the oracle's fixed iteration count within
+    1e-11 of each other — far inside the 6dp rounding. (Pipeline defaults
+    stay at the reference's 100/1e-6.)"""
+    import dataclasses
+
     kg = _kg(spark, sf_dir)
+    cfg = dataclasses.replace(CFG, pagerank_max_iter=300, pagerank_tol=1.0e-12)
     idx = index_edges(kg.edges, CFG.embedding_dim)
-    return retrieve_documents(kg.edges, kg.membership, idx, "which customer stream uses spark", CFG)
+    return retrieve_documents(kg.edges, kg.membership, idx, "which customer stream uses spark", cfg)
 
 
 def q_mm_features(spark, sf_dir):
@@ -482,6 +498,88 @@ jacc AS (
 """
 
 _JACCARD_09 = f"WITH {_SHINGLE_CTE} SELECT id_a, id_b, jaccard FROM jacc WHERE jaccard >= 0.9"
+
+
+def _ppr_recursive(n_iter: int, damping: float = 0.85) -> str:
+    """Recursive-CTE weighted personalized PageRank — the exact update rule of
+    operators/pagerank.py (symmetrized edges, out-weight-normalized
+    transitions, dangling mass redistributed via the personalization vector),
+    validated against the numpy reference to 1e-16. Expects CTEs
+    ``raw(s, t2, w)`` (directed weighted edges) and ``srcs(v)`` (source
+    vertices); produces ``ranks(v, score)`` after ``n_iter`` iterations."""
+    return f"""
+sym AS (SELECT s, t2, w FROM raw UNION ALL SELECT t2, s, w FROM raw),
+-- MATERIALIZED: every CTE referenced from the recursive term is otherwise
+-- re-inlined (and its whole upstream chain re-evaluated) once PER ITERATION
+e AS MATERIALIZED (SELECT s AS src, t2 AS dst, sum(w) AS w FROM sym GROUP BY s, t2),
+ow AS (SELECT src, sum(w) AS tot FROM e GROUP BY src),
+et AS MATERIALIZED (SELECT e.src, e.dst, e.w / ow.tot AS tw FROM e JOIN ow USING (src)),
+pverts AS (SELECT DISTINCT v FROM
+           (SELECT src AS v FROM e UNION SELECT dst FROM e UNION SELECT v FROM srcs)),
+ns AS (SELECT count(*) AS n FROM srcs),
+pers AS MATERIALIZED (
+  SELECT pverts.v, CASE WHEN srcs.v IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS p
+  FROM pverts LEFT JOIN srcs ON srcs.v = pverts.v CROSS JOIN ns
+),
+r(i, v, score) AS (
+  SELECT 0, v, p FROM pers
+  UNION ALL
+  SELECT cur.i + 1, pers.v,
+         (1.0 - {damping}) * pers.p + {damping} * (coalesce(infl.x, 0.0) + dang.m * pers.p)
+  FROM pers
+  CROSS JOIN (SELECT max(i) AS i FROM r) cur
+  LEFT JOIN (SELECT et.dst AS v, sum(r.score * et.tw) AS x
+             FROM r JOIN et ON et.src = r.v GROUP BY et.dst) infl ON infl.v = pers.v
+  CROSS JOIN (SELECT coalesce(sum(score), 0.0) AS m FROM r
+              WHERE v NOT IN (SELECT src FROM e)) dang
+  WHERE cur.i < {n_iter}
+),
+ranks AS (SELECT v, score FROM r WHERE i = {n_iter})
+"""
+
+
+# trigram feature-hash embedding (retrieval.py:hash_embed_text) in SQL:
+# bucket = h % 64 and sign = (h >> 8) % 2 need only the last hex chars of the
+# first 8 sha256 bytes — chars 15-16 (low byte) and 13-14 (next byte up)
+_EMBED_FEAT_CTE = """
+tri AS (
+  SELECT txt, is_q,
+         UNNEST([substr('^' || txt || '$', i, 3)
+                 FOR i IN generate_series(1, length(txt))]) AS tri
+  FROM alltxt
+),
+feat AS (
+  SELECT txt, is_q,
+         ('0x' || substr(sha256(tri), 15, 2))::INT % 64 AS bucket,
+         CASE WHEN ('0x' || substr(sha256(tri), 13, 2))::INT % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS sgn
+  FROM tri
+),
+vec0 AS (
+  SELECT txt, is_q, bucket, CAST(sum(sgn) AS DOUBLE) AS val
+  FROM feat GROUP BY txt, is_q, bucket
+),
+nrm0 AS (SELECT txt, is_q, sqrt(sum(val * val)) AS n FROM vec0 GROUP BY txt, is_q),
+-- document vectors are stored float32 (ArrayType(FloatType)); the query
+-- vector stays float64 (literal doubles in the Spark plan) — replicate both
+vec AS (
+  SELECT v.txt, v.is_q, v.bucket,
+         CASE WHEN v.is_q = 1 THEN v.val / nrm0.n
+              ELSE CAST(CAST(v.val / nrm0.n AS REAL) AS DOUBLE) END AS val
+  FROM vec0 v JOIN nrm0 USING (txt, is_q)
+)
+"""
+
+_PLANES_CTE = """
+planes AS (
+  SELECT t, b, d,
+         ('0x' || substr(sha256('42,' || t || ',' || b || ',' || d), 1, 8))::BIGINT
+           / 4294967296.0 - 0.5 AS w
+  FROM generate_series(0, 7) ts(t),
+       generate_series(0, 3) bs(b),
+       generate_series(0, 63) ds(d)
+)
+"""
 
 _LANG_CASES = {
     "de": ("der", "die", "das", "und", "ist"),
@@ -806,6 +904,89 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """,
+        # exact replay of the driver/distributed PPR loop in a recursive CTE:
+        # same symmetrization, same transition normalization, same dangling
+        # handling; Spark runs the full 30 iterations here (no early exit at
+        # tol 1e-9), so both sides compute the identical iterate
+        "g3_pagerank": f"""
+            WITH RECURSIVE {_REL_CTE},
+            cnt AS (SELECT text, count(*) AS n FROM mentions GROUP BY text),
+            srcs AS (SELECT text AS v FROM cnt ORDER BY n DESC, text LIMIT 3),
+            raw AS (SELECT head_text AS s, tail_text AS t2, 0.2::DOUBLE AS w FROM rels_id),
+            {_ppr_recursive(30)}
+            SELECT v AS text, round(score, 4) AS score FROM ranks
+        """,
+        # end-to-end retrieval replay: trigram-hash embeddings of every edge
+        # description and the query, LSH bucket probe (same sha256 planes as
+        # ann_lsh), exact rescoring, top-5 edges, weighted PPR from their
+        # endpoints to the fixed point, membership-summed doc weights
+        "retrieval_topk": f"""
+            WITH RECURSIVE {_REL_CTE},
+            descs AS (SELECT DISTINCT description AS txt FROM rels_id),
+            alltxt AS (
+              SELECT 'which customer stream uses spark' AS txt, 1 AS is_q
+              UNION ALL SELECT txt, 0 FROM descs
+            ),
+            {_EMBED_FEAT_CTE},
+            {_PLANES_CTE},
+            dots AS (
+              SELECT v.txt, v.is_q, p.t, p.b, sum(v.val * p.w) AS dot
+              FROM vec v JOIN planes p ON p.d = v.bucket
+              GROUP BY v.txt, v.is_q, p.t, p.b
+            ),
+            grid AS (
+              SELECT a.txt, a.is_q, ts.t, bs.b
+              FROM (SELECT DISTINCT txt, is_q FROM alltxt) a,
+                   generate_series(0, 7) ts(t), generate_series(0, 3) bs(b)
+            ),
+            bkt AS (
+              SELECT g.txt, g.is_q, g.t,
+                     sum(CASE WHEN coalesce(d.dot, 0.0) >= 0 THEN 1 << g.b ELSE 0 END) AS bucket
+              FROM grid g LEFT JOIN dots d
+                ON d.txt = g.txt AND d.is_q = g.is_q AND d.t = g.t AND d.b = g.b
+              GROUP BY g.txt, g.is_q, g.t
+            ),
+            qbkt AS (SELECT t, bucket FROM bkt WHERE is_q = 1),
+            cand AS (
+              SELECT DISTINCT b.txt FROM bkt b
+              JOIN qbkt ON b.is_q = 0 AND b.t = qbkt.t AND b.bucket = qbkt.bucket
+            ),
+            qv AS (SELECT bucket, val FROM vec WHERE is_q = 1),
+            qn AS (SELECT sqrt(sum(val * val)) AS n FROM qv),
+            dn AS (SELECT txt, sqrt(sum(val * val)) AS n FROM vec WHERE is_q = 0 GROUP BY txt),
+            dotq AS (
+              SELECT v.txt, sum(v.val * qv.val) AS dp
+              FROM vec v JOIN qv ON qv.bucket = v.bucket WHERE v.is_q = 0 GROUP BY v.txt
+            ),
+            score_desc AS (
+              SELECT cand.txt, round(coalesce(dotq.dp, 0.0) / (dn.n * qn.n), 4) AS score
+              FROM cand LEFT JOIN dotq USING (txt) JOIN dn USING (txt) CROSS JOIN qn
+            ),
+            tope AS (
+              SELECT r2.relation_id AS edge_id, s.score
+              FROM rels_id r2 JOIN score_desc s ON s.txt = r2.description
+              ORDER BY s.score DESC, edge_id LIMIT 5
+            ),
+            raw AS (
+              SELECT r3.head_text AS s, r3.tail_text AS t2,
+                     coalesce(greatest(tope.score, 1e-6), 0.2) AS w
+              FROM rels_id r3 LEFT JOIN tope ON tope.edge_id = r3.relation_id
+            ),
+            srcs AS (
+              SELECT DISTINCT v FROM (
+                SELECT r4.head_text AS v FROM rels_id r4 JOIN tope ON tope.edge_id = r4.relation_id
+                UNION
+                SELECT r5.tail_text FROM rels_id r5 JOIN tope ON tope.edge_id = r5.relation_id)
+            ),
+            {_ppr_recursive(300)},
+            docw AS (
+              SELECT m.doc_id, sum(ranks.score) AS weight
+              FROM mentions m JOIN ranks ON ranks.v = m.text
+              GROUP BY m.doc_id
+            )
+            SELECT doc_id, round(weight, 6) AS weight
+            FROM docw ORDER BY weight DESC, doc_id LIMIT 5
         """,
         "sql_agg_pushdown": """
             SELECT l_returnflag, l_linestatus,

@@ -66,6 +66,11 @@ class KGConfig:
     lsh_bands: int = 8
     shingle_size: int = 3
 
+    # ANN-LSH retrieval path (random-hyperplane probe over the edge index;
+    # brute force remains the test oracle — see operators/retrieval.py)
+    ann_bits: int = 4
+    ann_tables: int = 8
+
     # deterministic extractor backend
     gazetteer: tuple[tuple[str, str], ...] = field(default=DEFAULT_GAZETTEER)
 

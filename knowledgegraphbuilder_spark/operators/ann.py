@@ -122,17 +122,20 @@ def ann_lsh(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: probe only the query's LSH buckets (union over
-    tables), exact-rescore the candidates. Output schema == topk_bruteforce."""
+    tables), exact-rescore the candidates. Output schema == topk_bruteforce.
+
+    The probe is ONE scan: a vector is a candidate iff it matches the query's
+    bucket in ANY table, expressed as a single OR-of-equalities filter — a
+    per-table scan-and-union would recompute the (possibly expensive, e.g.
+    embedding-UDF-backed) input once per table and need a dedup shuffle."""
     dim = dim or len(query)
     v = _as_double(embs, vec_col, id_col)
-    cands = None
+    cond = None
     for t in range(n_tables):
         qb = _bucket_of(query, t, n_bits, dim, seed)
-        ct = v.withColumn("bucket", lsh_bucket_expr("v", dim, n_bits, t, seed)).filter(
-            F.col("bucket") == qb
-        ).select("id", "v")
-        cands = ct if cands is None else cands.union(ct)
-    cands = cands.dropDuplicates(["id"])
+        match_t = lsh_bucket_expr("v", dim, n_bits, t, seed) == F.lit(qb)
+        cond = match_t if cond is None else (cond | match_t)
+    cands = v.filter(cond)
     return (
         cosine_scores(cands.withColumnRenamed("v", "embedding"), query, "id", "embedding")
         .orderBy(F.desc("score"), F.col("id"))

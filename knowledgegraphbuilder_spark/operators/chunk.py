@@ -54,6 +54,52 @@ def chunk_words(text: str, size: int, stride: int) -> list[tuple[int, str, int, 
     return out
 
 
+def chunk_words_tokenized(
+    text: str, size: int, overlap: int, token_len,
+) -> list[tuple[int, str, int, int, int]]:
+    """Token-budgeted chunker core (F11): chunks are word-boundary windows
+    whose summed per-word token count (``token_len(word)``) fits ``size``
+    tokens, consecutive chunks sharing >= ``overlap`` tokens.
+
+    This reproduces the reference's *sizing rule* — chunk length measured in
+    deberta-v3-large tokens, not words (entity_extraction.py:28-32,101-102) —
+    with two documented divergences: (a) token counts are summed per word
+    (cross-word merge effects of the real tokenizer are ignored), (b) splits
+    are word-greedy rather than RecursiveCharacterTextSplitter's
+    paragraph/sentence-first recursion. Char offsets stay exact by
+    construction. Output shape == chunk_words."""
+    words = text.split(" ")
+    n = len(words)
+    offs: list[int] = []
+    pos = 0
+    for w in words:
+        offs.append(pos)
+        pos += len(w) + 1
+    tlens = [max(int(token_len(w)), 1) for w in words]
+    out = []
+    i = 0
+    ci = 0
+    while True:
+        # greedy fill: at least one word, then while budget holds
+        j = i + 1
+        budget = size - tlens[i]
+        while j < n and tlens[j] <= budget:
+            budget -= tlens[j]
+            j += 1
+        out.append((ci, " ".join(words[i:j]), offs[i], i, j - i))
+        if j >= n:
+            break
+        # back up so the next chunk starts >= overlap tokens before j
+        k = j
+        acc = 0
+        while k > i + 1 and acc < overlap:
+            k -= 1
+            acc += tlens[k]
+        i = k
+        ci += 1
+    return out
+
+
 def chunk_documents(docs: DataFrame, size: int, overlap: int) -> DataFrame:
     """(doc_id, text, ...) -> chunk table. ``overlap`` words shared between
     consecutive chunks (stride = size - overlap)."""
@@ -87,5 +133,40 @@ def chunk_documents(docs: DataFrame, size: int, overlap: int) -> DataFrame:
                     "chunk_n_words": pd.array(nws, dtype="int32"),
                 }
             )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, CHUNK_SCHEMA)
+
+
+def chunk_documents_tokenized(
+    docs: DataFrame, size: int, overlap: int, length_fn_factory,
+) -> DataFrame:
+    """Token-budgeted chunk table (F11). ``length_fn_factory`` must be a
+    picklable callable-returning object constructed lazily per python worker
+    (e.g. functions/llm.py:HFTokenizerLength, which loads deberta-v3-large on
+    first call) — the tokenizer itself never crosses the driver/executor
+    boundary."""
+    if overlap >= size:
+        raise ValueError("chunk overlap must be smaller than chunk size")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        token_len = length_fn_factory
+        for pdf in batches:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "chunk_idx", "chunk_text", "chunk_offset",
+                "chunk_word_offset", "chunk_n_words")}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for ci, ct, off, woff, nw in chunk_words_tokenized(
+                    text, size, overlap, token_len
+                ):
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(ci)
+                    rows["chunk_text"].append(ct)
+                    rows["chunk_offset"].append(off)
+                    rows["chunk_word_offset"].append(woff)
+                    rows["chunk_n_words"].append(nw)
+            pdf_out = pd.DataFrame(rows)
+            for c in ("chunk_idx", "chunk_offset", "chunk_word_offset", "chunk_n_words"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="int32")
+            yield pdf_out
 
     return docs.select("doc_id", "text").mapInPandas(gen, CHUNK_SCHEMA)

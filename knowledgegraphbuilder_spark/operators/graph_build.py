@@ -38,7 +38,10 @@ def build_edges(
             "description",
             "relation_id",
             "doc_id",
-            F.lit(default_weight).cast("float").alias("weight"),
+            # double, not float: the weight feeds PPR transition ratios, and a
+            # float32 0.2 (0.20000000298...) would silently diverge from every
+            # SQL oracle's exact 0.2 in the 8th decimal
+            F.lit(default_weight).cast("double").alias("weight"),
         )
     )
 

@@ -10,7 +10,7 @@ Spark design: sampling is hash-ordered (``ORDER BY sha256(doc_id) LIMIT k``) —
 ``df.sample`` is not stable across partitionings, sha256 ordering is, and it
 reproduces bit-exactly in the DuckDB oracle. The 'LLM' is the deterministic
 backend emitting noisy-cased, bracketed label lists (exercising the parse
-path); parsing is native regexp_extract + from_json.
+path); parsing reproduces the reference's repair chain (functions/jsonfix.py).
 """
 
 from __future__ import annotations
@@ -56,37 +56,24 @@ def generate_labels(
     sampled = deterministic_sample(docs, cfg.sample_size_ner_labels)
     chunks = chunk_documents(sampled, cfg.re_chunk_size, cfg.re_chunk_overlap)
 
+    # F4 + F6 + F7 run inside the same Arrow batch as the backend call: the
+    # reference's full parse chain (bracket extract -> repair_json ->
+    # json.loads -> quote-aware token fallback -> lower/underscore normalize,
+    # ner_labels_generator.py:63-91) is reproduced by functions/jsonfix.py.
+    # Python-side parsing is the right altitude here: label generation runs
+    # over a FIXED-SIZE sample (15 docs, reference generator.py:240-246)
+    # regardless of corpus scale, so codegen parsing would buy nothing and
+    # repair fidelity on malformed LLM output matters more.
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from knowledgegraphbuilder_spark.functions.jsonfix import parse_label_list
+
         be = backend if backend is not None else TemplateLabelBackend(cfg.gazetteer)
         for pdf in batches:
-            yield pd.DataFrame({"response": be.generate_batch(pdf["chunk_text"])})
+            responses = be.generate_batch(pdf["chunk_text"])
+            yield pd.DataFrame(
+                {"label": [lb for r in responses for lb in parse_label_list(r)]}
+            )
 
-    responses = chunks.mapInPandas(run, "response string")
-    # F4: bracket-list extract; F6: JSON parse with repair fallback (the
-    # reference runs repair_json then a quote-aware token regex,
-    # ner_labels_generator.py:66-91): first try strict JSON after quote
-    # normalization, else fall back to extracting quoted tokens.
-    parsed = (
-        responses.withColumn("arr_str", F.regexp_extract("response", r"(\[[\s\S]*?\])", 1))
-        .filter(F.length("arr_str") > 0)
-        .withColumn(
-            "labels",
-            F.coalesce(
-                F.from_json(F.regexp_replace("arr_str", r"'", '"'), "array<string>"),
-                F.regexp_extract_all(
-                    F.col("arr_str"), F.lit("[\"']([^\"',\\[\\]]+)[\"']"), F.lit(1)
-                ),
-            ),
-        )
-        .filter(F.col("labels").isNotNull())
-        .select(F.explode("labels").alias("raw"))
-        .filter(F.col("raw").isNotNull() & (F.length(F.trim("raw")) > 0))
-    )
-    # F7: lower/trim/underscore normalize; A4: distinct; T4: sorted
-    return (
-        parsed.select(
-            F.lower(F.regexp_replace(F.trim("raw"), r"\s+", "_")).alias("label")
-        )
-        .distinct()
-        .orderBy("label")
-    )
+    parsed = chunks.mapInPandas(run, "label string")
+    # A4: distinct union across chunks; T4: sorted
+    return parsed.distinct().orderBy("label")

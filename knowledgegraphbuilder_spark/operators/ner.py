@@ -172,11 +172,17 @@ def extract_mentions_stream(chunks: DataFrame, config: KGConfig,
                             labels: list[str] | None = None,
                             backend: object | None = None) -> DataFrame:
     """Streaming-safe variant of :func:`extract_mentions`: the window-based
-    first-seen dedup is replaced by stateful ``dropDuplicates`` — safe here
-    because duplicate mention rows are identical in every output column once
-    ``chunk_idx`` is dropped (chunk overlap is the only duplicate source), so
-    arbitrary-winner semantics are still deterministic."""
+    first-seen dedup is replaced by stateful ``dropDuplicates``.
+
+    Determinism caveat: arbitrary-winner dedup is only deterministic when
+    duplicate rows are identical in every column — true for the gazetteer
+    backend (score is constant per surface form). A model backend (GLiNER)
+    scores the same span differently per chunk context, which would make the
+    surviving row's score depend on microbatch arrival order; with a model
+    backend the score column is therefore collapsed to 1.0 after thresholding
+    and before dedup, trading per-chunk confidence for reproducible streams."""
     cfg = config
+    model_backend = backend is not None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         be = backend if backend is not None else GazetteerExtractor(cfg.gazetteer)
@@ -205,5 +211,7 @@ def extract_mentions_stream(chunks: DataFrame, config: KGConfig,
         "doc_id string, start int, end int, label string, text string, score double, word_idx int",
     )
     raw = raw.filter(F.col("score") >= F.lit(cfg.ner_threshold))
+    if model_backend:
+        raw = raw.withColumn("score", F.lit(1.0))
     dedup = raw.dropDuplicates(["doc_id", "start", "end", "label"])
     return dedup.withColumn("mention_id", ids.mention_id()).select(*MENTION_COLS)

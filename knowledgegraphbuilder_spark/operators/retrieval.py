@@ -70,20 +70,40 @@ def retrieve_documents(
     query: str,
     config: KGConfig | None = None,
     k: int | None = None,
+    use_lsh: bool = True,
 ) -> DataFrame:
-    """Full QA retrieval: (doc_id, weight) top-k, reproducing retriever.py:62-94."""
+    """Full QA retrieval: (doc_id, weight) top-k, reproducing retriever.py:62-94.
+
+    The vector top-k probes the LSH buckets of the query (union over
+    ``cfg.ann_tables`` tables) and exact-rescores only the candidates — at
+    10^12 edges a brute-force scan of the edge-embedding table per query is
+    the one thing this stage must never do. ``use_lsh=False`` keeps the exact
+    scan as the small-scale test oracle."""
+    from knowledgegraphbuilder_spark.operators.ann import ann_lsh
+
     cfg = config or KGConfig()
     k = k or cfg.retrieval_k
     qv = hash_embed_text(query, cfg.embedding_dim)
 
-    # T2: vector top-k over edge descriptions (inner product == cosine, both normalized)
-    top_edges = topk_bruteforce(edge_index, qv, k, id_col="edge_id", vec_col="embedding")
+    # T2: vector top-k over edge descriptions (inner product == cosine, both
+    # normalized). LSH probe + exact rescore by default; full scan as oracle.
+    if use_lsh:
+        top_edges = ann_lsh(
+            edge_index, qv, k, dim=cfg.embedding_dim,
+            n_bits=cfg.ann_bits, n_tables=cfg.ann_tables,
+            id_col="edge_id", vec_col="embedding",
+        )
+    else:
+        top_edges = topk_bruteforce(edge_index, qv, k, id_col="edge_id", vec_col="embedding")
     top_edges = top_edges.select(F.col("id").alias("edge_id"), F.col("score"))
 
     # G2: join-update edge weights (reference does one UPDATE per edge,
-    # io/graph.py:88-95 — ours is one bulk join)
+    # io/graph.py:88-95 — ours is one bulk join). Retrieved cosine scores can
+    # be <= 0; PPR divides by summed out-weight, so clamp to a positive floor
+    # instead of silently producing negative transition probabilities.
     weighted = edges.join(top_edges, "edge_id", "left").withColumn(
-        "weight", F.coalesce(F.col("score"), F.col("weight").cast("double"))
+        "weight",
+        F.coalesce(F.greatest(F.col("score"), F.lit(1.0e-6)), F.col("weight").cast("double")),
     ).select("edge_id", "head_node_id", "tail_node_id", "weight")
 
     # J3: endpoint nodes of retrieved edges
@@ -104,5 +124,9 @@ def retrieve_documents(
         .groupBy("doc_id")
         .agg(F.sum("score").alias("weight"))
     )
-    # T3: top-k docs, deterministic tie-break
-    return doc_w.orderBy(F.desc("weight"), F.col("doc_id")).limit(k)
+    # T3: top-k docs, deterministic tie-break; weight rounded for portable
+    # value comparison (ordering is on the unrounded sum)
+    return (
+        doc_w.orderBy(F.desc("weight"), F.col("doc_id")).limit(k)
+        .select("doc_id", F.round("weight", 6).alias("weight"))
+    )

@@ -16,7 +16,6 @@ are per physical partition).
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
 
@@ -62,8 +61,18 @@ class CheckpointedPipeline:
     def _path(self, stage: str) -> str:
         return f"{self.work_dir}/{stage}"
 
+    def _hadoop_path(self, path: str):
+        """Resolve through the Hadoop FileSystem API so checkpoint probing and
+        invalidation work on any scheme the cluster writes to (file://, hdfs://,
+        s3a://) — a local os.path probe would silently re-run every stage when
+        work_dir is an object store."""
+        jpath = self.spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, jpath
+
     def _done(self, stage: str) -> bool:
-        return os.path.exists(os.path.join(self._path(stage), "_SUCCESS"))
+        fs, jpath = self._hadoop_path(self._path(stage) + "/_SUCCESS")
+        return fs.exists(jpath)
 
     def _stage(self, name: str, make, force: bool = False) -> DataFrame:
         t0 = time.time()
@@ -93,12 +102,10 @@ class CheckpointedPipeline:
         return df
 
     def invalidate(self, *stages: str) -> None:
-        import shutil
-
         for s in stages:
-            p = self._path(s)
-            if os.path.exists(p):
-                shutil.rmtree(p)
+            fs, jpath = self._hadoop_path(self._path(s))
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(f"{self.work_dir}/_lineage")
@@ -128,7 +135,11 @@ class CheckpointedPipeline:
             lambda: extract_relations(re_chunks, mentions, cfg, backend=self.re_backend),
             force,
         )
-        nodes = self._stage("s7_nodes", lambda: cluster_mentions_exact(mentions, cfg), force)
+        nodes = self._stage(
+            "s7_nodes",
+            lambda: cluster_mentions_exact(mentions, cfg, with_member_arrays=False),
+            force,
+        )
         membership = self._stage("s7_membership", lambda: node_membership(mentions), force)
         edges = self._stage(
             "s8_edges", lambda: build_edges(relations, nodes, cfg.default_edge_weight), force

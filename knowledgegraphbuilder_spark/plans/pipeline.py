@@ -86,7 +86,12 @@ def run_pipeline(
     relations = pin(
         extract_relations(re_chunks, mentions, cfg, backend=re_backend, barrier=barrier)
     )
-    nodes = pin(cluster_mentions_exact(mentions, cfg))
+    # normalized membership is the at-scale node representation; the
+    # member-ID arrays (reference ``Node.entities`` parity shape) would put
+    # every mention id of a head surface form into ONE row — multi-GB at
+    # 10^12 mentions — so the pipeline never materializes them (parity tests
+    # opt in explicitly via with_member_arrays=True)
+    nodes = pin(cluster_mentions_exact(mentions, cfg, with_member_arrays=False))
     membership = node_membership(mentions)
     edges = build_edges(relations, nodes, cfg.default_edge_weight, broadcast_nodes)
     triples = build_triples(edges, nodes, broadcast_nodes)

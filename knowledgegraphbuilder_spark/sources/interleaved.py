@@ -128,8 +128,21 @@ def read_documents_parquet(spark: SparkSession, sf_dir: str,
 
 def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
     """JSONL doc scan (reference front/app.py:82-93): lines of
-    ``{id?, text, metadata?}``; missing id -> ``doc_{monotonic row}`` (the
-    reference numbers by line; we use a deterministic per-file row number)."""
+    ``{id?, text, metadata?}``; missing id -> ``doc_{n}`` with contiguous,
+    deterministic global numbering.
+
+    Scale design: numbering never funnels rows through one task. Rows are
+    ranked per file (window PARTITIONED by input file — parallel across
+    files) and file base offsets come from a tiny per-file count aggregate
+    (#files rows) broadcast back. The within-file order key is
+    (sha256(text), to_json(metadata)) rather than physical line order —
+    stable across partitionings and re-reads; fully identical rows are
+    interchangeable, so the assignment is deterministic as a table. This
+    deliberately diverges from the reference's line-order numbering (file
+    line numbers are not recoverable from a parallel JSON scan); callers who
+    need line ids should write them into the ``id`` field."""
+    from pyspark.sql.window import Window
+
     raw = spark.read.json(path)
     cols = raw.columns
     idc = F.col("id").cast("string") if "id" in cols else F.lit(None).cast("string")
@@ -138,13 +151,20 @@ def read_jsonl_documents(spark: SparkSession, path: str) -> DataFrame:
         idc.alias("explicit_id"),
         F.col("text").cast("string").alias("text"),
         meta.cast("map<string,string>").alias("metadata"),
+        F.input_file_name().alias("_file"),
     )
-    from pyspark.sql.window import Window
-
-    w = Window.orderBy(F.col("text"))  # deterministic; small ingest helper only
-    df = df.withColumn("rn", F.row_number().over(w) - 1)
+    wf = Window.partitionBy("_file").orderBy(F.sha2("text", 256), F.to_json("metadata"))
+    df = df.withColumn("_rn", F.row_number().over(wf) - 1)
+    counts = df.groupBy("_file").agg(F.count("*").alias("_n"))
+    wo = Window.orderBy("_file").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(wo), F.lit(0)).cast("long")
+    )
+    df = df.join(F.broadcast(offsets.select("_file", "_off")), "_file")
     return df.select(
-        F.coalesce("explicit_id", F.concat(F.lit("doc_"), F.col("rn"))).alias("doc_id"),
+        F.coalesce(
+            "explicit_id", F.concat(F.lit("doc_"), (F.col("_off") + F.col("_rn")).cast("string"))
+        ).alias("doc_id"),
         "text",
         "metadata",
     )

@@ -62,3 +62,48 @@ def run_ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_relations_available_now(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    config: KGConfig | None = None,
+    ner_backend: object | None = None, re_backend: object | None = None,
+) -> None:
+    """Incremental relation extraction: spans stream -> relation table.
+
+    Every micro-batch carries complete documents (one row = one document's
+    span array, files are the batch unit), and every downstream stage —
+    chunking, NER, the chunk x mention containment join, RE, resolution,
+    dedup — is per-document, so the full BATCH chain runs unchanged inside
+    ``foreachBatch`` with no cross-batch streaming state. The result MERGEs
+    into the relation table keyed by the deterministic content-hashed
+    ``relation_id`` (the parquet analog of ``MERGE INTO graph.relations``),
+    which makes micro-batch replays after a failure idempotent: reprocessing
+    rewrites the same rows. Output is byte-identical to the batch pipeline's
+    relation table (pinned by tests/test_streaming.py)."""
+    from knowledgegraphbuilder_spark.operators.ner import extract_mentions
+    from knowledgegraphbuilder_spark.operators.relations import extract_relations
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    cfg = config or KGConfig()
+    spans = read_span_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        docs = flatten_documents(batch_df)
+        mentions = extract_mentions(
+            chunk_documents(docs, cfg.ner_chunk_size, cfg.ner_chunk_overlap),
+            cfg, backend=ner_backend,
+        )
+        rels = extract_relations(
+            chunk_documents(docs, cfg.re_chunk_size, cfg.re_chunk_overlap),
+            mentions, cfg, backend=re_backend,
+        )
+        merge_upsert(batch_df.sparkSession, output_dir, rels, "relation_id")
+
+    q = (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

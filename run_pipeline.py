@@ -35,7 +35,10 @@ def main() -> None:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--work-dir", required=True)
-    ap.add_argument("--resume", action="store_true", default=True)
+    ap.add_argument(
+        "--resume", action=argparse.BooleanOptionalAction, default=True,
+        help="reuse existing stage checkpoints (--no-resume recomputes all)",
+    )
     ap.add_argument("--force", action="store_true")
     ap.add_argument("--query")
     ap.add_argument("--parallelism", type=int, default=None)
@@ -49,7 +52,7 @@ def main() -> None:
 
     t0 = time.time()
     pipe = CheckpointedPipeline(spark, args.work_dir, KGConfig())
-    res = pipe.run(spans, force=args.force)
+    res = pipe.run(spans, force=args.force or not args.resume)
     write_graph(
         args.output,
         nodes=res.nodes, edges=res.edges, provenance=res.provenance,

@@ -69,13 +69,32 @@ def test_minhash_lsh_recall(spark, dup_docs):
 
 
 def test_simhash_near_dups(spark, dup_docs):
-    pairs = dd.simhash_pairs(dup_docs, max_hamming=6).collect()
+    import pytest
+
+    pairs = dd.simhash_pairs(dup_docs, max_hamming=6, n_blocks=10).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     # exact duplicates must be at hamming 0
     for r in pairs:
         if r["id_a"].rstrip("e") == r["id_b"].rstrip("e"):
             assert r["hamming"] == 0
     assert ("d00", "d00e") in got
+    # incomplete banding configurations must be rejected, not silently lossy
+    with pytest.raises(ValueError):
+        dd.simhash_pairs(dup_docs, max_hamming=6, n_blocks=4)
+
+
+def test_simhash_banding_equals_exact(spark, dup_docs):
+    """Pigeonhole-complete banding == brute-force Hamming join (the property
+    the DuckDB oracle relies on)."""
+    sh = {r["id"]: r["simhash"] for r in dd.simhash(dup_docs).collect()}
+    want = set()
+    for a in sh:
+        for b in sh:
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3:
+                want.add((a, b))
+    got = {(r["id_a"], r["id_b"])
+           for r in dd.simhash_pairs(dup_docs, max_hamming=3, n_blocks=4).collect()}
+    assert got == want
 
 
 def test_embedding_cosine_vs_numpy(spark):

@@ -81,7 +81,7 @@ def test_graph_sinks_roundtrip(spark, corpus_df, tmp_path_factory):
     )
 
     # MERGE upsert: replace one edge's weight, keep the rest
-    upd = back["edges"].limit(1).withColumn("weight", F.lit(9.9).cast("float"))
+    upd = back["edges"].limit(1).withColumn("weight", F.lit(9.9).cast("double"))
     eid = upd.collect()[0]["edge_id"]
     merge_upsert(spark, f"{base}/edges_flat", back["edges"], "edge_id")  # seed
     merge_upsert(spark, f"{base}/edges_flat", upd, "edge_id")

@@ -78,9 +78,20 @@ def test_relations_parity(result, golden):
 
 
 def test_nodes_parity(result, golden):
-    got = {(r["text"], tuple(r["mention_ids"])) for r in result.nodes.collect()}
+    # the pipeline only materializes normalized membership (scale shape);
+    # the reference's Node.entities array shape is opted into explicitly here
+    from knowledgegraphbuilder_spark.operators.canonicalize import cluster_mentions_exact
+
+    nodes_arr = cluster_mentions_exact(result.mentions, KGConfig(), with_member_arrays=True)
+    got = {(r["text"], tuple(r["mention_ids"])) for r in nodes_arr.collect()}
     want = {(t, tuple(ids)) for t, ids in golden["nodes"].items()}
     assert got == want
+
+
+def test_membership_matches_mentions(result):
+    # normalized membership must be a pure 1:1 projection of mentions
+    m = {(r["node_id"], r["mention_id"], r["doc_id"]) for r in result.membership.collect()}
+    assert len(m) == result.mentions.count()
 
 
 def test_triples_parity_pr(result, golden):

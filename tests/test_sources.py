@@ -46,3 +46,60 @@ def test_span_signature_stable(spark, sf_dir):
     a = span_signature(synthesize_spans(raw)).orderBy("doc_id").collect()
     b = span_signature(synthesize_spans(raw)).orderBy("doc_id").collect()
     assert a == b
+
+
+def test_jsonl_multifile_ids_deterministic(spark, tmp_path_factory):
+    """JSONL ingest: ids are contiguous and deterministic across a multi-file
+    read, and the numbering plan contains NO single-partition exchange over
+    the data (per-file window + tiny offset broadcast)."""
+    import json
+
+    from knowledgegraphbuilder_spark.sources.interleaved import read_jsonl_documents
+
+    base = tmp_path_factory.mktemp("jsonl")
+    docs = [{"text": f"text number {i} with words"} for i in range(60)]
+    for f in range(3):
+        with open(base / f"part{f}.jsonl", "w") as fh:
+            for d in docs[f * 20 : (f + 1) * 20]:
+                fh.write(json.dumps(d) + "\n")
+
+    df = read_jsonl_documents(spark, str(base))
+    rows = {(r["doc_id"], r["text"]) for r in df.collect()}
+    assert len(rows) == 60
+    ids = sorted(int(r[0].removeprefix("doc_")) for r in rows)
+    assert ids == list(range(60))  # contiguous global numbering
+    # deterministic across re-reads
+    again = {(r["doc_id"], r["text"]) for r in read_jsonl_documents(spark, str(base)).collect()}
+    assert rows == again
+
+    # the per-row numbering window is partitioned by file (parallel across
+    # files), not a global single-partition window over the data; the only
+    # SinglePartition exchange allowed is the one over the per-file COUNT
+    # aggregate (#files rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan plus the initial plan; scope to the final one
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(_file" in plan
+    import re as _re
+
+    row_window_lines = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "row_number" in ln and "_file" not in ln
+    ]
+    assert not row_window_lines, row_window_lines
+    assert len(_re.findall(r"SinglePartition", plan)) <= 1
+
+
+def test_jsonl_explicit_ids_passthrough(spark, tmp_path_factory):
+    import json
+
+    from knowledgegraphbuilder_spark.sources.interleaved import read_jsonl_documents
+
+    base = tmp_path_factory.mktemp("jsonl2")
+    with open(base / "a.jsonl", "w") as fh:
+        fh.write(json.dumps({"id": "my_doc", "text": "alpha"}) + "\n")
+        fh.write(json.dumps({"text": "beta"}) + "\n")
+    rows = {(r["doc_id"], r["text"])
+            for r in read_jsonl_documents(spark, str(base)).collect()}
+    assert ("my_doc", "alpha") in rows
+    assert ("doc_0", "beta") in rows or ("doc_1", "beta") in rows

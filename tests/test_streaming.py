@@ -4,7 +4,10 @@ import os
 
 from knowledgegraphbuilder_spark.config import KGConfig
 from knowledgegraphbuilder_spark.plans.pipeline import run_pipeline
-from knowledgegraphbuilder_spark.streaming.ingest import run_ingest_available_now
+from knowledgegraphbuilder_spark.streaming.ingest import (
+    run_ingest_available_now,
+    run_relations_available_now,
+)
 
 
 def test_streaming_mentions_match_batch(spark, corpus_df, tmp_path_factory):
@@ -32,3 +35,27 @@ def test_streaming_mentions_match_batch(spark, corpus_df, tmp_path_factory):
     n_before = spark.read.parquet(out_dir).count()
     run_ingest_available_now(spark, in_dir, out_dir, ck_dir, KGConfig())
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_streaming_relations_match_batch(spark, corpus_df, tmp_path_factory):
+    """Full RE chain under availableNow + MERGE == batch relation table,
+    byte-identical, and idempotent on replay."""
+    base = str(tmp_path_factory.mktemp("stream_re"))
+    in_dir, out_dir, ck_dir = f"{base}/in", f"{base}/out", f"{base}/ck"
+    corpus_df.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    cols = ["relation_id", "doc_id", "head_mention_id", "tail_mention_id",
+            "rel_type", "description"]
+    run_relations_available_now(spark, in_dir, out_dir, ck_dir, KGConfig())
+    streamed = {tuple(r) for r in spark.read.parquet(out_dir).select(*cols).collect()}
+    batch = {
+        tuple(r)
+        for r in run_pipeline(corpus_df, KGConfig()).relations.select(*cols).collect()
+    }
+    assert streamed == batch
+
+    # fresh checkpoint over the same input: MERGE by deterministic id keeps
+    # the table identical (idempotent replay)
+    run_relations_available_now(spark, in_dir, out_dir, f"{base}/ck2", KGConfig())
+    again = {tuple(r) for r in spark.read.parquet(out_dir).select(*cols).collect()}
+    assert again == batch
