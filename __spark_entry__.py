@@ -192,6 +192,10 @@ def q_dd_embed_cosine(spark, sf_dir):
     return dd.embedding_cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_dd_embed_cosine_lsh(spark, sf_dir):
+    return dd.embedding_cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -202,6 +206,12 @@ def q_ann_lsh(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann_ops.ann_lsh(embs, list(q), k=10, n_bits=4, n_tables=8)
+
+
+def q_ann_ivf(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ops.ann_ivf(embs, list(q), k=10, centroid_stride=50, nprobe=4)
 
 
 def q_ts_langid(spark, sf_dir):
@@ -352,8 +362,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_simhash": q_dd_simhash,
         "dd_embed_cosine": q_dd_embed_cosine,
+        "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "ts_langid": q_ts_langid,
         "ts_quality": q_ts_quality,
         "ts_tokens": q_ts_tokens,
@@ -805,6 +817,43 @@ def oracle_sql() -> dict[str, str]:
                              4) AS score
             FROM v, q ORDER BY score DESC, id LIMIT 10
         """,
+        # LSH-bucketed cosine dedup, fully replayed: same planes, same bucket
+        # assignment, same candidate rule (share a bucket in any table)
+        "dd_embed_cosine_lsh": """
+            WITH planes AS (
+              SELECT t, b, d,
+                     ('0x' || substr(sha256('42,' || t || ',' || b || ',' || d), 1, 8))::BIGINT
+                       / 4294967296.0 - 0.5 AS w
+              FROM generate_series(0, 7) ts(t),
+                   generate_series(0, 3) bs(b),
+                   generate_series(0, 63) ds(d)
+            ),
+            v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT v.id, p.t, p.b, sum(v.e[p.d + 1] * p.w) AS dot
+              FROM v, planes p GROUP BY v.id, p.t, p.b
+            ),
+            buckets AS (
+              SELECT id, t, sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            cand AS (
+              SELECT DISTINCT x.id AS id_a, y.id AS id_b
+              FROM buckets x JOIN buckets y
+                ON x.t = y.t AND x.bucket = y.bucket AND x.id < y.id
+            )
+            SELECT * FROM (
+              SELECT c.id_a, c.id_b,
+                     round(list_dot_product(a.e, b.e)
+                           / (sqrt(list_dot_product(a.e, a.e))
+                              * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+              FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b
+            ) WHERE cosine >= 0.45
+        """,
         # full replay of the LSH algorithm: the sha256-derived hyperplanes
         # (operators/ann.py:hyperplane) are recomputed in SQL, every vector's
         # bucket per table is rebuilt, candidates = union of the query's
@@ -837,6 +886,45 @@ def oracle_sql() -> dict[str, str]:
               JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
             ),
             q AS (SELECT e AS qv FROM v WHERE id = '0')
+            SELECT v.id,
+                   round(list_dot_product(v.e, q.qv)
+                         / (sqrt(list_dot_product(v.e, v.e))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+            FROM v JOIN cand USING (id), q
+            ORDER BY score DESC, id LIMIT 10
+        """,
+        # IVF replay: same sha256-picked centroids, same argmin assignment
+        # (ties on (d2, cid)), same nprobe cells, exact rescoring
+        "ann_ivf": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT id AS cid, e AS ce FROM v
+              WHERE ('0x' || substr(sha256(id), 1, 8))::BIGINT % 50 = 0
+            ),
+            d AS (
+              SELECT v.id, c.cid,
+                     list_sum([(v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                               FOR i IN generate_series(1, 64)]) AS d2
+              FROM v, cents c
+            ),
+            assigned AS (
+              SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+                FROM d) WHERE rn = 1
+            ),
+            q AS (SELECT e AS qv FROM v WHERE id = '0'),
+            probe AS (
+              SELECT c.cid FROM cents c, q
+              ORDER BY list_sum([(c.ce[i] - q.qv[i]) * (c.ce[i] - q.qv[i])
+                                 FOR i IN generate_series(1, 64)]), c.cid
+              LIMIT 4
+            ),
+            cand AS (SELECT a.id FROM assigned a JOIN probe USING (cid))
             SELECT v.id,
                    round(list_dot_product(v.e, q.qv)
                          / (sqrt(list_dot_product(v.e, v.e))

@@ -150,3 +150,54 @@ def _bucket_of(vec: list[float], table: int, n_bits: int, dim: int, seed: int) -
         if sum(x * y for x, y in zip(vec, h)) >= 0:
             out |= 1 << b
     return out
+
+
+def ann_ivf(
+    embs: DataFrame, query: list[float], k: int = 10,
+    centroid_stride: int = 50, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its nearest
+    centroid, probe only the ``nprobe`` centroid cells nearest to the query,
+    exact-rescore the cell members. Output schema == topk_bruteforce.
+
+    The centroid set is a deterministic hash subsample (~1/``centroid_stride``
+    of ids, picked by a sha256 condition — a narrow filter, NO global window
+    or sort) rather than k-means: at 10^12 scale the training pass is what
+    you skip first, sampled centroids are the standard warm-start, and the
+    sha256 pick makes the whole operator value-replayable in the SQL oracle.
+    Assignment is a broadcast argmin (centroid table is tiny); the probe
+    prunes the scan to ~nprobe/n_cells of the corpus. Distance ties break on
+    centroid id (deterministic).
+    """
+    v = _as_double(embs, vec_col, id_col)
+    pick = (
+        f"cast(conv(substring(sha2(id, 256), 1, 8), 16, 10) as bigint) "
+        f"% {centroid_stride} = 0"
+    )
+    cents = v.filter(F.expr(pick)).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    # nearest centroid per vector: broadcast-join + min_by on L2 distance
+    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(dist))
+        .groupBy("id")
+        .agg(
+            F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("best")
+        )
+        .select("id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
+    )
+    # the query's nprobe nearest centroid cells (tiny table -> driver)
+    qlit = "array(" + ", ".join(f"{float(x)!r}d" for x in query) + ")"
+    qd = f"aggregate(zip_with(cv, {qlit}, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"
+    probe = [
+        r["cid"]
+        for r in cents.withColumn("qd2", F.expr(qd))
+        .orderBy("qd2", "cid").limit(nprobe).collect()
+    ]
+    cands = assigned.filter(F.col("cid").isin(probe)).select("id", "v")
+    return (
+        cosine_scores(cands.withColumnRenamed("v", "embedding"), query, "id", "embedding")
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )

@@ -3,10 +3,11 @@
 Five strategies over the ``documents`` table, all DataFrame-native:
 
 - exact:        sha256(text) groupBy — the baseline; map-side combinable.
-- ngram-jaccard: exact k-word-shingle Jaccard over candidate pairs produced
-                by a shingle-inverted-index join. Exact but O(pairs sharing a
-                shingle) — the *verification baseline* for the approximate
-                strategies below; at 100 TB you run it only on LSH candidates.
+- ngram-jaccard: exact k-word-shingle Jaccard with PPJoin-style prefix
+                filtering — candidates only need to share a shingle from the
+                df-ordered PREFIX of each doc, so hot stop-shingles never
+                become join keys and the join stays near-linear while the
+                result remains exactly the all-pairs answer.
 - MinHash+LSH:  shingle -> 32-perm MinHash signature (all inside native
                 higher-order expressions, JVM-side) -> banding -> bucket
                 self-join -> exact-Jaccard verification of candidates. The
@@ -54,65 +55,85 @@ def _with_shingles(docs: DataFrame, k: int, text_col: str, id_col: str) -> DataF
 def ngram_jaccard_pairs(
     docs: DataFrame, threshold: float = 0.5, k: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
-    max_shingle_df: int | None = 1000,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact Jaccard >= threshold pairs via shingle inverted index.
+    """EXACT Jaccard >= threshold pairs, scale-safe via PPJoin-style prefix
+    filtering (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection", WWW'08).
 
-    ``max_shingle_df`` is the frequent-shingle guard (the standard DF-cutoff
-    trick): shingles appearing in more than that many documents are excluded
-    from *candidate generation* — one stop-shingle shared by 10^6 docs would
-    otherwise emit 10^12 pairs out of a single join key. The Jaccard value is
-    still computed over the FULL shingle sets (hot-shingle overlap is added
-    back from a per-doc hot-shingle array), so every reported pair is exact;
-    the only loss is pairs whose every common shingle is hot, which at
-    near-dup thresholds means a document made almost entirely of boilerplate.
-    Pass ``None`` for the fully exact all-pairs baseline (the test oracle).
+    Candidate generation indexes only each document's PREFIX — its first
+    ``n - ceil(t*n) + 1`` shingles under the global (document-frequency,
+    shingle) order. Any pair with J >= t provably shares a prefix shingle, so
+    no pair is lost (unlike a frequent-shingle cutoff), and hot stop-shingles
+    (high df) sort LAST in the order, so they almost never enter a prefix —
+    the one join key that would emit 10^12 candidate pairs at 10^12 docs
+    simply stops being an index key. A size filter (t*na <= nb <= na/t,
+    necessary for J >= t) prunes the candidate join further. Verification
+    computes exact Jaccard over the FULL shingle sets for candidates only.
+
+    ``prefix_filter=False`` keeps the naive full inverted-index join — the
+    small-scale test oracle for the filter itself.
 
     Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard rounded to 6dp
     (portable float compare with the DuckDB oracle)."""
     sh = _with_shingles(docs, k, text_col, id_col)
     sizes = sh.select("id", F.size("shingles").alias("n"))
     inv = sh.select("id", F.explode("shingles").alias("shingle"))
-    if max_shingle_df is not None:
-        # document frequency per shingle; the hot set is tiny by construction
-        # (<= total-shingle-volume / cutoff entries), so it broadcasts
-        hot = (
-            inv.groupBy("shingle").agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+    if prefix_filter:
+        from pyspark.sql.window import Window
+
+        t = float(threshold)
+        dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        ranked = (
+            inv.join(dfreq, "shingle")
+            .join(sizes, "id")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "shingle")
+                ),
+            )
+            # Jaccard prefix length: n - ceil(t*n) + 1
+            .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+            .select("id", "shingle", "n")
         )
-        inv_cold = inv.join(F.broadcast(hot), "shingle", "left_anti")
-        hot_per_doc = (
-            inv.join(F.broadcast(hot), "shingle")
-            .groupBy("id")
-            .agg(F.collect_list("shingle").alias("hot_arr"))
+        a = ranked.alias("a")
+        b = ranked.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") < F.col("b.id"))
+                # size filter: J >= t forces t*na <= nb <= na/t
+                & (F.col("b.n") * F.lit(t) <= F.col("a.n"))
+                & (F.col("a.n") * F.lit(t) <= F.col("b.n")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
         )
-    else:
-        inv_cold = inv
-        hot_per_doc = None
-    a = inv_cold.alias("a")
-    b = inv_cold.alias("b")
+        av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+        bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+        return (
+            cand.join(av, "id_a")
+            .join(bv, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.size(F.array_intersect("sa", "sb"))
+                    / F.size(F.array_union("sa", "sb")),
+                    6,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    a = inv.alias("a")
+    b = inv.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("i"))
     )
-    if hot_per_doc is not None:
-        empty = F.array().cast("array<string>")
-        inter = (
-            inter.join(
-                hot_per_doc.select(F.col("id").alias("id_a"), F.col("hot_arr").alias("ha")),
-                "id_a", "left")
-            .join(
-                hot_per_doc.select(F.col("id").alias("id_b"), F.col("hot_arr").alias("hb")),
-                "id_b", "left")
-            .withColumn(
-                "i",
-                F.col("i") + F.size(F.array_intersect(
-                    F.coalesce("ha", empty), F.coalesce("hb", empty))),
-            )
-            .drop("ha", "hb")
-        )
     return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "na"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "nb"), "id_b")
@@ -209,15 +230,24 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
             f"w -> cast(conv(substring(sha2(w, 256), 1, 15), 16, 10) as bigint))"
         ).alias("hs"),
     )
-    # bit b of simhash = majority of bit b over token hashes
+    # bit b of simhash = majority of bit b over token hashes. ONE outer
+    # aggregate over hs with a 60-counter array accumulator: if hs instead
+    # appeared inside a per-bit lambda, Catalyst's projection collapse would
+    # inline the whole sha256 word-hash transform into every one of the 60
+    # bit iterations (measured 10x slower on the full operator at sf0.1)
     return toks.withColumn(
         "simhash",
         F.expr(
             f"""
-            aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint), (acc, b) ->
-              acc | (case when
-                aggregate(hs, 0, (c, h) -> c + case when (h >> b) & 1 = 1 then 1 else -1 end)
-                > 0 then shiftleft(cast(1 as bigint), b) else cast(0 as bigint) end))
+            aggregate(
+              hs,
+              array_repeat(0, {SIMHASH_BITS}),
+              (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                (c, b) -> c + case when (h >> b) & 1 = 1 then 1 else -1 end),
+              acc -> aggregate(sequence(0, {SIMHASH_BITS - 1}), cast(0 as bigint),
+                (s, b) -> s | case when acc[b] > 0
+                               then shiftleft(cast(1 as bigint), b)
+                               else cast(0 as bigint) end))
             """
         ),
     ).select("id", "simhash")
@@ -271,6 +301,61 @@ def simhash_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    embs: DataFrame, threshold: float = 0.9,
+    n_bits: int = 4, n_tables: int = 8, seed: int = 42, dim: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold, LSH-bucketed — the 100 TB path
+    for ``embedding_cosine_pairs``: candidates are pairs sharing a
+    random-hyperplane bucket in ANY of ``n_tables`` tables (shuffle volume =
+    #vectors x #tables rows, never all-pairs), then exact cosine rescoring.
+    Same sha256-derived hyperplanes as operators/ann.py, so the full
+    algorithm (bucketing included) replays value-exactly in the SQL oracle.
+    Output: (id_a, id_b, cosine rounded 4dp) — equals the exact operator
+    restricted to bucket-sharing pairs."""
+    from knowledgegraphbuilder_spark.operators.ann import lsh_bucket_expr
+
+    v = embs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    bk = v.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket_expr("v", dim, n_bits, t, seed).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb"),
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        bk.alias("x")
+        .join(bk.alias("y"),
+              (F.col("x.t") == F.col("y.t"))
+              & (F.col("x.bucket") == F.col("y.bucket"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    av = v.select(F.col("id").alias("id_a"), F.col("v").alias("va")).withColumn(
+        "na", F.expr("sqrt(aggregate(va, 0.0d, (a, x) -> a + x * x))"))
+    bv = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")).withColumn(
+        "nb", F.expr("sqrt(aggregate(vb, 0.0d, (a, x) -> a + x * x))"))
+    return (
+        cand.join(av, "id_a").join(bv, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
     )
 
 

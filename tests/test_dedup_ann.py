@@ -132,3 +132,59 @@ def test_ann_topk_and_lsh(spark, sf_dir):
     recall = len({r["id"] for r in arows} & {r["id"] for r in exact}) / 10
     assert recall >= 0.4
     assert arows == approx.collect()
+
+
+def test_ann_ivf(spark, sf_dir):
+    """IVF probe: query's own cell always probed (its centroid is nearest to
+    itself through its assignment), candidates subset of corpus, scores equal
+    the exact cosine for returned ids."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    got = ann_ops.ann_ivf(embs, q, 10, centroid_stride=50, nprobe=4).collect()
+    assert got and got[0]["id"] == "3" and got[0]["score"] == 1.0
+    exact = {r["id"]: r["score"] for r in ann_ops.cosine_scores(embs, q).collect()}
+    for r in got:
+        assert r["score"] == exact[r["id"]]
+    # deterministic across runs
+    assert got == ann_ops.ann_ivf(embs, q, 10, centroid_stride=50, nprobe=4).collect()
+
+
+def test_ngram_prefix_filter_equals_naive(spark, dup_docs):
+    """PPJoin prefix filtering must be lossless: identical pairs + values to
+    the naive full inverted-index join, at both a loose and a tight
+    threshold."""
+    for thr in (0.5, 0.9):
+        fast = {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dd.ngram_jaccard_pairs(dup_docs, thr, 3).collect()}
+        naive = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dd.ngram_jaccard_pairs(
+                     dup_docs, thr, 3, prefix_filter=False).collect()}
+        assert fast == naive
+
+
+def test_ngram_prefix_filter_prunes_hot_shingles(spark):
+    """A boilerplate shingle shared by EVERY doc must not become a candidate
+    join key: with prefix filtering the candidate count stays near the true
+    pair count instead of exploding quadratically."""
+    boiler = "lorem ipsum dolor"
+    rows = [(f"h{i:03d}", f"{boiler} unique{i} token{i} word{i} extra{i}")
+            for i in range(200)]
+    rows.append(("h000x", rows[0][1]))  # one exact dup pair
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = dd.ngram_jaccard_pairs(df, 0.9, 3).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("h000", "h000x")}
+
+
+def test_embedding_cosine_lsh_subset_of_exact(spark, sf_dir):
+    """Bucketed variant = exact operator restricted to bucket-sharing pairs:
+    every reported pair appears in the exact output with the same cosine, and
+    recall on the driver fixture's near-dup pairs stays high."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in dd.embedding_cosine_pairs(embs, 0.45).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dd.embedding_cosine_pairs_lsh(embs, 0.45).collect()}
+    assert set(lsh) <= set(exact)
+    for pair, c in lsh.items():
+        assert c == exact[pair]
+    assert len(lsh) >= len(exact) * 0.5  # high-cosine pairs collide often

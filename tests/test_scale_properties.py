@@ -71,3 +71,26 @@ def test_salted_agg_two_phase(spark):
     assert len(rows[0]["mention_ids"]) == 100
     # two aggregation layers (salted partial + final merge)
     assert _plan(nodes).count("Exchange") >= 2
+
+
+def test_retrieval_topk_is_bucket_filtered(spark):
+    """The retrieval vector top-k must scan only LSH-probed candidates: a
+    Filter with the bucket OR-condition sits ahead of the cosine scoring +
+    TakeOrderedAndProject, and no unfiltered full-index scan exists."""
+    from knowledgegraphbuilder_spark.config import KGConfig
+    from knowledgegraphbuilder_spark.operators.ann import ann_lsh
+    from knowledgegraphbuilder_spark.operators.retrieval import hash_embed_text
+
+    cfg = KGConfig()
+    rows = [(f"e{i}", [float((i * 7 + d) % 13) - 6.0 for d in range(cfg.embedding_dim)])
+            for i in range(50)]
+    idx = spark.createDataFrame(rows, "edge_id string, embedding array<float>")
+    qv = hash_embed_text("probe me", cfg.embedding_dim)
+    top = ann_lsh(idx, qv, 5, n_bits=cfg.ann_bits, n_tables=cfg.ann_tables,
+                  id_col="edge_id", vec_col="embedding")
+    plan = _plan(top)
+    # the bucket probe is a Filter of bucket-equality cases over the vector
+    assert "Filter" in plan
+    filter_lines = [ln for ln in plan.splitlines() if "CASE WHEN" in ln and "aggregate" in ln]
+    assert filter_lines, plan
+    assert "TakeOrderedAndProject" in plan  # top-k, not a global sort

@@ -51,15 +51,22 @@ def main() -> None:
         "hand-scheduling — the plan follows from declaring the join.",
         entry.q_sql_join_agg(spark, args.sf),
     )
+    # fresh, fully-lazy pipeline for the KG plan dumps: the contract path
+    # localCheckpoints fan-out points, which would hide everything upstream
+    # behind `Scan ExistingRDD` and gut the evidence
+    from knowledgegraphbuilder_spark.operators.canonicalize import cluster_mentions_exact
+    from knowledgegraphbuilder_spark.plans.pipeline import run_pipeline
+    from knowledgegraphbuilder_spark.sources.interleaved import read_documents_parquet
+
+    kg = run_pipeline(read_documents_parquet(spark, args.sf), entry.CFG)
     add(
         "KG mention extraction (chunker UDF -> NER UDF -> dedup window)",
         "Exactly two `MapInPandas` operators (the chunker UDTF and the "
         "Arrow-batched NER backend) and zero `BatchEvalPython` (row-at-a-time "
         "Python) anywhere. The only shuffle is the first-seen dedup window, "
         "keyed by doc_id (uniform).",
-        entry.q_kg_u2_mentions(spark, args.sf),
+        kg.mentions,
     )
-    entry._PIPE_CACHE.clear()
     add(
         "KG triples end-to-end",
         "Full pipeline: interval join runs on a slim (doc_id, chunk_idx, "
@@ -67,7 +74,7 @@ def main() -> None:
         "gated chunks (carrying it through the mention join would multiply "
         "shuffle volume by mention count); fence parse + from_json are native "
         "expressions inside whole-stage codegen; node-key joins broadcast.",
-        entry.q_kg_triples(spark, args.sf),
+        kg.triples,
     )
     add(
         "MinHash-LSH near-dup pairs",
@@ -78,11 +85,35 @@ def main() -> None:
         entry.q_dd_minhash_lsh(spark, args.sf),
     )
     add(
+        "Exact n-gram Jaccard with PPJoin prefix filter",
+        "Candidate generation joins only each doc's df-ordered PREFIX "
+        "shingles with a size-compatibility residual — hot stop-shingles "
+        "sort last and never become join keys, so no key can explode "
+        "quadratically while the result stays exactly the all-pairs answer; "
+        "verification joins full shingle arrays for candidates only.",
+        entry.q_dd_ngram_jaccard(spark, args.sf),
+    )
+    add(
         "Salted canonicalization groupBy",
         "Two aggregation phases: partial by (text, salt) then final by text — "
         "head surface forms (skew) are split across `salt_buckets` reducers "
         "before the final merge.",
-        entry.q_kg_a1_nodes(spark, args.sf),
+        cluster_mentions_exact(kg.mentions, entry.CFG),
+    )
+    from knowledgegraphbuilder_spark.operators.ann import ann_lsh
+    from knowledgegraphbuilder_spark.operators.retrieval import hash_embed_text, index_edges
+
+    qv = hash_embed_text("which customer stream uses spark", entry.CFG.embedding_dim)
+    add(
+        "ANN-LSH probe (the retrieval hot path)",
+        "ONE scan of the edge index with an OR-of-bucket-equalities Filter "
+        "ahead of any scoring: only vectors landing in the query's bucket in "
+        "some table are cosine-rescored, then TakeOrderedAndProject — at "
+        "10^12 edges the per-query cost is the probed buckets, never the "
+        "full index (brute force remains only the test oracle).",
+        ann_lsh(index_edges(kg.edges, entry.CFG.embedding_dim), qv, 5,
+                n_bits=entry.CFG.ann_bits, n_tables=entry.CFG.ann_tables,
+                id_col="edge_id", vec_col="embedding"),
     )
 
     header = (
