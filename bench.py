@@ -149,10 +149,17 @@ def main() -> None:
     qs = entry.queries()
     bench_queries = [
         "kg_triples", "kg_a1_nodes", "kg_u2_mentions",
-        "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
-        "ann_topk", "ts_quality", "ts_fingerprint",
+        "g3_pagerank", "retrieval_topk",
+        "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_embed_cosine_lsh",
+        "ann_topk", "ann_lsh", "ann_ivf", "ts_quality", "ts_fingerprint",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
+    # JIT warm-up for the query loop (same methodology as the e2e/scaling
+    # runs): execute the KG chain once at the smallest sf so the first timed
+    # query measures the operator, not whole-stage-codegen compilation
+    qs["kg_triples"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite").save()
+    entry._PIPE_CACHE.clear()
     timings: dict[str, float] = {}
     t_total0 = time.time()
     for name in bench_queries:

@@ -45,16 +45,21 @@ def repair_json_array(s: str) -> str:
         if c in "'\"":
             quote = c
             j = i + 1
-            buf = []
+            raw = []
             while j < n and body[j] != quote:
                 if body[j] == "\\" and j + 1 < n:
-                    buf.append(body[j : j + 2])
+                    raw.append(body[j : j + 2])
                     j += 2
                     continue
-                buf.append(body[j])
+                raw.append(body[j])
                 j += 1
-            inner = "".join(buf).replace('\\"', '"').replace("\\'", "'")
-            items.append(json.dumps(inner))
+            content = "".join(raw)
+            if quote == "'":
+                # single->double quoted: unescape \' , escape bare "
+                content = content.replace("\\'", "'").replace('"', '\\"')
+            # valid JSON escapes (\uXXXX, \n, ...) pass through verbatim;
+            # an invalid escape makes json.loads fail -> token fallback
+            items.append('"' + content + '"')
             i = j + 1
         else:
             j = i

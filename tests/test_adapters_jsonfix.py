@@ -178,3 +178,36 @@ def test_chunker_repeated_substrings_exact_offsets():
         assert offs == sorted(set(offs))  # strictly increasing, no re-anchor
         for _, ctext, off, _, _ in chunks:
             assert text[off : off + len(ctext)] == ctext
+
+
+# hypothesis fuzz: the repair chain must never raise and always normalize
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=300))
+    @settings(max_examples=300, deadline=None)
+    def test_parse_label_list_never_raises(s):
+        out = parse_label_list(s)
+        assert isinstance(out, list)
+        for lb in out:
+            assert isinstance(lb, str) and lb == lb.lower().strip()
+            assert " " not in lb
+
+    @given(st.lists(st.text(alphabet=st.characters(
+        blacklist_characters="\x00"), max_size=20), max_size=8))
+    @settings(max_examples=200, deadline=None)
+    def test_parse_roundtrip_json_lists(items):
+        """A well-formed JSON list must parse to exactly its normalized,
+        non-empty distinct items."""
+        import json as _json
+
+        text = "prefix " + _json.dumps(items) + " suffix"
+        want = sorted({i.lower().strip().replace(" ", "_") for i in items
+                       if i.lower().strip().replace(" ", "_")})
+        # bracket-regex extracts the FIRST balanced-ish [...] — items
+        # containing brackets can truncate the match, as in the reference
+        if not any(("[" in i) or ("]" in i) for i in items):
+            assert parse_label_list(text) == want
+except ImportError:  # pragma: no cover
+    pass
