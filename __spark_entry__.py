@@ -166,7 +166,25 @@ def q_kg_f9_strip_think(spark, sf_dir):
 
 
 def q_dd_exact(spark, sf_dir):
-    return dd.exact_duplicates(_t(spark, sf_dir, "documents"))
+    """Exact dedup over the corpus + deterministically planted duplicates
+    (every 50th doc re-inserted under a shifted id) — the fixture corpus has
+    no exact dups of its own, and a 0-row result proves nothing."""
+    d = _t(spark, sf_dir, "documents")
+    planted = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+    )
+    return dd.exact_duplicates(d.select("doc_id", "text").unionByName(planted))
+
+
+def q_ann_batch(spark, sf_dir):
+    """T2 batch shape: exact top-k for a table of query vectors
+    (crossJoin-broadcast + per-query window top-k)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.topk_bruteforce_batch(embs, queries, k=5)
 
 
 def q_dd_ngram_jaccard(spark, sf_dir):
@@ -366,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_batch": q_ann_batch,
         "ts_langid": q_ts_langid,
         "ts_quality": q_ts_quality,
         "ts_tokens": q_ts_tokens,
@@ -708,9 +727,14 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "dd_exact": """
+            WITH aug AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 50 = 0
+            )
             SELECT sha256(text) AS text_hash, CAST(count(*) AS BIGINT) AS n_docs,
                    array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',') AS doc_ids_csv
-            FROM documents GROUP BY sha256(text) HAVING count(*) > 1
+            FROM aug GROUP BY sha256(text) HAVING count(*) > 1
         """,
         "dd_ngram_jaccard": _JACCARD_09,
         "dd_minhash_lsh": _JACCARD_09,
@@ -892,6 +916,30 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
             FROM v JOIN cand USING (id), q
             ORDER BY score DESC, id LIMIT 10
+        """,
+        "ann_batch": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            q AS (
+              SELECT CAST(vec_id AS VARCHAR) AS query_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id < 3
+            ),
+            scored AS (
+              SELECT q.query_id, v.id,
+                     round(list_dot_product(v.e, q.qv)
+                           / (sqrt(list_dot_product(v.e, v.e))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM v, q
+            )
+            SELECT query_id, id, score, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         # IVF replay: same sha256-picked centroids, same argmin assignment
         # (ties on (d2, cid)), same nprobe cells, exact rescoring

@@ -95,7 +95,9 @@ def retrieve_documents(
         )
     else:
         top_edges = topk_bruteforce(edge_index, qv, k, id_col="edge_id", vec_col="embedding")
-    top_edges = top_edges.select(F.col("id").alias("edge_id"), F.col("score"))
+    # k rows, consumed twice (weight update + source extraction): pin it so
+    # the LSH probe/scan doesn't run once per consumer
+    top_edges = top_edges.select(F.col("id").alias("edge_id"), F.col("score")).localCheckpoint()
 
     # G2: join-update edge weights (reference does one UPDATE per edge,
     # io/graph.py:88-95 — ours is one bulk join). Retrieved cosine scores can

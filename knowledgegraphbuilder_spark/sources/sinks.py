@@ -67,6 +67,62 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_graph_snapshot(base_dir: str, tables: dict[str, DataFrame]) -> int:
+    """Iceberg-style snapshot write: each call materializes the given tables
+    under an immutable ``<table>/v=<n>/`` directory and appends one entry to
+    the ``_snapshots.jsonl`` log (snapshot id, tables, row counts, timestamp).
+    Readers resolve a snapshot id -> paths, so concurrent readers never see a
+    half-written table and any prior snapshot remains readable (time travel /
+    rollback = read an older id). This is the sandbox stand-in for Iceberg's
+    snapshot commit; on a real lake the same call maps to a single
+    ``writeTo(...).createOrReplace()`` transaction per table."""
+    import json
+    import time as _time
+
+    log = os.path.join(base_dir, "_snapshots.jsonl")
+    os.makedirs(base_dir, exist_ok=True)
+    prev = read_snapshot_log(base_dir)
+    snap_id = (prev[-1]["snapshot_id"] + 1) if prev else 1
+    entry: dict = {"snapshot_id": snap_id, "ts": _time.time(), "tables": {}}
+    for name, df in tables.items():
+        path = f"{base_dir}/{name}/v={snap_id}"
+        df.write.mode("overwrite").parquet(path)
+        n = df.sparkSession.read.parquet(path).count()
+        entry["tables"][name] = {"path": path, "n_rows": n}
+    with open(log, "a") as f:
+        f.write(json.dumps(entry) + "\n")
+    return snap_id
+
+
+def read_snapshot_log(base_dir: str) -> list[dict]:
+    import json
+
+    log = os.path.join(base_dir, "_snapshots.jsonl")
+    if not os.path.exists(log):
+        return []
+    return [json.loads(ln) for ln in open(log) if ln.strip()]
+
+
+def read_graph_snapshot(
+    spark: SparkSession, base_dir: str, snapshot_id: int | None = None
+) -> dict[str, DataFrame]:
+    """Read the tables of one snapshot (default: latest). Time travel = pass
+    an older id; tables absent from that snapshot fall back to their newest
+    version at or before it (Iceberg's per-table current-snapshot rule)."""
+    log = read_snapshot_log(base_dir)
+    if not log:
+        return {}
+    if snapshot_id is None:
+        snapshot_id = log[-1]["snapshot_id"]
+    latest: dict[str, str] = {}
+    for entry in log:
+        if entry["snapshot_id"] > snapshot_id:
+            break
+        for name, meta in entry["tables"].items():
+            latest[name] = meta["path"]
+    return {name: spark.read.parquet(path) for name, path in latest.items()}
+
+
 def clear_graph(base_dir: str) -> None:
     """S9: DETACH DELETE analog."""
     import shutil

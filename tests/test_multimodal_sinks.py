@@ -90,3 +90,31 @@ def test_graph_sinks_roundtrip(spark, corpus_df, tmp_path_factory):
     assert merged.filter(F.col("edge_id") == eid).collect()[0]["weight"] == pytest.approx(9.9)
     clear_graph(base)
     assert read_graph(spark, base) == {}
+
+
+def test_snapshot_sink_time_travel(spark, tmp_path_factory):
+    """Snapshot writes are immutable and older snapshots stay readable
+    (rollback); per-table fallback follows the newest version <= snapshot."""
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        read_graph_snapshot,
+        read_snapshot_log,
+        write_graph_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("snap"))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    side = spark.createDataFrame([(9, "z")], "id long, v string")
+
+    s1 = write_graph_snapshot(base, {"nodes": df1, "aux": side})
+    s2 = write_graph_snapshot(base, {"nodes": df2})  # aux not rewritten
+    assert (s1, s2) == (1, 2)
+    assert [e["snapshot_id"] for e in read_snapshot_log(base)] == [1, 2]
+
+    latest = read_graph_snapshot(spark, base)
+    assert {r["id"] for r in latest["nodes"].collect()} == {3}
+    # aux falls back to its v=1 version inside snapshot 2
+    assert {r["id"] for r in latest["aux"].collect()} == {9}
+    # time travel: snapshot 1 still shows the old nodes
+    old = read_graph_snapshot(spark, base, snapshot_id=1)
+    assert {r["id"] for r in old["nodes"].collect()} == {1, 2}
