@@ -83,26 +83,33 @@ def ngram_jaccard_pairs(
         from pyspark.sql.window import Window
 
         t = float(threshold)
-        dfreq = inv.groupBy("shingle").agg(F.count("*").alias("df"))
+        # candidate generation runs entirely on 8-byte shingle HASHES, not the
+        # ~40-byte shingle strings: the df aggregation has ~|corpus| distinct
+        # keys, and hashing first cuts its allocation several-fold (measured
+        # multi-second GC-pause outliers on long-lived JVMs with the string
+        # version). A hash collision can only merge two shingles for candidate
+        # purposes — extra candidates, never lost ones (if two docs share a
+        # prefix shingle they share its hash) — and verification below
+        # computes exact Jaccard over the full string arrays anyway.
+        invh = inv.select("id", F.xxhash64("shingle").alias("h"))
+        dfreq = invh.groupBy("h").agg(F.count("*").alias("df"))
         ranked = (
-            inv.join(dfreq, "shingle")
+            invh.join(dfreq, "h")
             .join(sizes, "id")
             .withColumn(
                 "rn",
-                F.row_number().over(
-                    Window.partitionBy("id").orderBy("df", "shingle")
-                ),
+                F.row_number().over(Window.partitionBy("id").orderBy("df", "h")),
             )
             # Jaccard prefix length: n - ceil(t*n) + 1
             .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
-            .select("id", "shingle", "n")
+            .select("id", "h", "n")
         )
         a = ranked.alias("a")
         b = ranked.alias("b")
         cand = (
             a.join(
                 b,
-                (F.col("a.shingle") == F.col("b.shingle"))
+                (F.col("a.h") == F.col("b.h"))
                 & (F.col("a.id") < F.col("b.id"))
                 # size filter: J >= t forces t*na <= nb <= na/t
                 & (F.col("b.n") * F.lit(t) <= F.col("a.n"))
@@ -148,15 +155,30 @@ def minhash_signatures(
     text_col: str = "text", id_col: str = "doc_id",
 ) -> DataFrame:
     """(id, shingles, sig: array<bigint>) — MinHash over word shingles,
-    entirely in native higher-order expressions (no Python)."""
+    entirely in native higher-order expressions (no Python).
+
+    Each shingle STRING is hashed exactly once (``hs``); the per-permutation
+    hashes then rehash the resulting bigint. Writing it as 32 independent
+    ``array_min(transform(shingles, ...))`` passes would both re-hash the
+    ~40-byte strings 32x and re-inline the shingle expression per permutation
+    (the same projection-collapse trap as simhash) — one outer aggregate with
+    a 32-slot running-minimum accumulator keeps it a single pass."""
     sh = _with_shingles(docs, k, text_col, id_col)
+    long_max = (1 << 63) - 1
     return sh.withColumn(
+        "hs", F.expr("transform(shingles, s -> xxhash64(s))")
+    ).withColumn(
         "sig",
         F.expr(
-            f"transform(sequence(0, {n_perm - 1}), "
-            f"i -> array_min(transform(shingles, s -> xxhash64(s, i))))"
+            f"""
+            aggregate(
+              hs,
+              array_repeat(cast({long_max} as bigint), {n_perm}),
+              (acc, h) -> zip_with(acc, sequence(0, {n_perm - 1}),
+                                   (m, i) -> least(m, xxhash64(h, i))))
+            """
         ),
-    )
+    ).drop("hs")
 
 
 def minhash_lsh_pairs(
