@@ -55,17 +55,39 @@ def lsh_similarity_edges(
     (src, dst, jaccard) edges between *original* surface forms."""
     cfg = config or KGConfig()
     thr = threshold if threshold is not None else cfg.synonym_threshold
-    n_perm, bands, k = cfg.minhash_perm, cfg.lsh_bands, cfg.shingle_size
-    rows = n_perm // bands
+    n_perm, k = cfg.minhash_perm, cfg.shingle_size
+    # derive the band shape from the threshold: a (bands, rows) split has
+    # implicit candidate threshold tau = (1/bands)^(1/rows); pick the split
+    # with the largest tau still <= thr so recall at thr stays high while
+    # bucket sizes stay bounded. A fixed split (the old bands=8/rows=4,
+    # tau=0.59) silently under-recalls any lower threshold.
+    splits = [(b, n_perm // b) for b in (32, 16, 8, 4, 2, 1) if n_perm % b == 0]
+    bands, rows = max(
+        (s for s in splits if (1.0 / s[0]) ** (1.0 / s[1]) <= thr),
+        key=lambda s: (1.0 / s[0]) ** (1.0 / s[1]),
+        default=(n_perm, 1),
+    )
 
     base = texts.select(F.col("text")).distinct().withColumn("norm", normalize_surface("text"))
     sh = base.withColumn("shingles", F.expr(_char_shingles("norm", k)))
+    # hash each shingle string once, then per-permutation bigint rehash in a
+    # single outer aggregate (same anti-patterns avoided as operators/dedup.py
+    # minhash_signatures: 32x string re-hash + projection-collapse re-inline)
+    long_max = (1 << 63) - 1
     sigs = sh.withColumn(
+        "hs", F.expr("transform(shingles, s -> xxhash64(s))")
+    ).withColumn(
         "sig",
         F.expr(
-            f"transform(sequence(0, {n_perm - 1}), i -> array_min(transform(shingles, s -> xxhash64(s, i))))"
+            f"""
+            aggregate(
+              hs,
+              array_repeat(cast({long_max} as bigint), {n_perm}),
+              (acc, h) -> zip_with(acc, sequence(0, {n_perm - 1}),
+                                   (m, i) -> least(m, xxhash64(h, i))))
+            """
         ),
-    )
+    ).drop("hs")
     buckets = sigs.select(
         "text", "shingles",
         F.explode(
