@@ -284,6 +284,43 @@ def q_mm_features(spark, sf_dir):
     return feats.select("media_ref", "media_type", "n_bytes", "byte_mean", "byte_entropy")
 
 
+def q_stream_sessions(spark, sf_dir):
+    """Stateful STREAMING sessionization under the value-exact gate: the
+    events table is replayed as three time-ordered micro-batches through
+    ``applyInPandasWithState`` (state crosses batch boundaries), and the
+    closed-session output must equal batch sessionization minus each user's
+    trailing (still-open) session — which the DuckDB oracle computes."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.stateful import (
+        run_sessionize_available_now,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_sessions_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    # three time-range files -> three in-order micro-batches
+    lo, hi = e.agg(F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))).first()
+    span = max(int(hi) - int(lo), 1)
+    batched = e.withColumn(
+        "bucket",
+        F.least(((F.unix_timestamp("ts") - F.lit(int(lo))) * 3 / span).cast("int"), F.lit(2)),
+    )
+    for b in range(3):
+        (batched.filter(F.col("bucket") == b).drop("bucket")
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{b}"))
+    run_sessionize_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck",
+        gap_seconds=1800, max_files_per_trigger=1,
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 4).alias("total_value"),
+    )
+
+
 def q_sql_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -393,6 +430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_pagerank": q_g3_pagerank,
         "retrieval_topk": q_retrieval_topk,
         "mm_features": q_mm_features,
+        "stream_sessions": q_stream_sessions,
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
         "sql_topk_count": q_sql_topk_count,
@@ -1123,6 +1161,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(weight, 6) AS weight
             FROM docw ORDER BY weight DESC, doc_id LIMIT 5
+        """,
+        # closed sessions from the STREAMING stateful operator == batch
+        # sessionization minus each user's trailing (still-open) session
+        "stream_sessions": """
+            WITH ordered AS (
+              SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+                     lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            marked AS (
+              SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800
+                             THEN 1 ELSE 0 END AS new_s
+              FROM ordered
+            ),
+            sess AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY t, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            ),
+            agg AS (
+              SELECT user_id, sid, min(t) AS session_start, max(t) AS session_end,
+                     CAST(count(*) AS BIGINT) AS n_events,
+                     round(sum(value), 4) AS total_value
+              FROM sess GROUP BY user_id, sid
+            ),
+            last AS (SELECT user_id, max(sid) AS last_sid FROM agg GROUP BY user_id)
+            SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.total_value
+            FROM agg a JOIN last l ON l.user_id = a.user_id AND a.sid < l.last_sid
         """,
         "sql_agg_pushdown": """
             SELECT l_returnflag, l_linestatus,
