@@ -278,6 +278,26 @@ def q_retrieval_topk(spark, sf_dir):
     return retrieve_documents(kg.edges, kg.membership, idx, "which customer stream uses spark", cfg)
 
 
+def q_retrieval_batch(spark, sf_dir):
+    """Batched multi-query retrieval (one plan, query-keyed batched PPR);
+    same fixed-point pinning as retrieval_topk."""
+    import dataclasses
+
+    from knowledgegraphbuilder_spark.operators.retrieval import (
+        retrieve_documents_batch,
+    )
+
+    kg = _kg(spark, sf_dir)
+    cfg = dataclasses.replace(CFG, pagerank_max_iter=300, pagerank_tol=1.0e-12)
+    idx = index_edges(kg.edges, CFG.embedding_dim)
+    queries = spark.createDataFrame(
+        [("q0", "which customer stream uses spark"),
+         ("q1", "vector table technology")],
+        "query_id string, query_text string",
+    )
+    return retrieve_documents_batch(kg.edges, kg.membership, idx, queries, cfg)
+
+
 def q_mm_features(spark, sf_dir):
     spans = read_documents_parquet(spark, sf_dir)
     feats = extract_features(fetch_media(media_refs(spans)))
@@ -429,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_cc": q_g4_cc,
         "g3_pagerank": q_g3_pagerank,
         "retrieval_topk": q_retrieval_topk,
+        "retrieval_batch": q_retrieval_batch,
         "mm_features": q_mm_features,
         "stream_sessions": q_stream_sessions,
         "sql_agg_pushdown": q_sql_agg_pushdown,
@@ -1079,6 +1100,142 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
         """,
+        # batched retrieval replay: embeddings of every description + BOTH
+        # query texts, per-query exact top-5 (the batch path scans, no LSH),
+        # per-query weighted graphs, ONE query-keyed recursive-CTE PPR, and
+        # per-query doc ranking — value-exact vs retrieve_documents_batch
+        "retrieval_batch": f"""
+            WITH RECURSIVE {_REL_CTE},
+            descs AS (SELECT DISTINCT description AS txt FROM rels_id),
+            alltxt AS (
+              SELECT txt, '' AS qid FROM descs
+              UNION ALL SELECT 'which customer stream uses spark', 'q0'
+              UNION ALL SELECT 'vector table technology', 'q1'
+            ),
+            tri AS (
+              SELECT txt, qid,
+                     UNNEST([substr('^' || txt || '$', i, 3)
+                             FOR i IN generate_series(1, length(txt))]) AS tri
+              FROM alltxt
+            ),
+            feat AS (
+              SELECT txt, qid,
+                     ('0x' || substr(sha256(tri), 15, 2))::INT % 64 AS bucket,
+                     CASE WHEN ('0x' || substr(sha256(tri), 13, 2))::INT % 2 = 0
+                          THEN 1.0 ELSE -1.0 END AS sgn
+              FROM tri
+            ),
+            vec0 AS (
+              SELECT txt, qid, bucket, CAST(sum(sgn) AS DOUBLE) AS val
+              FROM feat GROUP BY txt, qid, bucket
+            ),
+            nrm0 AS (SELECT txt, qid, sqrt(sum(val * val)) AS n
+                     FROM vec0 GROUP BY txt, qid),
+            vec AS (
+              SELECT v.txt, v.qid, v.bucket,
+                     CASE WHEN v.qid = ''
+                          THEN CAST(CAST(v.val / nrm0.n AS REAL) AS DOUBLE)
+                          ELSE v.val / nrm0.n END AS val
+              FROM vec0 v JOIN nrm0 USING (txt, qid)
+            ),
+            dn AS (SELECT txt, sqrt(sum(val * val)) AS n
+                   FROM vec WHERE qid = '' GROUP BY txt),
+            qn AS (SELECT qid, sqrt(sum(val * val)) AS n
+                   FROM vec WHERE qid <> '' GROUP BY qid),
+            dotq AS (
+              SELECT d.txt, q.qid, sum(d.val * q.val) AS dp
+              FROM (SELECT * FROM vec WHERE qid = '') d
+              JOIN (SELECT * FROM vec WHERE qid <> '') q ON q.bucket = d.bucket
+              GROUP BY d.txt, q.qid
+            ),
+            dq AS (SELECT d.txt, q.qid FROM descs d,
+                   (SELECT DISTINCT qid FROM alltxt WHERE qid <> '') q),
+            score_desc AS (
+              SELECT dq.qid, dq.txt,
+                     round(coalesce(dotq.dp, 0.0) / (dn.n * qn.n), 4) AS score
+              FROM dq
+              LEFT JOIN dotq ON dotq.txt = dq.txt AND dotq.qid = dq.qid
+              JOIN dn ON dn.txt = dq.txt
+              JOIN qn ON qn.qid = dq.qid
+            ),
+            tope AS (
+              SELECT qid, edge_id, score FROM (
+                SELECT s.qid, r2.relation_id AS edge_id, s.score,
+                       row_number() OVER (PARTITION BY s.qid
+                                          ORDER BY s.score DESC, r2.relation_id) AS rn
+                FROM rels_id r2 JOIN score_desc s ON s.txt = r2.description
+              ) WHERE rn <= 5
+            ),
+            rawq AS (
+              SELECT q.qid, r3.head_text AS s, r3.tail_text AS t2,
+                     CASE WHEN tope.score IS NOT NULL
+                          THEN greatest(tope.score, 1e-6) ELSE 0.2 END AS w
+              FROM rels_id r3
+              CROSS JOIN (SELECT DISTINCT qid FROM tope) q
+              LEFT JOIN tope ON tope.qid = q.qid AND tope.edge_id = r3.relation_id
+            ),
+            srcsq AS (
+              SELECT DISTINCT qid, v FROM (
+                SELECT tope.qid, r4.head_text AS v
+                FROM rels_id r4 JOIN tope ON tope.edge_id = r4.relation_id
+                UNION
+                SELECT tope.qid, r5.tail_text
+                FROM rels_id r5 JOIN tope ON tope.edge_id = r5.relation_id)
+            ),
+            symq AS (SELECT qid, s, t2, w FROM rawq
+                     UNION ALL SELECT qid, t2, s, w FROM rawq),
+            eq AS MATERIALIZED (
+              SELECT qid, s AS src, t2 AS dst, sum(w) AS w
+              FROM symq GROUP BY qid, s, t2
+            ),
+            owq AS (SELECT qid, src, sum(w) AS tot FROM eq GROUP BY qid, src),
+            etq AS MATERIALIZED (
+              SELECT eq.qid, eq.src, eq.dst, eq.w / owq.tot AS tw
+              FROM eq JOIN owq ON owq.qid = eq.qid AND owq.src = eq.src
+            ),
+            pvq AS (SELECT DISTINCT qid, v FROM
+                    (SELECT qid, src AS v FROM eq
+                     UNION SELECT qid, dst FROM eq
+                     UNION SELECT qid, v FROM srcsq)),
+            nsq AS (SELECT qid, count(*) AS n FROM srcsq GROUP BY qid),
+            persq AS MATERIALIZED (
+              SELECT pvq.qid, pvq.v,
+                     CASE WHEN srcsq.v IS NOT NULL THEN 1.0 / nsq.n ELSE 0.0 END AS p
+              FROM pvq
+              LEFT JOIN srcsq ON srcsq.qid = pvq.qid AND srcsq.v = pvq.v
+              JOIN nsq ON nsq.qid = pvq.qid
+            ),
+            rq(i, qid, v, score) AS (
+              SELECT 0, qid, v, p FROM persq
+              UNION ALL
+              SELECT cur.i + 1, persq.qid, persq.v,
+                     (1.0 - 0.85) * persq.p
+                     + 0.85 * (coalesce(infl.x, 0.0) + coalesce(dang.m, 0.0) * persq.p)
+              FROM persq
+              CROSS JOIN (SELECT max(i) AS i FROM rq) cur
+              LEFT JOIN (SELECT etq.qid, etq.dst AS v, sum(rq.score * etq.tw) AS x
+                         FROM rq JOIN etq ON etq.qid = rq.qid AND etq.src = rq.v
+                         GROUP BY etq.qid, etq.dst) infl
+                ON infl.qid = persq.qid AND infl.v = persq.v
+              LEFT JOIN (SELECT rq.qid, coalesce(sum(rq.score), 0.0) AS m FROM rq
+                         WHERE NOT EXISTS (SELECT 1 FROM eq
+                                           WHERE eq.qid = rq.qid AND eq.src = rq.v)
+                         GROUP BY rq.qid) dang
+                ON dang.qid = persq.qid
+              WHERE cur.i < 300
+            ),
+            ranksq AS (SELECT qid, v, score FROM rq WHERE i = 300),
+            docwq AS (
+              SELECT ranksq.qid, m.doc_id, sum(ranksq.score) AS weight
+              FROM mentions m JOIN ranksq ON ranksq.v = m.text
+              GROUP BY ranksq.qid, m.doc_id
+            )
+            SELECT qid AS query_id, doc_id, round(weight, 6) AS weight FROM (
+              SELECT *, row_number() OVER (PARTITION BY qid
+                                           ORDER BY weight DESC, doc_id) AS rn
+              FROM docwq
+            ) WHERE rn <= 5
+        """,
         # exact replay of the driver/distributed PPR loop in a recursive CTE:
         # same symmetrization, same transition normalization, same dangling
         # handling; Spark runs the full 30 iterations here (no early exit at
@@ -1144,7 +1301,8 @@ def oracle_sql() -> dict[str, str]:
             ),
             raw AS (
               SELECT r3.head_text AS s, r3.tail_text AS t2,
-                     coalesce(greatest(tope.score, 1e-6), 0.2) AS w
+                     CASE WHEN tope.score IS NOT NULL
+                          THEN greatest(tope.score, 1e-6) ELSE 0.2 END AS w
               FROM rels_id r3 LEFT JOIN tope ON tope.edge_id = r3.relation_id
             ),
             srcs AS (

@@ -63,6 +63,124 @@ def _driver_ppr(edge_rows, source_ids, damping, max_iter, tol):
     return [(v, float(r[idx[v]])) for v in verts]
 
 
+def personalized_pagerank_batch(
+    edges: DataFrame,
+    source_nodes: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    src_col: str = "head_node_id",
+    dst_col: str = "tail_node_id",
+    weight_col: str = "weight",
+    small_graph_threshold: int = 500_000,
+) -> DataFrame:
+    """Multi-query PPR in ONE iterative loop: ``edges(query_id, head, tail,
+    weight)`` (per-query weighted views of the shared graph) +
+    ``source_nodes(query_id, node_id)`` -> ``(query_id, node_id, score)``.
+
+    A QA service answering q concurrent queries must not run q independent
+    PPR loops — q x max_iter Spark jobs of per-job latency. Here ALL state is
+    keyed by (query_id, node_id): every iteration is one transition join +
+    one aggregation for every query together, so the job count is max_iter
+    regardless of q and the per-iteration shuffle carries the honest q-scaled
+    state. Update rule per query is IDENTICAL to personalized_pagerank
+    (symmetrize, out-weight normalize, dangling mass -> personalization);
+    tests pin batch == per-query loop. The small-graph driver path sweeps
+    queries over numpy arrays rebuilt per query's weight view."""
+    qkey = ["query_id", "node_id"]
+    if small_graph_threshold > 0:
+        n_edges = edges.limit(small_graph_threshold).count()
+        if n_edges < small_graph_threshold:
+            rows_by_q: dict = {}
+            for r in edges.select("query_id", src_col, dst_col, weight_col).collect():
+                rows_by_q.setdefault(r[0], []).append((r[1], r[2], r[3]))
+            src_by_q: dict = {}
+            for r in source_nodes.select("query_id", "node_id").collect():
+                src_by_q.setdefault(r["query_id"], []).append(r["node_id"])
+            out = []
+            for qid in sorted(src_by_q):
+                for v, s in _driver_ppr(
+                    rows_by_q.get(qid, []), src_by_q[qid], float(damping), max_iter, tol
+                ):
+                    out.append((qid, v, s))
+            return edges.sparkSession.createDataFrame(
+                out, "query_id string, node_id string, score double"
+            )
+    sym = edges.select(
+        "query_id", F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).union(
+        edges.select(
+            "query_id", F.col(dst_col).alias("src"), F.col(src_col).alias("dst"),
+            F.col(weight_col).cast("double").alias("w"),
+        )
+    )
+    out_w = sym.groupBy("query_id", "src").agg(F.sum("w").alias("w_total"))
+    trans = sym.join(out_w, ["query_id", "src"]).select(
+        "query_id", "src", "dst", (F.col("w") / F.col("w_total")).alias("tw")
+    ).localCheckpoint(eager=True)
+
+    vertices = (
+        trans.select("query_id", F.col("src").alias("node_id"))
+        .union(trans.select("query_id", F.col("dst").alias("node_id")))
+        .union(source_nodes.select("query_id", "node_id"))
+        .distinct()
+    )
+    n_src = source_nodes.groupBy("query_id").agg(F.count("*").alias("n"))
+    pers = (
+        vertices.join(source_nodes.withColumn("is_src", F.lit(1)), qkey, "left")
+        .join(n_src, "query_id")
+        .select(
+            "query_id", "node_id",
+            F.when(F.col("is_src") == 1, 1.0 / F.col("n")).otherwise(0.0).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = pers.select("query_id", "node_id", F.col("p").alias("score"))
+    d = float(damping)
+    last = ranks
+    for it in range(max_iter):
+        contribs = (
+            trans.join(
+                ranks.withColumnRenamed("node_id", "src"), ["query_id", "src"]
+            )
+            .select("query_id", F.col("dst").alias("node_id"),
+                    (F.col("score") * F.col("tw")).alias("c"))
+            .groupBy(*qkey)
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(
+                out_w.withColumnRenamed("src", "node_id"), qkey, "left_anti"
+            )
+            .groupBy("query_id")
+            .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("dmass"))
+        )
+        ranks = (
+            pers.join(contribs, qkey, "left")
+            .join(F.broadcast(dangling), "query_id", "left")
+            .select(
+                "query_id", "node_id",
+                (
+                    (1.0 - d) * F.col("p")
+                    + d * (F.coalesce("inflow", F.lit(0.0))
+                           + F.coalesce("dmass", F.lit(0.0)) * F.col("p"))
+                ).alias("score"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if (it + 1) % 5 == 0 or it == max_iter - 1:
+            delta = (
+                ranks.join(last.withColumnRenamed("score", "old"), qkey)
+                .agg(F.max(F.abs(F.col("score") - F.col("old"))))
+                .collect()[0][0]
+            )
+            last = ranks
+            if delta is not None and delta < tol:
+                break
+    return ranks
+
+
 def personalized_pagerank(
     edges: DataFrame,
     source_nodes: DataFrame,

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
+from pyspark.sql.window import Window
 
 from knowledgegraphbuilder_spark.config import KGConfig
 from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce
@@ -103,9 +104,13 @@ def retrieve_documents(
     # io/graph.py:88-95 — ours is one bulk join). Retrieved cosine scores can
     # be <= 0; PPR divides by summed out-weight, so clamp to a positive floor
     # instead of silently producing negative transition probabilities.
+    # NOTE: not coalesce(greatest(score, floor), default) — greatest SKIPS
+    # nulls (Spark and DuckDB alike), which would silently floor every
+    # non-retrieved edge to 1e-6 instead of keeping its 0.2 default
     weighted = edges.join(top_edges, "edge_id", "left").withColumn(
         "weight",
-        F.coalesce(F.greatest(F.col("score"), F.lit(1.0e-6)), F.col("weight").cast("double")),
+        F.when(F.col("score").isNotNull(), F.greatest(F.col("score"), F.lit(1.0e-6)))
+        .otherwise(F.col("weight").cast("double")),
     ).select("edge_id", "head_node_id", "tail_node_id", "weight")
 
     # J3: endpoint nodes of retrieved edges
@@ -121,6 +126,7 @@ def retrieve_documents(
     )
 
     # J4 + A5: sum node scores into document weights through membership
+    # (batched variant: retrieve_documents_batch below)
     doc_w = (
         membership.join(ranks, "node_id")
         .groupBy("doc_id")
@@ -131,4 +137,77 @@ def retrieve_documents(
     return (
         doc_w.orderBy(F.desc("weight"), F.col("doc_id")).limit(k)
         .select("doc_id", F.round("weight", 6).alias("weight"))
+    )
+
+
+def retrieve_documents_batch(
+    edges: DataFrame,
+    membership: DataFrame,
+    edge_index: DataFrame,
+    queries: DataFrame,
+    config: KGConfig | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """Batched QA retrieval: ``queries(query_id, query_text)`` ->
+    ``(query_id, doc_id, weight)`` top-k per query — semantically one
+    :func:`retrieve_documents` per row, executed as ONE plan.
+
+    Scale shape: all query texts embed in one Arrow pass; the vector top-k is
+    one broadcast-join batch scan (T2 batch); per-query weighted graph views
+    are an explicit (query_id, edge) expansion — per-query edge weights are
+    what G2 *means*, so the q-fold state is inherent, but the iteration count
+    stays max_iter Spark jobs TOTAL via the query-keyed batched PPR instead
+    of q independent loops. Tests pin batch == per-query singles."""
+    from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce_batch
+    from knowledgegraphbuilder_spark.operators.pagerank import (
+        personalized_pagerank_batch,
+    )
+
+    cfg = config or KGConfig()
+    k = k or cfg.retrieval_k
+    q_emb = embed_column(
+        queries.select(F.col("query_id").cast("string").alias("query_id"),
+                       F.col("query_text")),
+        "query_text", "embedding", cfg.embedding_dim,
+    )
+    top = topk_bruteforce_batch(
+        edge_index, q_emb, k,
+        id_col="edge_id", vec_col="embedding",
+        qid_col="query_id", qvec_col="embedding",
+    ).select("query_id", F.col("id").alias("edge_id"), "score")
+    top = top.localCheckpoint()  # k x q rows, consumed three times
+
+    qids = top.select("query_id").distinct()
+    weighted = (
+        edges.select("edge_id", "head_node_id", "tail_node_id", "weight")
+        .crossJoin(F.broadcast(qids))
+        .join(top, ["query_id", "edge_id"], "left")
+        .withColumn(
+            "weight",
+            F.when(F.col("score").isNotNull(),
+                   F.greatest(F.col("score"), F.lit(1.0e-6)))
+            .otherwise(F.col("weight").cast("double")),
+        )
+        .select("query_id", "head_node_id", "tail_node_id", "weight")
+    )
+    sources = (
+        edges.join(top, "edge_id")
+        .select("query_id",
+                F.explode(F.array("head_node_id", "tail_node_id")).alias("node_id"))
+        .distinct()
+    )
+    ranks = personalized_pagerank_batch(
+        weighted, sources, cfg.pagerank_damping, cfg.pagerank_max_iter,
+        cfg.pagerank_tol,
+    )
+    doc_w = (
+        membership.join(ranks, "node_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("score").alias("weight"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("weight"), F.col("doc_id"))
+    return (
+        doc_w.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "doc_id", F.round("weight", 6).alias("weight"))
     )
