@@ -149,7 +149,7 @@ def main() -> None:
     qs = entry.queries()
     bench_queries = [
         "kg_triples", "kg_a1_nodes", "kg_u2_mentions",
-        "g3_pagerank", "retrieval_topk",
+        "g3_pagerank", "retrieval_topk", "retrieval_batch",
         "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_embed_cosine_lsh",
         "ann_topk", "ann_lsh", "ann_ivf", "ts_quality", "ts_fingerprint",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
@@ -172,7 +172,7 @@ def main() -> None:
         df = qs[name](spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
-        if name == "retrieval_topk":
+        if name == "retrieval_batch":
             # the graph queries are done: drop the pinned pipeline RDDs so
             # the dedup/ANN section doesn't run under block-manager pressure
             # (observed one-off 4-8x outliers without this)
