@@ -341,6 +341,24 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """AS-OF join: every purchase event matched to the user's most recent
+    view event at or before it (DuckDB's native ASOF JOIN is the oracle)."""
+    from knowledgegraphbuilder_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    out = asof_join(
+        e.filter(F.col("event_type") == "purchase"),
+        e.filter(F.col("event_type") == "view"),
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("ts_epoch"),
+        "matched_event_id",
+        F.round("matched_value", 4).alias("matched_value"),
+    )
+
+
 def q_sql_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -451,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_topk": q_retrieval_topk,
         "retrieval_batch": q_retrieval_batch,
         "mm_features": q_mm_features,
+        "asof_join": q_asof_join,
         "stream_sessions": q_stream_sessions,
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
@@ -1319,6 +1338,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(weight, 6) AS weight
             FROM docw ORDER BY weight DESC, doc_id LIMIT 5
+        """,
+        # DuckDB's native ASOF JOIN replays the operator; the right side is
+        # deduped per (user, ts) on both sides so tie winners are pinned
+        "asof_join": """
+            WITH r AS (
+              SELECT user_id, ts, max(event_id) AS r_event_id,
+                     max_by(value, event_id) AS r_value
+              FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+            ),
+            l AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id,
+                   CAST(floor(epoch(l.ts)) AS BIGINT) AS ts_epoch,
+                   r.r_event_id AS matched_event_id,
+                   round(r.r_value, 4) AS matched_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # closed sessions from the STREAMING stateful operator == batch
         # sessionization minus each user's trailing (still-open) session

@@ -188,3 +188,41 @@ def test_embedding_cosine_lsh_subset_of_exact(spark, sf_dir):
     for pair, c in lsh.items():
         assert c == exact[pair]
     assert len(lsh) >= len(exact) * 0.5  # high-cosine pairs collide often
+
+
+def test_asof_join_vs_bruteforce(spark):
+    """As-of join == per-row brute-force latest-at-or-before lookup."""
+    import datetime as dt
+
+    from knowledgegraphbuilder_spark.operators.asof import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    lefts, rights = [], []
+    for uid in (1, 2, 3):
+        for off in (0, 100, 100, 250, 900):  # includes an equal-ts pair
+            rows.append((eid, t0 + dt.timedelta(seconds=off + uid), uid, "view",
+                         float(eid), "{}"))
+            rights.append((uid, off + uid, eid, float(eid)))
+            eid += 1
+        for off in (50, 100, 800, 2000):
+            rows.append((eid, t0 + dt.timedelta(seconds=off + uid), uid, "purchase",
+                         float(eid), "{}"))
+            lefts.append((uid, off + uid, eid))
+            eid += 1
+    schema = ("event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string")
+    e = spark.createDataFrame(rows, schema)
+    got = {
+        r["event_id"]: (r["matched_event_id"], r["matched_value"])
+        for r in asof_join(
+            e.filter(F.col("event_type") == "purchase"),
+            e.filter(F.col("event_type") == "view"),
+        ).collect()
+    }
+    for uid, lts, lid in lefts:
+        cands = [(rid, val) for (ruid, rts, rid, val) in rights
+                 if ruid == uid and rts <= lts]
+        want = max(cands)[0:2] if cands else (None, None)
+        assert got[lid] == want, (lid, got[lid], want)
