@@ -416,6 +416,35 @@ def q_sql_window_cum(spark, sf_dir):
     )
 
 
+def q_sql_rollup(spark, sf_dir):
+    """Multi-granularity rollup (day x event_type -> day -> grand total) —
+    the hypertable-rollup pattern as one GROUPING SETS aggregate."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date("ts"))
+        .rollup("day", "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def q_sql_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (the distributed sort-
+    based exact path; percentile_approx is the sketch variant for 100 TB)."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+
+
 def q_sql_sessionize(spark, sf_dir):
     from pyspark.sql.window import Window
 
@@ -477,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_anti_join": q_sql_anti_join,
         "sql_window_cum": q_sql_window_cum,
         "sql_sessionize": q_sql_sessionize,
+        "sql_rollup": q_sql_rollup,
+        "sql_quantiles": q_sql_quantiles,
     }
 
 
@@ -1420,6 +1451,20 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
               FROM events)
             WHERE rn <= 5
+        """,
+        "sql_rollup": """
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(SUM(value), 4) AS total_value
+            FROM events
+            GROUP BY ROLLUP (CAST(ts AS DATE), event_type)
+        """,
+        "sql_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "sql_sessionize": """
             SELECT user_id, CAST(1 + SUM(CASE WHEN delta > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
