@@ -359,6 +359,16 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling (1 media row -> N frame rows, the video UDTF shape):
+    byte-exact frame payload replay via the deterministic fake fetch."""
+    from knowledgegraphbuilder_spark.operators.multimodal import frame_sample
+
+    spans = read_documents_parquet(spark, sf_dir)
+    frames = frame_sample(fetch_media(media_refs(spans)), n_frames=4)
+    return frames.select("media_ref", "frame_idx", "frame")
+
+
 def q_sql_agg_pushdown(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -498,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_topk": q_retrieval_topk,
         "retrieval_batch": q_retrieval_batch,
         "mm_features": q_mm_features,
+        "mm_frames": q_mm_frames,
         "asof_join": q_asof_join,
         "stream_sessions": q_stream_sessions,
         "sql_agg_pushdown": q_sql_agg_pushdown,
@@ -1369,6 +1380,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, round(weight, 6) AS weight
             FROM docw ORDER BY weight DESC, doc_id LIMIT 5
+        """,
+        # byte-exact frame replay: payload(ref) = sha256 digest repeated to
+        # 256 + digest[0] bytes; frame i = payload[i*step:(i+1)*step],
+        # step = size//4 — all reconstructable from the hex digest in SQL
+        "mm_frames": """
+            WITH refs AS (
+              SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0' AS media_ref
+              FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            s AS (
+              SELECT media_ref, sha256(media_ref) AS hx,
+                     256 + ('0x' || substr(sha256(media_ref), 1, 2))::INT AS size
+              FROM refs
+            ),
+            p AS (
+              SELECT media_ref, substr(repeat(hx, 16), 1, 2 * size) AS ph,
+                     size // 4 AS step
+              FROM s
+            )
+            SELECT media_ref, CAST(i AS INT) AS frame_idx,
+                   unhex(substr(ph, 2 * i * step + 1, 2 * step)) AS frame
+            FROM p, generate_series(0, 3) g(i)
         """,
         # DuckDB's native ASOF JOIN replays the operator; the right side is
         # deduped per (user, ts) on both sides so tie winners are pinned
