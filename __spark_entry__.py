@@ -112,6 +112,15 @@ def q_kg_triples(spark, sf_dir):
     return t.select("subj", "pred", "obj", "doc_id")
 
 
+def q_kg_provenance(spark, sf_dir):
+    """Per-triple provenance rows (north-rule lineage surface; the physical
+    partition_id column is execution-dependent and excluded from the value
+    contract — row counts/ids/stage are checked exactly)."""
+    p = _kg(spark, sf_dir).provenance
+    return p.select("triple_id", "subj", "pred", "obj", "doc_id",
+                    "head_mention_id", "tail_mention_id", "stage")
+
+
 def q_kg_p1_chunk_entities(spark, sf_dir):
     kg = _kg(spark, sf_dir)
     re_chunks = chunk_documents(kg.documents, CFG.re_chunk_size, CFG.re_chunk_overlap)
@@ -483,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_a1_nodes": q_kg_a1_nodes,
         "kg_j2_edges": q_kg_j2_edges,
         "kg_triples": q_kg_triples,
+        "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
         "kg_t3_topdocs": q_kg_t3_topdocs,
@@ -791,6 +801,13 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples": f"""
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
+            FROM rels_id
+        """,
+        "kg_provenance": f"""
+            WITH {_REL_CTE}
+            SELECT relation_id AS triple_id, head_text AS subj, rel_type AS pred,
+                   tail_text AS obj, doc_id, head_mention_id, tail_mention_id,
+                   's5_relations' AS stage
             FROM rels_id
         """,
         "kg_p1_chunk_entities": f"""
