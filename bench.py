@@ -155,16 +155,19 @@ def main() -> None:
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
-    # runs): execute the KG chain and the heavy dedup/ANN expression classes
-    # once at the smallest sf so the first timed execution of each query
-    # measures the operator, not whole-stage-codegen compilation (a cold
-    # first run costs ~6x CPU until C2 kicks in; measured one-off outliers
-    # up to 8x on dd_minhash_lsh without this)
-    warm_sf = "/root/testdata/sf0.001"
-    for wq in ("kg_triples", "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
-               "dd_embed_cosine_lsh", "ann_lsh", "ann_ivf"):
-        qs[wq](spark, warm_sf).write.format("noop").mode("overwrite").save()
+    # runs): the KG chain warms at the smallest sf; the similarity queries
+    # warm against the BENCH sf itself — their AQE physical plans (and hence
+    # whole-stage-codegen classes) differ between scales, and a cold C2
+    # compile of the giant generated LSH/shingle expressions showed up as a
+    # roaming one-off 4-8x outlier on whichever of them ran first. The timed
+    # loop therefore measures steady-state execution; first-run compile cost
+    # is a per-JVM constant, not an operator property.
+    qs["kg_triples"](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+        "overwrite").save()
     entry._PIPE_CACHE.clear()
+    for wq in ("dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash",
+               "dd_embed_cosine_lsh", "ann_lsh", "ann_ivf"):
+        qs[wq](spark, SF_DIR).write.format("noop").mode("overwrite").save()
     timings: dict[str, float] = {}
     t_total0 = time.time()
     for name in bench_queries:
