@@ -375,7 +375,11 @@ def q_mm_frames(spark, sf_dir):
 
     spans = read_documents_parquet(spark, sf_dir)
     frames = frame_sample(fetch_media(media_refs(spans)), n_frames=4)
-    return frames.select("media_ref", "frame_idx", "frame")
+    # hex-encode the BINARY payload: the gate's canonicalizer sorts column
+    # values, and DuckDB returns BINARY as unhashable bytearray
+    return frames.select(
+        "media_ref", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
 
 
 def q_sql_agg_pushdown(spark, sf_dir):
@@ -1420,7 +1424,7 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             )
             SELECT media_ref, CAST(i AS INT) AS frame_idx,
-                   unhex(substr(ph, 2 * i * step + 1, 2 * step)) AS frame
+                   upper(substr(ph, 2 * i * step + 1, 2 * step)) AS frame_hex
             FROM p, generate_series(0, 3) g(i)
         """,
         # DuckDB's native ASOF JOIN replays the operator; the right side is

@@ -195,6 +195,10 @@ def ann_ivf(
         for r in cents.withColumn("qd2", F.expr(qd))
         .orderBy("qd2", "cid").limit(nprobe).collect()
     ]
+    if not probe:
+        # corpus smaller than ~centroid_stride -> the stride pick can select
+        # zero centroids; answer exactly instead of returning nothing
+        return topk_bruteforce(embs, query, k=k, id_col=id_col, vec_col=vec_col)
     cands = assigned.filter(F.col("cid").isin(probe)).select("id", "v")
     return (
         cosine_scores(cands.withColumnRenamed("v", "embedding"), query, "id", "embedding")

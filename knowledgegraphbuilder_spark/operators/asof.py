@@ -27,24 +27,29 @@ def asof_join(
     right: DataFrame,
     key: str = "user_id",
     ts: str = "ts",
+    left_id: str = "event_id",
     right_id: str = "event_id",
     right_val: str = "value",
 ) -> DataFrame:
-    """left(key, ts, event_id, ...) x right(key, ts, right_id, right_val) ->
+    """left(key, ts, left_id, ...) x right(key, ts, right_id, right_val) ->
     left rows + (matched_event_id, matched_value) of the latest right row at
-    or before each left row's timestamp (NULLs when none exists)."""
+    or before each left row's timestamp (NULLs when none exists).
+
+    Both union legs cast ids to long and values to double so a right table
+    with e.g. int32 ids or decimal values still unions cleanly against the
+    left leg's typed NULL literals."""
     r = (
         right.groupBy(key, ts)
         .agg(
-            F.max(right_id).alias("_r_id"),
-            F.max_by(right_val, right_id).alias("_r_val"),
+            F.max(right_id).cast("long").alias("_r_id"),
+            F.max_by(right_val, right_id).cast("double").alias("_r_val"),
         )
         .withColumn("_side", F.lit(0))
         .withColumn("_l_id", F.lit(None).cast("long"))
     )
     l = left.select(
         key, ts,
-        F.col("event_id").alias("_l_id"),
+        F.col(left_id).cast("long").alias("_l_id"),
         F.lit(None).cast("long").alias("_r_id"),
         F.lit(None).cast("double").alias("_r_val"),
         F.lit(1).alias("_side"),

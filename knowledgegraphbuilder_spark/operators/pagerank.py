@@ -170,13 +170,19 @@ def personalized_pagerank_batch(
             .localCheckpoint(eager=True)
         )
         if (it + 1) % 5 == 0 or it == max_iter - 1:
+            # same convergence norm as the per-query paths: L1 per query
+            # (max over queries), threshold scaled by the check interval —
+            # keeps the batch and single-query loops stopping at the same
+            # iterate near tol
             delta = (
                 ranks.join(last.withColumnRenamed("score", "old"), qkey)
-                .agg(F.max(F.abs(F.col("score") - F.col("old"))))
+                .groupBy("query_id")
+                .agg(F.sum(F.abs(F.col("score") - F.col("old"))).alias("l1"))
+                .agg(F.max("l1"))
                 .collect()[0][0]
             )
             last = ranks
-            if delta is not None and delta < tol:
+            if delta is not None and delta < tol * 5:
                 break
     return ranks
 

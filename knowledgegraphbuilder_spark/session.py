@@ -31,6 +31,10 @@ def build_session(
         .master(f"local[{parallelism}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(parallelism))
+        # pin the session timezone: stateful streaming converts the tz-naive
+        # pandas timestamps Arrow hands over with .timestamp() (which assumes
+        # UTC) — on a non-UTC box the epochs would silently shift otherwise
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
