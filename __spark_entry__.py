@@ -187,13 +187,24 @@ def q_dd_exact(spark, sf_dir):
 
 
 def q_ann_batch(spark, sf_dir):
-    """T2 batch shape: exact top-k for a table of query vectors
-    (crossJoin-broadcast + per-query window top-k)."""
+    """T2 batch shape, exact baseline: top-k for a table of query vectors
+    (crossJoin-broadcast + per-query window top-k). The scale path is
+    ann_lsh_batch below — this stays as the labeled verification baseline."""
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return ann_ops.topk_bruteforce_batch(embs, queries, k=5)
+
+
+def q_ann_lsh_batch(spark, sf_dir):
+    """Batched LSH probe (the 100 TB batch-search path): per-query bucket
+    equi-join candidates + exact rescore, never a per-query corpus scan."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.ann_lsh_batch(embs, queries, k=5, n_bits=4, n_tables=8)
 
 
 def q_dd_ngram_jaccard(spark, sf_dir):
@@ -350,6 +361,47 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_stream_relations(spark, sf_dir):
+    """STREAMING relation extraction under the value-exact gate: the corpus
+    lands as three doc_id-ranged files, drains through the full RE chain
+    (flatten -> chunk -> NER -> containment join -> RE) one file per
+    micro-batch, MERGEs each batch into the relation table by deterministic
+    relation_id — then the whole input is REPLAYED against a fresh streaming
+    checkpoint into the same table, proving MERGE idempotency. The final
+    table must equal the batch relation table (same oracle as
+    kg_u4_relations)."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_relations_available_now,
+    )
+
+    spans = read_documents_parquet(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_relations_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = spans.agg(F.max(F.expr("cast(substring(doc_id, 5, 10) as int)"))).first()[0]
+    for b in range(3):
+        lo, hi = b * (n + 1) // 3, (b + 1) * (n + 1) // 3
+        (spans.filter(F.expr(
+            f"cast(substring(doc_id, 5, 10) as int) >= {lo} and "
+            f"cast(substring(doc_id, 5, 10) as int) < {hi}"))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{b}"))
+    run_relations_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck", CFG,
+    )
+    # replay everything with a fresh checkpoint: MERGE by relation_id must
+    # leave the table byte-identical
+    run_relations_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2", CFG,
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "relation_id", "doc_id", "head_mention_id", "tail_mention_id",
+        "rel_type", "description",
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """AS-OF join: every purchase event matched to the user's most recent
     view event at or before it (DuckDB's native ASOF JOIN is the oracle)."""
@@ -380,6 +432,27 @@ def q_mm_frames(spark, sf_dir):
     return frames.select(
         "media_ref", "frame_idx", F.hex("frame").alias("frame_hex")
     )
+
+
+def q_link_edges(spark, sf_dir):
+    """Entity-linking similarity edges: MinHash-LSH blocking over char-3
+    shingles of normalized surface forms + exact Jaccard verification at the
+    reference synonym threshold 0.8 (back/kgg/config.py:17). The distinct
+    mention texts are augmented with deterministic planted variants
+    (uppercase, leading underscore, plural) so normalization-equal (J=1.0)
+    and near-threshold pairs both exist; sha256-derived signatures mean the
+    oracle replays the exact banding, so even deterministic LSH misses at
+    the threshold boundary stay value-exact."""
+    from knowledgegraphbuilder_spark.operators.link import lsh_similarity_edges
+
+    kg = _kg(spark, sf_dir)
+    t = kg.mentions.select("text").distinct()
+    planted = (
+        t.select(F.upper("text").alias("text"))
+        .union(t.select(F.concat(F.lit("_"), F.col("text")).alias("text")))
+        .union(t.select(F.concat(F.col("text"), F.lit("s")).alias("text")))
+    )
+    return lsh_similarity_edges(t.union(planted).distinct(), CFG)
 
 
 def q_sql_agg_pushdown(spark, sf_dir):
@@ -513,6 +586,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_batch": q_ann_batch,
+        "ann_lsh_batch": q_ann_lsh_batch,
+        "link_edges": q_link_edges,
         "ts_langid": q_ts_langid,
         "ts_quality": q_ts_quality,
         "ts_tokens": q_ts_tokens,
@@ -525,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "asof_join": q_asof_join,
         "stream_sessions": q_stream_sessions,
+        "stream_relations": q_stream_relations,
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
         "sql_topk_count": q_sql_topk_count,
@@ -1082,6 +1158,110 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             ) WHERE rank <= 5
         """,
+        # entity-linking replay: the sha256-derived minhash signatures, band
+        # keys (bands=8/rows=4 from threshold 0.8), candidate self-join, and
+        # exact Jaccard verification are all recomputed in SQL — the
+        # approximate candidate set matches exactly, including any
+        # deterministic LSH miss at the threshold boundary
+        "link_edges": f"""
+            WITH {_KG_CTE},
+            t0 AS (SELECT DISTINCT text FROM mentions),
+            baset AS (
+              SELECT DISTINCT text FROM (
+                SELECT text FROM t0
+                UNION ALL SELECT upper(text) FROM t0
+                UNION ALL SELECT '_' || text FROM t0
+                UNION ALL SELECT text || 's' FROM t0
+              )
+            ),
+            nrm AS (
+              SELECT text,
+                     lower(trim(regexp_replace(text, '[\\s_\\-]+', ' ', 'g'))) AS norm
+              FROM baset
+            ),
+            shn AS (
+              SELECT text,
+                     list_distinct([substr(norm, i, 3)
+                                    FOR i IN generate_series(1, greatest(length(norm) - 2, 1))]) AS shingles
+              FROM nrm
+            ),
+            hsh AS (
+              SELECT text, shingles,
+                     [('0x' || substr(sha256(s), 1, 15))::BIGINT FOR s IN shingles] AS hh
+              FROM shn
+            ),
+            sig AS (
+              SELECT text, shingles,
+                     [list_min([('0x' || substr(sha256(CAST(h AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                                FOR h IN hh])
+                      FOR i IN generate_series(0, 31)] AS sg
+              FROM hsh
+            ),
+            bkt AS (
+              SELECT text, shingles, g.b AS band,
+                     ('0x' || substr(sha256(array_to_string(
+                        list_transform(sg[g.b * 4 + 1 : g.b * 4 + 4],
+                                       x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS key
+              FROM sig, generate_series(0, 7) g(b)
+            ),
+            cand AS (
+              SELECT DISTINCT x.text AS src, y.text AS dst,
+                     x.shingles AS sa, y.shingles AS sb
+              FROM bkt x JOIN bkt y
+                ON x.band = y.band AND x.key = y.key AND x.text < y.text
+            )
+            SELECT src, dst, jaccard FROM (
+              SELECT src, dst,
+                     round(len(list_intersect(sa, sb)) * 1.0
+                           / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+              FROM cand
+            ) WHERE jaccard >= 0.8
+        """,
+        # batched-LSH replay: buckets for every vector per table (queries are
+        # themselves corpus vectors here), per-query candidates = bucket
+        # equi-join, exact cosine rescore, per-query top-5
+        "ann_lsh_batch": """
+            WITH planes AS (
+              SELECT t, b, d,
+                     ('0x' || substr(sha256('42,' || t || ',' || b || ',' || d), 1, 8))::BIGINT
+                       / 4294967296.0 - 0.5 AS w
+              FROM generate_series(0, 7) ts(t),
+                   generate_series(0, 3) bs(b),
+                   generate_series(0, 63) ds(d)
+            ),
+            v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT v.id, p.t, p.b, sum(v.e[p.d + 1] * p.w) AS dot
+              FROM v, planes p GROUP BY v.id, p.t, p.b
+            ),
+            buckets AS (
+              SELECT id, t, sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            qb AS (SELECT id AS query_id, t, bucket FROM buckets
+                   WHERE id IN ('0', '1', '2')),
+            cand AS (
+              SELECT DISTINCT qb.query_id, b.id FROM buckets b
+              JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+            ),
+            q AS (SELECT id AS query_id, e AS qv FROM v WHERE id IN ('0', '1', '2')),
+            scored AS (
+              SELECT c.query_id, c.id,
+                     round(list_dot_product(v.e, q.qv)
+                           / (sqrt(list_dot_product(v.e, v.e))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM cand c JOIN v ON v.id = c.id JOIN q ON q.query_id = c.query_id
+            )
+            SELECT query_id, id, score, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
         # IVF replay: same sha256-picked centroids, same argmin assignment
         # (ties on (d2, cid)), same nprobe cells, exact rescoring
         "ann_ivf": """
@@ -1183,9 +1363,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
         """,
         # batched retrieval replay: embeddings of every description + BOTH
-        # query texts, per-query exact top-5 (the batch path scans, no LSH),
-        # per-query weighted graphs, ONE query-keyed recursive-CTE PPR, and
-        # per-query doc ranking — value-exact vs retrieve_documents_batch
+        # query texts, per-query LSH bucket probe (same sha256 planes as
+        # ann_lsh; float64 query vectors match the Spark batch path exactly),
+        # exact rescoring of candidates, per-query top-5, per-query weighted
+        # graphs, ONE query-keyed recursive-CTE PPR, and per-query doc
+        # ranking — value-exact vs retrieve_documents_batch
         "retrieval_batch": f"""
             WITH RECURSIVE {_REL_CTE},
             descs AS (SELECT DISTINCT description AS txt FROM rels_id),
@@ -1230,15 +1412,38 @@ def oracle_sql() -> dict[str, str]:
               JOIN (SELECT * FROM vec WHERE qid <> '') q ON q.bucket = d.bucket
               GROUP BY d.txt, q.qid
             ),
-            dq AS (SELECT d.txt, q.qid FROM descs d,
-                   (SELECT DISTINCT qid FROM alltxt WHERE qid <> '') q),
+            {_PLANES_CTE.strip().rstrip()},
+            dotsb AS (
+              SELECT v.txt, v.qid, p.t, p.b, sum(v.val * p.w) AS dot
+              FROM vec v JOIN planes p ON p.d = v.bucket
+              GROUP BY v.txt, v.qid, p.t, p.b
+            ),
+            gridb AS (
+              SELECT a.txt, a.qid, ts.t, bs.b
+              FROM (SELECT DISTINCT txt, qid FROM alltxt) a,
+                   generate_series(0, 7) ts(t), generate_series(0, 3) bs(b)
+            ),
+            bktb AS (
+              SELECT g.txt, g.qid, g.t,
+                     sum(CASE WHEN coalesce(d.dot, 0.0) >= 0
+                              THEN 1 << g.b ELSE 0 END) AS bucket
+              FROM gridb g LEFT JOIN dotsb d
+                ON d.txt = g.txt AND d.qid = g.qid AND d.t = g.t AND d.b = g.b
+              GROUP BY g.txt, g.qid, g.t
+            ),
+            qbktb AS (SELECT qid, t, bucket FROM bktb WHERE qid <> ''),
+            candb AS (
+              SELECT DISTINCT q.qid, b.txt
+              FROM bktb b JOIN qbktb q
+                ON b.qid = '' AND b.t = q.t AND b.bucket = q.bucket
+            ),
             score_desc AS (
-              SELECT dq.qid, dq.txt,
+              SELECT c.qid, c.txt,
                      round(coalesce(dotq.dp, 0.0) / (dn.n * qn.n), 4) AS score
-              FROM dq
-              LEFT JOIN dotq ON dotq.txt = dq.txt AND dotq.qid = dq.qid
-              JOIN dn ON dn.txt = dq.txt
-              JOIN qn ON qn.qid = dq.qid
+              FROM candb c
+              LEFT JOIN dotq ON dotq.txt = c.txt AND dotq.qid = c.qid
+              JOIN dn ON dn.txt = c.txt
+              JOIN qn ON qn.qid = c.qid
             ),
             tope AS (
               SELECT qid, edge_id, score FROM (
@@ -1446,6 +1651,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # closed sessions from the STREAMING stateful operator == batch
         # sessionization minus each user's trailing (still-open) session
+        # the streamed-and-replayed relation table must equal the batch one
+        "stream_relations": f"""
+            WITH {_REL_CTE}
+            SELECT relation_id, doc_id, head_mention_id, tail_mention_id, rel_type, description
+            FROM rels_id
+        """,
         "stream_sessions": """
             WITH ordered AS (
               SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,

@@ -84,6 +84,71 @@ def topk_bruteforce_batch(embs: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def ann_lsh_batch(
+    embs: DataFrame, queries: DataFrame, k: int = 10,
+    dim: int | None = None, n_bits: int = 8, n_tables: int = 4, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "embedding",
+) -> DataFrame:
+    """Batched LSH probe: per-query approximate top-k without ever scoring
+    the full corpus per query. Output schema == topk_bruteforce_batch
+    (query_id, id, score, rank).
+
+    Scale shape (the FAISS-index-probe analog, back/kgg/retriever.py:62-68 —
+    every query hits the index, not the corpus): ONE scan of the corpus emits
+    each vector's (table, bucket) pair per LSH table (#vectors x n_tables
+    rows); the tiny query table gets the same treatment and is broadcast, so
+    candidates come from an equi-join on (table, bucket) — the corpus-sized
+    crossJoin of topk_bruteforce_batch never happens. A vector matching a
+    query in several tables is deduped by the (query_id, id) aggregate,
+    which also carries the two vectors to the exact cosine rescore (the
+    candidate set is bucket-sized; re-joining the full corpus for vectors
+    would shuffle far more). Buckets are the same sha256-derived hyperplanes
+    as ann_lsh, so the whole approximate result replays in the SQL oracle."""
+    if dim is None:
+        dim = len(queries.select(qvec_col).first()[0])
+    v = _as_double(embs, vec_col, id_col)
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket_expr("v", dim, n_bits, t, seed).alias("bucket"))
+        for t in range(n_tables)
+    ])).alias("tb")
+    bucketed = v.select("id", "v", tb).select(
+        "id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    q = queries.select(
+        F.col(qid_col).cast("string").alias("query_id"),
+        F.expr(f"transform({qvec_col}, x -> cast(x as double))").alias("qv"),
+    )
+    qtb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket_expr("qv", dim, n_bits, t, seed).alias("bucket"))
+        for t in range(n_tables)
+    ])).alias("tb")
+    q_bucketed = q.select("query_id", "qv", qtb).select(
+        "query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    cands = (
+        bucketed.join(F.broadcast(q_bucketed), ["t", "bucket"])
+        .groupBy("query_id", "id")
+        .agg(F.first("v").alias("v"), F.first("qv").alias("qv"))
+    )
+    scored = cands.select(
+        "query_id", "id",
+        F.round(
+            F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+            / (F.expr(_norm_expr("v")) * F.expr(_norm_expr("qv"))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
 def hyperplane(seed: int, table: int, bit: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane, sha256-derived.
 

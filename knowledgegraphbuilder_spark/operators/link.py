@@ -46,6 +46,19 @@ def _char_shingles(col: str, k: int) -> str:
     )
 
 
+def _h60(expr: str) -> str:
+    """60-bit sha256-derived hash of a string expression.
+
+    Chosen over xxhash64 deliberately: sha256 is bit-identical in DuckDB
+    (15 hex chars = 60 bits, below the 63-bit signed cap), so the minhash
+    signatures, band keys, and therefore the full approximate candidate set
+    replay value-exactly in the SQL oracle. The input here is the DISTINCT
+    surface-form table (gazetteer-scale, not corpus-scale), so the extra
+    hash cost over xxhash64 is irrelevant; the corpus-scale dedup minhash
+    (operators/dedup.py) keeps xxhash64."""
+    return f"cast(conv(substring(sha2({expr}, 256), 1, 15), 16, 10) as bigint)"
+
+
 def lsh_similarity_edges(
     texts: DataFrame, config: KGConfig | None = None, threshold: float | None = None,
 ) -> DataFrame:
@@ -74,8 +87,9 @@ def lsh_similarity_edges(
     # single outer aggregate (same anti-patterns avoided as operators/dedup.py
     # minhash_signatures: 32x string re-hash + projection-collapse re-inline)
     long_max = (1 << 63) - 1
+    perm_hash = _h60("concat(cast(h as string), ',', cast(i as string))")
     sigs = sh.withColumn(
-        "hs", F.expr("transform(shingles, s -> xxhash64(s))")
+        "hs", F.expr(f"transform(shingles, s -> {_h60('s')})")
     ).withColumn(
         "sig",
         F.expr(
@@ -84,16 +98,18 @@ def lsh_similarity_edges(
               hs,
               array_repeat(cast({long_max} as bigint), {n_perm}),
               (acc, h) -> zip_with(acc, sequence(0, {n_perm - 1}),
-                                   (m, i) -> least(m, xxhash64(h, i))))
+                                   (m, i) -> least(m, {perm_hash})))
             """
         ),
     ).drop("hs")
+    band_key = _h60(
+        f"concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string)))"
+    )
     buckets = sigs.select(
         "text", "shingles",
         F.explode(
             F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'key', "
-                f"xxhash64(concat_ws(',', transform(slice(sig, b * {rows} + 1, {rows}), x -> cast(x as string))))))"
+                f"transform(sequence(0, {bands - 1}), b -> named_struct('band', b, 'key', {band_key}))"
             )
         ).alias("bk"),
     ).select("text", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -47,10 +47,16 @@ def hash_embed_text(text: str, dim: int = 64) -> list[float]:
 
 
 def embed_column(df: DataFrame, text_col: str, out_col: str = "embedding",
-                 dim: int = 64) -> DataFrame:
-    """U5: batched Arrow-native embedding of a text column."""
+                 dim: int = 64, dtype=None) -> DataFrame:
+    """U5: batched Arrow-native embedding of a text column.
 
-    @F.pandas_udf(ArrayType(FloatType()))
+    ``dtype`` defaults to float32 (the stored-index convention); query-side
+    embeddings pass DoubleType so the batch path carries the same float64
+    query vector the single-query path injects as literals — LSH bucket
+    signs then replay bit-exactly in the SQL oracle."""
+    from pyspark.sql.types import DoubleType  # noqa: F401 (callers import via here)
+
+    @F.pandas_udf(ArrayType(dtype or FloatType()))
     def emb(texts: pd.Series) -> pd.Series:
         return texts.map(lambda t: hash_embed_text(t or "", dim))
 
@@ -147,34 +153,53 @@ def retrieve_documents_batch(
     queries: DataFrame,
     config: KGConfig | None = None,
     k: int | None = None,
+    use_lsh: bool = True,
 ) -> DataFrame:
     """Batched QA retrieval: ``queries(query_id, query_text)`` ->
     ``(query_id, doc_id, weight)`` top-k per query — semantically one
     :func:`retrieve_documents` per row, executed as ONE plan.
 
-    Scale shape: all query texts embed in one Arrow pass; the vector top-k is
-    one broadcast-join batch scan (T2 batch); per-query weighted graph views
-    are an explicit (query_id, edge) expansion — per-query edge weights are
-    what G2 *means*, so the q-fold state is inherent, but the iteration count
-    stays max_iter Spark jobs TOTAL via the query-keyed batched PPR instead
-    of q independent loops. Tests pin batch == per-query singles."""
-    from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce_batch
+    Scale shape: all query texts embed in one Arrow pass; the vector top-k
+    probes each query's LSH buckets via one (table, bucket) equi-join against
+    the bucketed edge index — the FAISS-probe analog
+    (back/kgg/retriever.py:62-68); at 10^12 edges a per-query full scan of
+    the index is the one thing this stage must never do
+    (``use_lsh=False`` keeps the exact batch scan as the small-scale
+    oracle). Per-query weighted graph views are an explicit (query_id, edge)
+    expansion — per-query edge weights are what G2 *means*, so the q-fold
+    state is inherent, but the iteration count stays max_iter Spark jobs
+    TOTAL via the query-keyed batched PPR instead of q independent loops.
+    Tests pin batch == per-query singles."""
+    from knowledgegraphbuilder_spark.operators.ann import (
+        ann_lsh_batch,
+        topk_bruteforce_batch,
+    )
     from knowledgegraphbuilder_spark.operators.pagerank import (
         personalized_pagerank_batch,
     )
+    from pyspark.sql.types import DoubleType
 
     cfg = config or KGConfig()
     k = k or cfg.retrieval_k
     q_emb = embed_column(
         queries.select(F.col("query_id").cast("string").alias("query_id"),
                        F.col("query_text")),
-        "query_text", "embedding", cfg.embedding_dim,
+        "query_text", "embedding", cfg.embedding_dim, dtype=DoubleType(),
     )
-    top = topk_bruteforce_batch(
-        edge_index, q_emb, k,
-        id_col="edge_id", vec_col="embedding",
-        qid_col="query_id", qvec_col="embedding",
-    ).select("query_id", F.col("id").alias("edge_id"), "score")
+    if use_lsh:
+        top = ann_lsh_batch(
+            edge_index, q_emb, k, dim=cfg.embedding_dim,
+            n_bits=cfg.ann_bits, n_tables=cfg.ann_tables,
+            id_col="edge_id", vec_col="embedding",
+            qid_col="query_id", qvec_col="embedding",
+        )
+    else:
+        top = topk_bruteforce_batch(
+            edge_index, q_emb, k,
+            id_col="edge_id", vec_col="embedding",
+            qid_col="query_id", qvec_col="embedding",
+        )
+    top = top.select("query_id", F.col("id").alias("edge_id"), "score")
     top = top.localCheckpoint()  # k x q rows, consumed three times
 
     qids = top.select("query_id").distinct()

@@ -32,26 +32,74 @@ def kg(corpus_df):
     return run_pipeline(corpus_df, KGConfig(), materialize="ckpt")
 
 
-def test_batch_retrieval_equals_singles(spark, kg):
+@pytest.mark.parametrize("use_lsh", [False, True])
+def test_batch_retrieval_equals_singles(spark, kg, use_lsh):
     cfg = KGConfig()
     idx = index_edges(kg.edges, cfg.embedding_dim).localCheckpoint()
     queries = spark.createDataFrame(QUERIES, "query_id string, query_text string")
     batch = {
         (r["query_id"], r["doc_id"]): r["weight"]
         for r in retrieve_documents_batch(
-            kg.edges, kg.membership, idx, queries, cfg
+            kg.edges, kg.membership, idx, queries, cfg, use_lsh=use_lsh
         ).collect()
     }
     singles = {}
     for qid, text in QUERIES:
-        # use_lsh=False: the batched T2 is the exact batch scan
         for r in retrieve_documents(
-            kg.edges, kg.membership, idx, text, cfg, use_lsh=False
+            kg.edges, kg.membership, idx, text, cfg, use_lsh=use_lsh
         ).collect():
             singles[(qid, r["doc_id"])] = r["weight"]
     assert set(batch) == set(singles)
     for key in batch:
         assert batch[key] == pytest.approx(singles[key], abs=1e-6)
+
+
+def test_batch_lsh_probe_no_corpus_crossjoin(spark, kg):
+    """The batched T2 must never expand corpus x queries: the LSH batch path
+    joins bucketed vectors to broadcast query buckets on (table, bucket), so
+    the only nested-loop join allowed in the plan is broadcast-sized."""
+    cfg = KGConfig()
+    idx = index_edges(kg.edges, cfg.embedding_dim)
+    from knowledgegraphbuilder_spark.operators.ann import ann_lsh_batch
+    from knowledgegraphbuilder_spark.operators.retrieval import embed_column
+    from pyspark.sql.types import DoubleType
+
+    queries = spark.createDataFrame(QUERIES, "query_id string, query_text string")
+    q_emb = embed_column(queries, "query_text", "embedding",
+                         cfg.embedding_dim, dtype=DoubleType())
+    plan = ann_lsh_batch(
+        idx, q_emb, 5, dim=cfg.embedding_dim,
+        n_bits=cfg.ann_bits, n_tables=cfg.ann_tables,
+        id_col="edge_id", vec_col="embedding",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_lsh_batch_equals_per_query_lsh(spark, sf_dir):
+    """ann_lsh_batch(queries) == one ann_lsh per query vector."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+    from pyspark.sql import functions as F
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["id"]): (r["score"], r["rank"])
+        for r in ann_ops.ann_lsh_batch(
+            embs, queries, k=5, n_bits=4, n_tables=8
+        ).collect()
+    }
+    singles = {}
+    for qrow in queries.collect():
+        for r in ann_ops.ann_lsh(
+            embs, list(qrow["embedding"]), k=5, n_bits=4, n_tables=8
+        ).collect():
+            singles[(str(qrow["query_id"]), r["id"])] = r["score"]
+    assert set(batch) == set(singles)
+    for key, (score, _rank) in batch.items():
+        assert score == pytest.approx(singles[key], abs=1e-9)
 
 
 def test_batch_ppr_matches_single_distributed(spark):
