@@ -121,15 +121,27 @@ def main() -> None:
     scaling = None
     if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
         n_small = max(CPUS // 8, 1)
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         scaling = {}
-        for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
-                capture_output=True, text=True, env=os.environ.copy(),
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-            scaling[key] = json.loads(line[-1])["sec"] if line else None
-            time.sleep(5)
+        runs: dict[str, list[float]] = {"t_n": [], "t_4n": []}
+        # median-of-reps per leg, legs interleaved so slow box drift (cold
+        # page cache, decaying background load) hits both legs evenly — a
+        # single cold first run was observed 2.4x slower than steady state
+        for rep in range(reps):
+            for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
+                p = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
+                    capture_output=True, text=True, env=os.environ.copy(),
+                )
+                line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+                if line:
+                    runs[key].append(json.loads(line[-1])["sec"])
+                time.sleep(5)
+        import statistics
+
+        for key, vals in runs.items():
+            scaling[key] = statistics.median(vals) if vals else None
+            scaling[key + "_runs"] = [round(v, 1) for v in vals]
         if scaling.get("t_n") and scaling.get("t_4n"):
             ratio = scaling["t_n"] / scaling["t_4n"]
             scaling.update(

@@ -12,10 +12,11 @@ an Ollama server and the HF hub reproduces its real behavior:
   (back/kgg/prompts.py:354-389 NER_PROMPT / GLINER_LLM_PROMPT, :511-524
   GRAPH_ANSWERING_PROMPT). The system instructions and the user-turn
   templates below are behavioral constants restated from the reference
-  (cited); the reference additionally ships 2-3 long few-shot example turns
-  per prompt (prompts.py:31-352) which are NOT reproduced here — a
-  deployment tuning for exact reference outputs should extend
-  ``few_shot_turns`` with its own examples.
+  (cited), as are the 2-3 few-shot example turns per prompt
+  (prompts.py:31-352) that the adapters wire by default — the assembled
+  message sequence is byte-identical to the reference template output
+  (pinned by tests/test_prompt_parity.py); pass ``few_shot_turns=[]`` for
+  zero-shot, or custom turns to tune a deployment.
 - Token length: deberta-v3-large, ``len(encode(text,
   add_special_tokens=False))`` (back/kgg/nodes/entity_extraction.py:27,101-102).
 
@@ -92,6 +93,56 @@ LABEL_USER_TEMPLATE = "{user_input}"
 RELATION_USER_TEMPLATE = "Text: {text}\n\nDetected entities:\n{entities}"
 ANSWER_USER_TEMPLATE = "Question: {question}\n\nTexts:\n{texts}"
 
+# ---------------------------------------------------------------------------
+# few-shot example turns (F12) — the reference's in-context examples,
+# restated verbatim as behavioral constants (public content):
+# prompts.py:31-50 (NER examples, TEXT2/3/4 -> OUTPUT2/3/4) and
+# prompts.py:103-352 (GLiNER RE examples; INPUT3/OUTPUT3 is commented out in
+# the reference template, prompts.py:385-386, so it is omitted here too).
+# The assembled message sequence (system + alternating human/ai example
+# turns + templated user turn) mirrors ChatPromptTemplate.from_messages
+# (prompts.py:376-390); tests pin the full sequence byte-for-byte.
+# ---------------------------------------------------------------------------
+
+EXAMPLE_TEXT2 = '\nAt the International Innovation Conference in San Francisco on 10 August 2019, renowned entrepreneur Elon Musk, CEO of SpaceX, and Bill Gates, co-founder of Microsoft, engaged in a high-stakes discussion on breakthroughs in artificial intelligence and renewable energy. In a separate keynote, Google announced its acquisition of YouTube in 2006, marking a pivotal moment in digital media history.\n'
+
+EXAMPLE_NER_OUTPUT2 = "['event', 'location', 'date', 'person', 'role', 'organization', 'company', 'acquisition', 'year']"
+
+EXAMPLE_TEXT3 = "\nOn March 15, 2022, BioGen Inc., a leading pharmaceutical company based in Boston, announced the FDA approval of NeuroCure, a groundbreaking treatment for Alzheimer's disease. The clinical trials, conducted in partnership with Harvard University, showed a 50% reduction in symptoms.\n"
+
+EXAMPLE_NER_OUTPUT3 = "['date', 'organization', 'location', 'drug', 'disease', 'university', 'percentage']"
+
+EXAMPLE_TEXT4 = '\nDuring the 2023 CES in Las Vegas, Tesla unveiled their new SolarDrone technology, which integrates AI-powered navigation systems developed in collaboration with NVIDIA.\n'
+
+EXAMPLE_NER_OUTPUT4 = "['event', 'year', 'location', 'company', 'product', 'technology']"
+
+EXAMPLE_GLINER_INPUT1 = "\nText: Radio City is India's first private FM radio station, launching the first broadcast in the late evening on 3 July 2001.\n\nDetected entities:\n- Radio City (organization)\n- India (country)\n- FM radio station (organization type)\n- 3 July 2001 (date)\n"
+
+EXAMPLE_GLINER_OUTPUT1 = '\n [\n        {\n            "head": {"text": "Radio City", "label": "organization"},\n            "tail": {"text": "India", "label": "country"},\n            "relation": "located_in",\n            "description": "Radio City is located in India"\n        },\n        {\n            "head": {"text": "Radio City", "label": "organization"},\n            "tail": {"text": "3 July 2001", "label": "date"},\n            "relation": "established_on",\n            "description": "Radio City was launched in the late evening on 3 July 2001"\n        },\n        {\n            "head": {"text": "Radio City", "label": "organization"},\n            "tail": {"text": "FM radio station", "label": "organization type"},\n            "relation": "instance_of",\n            "description": "Radio City is a private FM radio station"\n        }\n]\n'
+
+EXAMPLE_GLINER_INPUT2 = '\nText: SpaceX, founded by Elon Musk in 2002, launched its Starlink project from Cape Canaveral.\n\nDetected entities:\n- SpaceX (company)\n- Elon Musk (person)\n- 2002 (date)\n- Starlink (project)\n- Cape Canaveral (location)\n'
+
+EXAMPLE_GLINER_OUTPUT2 = '\n[\n        {\n            "head": {"text": "SpaceX", "label": "company"},\n            "tail": {"text": "Elon Musk", "label": "person"},\n            "relation": "founded_by",\n            "description": "SpaceX was founded by Elon Musk"\n        },\n        {\n            "head": {"text": "SpaceX", "label": "company"},\n            "tail": {"text": "2002", "label": "date"},\n            "relation": "founded_on",\n            "description": "SpaceX was founded in 2002"\n        },\n        {\n            "head": {"text": "SpaceX", "label": "company"},\n            "tail": {"text": "Starlink", "label": "project"},\n            "relation": "launched",\n            "description": "SpaceX launched its Starlink project"\n        },\n        {\n            "head": {"text": "Starlink", "label": "project"},\n            "tail": {"text": "Cape Canaveral", "label": "location"},\n            "relation": "launched_from",\n            "description": "Starlink project was launched from Cape Canaveral"\n        }\n]\n'
+
+EXAMPLE_GLINER_INPUT4 = '\nText: Bitcoin, created by the pseudonymous Satoshi Nakamoto in 2009, reached an all-time high of $68,789 on November 10, 2021, before experiencing a 72% crash to $17,592 in June 2022 amid rising interest rates by the Federal Reserve and the collapse of Terra Luna ecosystem.\n\nDetected entities:\n- Bitcoin (cryptocurrency)\n- Satoshi Nakamoto (person)\n- 2009 (date)\n- $68,789 (amount)\n- November 10, 2021 (date)\n- 72% (percentage)\n- $17,592 (amount)\n- June 2022 (date)\n- interest rates (economic indicator)\n- Federal Reserve (organization)\n- Terra Luna (cryptocurrency)\n'
+
+EXAMPLE_GLINER_OUTPUT4 = '\n[\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "Satoshi Nakamoto", "label": "person"},\n            "relation": "created_by",\n            "description": "Bitcoin was created by the pseudonymous Satoshi Nakamoto as its founder"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "2009", "label": "date"},\n            "relation": "created_in",\n            "description": "Bitcoin was created in 2009 when Satoshi Nakamoto launched it"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "$68,789", "label": "amount"},\n            "relation": "reached_value",\n            "description": "Bitcoin reached an all-time high value of $68,789 before the crash"\n        },\n        {\n            "head": {"text": "$68,789", "label": "amount"},\n            "tail": {"text": "November 10, 2021", "label": "date"},\n            "relation": "recorded_on",\n            "description": "The all-time high of $68,789 for Bitcoin was recorded specifically on November 10, 2021"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "$17,592", "label": "amount"},\n            "relation": "crashed_to",\n            "description": "Bitcoin crashed to a low of $17,592 after its all-time high, representing a major decline"\n        },\n        {\n            "head": {"text": "$17,592", "label": "amount"},\n            "tail": {"text": "June 2022", "label": "date"},\n            "relation": "recorded_in",\n            "description": "The low price of $17,592 for Bitcoin was recorded in June 2022 during the market crash"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "72%", "label": "percentage"},\n            "relation": "declined_by",\n            "description": "Bitcoin experienced a significant 72% crash from its all-time high to its June 2022 low"\n        },\n        {\n            "head": {"text": "Federal Reserve", "label": "organization"},\n            "tail": {"text": "interest rates", "label": "economic indicator"},\n            "relation": "increased",\n            "description": "The Federal Reserve raised interest rates which impacted cryptocurrency markets"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "Federal Reserve", "label": "organization"},\n            "relation": "affected_by",\n            "description": "Bitcoin price was negatively affected by Federal Reserve\'s interest rate increases"\n        },\n        {\n            "head": {"text": "Bitcoin", "label": "cryptocurrency"},\n            "tail": {"text": "Terra Luna", "label": "cryptocurrency"},\n            "relation": "affected_by",\n            "description": "Bitcoin price was negatively affected by the collapse of Terra Luna ecosystem in the crypto market"\n        },\n        {\n            "head": {"text": "Terra Luna", "label": "cryptocurrency"},\n            "tail": {"text": "June 2022", "label": "date"},\n            "relation": "collapsed_before",\n            "description": "Terra Luna ecosystem collapsed before or during June 2022, contributing to Bitcoin\'s crash"\n        }\n]\n'
+
+
+# prompts.py:376-382: NER_PROMPT example turns, in template order
+NER_FEW_SHOT_TURNS: list[tuple[str, str]] = [
+    (EXAMPLE_TEXT2, EXAMPLE_NER_OUTPUT2),
+    (EXAMPLE_TEXT3, EXAMPLE_NER_OUTPUT3),
+    (EXAMPLE_TEXT4, EXAMPLE_NER_OUTPUT4),
+]
+
+# prompts.py:384-390: GLINER_LLM_PROMPT example turns (IN3 commented out)
+RELATION_FEW_SHOT_TURNS: list[tuple[str, str]] = [
+    (EXAMPLE_GLINER_INPUT1, EXAMPLE_GLINER_OUTPUT1),
+    (EXAMPLE_GLINER_INPUT2, EXAMPLE_GLINER_OUTPUT2),
+    (EXAMPLE_GLINER_INPUT4, EXAMPLE_GLINER_OUTPUT4),
+]
+
 DEFAULT_LLM_MODEL = "phi4:14b-q4_K_M"  # back/kgg/config.py:11
 ANSWER_LLM_MODEL = "deepseek-r1:14b"  # back/kgg/nodes/graph_answering.py:17
 TOKENIZER_NAME = "microsoft/deberta-v3-large"  # entity_extraction.py:27
@@ -147,7 +198,11 @@ class OllamaLabelBackend:
     def __init__(self, model: str = DEFAULT_LLM_MODEL, num_ctx: int = 15000,
                  few_shot_turns: list[tuple[str, str]] | None = None):
         self.client = _OllamaClient(model, num_ctx)
-        self.few_shot_turns = few_shot_turns or []
+        # default = the reference's NER examples (prompts.py:376-382);
+        # pass [] explicitly for a zero-shot prompt
+        self.few_shot_turns = (
+            NER_FEW_SHOT_TURNS if few_shot_turns is None else few_shot_turns
+        )
 
     def messages_for(self, chunk_text: str) -> list[tuple[str, str]]:
         return build_messages(
@@ -169,7 +224,10 @@ class OllamaRelationBackend:
     def __init__(self, model: str = DEFAULT_LLM_MODEL, num_ctx: int = 15000,
                  few_shot_turns: list[tuple[str, str]] | None = None):
         self.client = _OllamaClient(model, num_ctx)
-        self.few_shot_turns = few_shot_turns or []
+        # default = the reference's GLiNER RE examples (prompts.py:384-390)
+        self.few_shot_turns = (
+            RELATION_FEW_SHOT_TURNS if few_shot_turns is None else few_shot_turns
+        )
 
     def messages_for(self, chunk_text: str, entity_block: str) -> list[tuple[str, str]]:
         return build_messages(

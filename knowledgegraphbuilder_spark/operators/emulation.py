@@ -26,9 +26,16 @@ from knowledgegraphbuilder_spark.operators.relations import TemplateRelationBack
 
 
 def _burn(us: float) -> None:
-    end = time.perf_counter() + us / 1_000_000.0
+    """Burn ``us`` microseconds of CPU TIME (not wall time) in this thread.
+
+    A wall-clock spin would complete in nominal time even when the scheduler
+    gives the worker a fraction of a core — overstating scaling efficiency
+    exactly when the cores are oversubscribed. CPU-time spin emulates a fixed
+    FLOP budget: contention honestly stretches the wall clock."""
+    clock = getattr(time, "thread_time", time.process_time)
+    end = clock() + us / 1_000_000.0
     x = 0
-    while time.perf_counter() < end:
+    while clock() < end:
         x += 1
 
 

@@ -73,6 +73,7 @@ def personalized_pagerank_batch(
     dst_col: str = "tail_node_id",
     weight_col: str = "weight",
     small_graph_threshold: int = 500_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """Multi-query PPR in ONE iterative loop: ``edges(query_id, head, tail,
     weight)`` (per-query weighted views of the shared graph) +
@@ -86,10 +87,14 @@ def personalized_pagerank_batch(
     state. Update rule per query is IDENTICAL to personalized_pagerank
     (symmetrize, out-weight normalize, dangling mass -> personalization);
     tests pin batch == per-query loop. The small-graph driver path sweeps
-    queries over numpy arrays rebuilt per query's weight view."""
+    queries over numpy arrays rebuilt per query's weight view.
+
+    ``n_edges``: caller-known edge count (or any count capped at
+    ``small_graph_threshold``) — skips the probe count job."""
     qkey = ["query_id", "node_id"]
     if small_graph_threshold > 0:
-        n_edges = edges.limit(small_graph_threshold).count()
+        if n_edges is None:
+            n_edges = edges.limit(small_graph_threshold).count()
         if n_edges < small_graph_threshold:
             rows_by_q: dict = {}
             for r in edges.select("query_id", src_col, dst_col, weight_col).collect():
@@ -198,9 +203,13 @@ def personalized_pagerank(
     dst_col: str = "tail_node_id",
     weight_col: str = "weight",
     small_graph_threshold: int = 500_000,
+    n_edges: int | None = None,
 ) -> DataFrame:
     """edges(head_node_id, tail_node_id, weight) + source_nodes(node_id)
     -> (node_id, score).
+
+    ``n_edges``: caller-known edge count (or any count capped at
+    ``small_graph_threshold``) — skips the probe count job.
 
     Adaptive: if the edge list fits comfortably on the driver
     (< ``small_graph_threshold`` edges), run the identical update rule as a
@@ -209,7 +218,8 @@ def personalized_pagerank(
     math. The distributed loop below is the 10^9+-edge path; set the
     threshold to 0 to force it (tests do)."""
     if small_graph_threshold > 0:
-        n_edges = edges.limit(small_graph_threshold).count()
+        if n_edges is None:
+            n_edges = edges.limit(small_graph_threshold).count()
         if n_edges < small_graph_threshold:
             rows = edges.select(src_col, dst_col, weight_col).collect()
             sources = [r["node_id"] for r in source_nodes.select("node_id").collect()]

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -30,6 +31,25 @@ from pyspark.sql.window import Window
 from knowledgegraphbuilder_spark.config import KGConfig
 from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce
 from knowledgegraphbuilder_spark.operators.pagerank import personalized_pagerank
+
+
+# edge-count probe cache keyed on the (stable, pinned) edge DataFrame
+# object: a QA service answers many queries against one graph, and the PPR
+# small-graph probe (limit(threshold).count()) is a whole Spark job — pay it
+# once per graph, not once per query
+_EDGE_COUNT_CACHE: "weakref.WeakKeyDictionary[DataFrame, int]" = (
+    weakref.WeakKeyDictionary()
+)
+_PPR_SMALL_GRAPH_THRESHOLD = 500_000
+
+
+def _edge_scale_hint(edges: DataFrame) -> int:
+    try:
+        return _EDGE_COUNT_CACHE[edges]
+    except KeyError:
+        n = edges.limit(_PPR_SMALL_GRAPH_THRESHOLD).count()
+        _EDGE_COUNT_CACHE[edges] = n
+        return n
 
 
 def hash_embed_text(text: str, dim: int = 64) -> list[float]:
@@ -126,9 +146,13 @@ def retrieve_documents(
         .distinct()
     )
 
-    # G3: personalized PageRank (damping 0.85, <=100 iters, weighted, undirected)
+    # G3: personalized PageRank (damping 0.85, <=100 iters, weighted,
+    # undirected). `weighted` has exactly one row per edge, so the cached
+    # per-graph count stands in for the PPR scale probe — one count job per
+    # graph instead of one per query.
     ranks = personalized_pagerank(
-        weighted, sources, cfg.pagerank_damping, cfg.pagerank_max_iter, cfg.pagerank_tol
+        weighted, sources, cfg.pagerank_damping, cfg.pagerank_max_iter,
+        cfg.pagerank_tol, n_edges=_edge_scale_hint(edges),
     )
 
     # J4 + A5: sum node scores into document weights through membership

@@ -56,11 +56,15 @@ def run_pipeline(
     backend output feeds parsing):
 
     - ``"none"`` (default): fully lazy — right for one-shot small queries.
-    - ``"ckpt"``: ``localCheckpoint`` each fan-out point — computes every
-      inference UDF stage exactly once and truncates lineage; the fast choice
-      for bulk runs (measured: persist's InMemoryRelation barriers serialize
-      the job into waves and cost ~2x at high core counts, localCheckpoint
-      doesn't).
+    - ``"ckpt"``: EAGER ``localCheckpoint`` each fan-out point — computes
+      every inference UDF stage exactly once and truncates lineage; the fast
+      choice for bulk runs (measured: persist's InMemoryRelation barriers
+      serialize the job into waves and cost ~2x at high core counts).
+      Eagerness matters: with lazy checkpoints, one action over the whole
+      graph can schedule the fan-out consumers as CONCURRENT stages, each
+      recomputing the full pre-checkpoint inference lineage before the
+      checkpoint materializes — measured 1.8-2.3x total CPU, nondeterministic
+      (it needs spare task slots, so it inflated only the wide scaling leg).
     - ``"persist"``: MEMORY_AND_DISK persist (many separate consumers).
 
     At cluster scale prefer plans/checkpoint.py (durable + resumable)."""
@@ -71,7 +75,7 @@ def run_pipeline(
     if materialize is False:
         materialize = "none"
     if materialize == "ckpt":
-        pin = lambda df: df.localCheckpoint(eager=False)  # noqa: E731
+        pin = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
     elif materialize == "persist":
         pin = lambda df: df.persist(StorageLevel.MEMORY_AND_DISK)  # noqa: E731
     else:
