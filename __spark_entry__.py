@@ -252,6 +252,61 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ops.ann_ivf(embs, list(q), k=10, centroid_stride=50, nprobe=4)
 
 
+def q_ann_ivf_batch(spark, sf_dir):
+    """Batched IVF probe: one corpus coarse-quantization serves every query;
+    per-query nprobe cells rescored exactly (see ann.py:ann_ivf_batch)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ann_ops.ann_ivf_batch(embs, queries, k=5, centroid_stride=50, nprobe=4)
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 keyword search over documents (the lexical baseline next to the
+    dense ANN paths; k1=1.2, b=0.75, whitespace terms)."""
+    from knowledgegraphbuilder_spark.operators.textsearch import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        ["customer", "stream", "spark"], k=10,
+    )
+
+
+def q_stream_dedup(spark, sf_dir):
+    """STREAMING exact dedup under the value-exact gate: documents (+ planted
+    duplicates of every 50th doc under shifted ids, like dd_exact) land as
+    three doc_id-ascending files, drain one file per micro-batch through a
+    first-wins MERGE keyed by sha256(text) — then the whole input REPLAYS
+    against a fresh checkpoint, proving the merge is a no-op on seen keys.
+    The table must equal batch dedup: min doc_id per distinct content."""
+    import hashlib
+    import shutil
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    full = d.unionByName(planted)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_dedup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = full.agg(F.max("doc_id")).first()[0]
+    bounds = [0, 200, 400, n + 1]
+    for i in range(3):
+        (full.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    from knowledgegraphbuilder_spark.streaming.ingest import run_dedup_available_now
+
+    run_dedup_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck")
+    # full replay, fresh checkpoint: first-wins MERGE must leave the table
+    # byte-identical
+    run_dedup_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2")
+    return spark.read.parquet(f"{base}/out").select("content_hash", "doc_id")
+
+
 def q_ts_langid(spark, sf_dir):
     return ts.language_id(_t(spark, sf_dir, "documents"))
 
@@ -337,6 +392,10 @@ def q_stream_sessions(spark, sf_dir):
         run_sessionize_available_now,
     )
 
+    # the stateful sessionizer converts Arrow's tz-naive timestamps with
+    # .timestamp() (assumes UTC); pin the session tz so the epochs are
+    # environment-independent even under a caller-owned SparkSession
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/kg_stream_sessions_{tag}"
@@ -407,6 +466,9 @@ def q_asof_join(spark, sf_dir):
     view event at or before it (DuckDB's native ASOF JOIN is the oracle)."""
     from knowledgegraphbuilder_spark.operators.asof import asof_join
 
+    # ts_epoch must be tz-independent: unix_timestamp reads naive timestamps
+    # in the session tz, DuckDB's epoch() reads them as UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = _t(spark, sf_dir, "events")
     out = asof_join(
         e.filter(F.col("event_type") == "purchase"),
@@ -587,6 +649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "ann_batch": q_ann_batch,
         "ann_lsh_batch": q_ann_lsh_batch,
+        "ann_ivf_batch": q_ann_ivf_batch,
+        "bm25": q_bm25,
         "link_edges": q_link_edges,
         "ts_langid": q_ts_langid,
         "ts_quality": q_ts_quality,
@@ -601,6 +665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "stream_sessions": q_stream_sessions,
         "stream_relations": q_stream_relations,
+        "stream_dedup": q_stream_dedup,
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
         "sql_topk_count": q_sql_topk_count,
@@ -1300,6 +1365,97 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
             FROM v JOIN cand USING (id), q
             ORDER BY score DESC, id LIMIT 10
+        """,
+        # batched-IVF replay: shared assignment, per-query nprobe cells
+        "ann_ivf_batch": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT id AS cid, e AS ce FROM v
+              WHERE ('0x' || substr(sha256(id), 1, 8))::BIGINT % 50 = 0
+            ),
+            d AS (
+              SELECT v.id, c.cid,
+                     list_sum([(v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                               FOR i IN generate_series(1, 64)]) AS d2
+              FROM v, cents c
+            ),
+            assigned AS (
+              SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+                FROM d) WHERE rn = 1
+            ),
+            q AS (SELECT id AS query_id, e AS qv FROM v WHERE id IN ('0', '1', '2')),
+            probe AS (
+              SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (
+                         PARTITION BY q.query_id
+                         ORDER BY list_sum([(c.ce[i] - q.qv[i]) * (c.ce[i] - q.qv[i])
+                                            FOR i IN generate_series(1, 64)]), c.cid) AS rn
+                FROM cents c, q) WHERE rn <= 4
+            ),
+            cand AS (
+              SELECT DISTINCT p.query_id, a.id
+              FROM assigned a JOIN probe p USING (cid)
+            ),
+            scored AS (
+              SELECT c.query_id, c.id,
+                     round(list_dot_product(v.e, q.qv)
+                           / (sqrt(list_dot_product(v.e, v.e))
+                              * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+              FROM cand c JOIN v ON v.id = c.id JOIN q ON q.query_id = c.query_id
+            )
+            SELECT query_id, id, score, CAST(rank AS INT) AS rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, id) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+        """,
+        # BM25 with the same operator-application order as the Spark exprs
+        # (k1=1.2 -> tf*(k1+1)=tf*2.2, 1-b=0.25; ln = natural log)
+        "bm25": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            hits AS (SELECT doc_id, UNNEST(ws) AS term FROM d),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM hits
+              WHERE term IN ('customer', 'spark', 'stream')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+            )
+            SELECT doc_id, round(sum(s), 4) AS score
+            FROM s GROUP BY doc_id
+            ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # streamed first-wins dedup == batch exact dedup: min doc_id per
+        # distinct content (batches are doc_id-ascending, so the global min
+        # IS the first-seen row)
+        "stream_dedup": """
+            WITH full0 AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id + 10000000 AS BIGINT), text
+              FROM documents WHERE doc_id % 50 = 0
+            )
+            SELECT sha256(text) AS content_hash, min(doc_id) AS doc_id
+            FROM full0 GROUP BY content_hash
         """,
         "ts_langid": f"""
             WITH b AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, string_split(text, ' ') AS ws FROM documents),

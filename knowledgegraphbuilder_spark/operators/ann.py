@@ -270,3 +270,69 @@ def ann_ivf(
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
     )
+
+
+def ann_ivf_batch(
+    embs: DataFrame, queries: DataFrame, k: int = 10,
+    centroid_stride: int = 50, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    qid_col: str = "query_id", qvec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF probe: one coarse quantization of the corpus serves every
+    query; each query exact-rescores only its ``nprobe`` nearest centroid
+    cells. Output schema == topk_bruteforce_batch (query_id, id, score, rank).
+
+    Scale shape: the assignment pass (broadcast argmin over the sampled
+    centroid table) is query-independent — amortized across the whole batch;
+    the per-query work is a tiny queries x centroids broadcast product plus
+    an equi-join on cell id, never a corpus x queries expansion. Same
+    sha256-sampled centroids as ann_ivf, so the batch result replays in the
+    SQL oracle. Falls back to the exact batch scan when the stride pick
+    selects no centroids (corpus smaller than ~centroid_stride)."""
+    v = _as_double(embs, vec_col, id_col)
+    pick = (
+        f"cast(conv(substring(sha2(id, 256), 1, 8), 16, 10) as bigint) "
+        f"% {centroid_stride} = 0"
+    )
+    cents = v.filter(F.expr(pick)).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    if not cents.limit(1).count():
+        return topk_bruteforce_batch(
+            embs, queries, k, id_col=id_col, vec_col=vec_col,
+            qid_col=qid_col, qvec_col=qvec_col,
+        )
+    dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"
+    assigned = (
+        v.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(dist))
+        .groupBy("id")
+        .agg(F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("best"))
+        .select("id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
+    )
+    q = queries.select(
+        F.col(qid_col).cast("string").alias("query_id"),
+        F.expr(f"transform({qvec_col}, x -> cast(x as double))").alias("qv"),
+    )
+    qdist = "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"
+    w_probe = Window.partitionBy("query_id").orderBy("d2", "cid")
+    probe = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(qdist))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cid", "qv")
+    )
+    cands = assigned.join(F.broadcast(probe), "cid").select("query_id", "id", "v", "qv")
+    scored = cands.select(
+        "query_id", "id",
+        F.round(
+            F.expr("aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+            / (F.expr(_norm_expr("v")) * F.expr(_norm_expr("qv"))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

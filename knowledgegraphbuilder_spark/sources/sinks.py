@@ -67,6 +67,27 @@ def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def merge_insert_missing(spark: SparkSession, table_dir: str,
+                         updates: DataFrame, key: str) -> None:
+    """First-wins MERGE by key: existing rows are kept untouched, update
+    rows are inserted only for keys not yet in the table (the Iceberg
+    `MERGE INTO ... WHEN NOT MATCHED THEN INSERT` shape). Replaying the same
+    updates is a no-op — the primitive streaming dedup builds on."""
+    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        current = spark.read.parquet(table_dir)
+        fresh = updates.join(current.select(key).distinct(), key, "left_anti")
+        merged = current.unionByName(fresh)
+    else:
+        merged = updates
+    tmp = table_dir.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(table_dir)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_graph_snapshot(base_dir: str, tables: dict[str, DataFrame]) -> int:
     """Iceberg-style snapshot write: each call materializes the given tables
     under an immutable ``<table>/v=<n>/`` directory and appends one entry to

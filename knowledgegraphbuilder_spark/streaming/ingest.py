@@ -107,3 +107,52 @@ def run_relations_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_dedup_available_now(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Streaming exact dedup over a document stream: each micro-batch hashes
+    content (sha256), keeps the min-id row per hash WITHIN the batch, and
+    first-wins-MERGEs into the dedup table keyed by content_hash — an
+    arriving duplicate of an already-seen document never replaces the
+    original, and replaying any batch (or the whole input) is a no-op.
+
+    At scale this is the incremental form of operators/dedup.py
+    exact_duplicates: state lives in the keyed output table (Iceberg
+    `MERGE ... WHEN NOT MATCHED INSERT`), not in executor memory — the
+    streaming state size is zero, so it survives any corpus size. Output:
+    (content_hash, doc_id) — the canonical representative per distinct
+    content, deterministic for time-ordered id-ascending batches."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.sources.sinks import merge_insert_missing
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        per_batch = (
+            batch_df.select(
+                F.sha2(F.col(text_col), 256).alias("content_hash"),
+                F.col(id_col).cast("long").alias("doc_id"),
+            )
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+        )
+        merge_insert_missing(
+            batch_df.sparkSession, output_dir, per_batch, "content_hash"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

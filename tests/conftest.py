@@ -56,3 +56,7 @@ def corpus_df(spark, corpus):
 
     flat = spark.createDataFrame(corpus, "doc_id string, text string")
     return flat_to_spans(flat)
+
+@pytest.fixture(scope="session")
+def corpus_df_flat(spark, corpus):
+    return spark.createDataFrame(corpus, "doc_id string, text string")

@@ -226,3 +226,62 @@ def test_asof_join_vs_bruteforce(spark):
                  if ruid == uid and rts <= lts]
         want = max(cands)[0:2] if cands else (None, None)
         assert got[lid] == want, (lid, got[lid], want)
+
+
+def test_ann_ivf_batch_equals_per_query(spark, sf_dir):
+    """ann_ivf_batch(queries) == one ann_ivf per query vector."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = {
+        (r["query_id"], r["id"]): r["score"]
+        for r in ann_ops.ann_ivf_batch(
+            embs, queries, k=5, centroid_stride=50, nprobe=4
+        ).collect()
+    }
+    singles = {}
+    for qrow in queries.collect():
+        for r in ann_ops.ann_ivf(
+            embs, list(qrow["embedding"]), k=5, centroid_stride=50, nprobe=4
+        ).collect():
+            singles[(str(qrow["query_id"]), r["id"])] = r["score"]
+    assert set(batch) == set(singles)
+    for key in batch:
+        assert batch[key] == pytest.approx(singles[key], abs=1e-9)
+
+
+def test_bm25_matches_python_reference(spark, corpus_df_flat):
+    """bm25_topk == a straightforward python BM25 over the same corpus."""
+    import math
+
+    from knowledgegraphbuilder_spark.operators.textsearch import bm25_topk
+
+    terms = ["customer", "stream", "spark"]
+    rows = corpus_df_flat.collect()
+    docs = {str(r["doc_id"]): r["text"].split(" ") for r in rows}
+    n = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n
+    df = {
+        t: sum(1 for ws in docs.values() if t in ws) for t in terms
+    }
+    k1, b = 1.2, 0.75
+    expected = {}
+    for did, ws in docs.items():
+        s = 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * len(ws) / avgdl))
+        if s > 0:
+            expected[did] = round(s, 4)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["doc_id"], r["score"]) for r in bm25_topk(
+        corpus_df_flat, terms, k=10).collect()]
+    assert got == top

@@ -59,3 +59,45 @@ def test_streaming_relations_match_batch(spark, corpus_df, tmp_path_factory):
     run_relations_available_now(spark, in_dir, out_dir, f"{base}/ck2", KGConfig())
     again = {tuple(r) for r in spark.read.parquet(out_dir).select(*cols).collect()}
     assert again == batch
+
+
+def test_streaming_dedup_first_wins(spark, corpus, tmp_path_factory):
+    """Streaming exact dedup: first-wins MERGE across micro-batches equals
+    batch dedup (min id per content), and a full replay is a no-op."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_dedup_available_now,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_dd"))
+    flat = spark.createDataFrame(
+        [(int(d.split("_")[1]), t) for d, t in corpus], "doc_id long, text string"
+    )
+    dup = flat.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    full = flat.unionByName(dup)
+    for i, (lo, hi) in enumerate([(0, 15), (15, 40), (40, 99999)]):
+        (full.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+
+    run_dedup_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck")
+    got = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    expected = {
+        r["content_hash"]: r["doc_id"]
+        for r in full.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
+        .groupBy("content_hash").agg(F.min("doc_id").alias("doc_id")).collect()
+    }
+    assert got == expected
+
+    # replay everything with a fresh checkpoint: no row changes
+    run_dedup_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2")
+    again = {
+        r["content_hash"]: r["doc_id"]
+        for r in spark.read.parquet(f"{base}/out").collect()
+    }
+    assert again == expected
