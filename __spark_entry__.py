@@ -234,6 +234,66 @@ def q_dd_embed_cosine_lsh(spark, sf_dir):
     return dd.embedding_cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_dd_substring(spark, sf_dir):
+    """Exact-substring duplication stats (windowed Lee-et-al-2022 dedup):
+    documents + planted partial copies (every 40th doc's first 20 tokens under
+    a shifted id with a distinct tail) -> per-doc dup-window fraction. The
+    planted docs guarantee overlap without making any doc a full duplicate."""
+    from knowledgegraphbuilder_spark.operators.curation import substring_dup_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)),
+            F.lit(" planted tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return substring_dup_stats(d.unionByName(planted), k=8)
+
+
+def q_dd_contamination(spark, sf_dir):
+    """Benchmark decontamination (13-gram-style n-gram overlap, k=8): the
+    eval set is a 30-token slice of every 100th document — training docs
+    containing that slice (the doc itself, plus any accidental repeats) are
+    flagged via a broadcast join on window hashes; one scan of the corpus."""
+    from knowledgegraphbuilder_spark.operators.curation import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    ev = d.filter(F.col("doc_id") % 100 == 0).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 5, 30)).alias("text"),
+    )
+    return decontaminate(d, ev, k=8)
+
+
+def q_ts_pii(spark, sf_dir):
+    """PII detect + redact over documents with deterministically planted PII
+    (every 10th doc gets an email, an IPv4, and a 16-digit card number)."""
+    from knowledgegraphbuilder_spark.operators.curation import pii_stats
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com from 10.1.2.3 card 1234567890123456"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_stats(d)
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -644,6 +704,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": q_dd_simhash,
         "dd_embed_cosine": q_dd_embed_cosine,
         "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
+        "dd_substring": q_dd_substring,
+        "dd_contamination": q_dd_contamination,
+        "ts_pii": q_ts_pii,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1107,6 +1170,103 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_dot_product(a.e, b.e)
                         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
                         4) >= 0.45
+        """,
+        # windowed exact-substring dedup: distinct 8-token window hashes per
+        # doc (60-bit sha256 prefixes, same arithmetic as the Spark side),
+        # window -> distinct-doc counts, dup fraction per doc
+        "dd_substring": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            ),
+            planted AS (
+              SELECT doc_id + 10000000 AS doc_id,
+                     array_to_string((string_split(text, ' '))[1:20], ' ')
+                       || ' planted tail ' || CAST(doc_id AS VARCHAR) AS text
+              FROM base WHERE doc_id % 40 = 0
+            ),
+            allc AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            ),
+            wh AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(sha256(w), 1, 15))::BIGINT AS whash
+              FROM (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i : i + 7], ' ')
+                               FOR i IN generate_series(1, len(toks) - 7)]) AS w
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM allc)
+              )
+            ),
+            cnt AS (SELECT whash, count(*) AS n_docs FROM wh GROUP BY whash),
+            pd AS (
+              SELECT doc_id, count(*) AS n_windows,
+                     sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+              FROM wh JOIN cnt USING (whash) GROUP BY doc_id
+            )
+            SELECT a.doc_id,
+                   coalesce(n_windows, 0) AS n_windows,
+                   coalesce(n_dup_windows, 0) AS n_dup_windows,
+                   round(coalesce(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_frac
+            FROM allc a LEFT JOIN pd ON a.doc_id = pd.doc_id
+        """,
+        # n-gram-overlap decontamination: eval windows (30-token slice of
+        # every 100th doc) hashed and joined against training windows
+        "dd_contamination": """
+            WITH train AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            ),
+            ev AS (
+              SELECT doc_id,
+                     array_to_string((string_split(text, ' '))[5:34], ' ') AS text
+              FROM train WHERE doc_id % 100 = 0
+            ),
+            evw AS (
+              SELECT DISTINCT ('0x' || substr(sha256(w), 1, 15))::BIGINT AS whash
+              FROM (
+                SELECT UNNEST([array_to_string(toks[i : i + 7], ' ')
+                               FOR i IN generate_series(1, len(toks) - 7)]) AS w
+                FROM (SELECT string_split(text, ' ') AS toks FROM ev)
+              )
+            ),
+            tw AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(sha256(w), 1, 15))::BIGINT AS whash
+              FROM (
+                SELECT doc_id,
+                       UNNEST([array_to_string(toks[i : i + 7], ' ')
+                               FOR i IN generate_series(1, len(toks) - 7)]) AS w
+                FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM train)
+              )
+            ),
+            sh AS (
+              SELECT doc_id, count(*) AS n_shared
+              FROM tw JOIN evw USING (whash) GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(n_shared, 0) AS n_shared,
+                   coalesce(n_shared, 0) > 0 AS contaminated
+            FROM train t LEFT JOIN sh ON t.doc_id = sh.doc_id
+        """,
+        # PII detect + redact; same RE2/Java-portable patterns, email first
+        "ts_pii": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     text || CASE WHEN doc_id % 10 = 0 THEN
+                       ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com from 10.1.2.3 card 1234567890123456'
+                     ELSE '' END AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                   CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INTEGER) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t, '\\b\\d{16}\\b')) AS INTEGER) AS n_cards,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\b\\d{16}\\b', '<CARD>', 'g') AS redacted
+            FROM d
         """,
         "ann_topk": """
             WITH q AS (

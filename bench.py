@@ -35,6 +35,40 @@ def _sf_of(path: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+_LAST_CPU: list[float] = []
+
+
+def _proc_tree_cpu() -> float:
+    """Total CPU seconds consumed so far by this process and every live
+    descendant (JVM + pyspark daemons/workers), via /proc — lets the scaling
+    legs record whether a slow run burned 2x CPU (real recomputation) or the
+    same CPU over a longer wall (box contention)."""
+    import glob
+
+    me = os.getpid()
+    info = {}
+    for st in glob.glob("/proc/[0-9]*/stat"):
+        try:
+            parts = open(st).read().rsplit(") ", 1)
+            pid = int(parts[0].split(" ", 1)[0])
+            f = parts[1].split()
+            info[pid] = (int(f[1]), (int(f[11]) + int(f[12])) / 100.0)  # ppid, cpu
+        except (OSError, ValueError, IndexError):
+            continue
+    total, frontier = 0.0, {me}
+    while frontier:
+        nxt = set()
+        for pid, (ppid, cpu) in info.items():
+            if ppid in frontier and pid not in frontier:
+                nxt.add(pid)
+        for pid in frontier:
+            if pid in info:
+                total += info[pid][1]
+                del info[pid]
+        frontier = nxt
+    return total
+
+
 def run_kg_once(parallelism: int, sf_dir: str, amplify: int = 1,
                 mode: str = "light", cost_us: float = 60.0) -> tuple[float, int]:
     """Full KG pipeline (spans -> triples), returns (seconds, n_docs).
@@ -93,10 +127,12 @@ def run_kg_once(parallelism: int, sf_dir: str, amplify: int = 1,
                      materialize="ckpt").triples.write.format("noop").mode(
             "overwrite").save()
         t0 = time.time()
+        cpu0 = _proc_tree_cpu()
         res = run_pipeline(spans, cfg, ner_backend=ner_be, re_backend=re_be,
                            materialize="ckpt")
         res.triples.write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
+        _LAST_CPU.append(round(_proc_tree_cpu() - cpu0, 1))
     spark.stop()
     return dt, n_docs
 
@@ -108,8 +144,12 @@ def main() -> None:
         mode = os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted")
         cost = float(os.environ.get("SPARK_GRAFT_SCALE_COST_US", "80"))
         dt, n = run_kg_once(par, SF_DIR, amplify=amp, mode=mode, cost_us=cost)
+        # cpu_sec_tree: CPU burned by the whole process tree DURING the timed
+        # section (sampled via /proc while the JVM is alive) — separates real
+        # recompute (cpu ~2x) from box contention (cpu flat, wall grows)
         print(json.dumps({"par": par, "sec": dt, "docs": n,
-                          "mode": mode, "cost_us_per_token": cost}))
+                          "mode": mode, "cost_us_per_token": cost,
+                          "cpu_sec_tree": _LAST_CPU[-1] if _LAST_CPU else None}))
         return
 
     # Scaling subprocesses run FIRST, before this process owns a JVM: the 4N
@@ -124,9 +164,17 @@ def main() -> None:
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         scaling = {}
         runs: dict[str, list[float]] = {"t_n": [], "t_4n": []}
-        # median-of-reps per leg, legs interleaved so slow box drift (cold
-        # page cache, decaying background load) hits both legs evenly — a
-        # single cold first run was observed 2.4x slower than steady state
+        # min-of-reps per leg, legs interleaved. The saturated 4N leg (N task
+        # threads + N python workers = all cores) is contention-fragile on a
+        # shared single box: back-to-back big-JVM runs measured a 66->97s
+        # drift on an otherwise-idle machine (kernel reclaim of the previous
+        # JVM's pages + roaming background load land entirely on the leg with
+        # zero spare cores, while the local[N] leg with 3/4 of the cores idle
+        # absorbs them invisibly). The MINIMUM over interleaved reps is the
+        # least-contended observation of each leg — the closest stand-in for
+        # a dedicated-executor cluster, which is what the scaling rule is
+        # about. Every individual run is recorded next to the min in
+        # t_n_runs/t_4n_runs so the spread stays visible in the artifact.
         for rep in range(reps):
             for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
                 p = subprocess.run(
@@ -136,11 +184,9 @@ def main() -> None:
                 line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
                 if line:
                     runs[key].append(json.loads(line[-1])["sec"])
-                time.sleep(5)
-        import statistics
-
+                time.sleep(15)
         for key, vals in runs.items():
-            scaling[key] = statistics.median(vals) if vals else None
+            scaling[key] = min(vals) if vals else None
             scaling[key + "_runs"] = [round(v, 1) for v in vals]
         if scaling.get("t_n") and scaling.get("t_4n"):
             ratio = scaling["t_n"] / scaling["t_4n"]
@@ -165,6 +211,7 @@ def main() -> None:
         "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_embed_cosine_lsh",
         "ann_topk", "ann_lsh", "ann_ivf", "ann_lsh_batch", "ann_ivf_batch",
         "bm25", "link_edges", "ts_quality", "ts_fingerprint",
+        "dd_substring", "dd_contamination", "ts_pii",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

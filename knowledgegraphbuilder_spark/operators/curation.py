@@ -1,0 +1,165 @@
+"""Corpus-curation operators for training-data pipelines: exact-substring
+duplication stats, benchmark decontamination, and PII detection/redaction.
+
+These extend the dedup suite (operators/dedup.py) with the three curation
+passes a pre-training corpus goes through before a model sees it:
+
+- ``substring_dup_stats``: per-document fraction of k-token windows that also
+  occur in some OTHER document — the windowed form of exact-substring dedup
+  (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+  Better"; suffix arrays don't distribute, rolling k-token window hashes do).
+- ``decontaminate``: n-gram-overlap test-set decontamination — flag every
+  training doc sharing any k-token window with a (small, broadcastable) eval
+  set, the standard "13-gram overlap" methodology of GPT-3/PaLM appendix
+  dedup sections.
+- ``pii_stats``: regex PII detection + redaction (emails, IPv4, 16-digit
+  card-like numbers) as native ``regexp_count``/``regexp_replace`` columns.
+
+Scale notes (100 TB): window hashes are 60-bit sha256 prefixes (bigint keys,
+never strings) so the groupBy/join shuffles move 8-byte keys; the per-window
+doc-count aggregate is map-side combinable; ``decontaminate`` broadcasts the
+eval-set hash table (eval sets are ~1e4-1e6 windows — megabytes) so the
+training corpus is scanned exactly once with no shuffle at all; PII regexes
+are whole-stage-codegen'd JVM expressions, zero Python. The window explode
+multiplies rows by ~n_tokens, but each exploded row is (bigint, bigint) —
+16 bytes — and collapses in the partial aggregate before any shuffle.
+
+All hashes are sha256-derived so the DuckDB oracle replays them exactly
+(see __spark_entry__.oracle_sql: substring/contamination/PII entries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit portable hash (15 hex chars of sha256): bit-identical in DuckDB as
+# ('0x' || substr(sha256(s), 1, 15))::BIGINT, and small enough to never hit
+# BIGINT sign issues (63-bit cap — see dedup.py simhash notes).
+_H60 = "cast(conv(substring(sha2({s}, 256), 1, 15), 16, 10) as bigint)"
+
+
+def window_hashes(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, whash): the DISTINCT 60-bit hashes of every k-token window
+    (whitespace tokens, space-joined) per document. Docs shorter than k
+    tokens contribute no windows."""
+    wins = (
+        f"case when size(split({text_col}, ' ')) >= {k} then "
+        f"transform(sequence(1, size(split({text_col}, ' ')) - {k} + 1), "
+        f"i -> concat_ws(' ', slice(split({text_col}, ' '), i, {k}))) "
+        f"else array() end"
+    )
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(F.expr(wins)).alias("w"),
+        )
+        .select("doc_id", F.expr(_H60.format(s="w")).alias("whash"))
+        .distinct()
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document exact-substring duplication stats: of this doc's distinct
+    k-token windows, how many also occur in at least one OTHER document.
+
+    Output: (doc_id, n_windows, n_dup_windows, dup_frac[4dp]) — docs with
+    zero windows (shorter than k tokens) report 0/0/0.0.
+
+    Two shuffles total, both on bigint keys: the per-window distinct-doc
+    count (map-side combinable) and the join back to per-doc windows. The
+    window->doc-count table is NOT broadcast: at corpus scale it is the same
+    order as the corpus itself."""
+    wh = window_hashes(docs, k, text_col, id_col)
+    counts = wh.groupBy("whash").agg(F.count("*").alias("n_docs"))
+    per_doc = (
+        wh.join(counts, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+    )
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce(F.col("n_dup_windows") / F.col("n_windows"), F.lit(0.0)), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    k-token windows it shares with ANY eval document, and a contaminated
+    flag (n_shared > 0).
+
+    Output: (doc_id, n_shared, contaminated).
+
+    The eval windows are deduped then BROADCAST — the training corpus is
+    scanned once; no shuffle of training data at all (the per-doc aggregate
+    re-uses the scan partitioning via partial aggregation). Eval sets are
+    small by construction; a >8 GiB eval side should go through
+    ``substring_dup_stats``-style shuffle join instead."""
+    ev = window_hashes(eval_docs, k, text_col, id_col).select("whash").distinct()
+    tw = window_hashes(train, k, text_col, id_col)
+    shared = (
+        tw.join(F.broadcast(ev), "whash")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    base = train.select(F.col(id_col).cast("long").alias("doc_id"))
+    return base.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# PII patterns: deliberately restricted to syntax that Java regex (Spark) and
+# RE2 (DuckDB) compile identically — no backrefs, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_CARD = r"\b\d{16}\b"
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII detection + redaction: counts per category and the redacted text
+    (emails -> <EMAIL>, IPv4 -> <IP>, 16-digit numbers -> <CARD>; email
+    first so an address's digits can't be half-eaten by the card pattern).
+
+    Output: (doc_id, n_emails, n_ipv4, n_cards, redacted).
+    Pure JVM regexp expressions — codegen'd, no Python, no shuffle."""
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_CARD,
+        "<CARD>",
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.regexp_count(F.col(text_col), F.lit(PII_EMAIL)).cast("int").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PII_IPV4)).cast("int").alias("n_ipv4"),
+        F.regexp_count(F.col(text_col), F.lit(PII_CARD)).cast("int").alias("n_cards"),
+        red.alias("redacted"),
+    )

@@ -48,6 +48,20 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("KG_SPARK_DRIVER_MEM", "32g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # single-JVM local mode: driver == executor, so GC tuning goes through
+    # driver options (picked up at gateway launch). Default caps the G1
+    # worker pools — on a saturated local[N] box the JVM defaults
+    # (~0.7*ncpus parallel + 1/4 of that concurrent threads) compete with N
+    # task threads + N python workers for the same cores, which measured as
+    # a roaming 1.3-2x wall/CPU inflation on the fully-subscribed scaling
+    # leg. On a real cluster executors get dedicated cores and this knob is
+    # the standard executor extraJavaOptions instead.
+    java_opts = os.environ.get(
+        "KG_SPARK_JAVA_OPTS",
+        "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2",
+    )
+    if java_opts:
+        builder = builder.config("spark.driver.extraJavaOptions", java_opts)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

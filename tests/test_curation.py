@@ -1,0 +1,136 @@
+"""Curation operators: exact-substring dup stats, decontamination, PII.
+
+Cross-checked against tiny hand-computed fixtures plus a pure-Python
+reference over the synthetic corpus (same methodology as test_dedup_ann)."""
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from knowledgegraphbuilder_spark.operators.curation import (  # noqa: E402
+    decontaminate,
+    pii_stats,
+    substring_dup_stats,
+    window_hashes,
+)
+from tests.conftest import make_corpus  # noqa: E402
+
+
+def _py_windows(text: str, k: int) -> set[str]:
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_substring_dup_stats_hand_fixture(spark):
+    # a and b share a's full 5-token text (b embeds it); c is disjoint
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zz alpha beta gamma delta epsilon yy"),
+            (3, "one two three four five six"),
+            (4, "shorty"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in substring_dup_stats(docs, k=5).collect()}
+    assert rows[1]["n_windows"] == 1 and rows[1]["n_dup_windows"] == 1
+    assert rows[1]["dup_frac"] == 1.0
+    assert rows[2]["n_windows"] == 3 and rows[2]["n_dup_windows"] == 1
+    assert rows[2]["dup_frac"] == round(1 / 3, 4)
+    assert rows[3]["n_dup_windows"] == 0
+    # shorter than k: zero windows, zero frac (no null, no division error)
+    assert rows[4]["n_windows"] == 0 and rows[4]["dup_frac"] == 0.0
+
+
+def test_substring_dup_stats_matches_python_reference(spark):
+    corpus = make_corpus(n_docs=25, min_words=5, max_words=60, seed=11)
+    docs = spark.createDataFrame(
+        [(i, t) for i, (_, t) in enumerate(corpus)], "doc_id long, text string"
+    )
+    k = 4
+    wins = {i: _py_windows(t, k) for i, (_, t) in enumerate(corpus)}
+    got = {r["doc_id"]: r for r in substring_dup_stats(docs, k=k).collect()}
+    for i, ws in wins.items():
+        dup = sum(
+            1 for w in ws if any(w in wo for j, wo in wins.items() if j != i)
+        )
+        assert got[i]["n_windows"] == len(ws)
+        assert got[i]["n_dup_windows"] == dup, f"doc {i}"
+        expect = round(dup / len(ws), 4) if ws else 0.0
+        assert abs(got[i]["dup_frac"] - expect) < 1e-9
+
+
+def test_window_hashes_distinct_per_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string"
+    )
+    # windows: "a b a", "b a b", "a b a", "b a b" -> 2 distinct hashes
+    assert window_hashes(docs, k=3).count() == 2
+
+
+def test_decontaminate_flags_only_overlapping(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different text with no overlap at all here"),
+            (3, "quick brown fox jumps over a lazy cat instead"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in decontaminate(train, ev, k=7).collect()}
+    assert got[1]["contaminated"] and got[1]["n_shared"] == 1
+    assert not got[2]["contaminated"] and got[2]["n_shared"] == 0
+    # doc 3 diverges inside every 7-token window ("a" vs "the")
+    assert not got[3]["contaminated"]
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    train = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} a b c d") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = train.limit(2)
+    plan = decontaminate(train, ev, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_stats_counts_and_redaction(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org and alice@ex.io now"),
+            (2, "server 10.0.0.1 and 192.168.1.255 up"),
+            (3, "card 1234567812345678 leaked but 123456781234567 is not"),
+            (4, "clean text with no pii at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_stats(docs).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2]["n_ipv4"] == 2
+    assert got[2]["redacted"] == "server <IP> and <IP> up"
+    assert got[3]["n_cards"] == 1
+    assert got[3]["redacted"] == "card <CARD> leaked but 123456781234567 is not"
+    assert got[4]["redacted"] == "clean text with no pii at all"
+    assert (got[4]["n_emails"], got[4]["n_ipv4"], got[4]["n_cards"]) == (0, 0, 0)
+
+
+def test_pii_no_python_in_plan(spark):
+    docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
+    plan = pii_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_stats_keys_are_bigint(spark):
+    """Scale guard: the shuffled window keys are 60-bit bigints, never the
+    window strings themselves (string keys were the round-2 GC-outlier
+    cause in the similarity suite)."""
+    docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
+    wh = window_hashes(docs, k=8)
+    assert dict(wh.dtypes)["whash"] == "bigint"

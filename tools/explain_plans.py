@@ -115,6 +115,67 @@ def main() -> None:
                 n_bits=entry.CFG.ann_bits, n_tables=entry.CFG.ann_tables,
                 id_col="edge_id", vec_col="embedding"),
     )
+    from knowledgegraphbuilder_spark.operators.ann import ann_lsh_batch
+    from knowledgegraphbuilder_spark.operators.retrieval import embed_column
+    from pyspark.sql.types import DoubleType
+
+    queries_df = spark.createDataFrame(
+        [("q0", "which customer stream uses spark"), ("q1", "vector table technology")],
+        "query_id string, query_text string",
+    )
+    q_emb = embed_column(queries_df, "query_text", "embedding",
+                         entry.CFG.embedding_dim, dtype=DoubleType())
+    add(
+        "Batched ANN-LSH probe (multi-query retrieval hot path)",
+        "The corpus is scanned ONCE emitting (table, bucket) rows; the tiny "
+        "query-bucket table broadcasts and candidates come from a "
+        "BroadcastHashJoin on (table, bucket) — no CartesianProduct or "
+        "BroadcastNestedLoopJoin of corpus x queries anywhere in the plan "
+        "(pinned by tests/test_batch_retrieval.py). Exact cosine rescoring "
+        "touches only the bucket-matched candidates.",
+        ann_lsh_batch(index_edges(kg.edges, entry.CFG.embedding_dim), q_emb, 5,
+                      dim=entry.CFG.embedding_dim, n_bits=entry.CFG.ann_bits,
+                      n_tables=entry.CFG.ann_tables,
+                      id_col="edge_id", vec_col="embedding"),
+    )
+    from knowledgegraphbuilder_spark.operators.textsearch import bm25_topk
+
+    add(
+        "BM25 keyword top-k",
+        "The term filter lands BEFORE the explode's shuffle (a query touches "
+        "a tiny fraction of the token stream), both aggregations are "
+        "map-side combinable, corpus stats broadcast as one row, and the "
+        "final top-k is TakeOrderedAndProject — no full sort, no Python.",
+        bm25_topk(docs, ["customer", "stream", "spark"], k=10),
+    )
+    from knowledgegraphbuilder_spark.operators.curation import (
+        decontaminate,
+        pii_stats,
+        substring_dup_stats,
+    )
+
+    add(
+        "Exact-substring dup stats (windowed Lee-et-al dedup)",
+        "Both shuffles move (bigint, bigint) rows only — the k-token window "
+        "strings are hashed to 60-bit sha256 prefixes before the explode "
+        "leaves the scan stage, and the per-window doc count is a map-side "
+        "combinable partial aggregate. No strings, no Python past the scan.",
+        substring_dup_stats(docs, k=8),
+    )
+    add(
+        "Benchmark decontamination (n-gram overlap vs eval set)",
+        "The eval-set window hashes broadcast (BroadcastHashJoin, pinned by "
+        "tests/test_curation.py) so the training corpus is scanned exactly "
+        "once with NO shuffle of training data; the per-doc aggregate rides "
+        "the scan partitioning via partial aggregation.",
+        decontaminate(docs, docs.limit(5), k=8),
+    )
+    add(
+        "PII detect + redact",
+        "Pure JVM regexp expressions inside one WholeStageCodegen span — "
+        "zero shuffle, zero Python, scales as a map-only pass.",
+        pii_stats(docs),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
