@@ -294,6 +294,35 @@ def q_ts_pii(spark, sf_dir):
     return pii_stats(d)
 
 
+def q_ts_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup-word fraction, top-2gram
+    char coverage) over the raw documents table — the synthetic small-vocab
+    text is naturally repetitive, so the signals are exercised end-to-end
+    without planted fixtures."""
+    from knowledgegraphbuilder_spark.operators.curation import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
+
+
+def q_dd_mixture(spark, sf_dir):
+    """Deterministic weighted mixture sampling: src0-4 kept at 100%,
+    src5-9 at 50%, src10-19 at 10%, decided by a salted sha256 of doc_id
+    (stable under repartitioning, unlike df.sample)."""
+    from knowledgegraphbuilder_spark.operators.curation import mixture_sample
+
+    rates = {f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.1) for i in range(20)}
+    return mixture_sample(_t(spark, sf_dir, "documents"), rates)
+
+
+def q_ts_packing(spark, sf_dir):
+    """Sequence packing: per-shard (sha256(doc_id) % 8) concat-then-chunk
+    token-stream packing at seq_len=256 — each doc's stream offset and the
+    training-sequence id holding its first token."""
+    from knowledgegraphbuilder_spark.operators.curation import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=256, n_shards=8)
+
+
 def q_ann_topk(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
@@ -707,6 +736,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_substring": q_dd_substring,
         "dd_contamination": q_dd_contamination,
         "ts_pii": q_ts_pii,
+        "ts_repetition": q_ts_repetition,
+        "dd_mixture": q_dd_mixture,
+        "ts_packing": q_ts_packing,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1267,6 +1299,73 @@ def oracle_sql() -> dict[str, str]:
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
                      '\\b\\d{16}\\b', '<CARD>', 'g') AS redacted
             FROM d
+        """,
+        # Gopher repetition signals: word 2-gram counts per doc, argmax with
+        # (cnt DESC, gram DESC) tie-break replayed via row_number
+        "ts_repetition": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                     string_split(text, ' ') AS toks
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct,
+                     length(text) AS n_chars, toks
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id,
+                     UNNEST([array_to_string(toks[i : i + 1], ' ')
+                             FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+              FROM base
+            ),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, gram AS top_ngram, cnt
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                    FROM gc)
+              WHERE rn = 1
+            )
+            SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_word_frac,
+                   coalesce(top_ngram, '') AS top_ngram,
+                   round(coalesce(cnt * length(top_ngram) * 1.0 / n_chars, 0.0), 4)
+                     AS top_ngram_frac
+            FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        # salted-hash mixture sampling; rate tiers replayed numerically
+        # (sources are exactly src0..src19 in the fixture tables)
+        "dd_mixture": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                     round((('0x' || substr(sha256('mix1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000) / 1000000.0, 6) AS mix_u,
+                     CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 1.0
+                          WHEN CAST(substr(source, 4) AS INT) < 10 THEN 0.5
+                          ELSE 0.1 END AS rate
+              FROM documents
+            )
+            SELECT doc_id, source, mix_u FROM d WHERE mix_u < rate
+        """,
+        # concat-then-chunk packing: running token offset per sha-shard
+        "ts_packing": """
+            WITH b AS (
+              SELECT CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                          AS INTEGER) AS shard,
+                     CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT shard, doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING) - n_tokens
+                        AS BIGINT) AS start_off,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+                              / 256.0) AS BIGINT) AS seq_id
+            FROM b
         """,
         "ann_topk": """
             WITH q AS (

@@ -131,6 +131,156 @@ def decontaminate(
     )
 
 
+def repetition_stats(
+    docs: DataFrame, n: int = 2, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    Table A1): per document, the fraction of word occurrences that are
+    repeats of an earlier word, and the fraction of characters covered by
+    the single most frequent word n-gram. Both are standard quality-filter
+    inputs for web corpora (C4/Gopher/RefinedWeb reject docs above
+    thresholds like top-2gram-frac > 0.2).
+
+    Output: (doc_id, n_tokens, dup_word_frac[4dp], top_ngram, top_ngram_frac[4dp]).
+    ``top_ngram_frac`` = count(top n-gram) * len(top n-gram) / len(text);
+    ties broken by lexicographically-largest n-gram so the result is
+    deterministic and replayable in SQL. Docs with fewer than n tokens get
+    top_ngram='' and frac 0.0.
+
+    Scale: the n-gram explode collapses in a map-side-combinable
+    (doc_id, gram) count; the per-doc argmax is one shuffle keyed by doc_id
+    (row_number window over the counted grams — already tiny per doc)."""
+    from pyspark.sql import Window
+
+    toks = f"split({text_col}, ' ')"
+    grams = (
+        f"case when size({toks}) >= {n} then "
+        f"transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"else array() end"
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"size({toks})").cast("long").alias("n_tokens"),
+        F.expr(f"size(array_distinct({toks}))").cast("long").alias("n_distinct"),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.expr(grams).alias("grams"),
+    )
+    gcnt = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
+    top = (
+        gcnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("gram").alias("top_ngram"), "cnt")
+    )
+    return (
+        base.drop("grams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 4).alias(
+                "dup_word_frac"
+            ),
+            F.coalesce("top_ngram", F.lit("")).alias("top_ngram"),
+            F.round(
+                F.coalesce(
+                    F.col("cnt") * F.length("top_ngram") / F.col("n_chars"), F.lit(0.0)
+                ),
+                4,
+            ).alias("top_ngram_frac"),
+        )
+    )
+
+
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict,
+    salt: str = "mix1",
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted mixture sampling: keep each document with its
+    source's target rate, decided by a salted content hash — the standard
+    way a pre-training mixture (e.g. 100% wiki, 30% web, 5% crawl-dregs) is
+    drawn reproducibly across pipeline re-runs and cluster sizes. Sources
+    absent from ``rates`` default to rate 0.0 (dropped).
+
+    Output: the kept rows' (doc_id, source) plus the sampling key
+    ``mix_u`` in [0,1) — a pure per-row filter: one scan, zero shuffle,
+    no RNG state (sha256(salt || doc_id) is stable under repartitioning,
+    unlike ``df.sample`` whose draw depends on partition layout)."""
+    u = (
+        F.expr(_H60.format(s=f"concat('{salt}', cast(doc_id as string))"))
+        % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+    rate = F.lit(0.0)
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate)
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(source_col).alias("source"),
+            F.round(u, 6).alias("mix_u"),
+            rate.alias("_rate"),
+        )
+        .filter(F.col("mix_u") < F.col("_rate"))
+        .drop("_rate")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 512,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing for training: concatenate documents in a
+    deterministic order and slice the token stream into fixed ``seq_len``
+    windows — each doc is assigned the offset where it lands in the stream
+    and the training-sequence id containing its first token. This is the
+    "concat then chunk" packing every pre-training data loader performs,
+    lifted into the engine so shard files can be written pre-packed.
+
+    Packing is per-shard (shard = sha256(doc_id) % n_shards): a global
+    concatenation order would serialize the whole corpus through one
+    window partition, while per-shard streams pack independently and in
+    parallel — on a cluster n_shards is set to O(total_tokens / shard
+    budget) and each shard becomes one output file. Within a shard the
+    order is doc_id (deterministic, replayable).
+
+    Output: (shard, doc_id, n_tokens, start_off, seq_id) where
+    start_off = running token offset within the shard stream and
+    seq_id = floor(start_off / seq_len). One shuffle (by shard) feeding a
+    running-sum window; no Python."""
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.expr(_H60.format(s=f"cast({id_col} as string)")).alias("_h"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    ).select((F.col("_h") % n_shards).cast("int").alias("shard"), "doc_id", "n_tokens")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / seq_len)
+        .cast("long")
+        .alias("seq_id"),
+    )
+
+
 # PII patterns: deliberately restricted to syntax that Java regex (Spark) and
 # RE2 (DuckDB) compile identically — no backrefs, no lookaround.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"

@@ -12,7 +12,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from knowledgegraphbuilder_spark.operators.curation import (  # noqa: E402
     decontaminate,
+    mixture_sample,
+    pack_sequences,
     pii_stats,
+    repetition_stats,
     substring_dup_stats,
     window_hashes,
 )
@@ -125,6 +128,112 @@ def test_pii_no_python_in_plan(spark):
     docs = spark.createDataFrame([(1, "a@b.co")], "doc_id long, text string")
     plan = pii_stats(docs)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_stats_hand_fixture(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),  # 6 tokens, 2 distinct; top 2gram "a b" x3
+            (2, "one two three four"),  # all distinct; every 2gram count 1
+            (3, "x"),  # shorter than n: no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs, n=2).collect()}
+    assert got[1]["n_tokens"] == 6
+    assert got[1]["dup_word_frac"] == round(1 - 2 / 6, 4)
+    assert got[1]["top_ngram"] == "a b"
+    # "a b" occurs 3x, len 3, text len 11
+    assert got[1]["top_ngram_frac"] == round(3 * 3 / 11, 4)
+    # tie on count=1 -> lexicographically largest 2-gram wins
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_ngram"] == "two three"
+    assert got[3]["top_ngram"] == "" and got[3]["top_ngram_frac"] == 0.0
+
+
+def test_mixture_sample_deterministic_and_rate_accurate(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "web" if i % 2 else "wiki") for i in range(2000)],
+        "doc_id long, text string, source string",
+    )
+    kept = mixture_sample(docs, {"wiki": 1.0, "web": 0.25})
+    rows = kept.collect()
+    # exact re-run determinism (no RNG state)
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in kept.collect()
+    )
+    by_src = {}
+    for r in rows:
+        by_src[r["source"]] = by_src.get(r["source"], 0) + 1
+    assert by_src["wiki"] == 1000  # rate 1.0 keeps everything
+    assert 150 < by_src["web"] < 350  # ~250 expected at rate 0.25
+    # unknown sources dropped (default rate 0.0)
+    docs2 = spark.createDataFrame(
+        [(1, "t", "mystery")], "doc_id long, text string, source string"
+    )
+    assert mixture_sample(docs2, {"wiki": 1.0}).count() == 0
+
+
+def test_mixture_sample_stable_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}", "s") for i in range(500)],
+        "doc_id long, text string, source string",
+    )
+    a = {r["doc_id"] for r in mixture_sample(docs, {"s": 0.5}).collect()}
+    b = {
+        r["doc_id"]
+        for r in mixture_sample(docs.repartition(17), {"s": 0.5}).collect()
+    }
+    assert a == b and 150 < len(a) < 350
+
+
+def test_pack_sequences_hand_fixture(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 * (i + 1)))) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # single shard -> one global stream; doc i has 10*(i+1) tokens
+    rows = sorted(
+        pack_sequences(docs, seq_len=50, n_shards=1).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    offs, seqs = [r["start_off"] for r in rows], [r["seq_id"] for r in rows]
+    # cumulative offsets of 10,20,30,40,50,60-token docs
+    assert offs == [0, 10, 30, 60, 100, 150]
+    assert seqs == [0, 0, 0, 1, 2, 3]
+    assert all(r["shard"] == 0 for r in rows)
+
+
+def test_pack_sequences_streams_are_contiguous_per_shard(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7))) for i in range(300)],
+        "doc_id long, text string",
+    )
+    rows = pack_sequences(docs, seq_len=32, n_shards=4).collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in rs:
+            assert r["start_off"] == off, f"gap in shard {shard}"
+            assert r["seq_id"] == off // 32
+            off += r["n_tokens"]
+
+
+def test_new_curation_ops_no_python_in_plan(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+    for df in (
+        repetition_stats(docs),
+        mixture_sample(docs, {"s": 1.0}),
+        pack_sequences(docs, 16, 2),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_substring_stats_keys_are_bigint(spark):

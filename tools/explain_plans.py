@@ -176,6 +176,36 @@ def main() -> None:
         "zero shuffle, zero Python, scales as a map-only pass.",
         pii_stats(docs),
     )
+    from knowledgegraphbuilder_spark.operators.curation import (
+        mixture_sample,
+        pack_sequences,
+        repetition_stats,
+    )
+
+    add(
+        "Gopher repetition signals (dup-word / top-n-gram fracs)",
+        "The n-gram explode collapses in a partial HashAggregate before its "
+        "shuffle (keyed by doc_id + gram); the per-doc argmax applies "
+        "WindowGroupLimit BEFORE the doc_id exchange, so only each "
+        "partition's local top-1 candidates shuffle — never the full gram "
+        "counts; the one-row-per-doc result then joins back (broadcast here; "
+        "AQE picks SMJ once it outgrows the threshold). No Python anywhere.",
+        repetition_stats(docs, n=2),
+    )
+    add(
+        "Weighted mixture sampling (salted hash draw)",
+        "A pure map-only Filter over the scan — zero shuffle, zero Python, "
+        "and the draw (sha256 of doc_id) is independent of partition layout, "
+        "unlike df.sample whose output changes with repartitioning.",
+        mixture_sample(docs, {f"src{i}": 0.5 for i in range(20)}),
+    )
+    add(
+        "Sequence packing (per-shard running token offset)",
+        "Exactly one Exchange (hash by shard) feeding a running-sum Window — "
+        "shards pack independently, so a 100 TB corpus packs with "
+        "shard-count-wide parallelism instead of one global ordering.",
+        pack_sequences(docs, seq_len=256, n_shards=8),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
