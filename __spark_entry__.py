@@ -304,6 +304,21 @@ def q_ts_repetition(spark, sf_dir):
     return repetition_stats(_t(spark, sf_dir, "documents"), n=2)
 
 
+def q_ts_qualityfilter(spark, sf_dir):
+    """C4/Gopher composite quality gate: keep/drop + per-doc reject reasons
+    (too_short / dup_words / top_ngram / low_alpha) at thresholds that split
+    the synthetic corpus."""
+    from knowledgegraphbuilder_spark.operators.curation import quality_filter
+
+    return quality_filter(
+        _t(spark, sf_dir, "documents"),
+        min_tokens=20,
+        max_dup_word_frac=0.6,
+        max_top_ngram_frac=0.1,
+        min_alpha_frac=0.5,
+    )
+
+
 def q_dd_mixture(spark, sf_dir):
     """Deterministic weighted mixture sampling: src0-4 kept at 100%,
     src5-9 at 50%, src10-19 at 10%, decided by a salted sha256 of doc_id
@@ -737,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_contamination": q_dd_contamination,
         "ts_pii": q_ts_pii,
         "ts_repetition": q_ts_repetition,
+        "ts_qualityfilter": q_ts_qualityfilter,
         "dd_mixture": q_dd_mixture,
         "ts_packing": q_ts_packing,
         "ann_topk": q_ann_topk,
@@ -1334,6 +1350,57 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(cnt * length(top_ngram) * 1.0 / n_chars, 0.0), 4)
                      AS top_ngram_frac
             FROM base b LEFT JOIN top USING (doc_id)
+        """,
+        # composite quality gate on top of the repetition CTE; reasons are
+        # the fixed-order comma-joined failed rules, '' when kept
+        "ts_qualityfilter": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text,
+                     string_split(text, ' ') AS toks,
+                     length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS alpha_frac
+              FROM documents
+            ),
+            base AS (
+              SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct,
+                     length(text) AS n_chars, toks, alpha_frac
+              FROM d
+            ),
+            g AS (
+              SELECT doc_id,
+                     UNNEST([array_to_string(toks[i : i + 1], ' ')
+                             FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+              FROM base
+            ),
+            gc AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+            top AS (
+              SELECT doc_id, gram AS top_ngram, cnt
+              FROM (SELECT *, row_number() OVER (
+                      PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+                    FROM gc)
+              WHERE rn = 1
+            ),
+            sig AS (
+              SELECT b.doc_id, n_tokens,
+                     round(1.0 - n_distinct * 1.0 / n_tokens, 4) AS dup_word_frac,
+                     round(coalesce(cnt * length(top_ngram) * 1.0 / n_chars, 0.0), 4)
+                       AS top_ngram_frac,
+                     alpha_frac
+              FROM base b LEFT JOIN top USING (doc_id)
+            ),
+            r AS (
+              SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                     coalesce(array_to_string(list_filter([
+                       CASE WHEN n_tokens < 20 THEN 'too_short' END,
+                       CASE WHEN n_tokens > 100000 THEN 'too_long' END,
+                       CASE WHEN dup_word_frac > 0.6 THEN 'dup_words' END,
+                       CASE WHEN top_ngram_frac > 0.1 THEN 'top_ngram' END,
+                       CASE WHEN alpha_frac < 0.5 THEN 'low_alpha' END
+                     ], x -> x IS NOT NULL), ','), '') AS reasons
+              FROM sig
+            )
+            SELECT doc_id, n_tokens, length(reasons) = 0 AS kept, reasons FROM r
         """,
         # salted-hash mixture sampling; rate tiers replayed numerically
         # (sources are exactly src0..src19 in the fixture tables)

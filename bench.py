@@ -212,7 +212,7 @@ def main() -> None:
         "ann_topk", "ann_lsh", "ann_ivf", "ann_lsh_batch", "ann_ivf_batch",
         "bm25", "link_edges", "ts_quality", "ts_fingerprint",
         "dd_substring", "dd_contamination", "ts_pii",
-        "ts_repetition", "dd_mixture", "ts_packing",
+        "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

@@ -197,6 +197,50 @@ def repetition_stats(
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_dup_word_frac: float = 0.6,
+    max_top_ngram_frac: float = 0.1,
+    min_alpha_frac: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4/Gopher-style composite quality gate: every document is scored
+    against the standard reject rules (too short / too long / too many
+    repeated words / one n-gram dominating / too few alphabetic chars) and
+    labeled with WHICH rules it failed — the keep/drop decision plus the
+    reject reasons a corpus report aggregates per source.
+
+    Output: (doc_id, n_tokens, kept, reasons) where ``reasons`` is the
+    comma-joined, fixed-order list of failed rule names ('' when kept).
+    Reuses ``repetition_stats`` for the repetition signals, so the cost is
+    that one gram aggregate; the threshold checks are pure codegen
+    expressions on top."""
+    alpha_frac = (
+        F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+        / F.greatest(F.length(text_col), F.lit(1))
+    ).alias("alpha_frac")
+    rep = repetition_stats(docs, n=2, text_col=text_col, id_col=id_col)
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"), alpha_frac)
+    joined = rep.join(base, "doc_id")
+    flags = [
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+        F.when(F.col("n_tokens") > max_tokens, F.lit("too_long")),
+        F.when(F.col("dup_word_frac") > max_dup_word_frac, F.lit("dup_words")),
+        F.when(F.col("top_ngram_frac") > max_top_ngram_frac, F.lit("top_ngram")),
+        F.when(F.col("alpha_frac") < min_alpha_frac, F.lit("low_alpha")),
+    ]
+    reasons = F.array_join(F.filter(F.array(*flags), lambda x: x.isNotNull()), ",")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        (F.length(reasons) == 0).alias("kept"),
+        reasons.alias("reasons"),
+    )
+
+
 def mixture_sample(
     docs: DataFrame,
     rates: dict,

@@ -15,6 +15,7 @@ from knowledgegraphbuilder_spark.operators.curation import (  # noqa: E402
     mixture_sample,
     pack_sequences,
     pii_stats,
+    quality_filter,
     repetition_stats,
     substring_dup_stats,
     window_hashes,
@@ -149,6 +150,44 @@ def test_repetition_stats_hand_fixture(spark):
     assert got[2]["dup_word_frac"] == 0.0
     assert got[2]["top_ngram"] == "two three"
     assert got[3]["top_ngram"] == "" and got[3]["top_ngram_frac"] == 0.0
+
+
+def test_quality_filter_reasons(spark):
+    docs = spark.createDataFrame(
+        [
+            # 30 distinct all-letter tokens: kept (digit-bearing tokens like
+            # "w1" would trip low_alpha — letters / all chars incl spaces)
+            (1, " ".join(chr(97 + i // 26) + chr(97 + i % 26) + "xy" for i in range(30))),
+            (2, "a b"),  # too_short
+            (3, " ".join(["x y"] * 20)),  # too_short? no: 40 toks; dup+top_ngram
+            (4, " ".join(f"t{i}" for i in range(25)) + " 123 456 789 000 111 222 333 444 555 666 777 888 999 101 202 303 404 505 606 707 808 909 110 220 330"),  # digits -> low_alpha
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            docs, min_tokens=10, max_dup_word_frac=0.6, max_top_ngram_frac=0.3,
+            min_alpha_frac=0.5,
+        ).collect()
+    }
+    assert got[1]["kept"] and got[1]["reasons"] == ""
+    assert not got[2]["kept"] and "too_short" in got[2]["reasons"]
+    # doc 3: 40 tokens, only 2 distinct -> dup_word_frac 0.95; "x y" dominates
+    assert not got[3]["kept"]
+    assert "dup_words" in got[3]["reasons"] and "top_ngram" in got[3]["reasons"]
+    # reasons are fixed-order comma-joined
+    assert got[3]["reasons"] == "dup_words,top_ngram"
+    assert not got[4]["kept"] and "low_alpha" in got[4]["reasons"]
+
+
+def test_quality_filter_max_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(chr(97 + i // 26) + chr(97 + i % 26) + "qz" for i in range(50)))],
+        "doc_id long, text string",
+    )
+    got = quality_filter(docs, min_tokens=1, max_tokens=10).collect()[0]
+    assert not got["kept"] and got["reasons"] == "too_long"
 
 
 def test_mixture_sample_deterministic_and_rate_accurate(spark):
