@@ -109,6 +109,53 @@ def run_relations_available_now(
     q.awaitTermination()
 
 
+def run_curation_available_now(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Streaming corpus curation: each micro-batch of documents goes through
+    the C4-style quality gate (operators/curation.quality_filter) and PII
+    redaction (pii_stats), and the verdicts MERGE into the curation table
+    keyed by doc_id — replaying any batch is a no-op, and the table equals
+    the batch operators run over the same corpus (pinned by
+    tests/test_streaming.py).
+
+    Both operators are document-local (the quality signals aggregate only
+    within a doc's own n-grams), so no cross-batch state exists: the
+    streaming form is exactly the batch form per micro-batch, which is what
+    makes it safe at any corpus size. Output: (doc_id, kept, reasons,
+    n_emails, n_ipv4, n_cards, redacted)."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        pii_stats,
+        quality_filter,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        qf = quality_filter(batch_df, text_col=text_col, id_col=id_col).select(
+            "doc_id", "kept", "reasons"
+        )
+        pii = pii_stats(batch_df, text_col=text_col, id_col=id_col)
+        merge_upsert(
+            batch_df.sparkSession, output_dir, qf.join(pii, "doc_id"), "doc_id"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_dedup_available_now(
     spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
     text_col: str = "text", id_col: str = "doc_id",

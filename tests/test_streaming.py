@@ -101,3 +101,48 @@ def test_streaming_dedup_first_wins(spark, corpus, tmp_path_factory):
         for r in spark.read.parquet(f"{base}/out").collect()
     }
     assert again == expected
+
+
+def test_streaming_curation_matches_batch(spark, corpus, tmp_path_factory):
+    """Streaming quality-gate + PII redaction across micro-batches equals the
+    batch operators over the same corpus, and a full replay is a no-op (the
+    ops are doc-local, so the streaming form is exactly the batch form)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.curation import (
+        pii_stats,
+        quality_filter,
+    )
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_curation_available_now,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_cur"))
+    flat = spark.createDataFrame(
+        [(int(d.split("_")[1]), t) for d, t in corpus], "doc_id long, text string"
+    ).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" ping admin@ex.io at 10.0.0.9")),
+        ).otherwise(F.col("text")),
+    )
+    for i, (lo, hi) in enumerate([(0, 12), (12, 30), (30, 99999)]):
+        (flat.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+
+    run_curation_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck")
+    cols = ["doc_id", "kept", "reasons", "n_emails", "n_ipv4", "n_cards", "redacted"]
+    got = {tuple(r) for r in spark.read.parquet(f"{base}/out").select(*cols).collect()}
+    expected = {
+        tuple(r)
+        for r in quality_filter(flat).select("doc_id", "kept", "reasons")
+        .join(pii_stats(flat), "doc_id").select(*cols).collect()
+    }
+    assert got == expected
+    # rows with planted PII actually got flagged + redacted
+    assert any(r[3] == 1 and "<EMAIL>" in r[6] for r in got)
+
+    run_curation_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2")
+    again = {tuple(r) for r in spark.read.parquet(f"{base}/out").select(*cols).collect()}
+    assert again == expected

@@ -199,6 +199,16 @@ def main() -> None:
         "unlike df.sample whose output changes with repartitioning.",
         mixture_sample(docs, {f"src{i}": 0.5 for i in range(20)}),
     )
+    from knowledgegraphbuilder_spark.operators.curation import quality_filter
+
+    add(
+        "Composite quality gate (C4/Gopher reject rules + reasons)",
+        "Rides the repetition-stats aggregate (WindowGroupLimit-pruned "
+        "argmax); the five threshold rules and the reasons array are pure "
+        "codegen expressions layered on top — adding a rule costs zero extra "
+        "shuffles.",
+        quality_filter(docs),
+    )
     add(
         "Sequence packing (per-shard running token offset)",
         "Exactly one Exchange (hash by shard) feeding a running-sum Window — "
