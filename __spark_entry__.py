@@ -234,6 +234,27 @@ def q_dd_embed_cosine_lsh(spark, sf_dir):
     return dd.embedding_cosine_pairs_lsh(_t(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_dd_semdedup(spark, sf_dir):
+    """SemDeDup: sha256-stride centroids -> broadcast-argmin clustering ->
+    first-wins intra-cluster cosine pruning (dedup.py:semantic_dedup)."""
+    return dd.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, centroid_stride=50
+    )
+
+
+def q_g5_triangles(spark, sf_dir):
+    """Co-purchase graph (orders x parts bipartite projection, group-size
+    capped) -> per-node triangle counts + local clustering coefficient
+    (graphstats.py:cooccurrence_edges / triangle_clustering)."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges, triangle_clustering,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=50)
+    return triangle_clustering(edges)
+
+
 def q_dd_substring(spark, sf_dir):
     """Exact-substring duplication stats (windowed Lee-et-al-2022 dedup):
     documents + planted partial copies (every 40th doc's first 20 tokens under
@@ -748,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash": q_dd_simhash,
         "dd_embed_cosine": q_dd_embed_cosine,
         "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
+        "dd_semdedup": q_dd_semdedup,
         "dd_substring": q_dd_substring,
         "dd_contamination": q_dd_contamination,
         "ts_pii": q_ts_pii,
@@ -768,6 +790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_tokens": q_ts_tokens,
         "ts_fingerprint": q_ts_fingerprint,
         "g4_cc": q_g4_cc,
+        "g5_triangles": q_g5_triangles,
         "g3_pagerank": q_g3_pagerank,
         "retrieval_topk": q_retrieval_topk,
         "retrieval_batch": q_retrieval_batch,
@@ -1692,6 +1715,45 @@ def oracle_sql() -> dict[str, str]:
             FROM v JOIN cand USING (id), q
             ORDER BY score DESC, id LIMIT 10
         """,
+        # SemDeDup replay: same sha256-stride centroids + argmin assignment
+        # as ann_ivf, then first-wins cosine pruning within each cluster
+        "dd_semdedup": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT id AS cid, e AS ce FROM v
+              WHERE ('0x' || substr(sha256(id), 1, 8))::BIGINT % 50 = 0
+            ),
+            d AS (
+              SELECT v.id, c.cid,
+                     list_sum([(v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                               FOR i IN generate_series(1, 64)]) AS d2
+              FROM v, cents c
+            ),
+            assigned AS (
+              SELECT id, cid FROM (
+                SELECT id, cid,
+                       row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+                FROM d) WHERE rn = 1
+            ),
+            pairs AS (
+              SELECT a.cid, a.id AS id_a, b.id AS id_b,
+                     round(list_dot_product(va.e, vb.e)
+                           / (sqrt(list_dot_product(va.e, va.e))
+                              * sqrt(list_dot_product(vb.e, vb.e))), 4) AS cosine
+              FROM assigned a
+              JOIN assigned b ON a.cid = b.cid AND a.id < b.id
+              JOIN v va ON va.id = a.id
+              JOIN v vb ON vb.id = b.id
+            )
+            SELECT id_b AS id, cid, id_a AS dup_of, cosine FROM (
+              SELECT *, row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+              FROM pairs WHERE cosine >= 0.3
+            ) WHERE rn = 1
+        """,
         # batched-IVF replay: shared assignment, per-query nprobe cells
         "ann_ivf_batch": """
             WITH v AS (
@@ -1843,6 +1905,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """,
+        # co-purchase projection (group-size capped) + node-iterator triangles
+        "g5_triangles": """
+            WITH gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            e AS (
+              SELECT DISTINCT x.item AS a, y.item AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+              ) GROUP BY node
+            ),
+            tris AS (
+              SELECT x.a AS a, x.b AS b, y.b AS c
+              FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+              JOIN e z ON z.a = x.b AND z.b = y.b
+            ),
+            per_node AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+                SELECT a AS node FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris
+              ) GROUP BY node
+            )
+            SELECT deg.node, deg.degree,
+                   CAST(coalesce(per_node.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN deg.degree >= 2 THEN
+                     round(2.0 * coalesce(per_node.triangles, 0)
+                           / (deg.degree * (deg.degree - 1)), 4)
+                   ELSE 0.0 END AS clustering
+            FROM deg LEFT JOIN per_node USING (node)
         """,
         # batched retrieval replay: embeddings of every description + BOTH
         # query texts, per-query LSH bucket probe (same sha256 planes as

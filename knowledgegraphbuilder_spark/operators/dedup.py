@@ -408,3 +408,74 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    embs: DataFrame, threshold: float = 0.9,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication",
+    arXiv:2303.09540): coarse-cluster the embedding space, then prune
+    near-duplicates only WITHIN clusters — pairwise work is (cluster size)^2
+    per cluster instead of (corpus)^2, which is what makes embedding dedup
+    feasible at web scale.
+
+    Clustering reuses the deterministic sha256-stride centroid pick +
+    broadcast-argmin assignment of operators/ann.py:ann_ivf (at 10^12 scale
+    the k-means training pass is what you skip first; sampled centroids are
+    the standard warm start) — so the whole operator, bucketing included,
+    replays value-exactly in the SQL oracle. Falls back to a single cluster
+    (exact all-pairs) when the stride pick selects no centroids.
+
+    Drop policy (deterministic first-wins): a doc is dropped iff some
+    SMALLER-id member of its cluster has cosine >= threshold with it.
+    Output: dropped docs only — (id, cid, dup_of, cosine) where dup_of is the
+    smallest such neighbor and cosine its rounded-4dp similarity."""
+    v = embs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    )
+    pick = (
+        f"cast(conv(substring(sha2(id, 256), 1, 8), 16, 10) as bigint) "
+        f"% {centroid_stride} = 0"
+    )
+    cents = v.filter(F.expr(pick)).select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    if not cents.take(1):
+        assigned = v.withColumn("cid", F.lit("__all__"))
+    else:
+        dist = "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), 0.0d, (a, x) -> a + x)"
+        assigned = (
+            v.crossJoin(F.broadcast(cents))
+            .withColumn("d2", F.expr(dist))
+            .groupBy("id")
+            .agg(F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("best"))
+            .select("id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
+        )
+    m = assigned.withColumn("norm", F.expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
+    a = m.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
+    b = m.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    return (
+        pairs.groupBy("id_b", "cid")
+        .agg(F.min_by(F.struct("id_a", "cosine"), "id_a").alias("best"))
+        .select(
+            F.col("id_b").alias("id"),
+            "cid",
+            F.col("best.id_a").alias("dup_of"),
+            F.col("best.cosine").alias("cosine"),
+        )
+    )

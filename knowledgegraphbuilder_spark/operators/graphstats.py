@@ -1,0 +1,116 @@
+"""Graph statistics: bipartite co-occurrence projection + triangle counting.
+
+Beyond reference parity (the reference delegates all graph analytics to
+Neo4j — back/kgg/io/graph.py stores the graph, runs no metrics): these are
+the standard KG-quality signals a construction pipeline reports — how dense
+is the neighborhood of each node, does the graph have community structure
+(clustering coefficient), which entities co-occur.
+
+Scale design:
+- Co-occurrence projection is the classic bipartite -> unimodal projection
+  (orders x parts -> part co-purchase). Hot groups are quadratic in the
+  self-join, so group size is capped (``max_group_size``) BEFORE the join —
+  the cap is the standard web-scale guard (a basket with 10^5 items emits
+  10^10 pairs; dropping it is a documented, deterministic policy, not a
+  sampling heuristic). The pair count is map-side combinable.
+- Triangle counting uses the node-iterator formulation over the canonical
+  ``a < b`` edge direction (Suri & Vassilvitskii, "Counting Triangles and the
+  Curse of the Last Reducer", WWW'11): every triangle a<b<c is found exactly
+  once as wedge (a->b, a->c) closed by edge (b, c). Both joins are equi-joins
+  on a node key — no broadcast of the full edge set, no squaring. The wedge
+  count per node is bounded by the same degree cap that bounds the
+  projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int = 50,
+    min_weight: int = 1,
+) -> DataFrame:
+    """Project a bipartite (group, item) relation onto an undirected weighted
+    item-item co-occurrence graph.
+
+    Output: (src, dst, weight) with ``src < dst`` (string order), weight =
+    number of distinct groups containing both. Groups with more than
+    ``max_group_size`` distinct items are dropped entirely (quadratic-blowup
+    guard; deterministic)."""
+    gi = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.col(item_col).cast("string").alias("item"),
+    ).distinct()
+    sized = gi.withColumn("sz", F.count("*").over(Window.partitionBy("g")))
+    kept = sized.filter(F.col("sz") <= max_group_size).select("g", "item")
+    pairs = (
+        kept.alias("x")
+        .join(kept.alias("y"), "g")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .select(F.col("x.item").alias("src"), F.col("y.item").alias("dst"))
+    )
+    return (
+        pairs.groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+        .filter(F.col("weight") >= min_weight)
+    )
+
+
+def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle count and local clustering coefficient.
+
+    Input: undirected edges (any orientation, duplicates and self-loops
+    tolerated — canonicalized internally). Output: (node, degree, triangles,
+    clustering) where clustering = 2*T / (deg*(deg-1)) rounded 4dp (0.0 when
+    deg < 2).
+
+    Each triangle a<b<c is emitted exactly once by closing the (a->b, a->c)
+    wedge with edge (b, c); per-node credit then goes to all three corners
+    via an explode — two shuffles on node keys, never an all-pairs product."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
+            F.greatest(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("degree"))
+    )
+    # wedges at the smallest corner: (a->b, a->c) with b < c
+    wedges = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
+        .filter(F.col("x.b") < F.col("y.b"))
+        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
+    )
+    tris = wedges.join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count("*").cast("long").alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )

@@ -99,3 +99,82 @@ def test_ppr_isolated_source_dangling(spark):
     want = numpy_ppr(edges, ["z"])
     for v in want:
         assert abs(got[v] - want[v]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# G5: co-occurrence projection + triangle counting
+# ---------------------------------------------------------------------------
+
+from knowledgegraphbuilder_spark.operators.graphstats import (  # noqa: E402
+    cooccurrence_edges,
+    triangle_clustering,
+)
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+            for r in triangle_clustering(df).collect()}
+
+
+def test_triangles_k4(spark):
+    # complete graph on 4 nodes: every node in C(3,2)=3 triangles, coeff 1.0
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    out = _tri(spark, edges)
+    assert out == {n: (3, 3, 1.0) for n in nodes}
+
+
+def test_triangles_path_has_none(spark):
+    out = _tri(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert all(t == 0 and c == 0.0 for (_, t, c) in out.values())
+    assert out["b"][0] == 2
+
+
+def test_triangles_canonicalizes_input(spark):
+    # duplicates, reversed orientation, and self-loops must not change counts
+    messy = [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"), ("c", "c"), ("a", "b")]
+    out = _tri(spark, messy)
+    assert out["a"] == (2, 1, 1.0) and out["b"] == (2, 1, 1.0) and out["c"] == (2, 1, 1.0)
+
+
+def test_cooccurrence_projection_and_cap(spark):
+    rows = (
+        [("g1", i) for i in ["x", "y", "z"]]          # emits 3 pairs
+        + [("g2", i) for i in ["x", "y"]]             # reinforces (x,y)
+        + [("big", f"i{k}") for k in range(10)]       # dropped by the cap
+        + [("g1", "x")]                               # duplicate membership
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {(r["src"], r["dst"]): r["weight"]
+           for r in cooccurrence_edges(df, "g", "item", max_group_size=5).collect()}
+    assert out == {("x", "y"): 2, ("x", "z"): 1, ("y", "z"): 1}
+
+
+def test_semantic_dedup_first_wins(spark):
+    # two tight clusters in 2-d; stride 3 selects exactly {b, x} as centroids
+    # (sha256 residues: b=0, x=0; a=2, c=2, y=2), so assignment groups
+    # {a,b,c} under b and {x,y} under x — first-wins drops everything but the
+    # smallest id of each cluster
+    from knowledgegraphbuilder_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        ("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.998, 0.02]),
+        ("x", [0.0, 1.0]), ("y", [0.01, 0.999]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = {r["id"]: r["dup_of"]
+           for r in semantic_dedup(df, threshold=0.99, centroid_stride=3).collect()}
+    assert "a" not in out and "x" not in out
+    assert out == {"b": "a", "c": "a", "y": "x"}
+
+
+def test_semantic_dedup_empty_centroid_fallback(spark):
+    # a stride larger than any sha256 residue present -> no centroids ->
+    # single-cluster exact fallback must still find the duplicate pair
+    from knowledgegraphbuilder_spark.operators.dedup import semantic_dedup
+
+    rows = [("a", [1.0, 0.0]), ("b", [1.0, 0.001])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    out = semantic_dedup(df, threshold=0.99, centroid_stride=10**6).collect()
+    assert len(out) == 1 and out[0]["id"] == "b" and out[0]["dup_of"] == "a"
