@@ -448,6 +448,12 @@ def q_ts_fingerprint(spark, sf_dir):
     return ts.fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_ts_perplexity(spark, sf_dir):
+    """CCNet-style quality scoring: per-doc perplexity under a self-trained
+    add-0.5-smoothed bigram LM (textstats.py:bigram_perplexity)."""
+    return ts.bigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
 def q_g4_cc(spark, sf_dir):
     pairs = dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=3)
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -789,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": q_ts_quality,
         "ts_tokens": q_ts_tokens,
         "ts_fingerprint": q_ts_fingerprint,
+        "ts_perplexity": q_ts_perplexity,
         "g4_cc": q_g4_cc,
         "g5_triangles": q_g5_triangles,
         "g3_pagerank": q_g3_pagerank,
@@ -1893,6 +1900,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(list_sum([(CAST(ascii(ws[i]) AS BIGINT) * 31 + length(ws[i])) * i
                                   FOR i IN generate_series(1, len(ws))]) % 2147483647 AS BIGINT) AS fp
             FROM b
+        """,
+        # self-trained smoothed bigram LM replay; the per-doc fold runs over
+        # a pos-ordered list with an explicit sequential reduce so the
+        # floating-point sum order matches Spark's aggregate() exactly
+        "ts_perplexity": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents
+              WHERE len(string_split(lower(text), ' ')) > 0
+            ),
+            pairs0 AS (
+              SELECT doc_id, len(ws) AS n,
+                     UNNEST([{'pos': i - 1,
+                              'w1': CASE WHEN i = 1 THEN '<s>' ELSE ws[i - 1] END,
+                              'w2': ws[i]}
+                             FOR i IN generate_series(1, len(ws))]) AS p
+              FROM d
+            ),
+            pairs AS (
+              SELECT doc_id, n, p.pos AS pos, p.w1 AS w1, p.w2 AS w2 FROM pairs0
+            ),
+            vocab AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM pairs),
+            c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                    FROM pairs GROUP BY w1, w2),
+            c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM pairs GROUP BY w1),
+            j AS (
+              SELECT p.doc_id, p.n, p.pos, c12.c12, c1.c1
+              FROM pairs p JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+            ),
+            agg AS (
+              SELECT doc_id, n,
+                     list({'pos': pos, 'c12': c12, 'c1': c1} ORDER BY pos) AS terms
+              FROM j GROUP BY doc_id, n
+            )
+            SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                   round(exp(-(list_reduce(
+                       list_prepend(0.0, list_transform(
+                           terms, t -> ln((t.c12 + 0.5) / (t.c1 + 0.5 * v)))),
+                       (a, x) -> a + x)) / n), 4) AS ppl
+            FROM agg, vocab
         """,
         "g4_cc": f"""
             WITH RECURSIVE {_SHINGLE_CTE},

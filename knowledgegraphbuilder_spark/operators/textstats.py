@@ -124,3 +124,66 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             """
         ).cast("long").alias("fp"),
     )
+
+
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al., "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data", LREC
+    2020): per-document perplexity under an n-gram LM — low-perplexity docs
+    read like the corpus, high-perplexity docs are noise. CCNet uses a
+    pretrained KenLM; no model ships in this sandbox, so the LM is a
+    self-trained add-alpha-smoothed bigram model over the corpus itself —
+    the same two map-side-combinable count aggregations a KenLM training
+    pass runs, and fully value-replayable in the SQL oracle.
+
+    P(w2 | w1) = (C(w1 w2) + alpha) / (C(w1 .) + alpha * V), with a <s> BOS
+    context per document and V = distinct-token vocabulary size.
+
+    Scale shape: two integer count tables (bigram, context) built by
+    map-side-combinable groupBys; the per-doc score re-joins counts on the
+    bigram key — hot bigrams partial-aggregate cleanly, and the final
+    per-doc fold runs over a position-sorted array so the floating-point
+    sum order is deterministic (shuffle order never touches the result).
+
+    Output: (doc_id, n_tokens, ppl) with ppl rounded 4dp; null-text docs
+    dropped (an empty string still yields the single token '' — both engines
+    split it identically, so the oracle agrees).
+    """
+    w = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    pairs = w.select(
+        "doc_id",
+        F.size("ws").alias("n"),
+        F.explode(
+            F.expr(
+                "transform(ws, (x, i) -> struct("
+                "i as pos, "
+                "case when i = 0 then '<s>' else element_at(ws, i) end as w1, "
+                "x as w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "n", "p.pos", "p.w1", "p.w2")
+    vocab_size = pairs.select("w2").distinct().count()
+    c12 = pairs.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = pairs.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    joined = pairs.join(c12, ["w1", "w2"]).join(c1, "w1")
+    fold = (
+        f"aggregate(terms, 0.0d, "
+        f"(a, t) -> a + ln((t.c12 + {alpha}d) / (t.c1 + {alpha}d * {vocab_size}d)))"
+    )
+    return (
+        joined.groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c12", "c1"))).alias("terms"))
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(F.exp(-F.expr(fold) / F.col("n")), 4).alias("ppl"),
+        )
+    )

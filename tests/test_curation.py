@@ -282,3 +282,57 @@ def test_substring_stats_keys_are_bigint(spark):
     docs = spark.createDataFrame([(1, "a b c d e f g h i")], "doc_id long, text string")
     wh = window_hashes(docs, k=8)
     assert dict(wh.dtypes)["whash"] == "bigint"
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram perplexity (textstats.bigram_perplexity)
+# ---------------------------------------------------------------------------
+
+
+def _ppl_reference(texts, alpha=0.5):
+    """Pure-python add-alpha bigram LM, mirroring the intended spec."""
+    import math
+    from collections import Counter
+
+    pairs = {}
+    for did, t in texts:
+        ws = t.lower().split(" ")
+        pairs[did] = [("<s>" if i == 0 else ws[i - 1], w) for i, w in enumerate(ws)]
+    c12 = Counter(p for ps in pairs.values() for p in ps)
+    c1 = Counter(p[0] for ps in pairs.values() for p in ps)
+    vocab = len({p[1] for ps in pairs.values() for p in ps})
+    out = {}
+    for did, ps in pairs.items():
+        lp = sum(math.log((c12[p] + alpha) / (c1[p[0]] + alpha * vocab)) for p in ps)
+        out[did] = round(math.exp(-lp / len(ps)), 4)
+    return out
+
+
+def test_bigram_perplexity_matches_python_reference(spark):
+    from knowledgegraphbuilder_spark.operators.textstats import bigram_perplexity
+
+    texts = [
+        ("d1", "the cat sat on the mat"),
+        ("d2", "the cat sat on the cat"),
+        ("d3", "zx qq vv zx qq"),          # off-distribution -> high ppl
+        ("d4", "the cat sat on the mat"),  # exact repeat -> lowest ppl
+    ]
+    df = spark.createDataFrame(texts, "doc_id string, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["ppl"])
+           for r in bigram_perplexity(df).collect()}
+    want = _ppl_reference(texts)
+    assert {k: v[1] for k, v in got.items()} == want
+    assert got["d1"][0] == 6
+    # repeated in-distribution text scores lower ppl than the noise doc
+    assert got["d4"][1] < got["d3"][1]
+
+
+def test_bigram_perplexity_is_repartition_stable(spark):
+    from knowledgegraphbuilder_spark.operators.textstats import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [("a", "x y x y"), ("b", "")], "doc_id string, text string"
+    )
+    out1 = sorted(bigram_perplexity(df).collect())
+    out2 = sorted(bigram_perplexity(df.repartition(7)).collect())
+    assert out1 == out2  # shuffle order must not leak into the float fold
