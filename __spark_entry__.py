@@ -460,6 +460,21 @@ def q_g4_cc(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_g6_kcore(spark, sf_dir):
+    """k-core backbone of the co-purchase graph (k=80): iterative peeling,
+    one degree agg + two semi-joins per round (graphstats.py:k_core). The
+    oracle replays a fixed 8-round unroll — peeling converges in 6 rounds on
+    this input and the converged state is a fixed point, so extra rounds are
+    no-ops."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges, k_core,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=50)
+    return k_core(edges, k=80)
+
+
 def q_g3_pagerank(spark, sf_dir):
     kg = _kg(spark, sf_dir)
     sources = kg.nodes.orderBy(F.desc("n_mentions"), "text").limit(3).select("node_id")
@@ -798,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_perplexity": q_ts_perplexity,
         "g4_cc": q_g4_cc,
         "g5_triangles": q_g5_triangles,
+        "g6_kcore": q_g6_kcore,
         "g3_pagerank": q_g3_pagerank,
         "retrieval_topk": q_retrieval_topk,
         "retrieval_batch": q_retrieval_batch,
@@ -824,6 +840,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _GAZ_VALUES = ("('spark','technology'),('vector','technology'),"
                "('customer','organization'),('stream','system'),('table','resource')")
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: DuckDB forbids aggregates in a recursive CTE
+    term, so the oracle chains ``rounds`` explicit peel rounds. Valid because
+    the converged subgraph is a fixed point — any unroll >= the convergence
+    round count (6 on sf0.01 at k=80, checked) replays the iterative
+    operator exactly."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # three times, and DuckDB re-evaluates plain CTEs per reference — an
+    # unmaterialized unroll is 3^rounds re-scans of the parquet input
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT DISTINCT x.item AS a, y.item AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""n{r} AS MATERIALIZED (
+              SELECT node FROM (
+                SELECT a AS node FROM e{p} UNION ALL SELECT b FROM e{p}
+              ) GROUP BY node HAVING count(*) >= {k}
+            )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+              SELECT a, b FROM e{p}
+              WHERE a IN (SELECT node FROM n{r}) AND b IN (SELECT node FROM n{r})
+            )""")
+    return f"""
+            WITH gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            {', '.join(ctes)}
+            SELECT node, CAST(count(*) AS BIGINT) AS core_degree FROM (
+              SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
+            ) GROUP BY node
+        """
 
 # words of every doc with char offsets + gazetteer mentions, as a reusable CTE
 _KG_CTE = f"""
@@ -1995,6 +2053,7 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 0.0 END AS clustering
             FROM deg LEFT JOIN per_node USING (node)
         """,
+        "g6_kcore": _kcore_oracle(k=80, rounds=8),
         # batched retrieval replay: embeddings of every description + BOTH
         # query texts, per-query LSH bucket probe (same sha256 planes as
         # ann_lsh; float64 query vectors match the Spark batch path exactly),

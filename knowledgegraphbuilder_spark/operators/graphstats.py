@@ -114,3 +114,67 @@ def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "
             ).otherwise(F.lit(0.0)).alias("clustering"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes of
+    degree < k (and their edges) until the subgraph is stable. The surviving
+    subgraph is the k-core — the standard "dense backbone" signal for KG
+    quality triage (a node outside the 2-core hangs off the graph by a
+    thread; a high-k core is a well-evidenced cluster).
+
+    Each round is one map-side-combinable degree count plus two semi-joins
+    on node keys — never a cross product; the edge set only shrinks.
+    Peeling converges in at most graph-diameter-ish rounds in practice
+    (each round removes every currently-underweight node at once);
+    ``max_rounds`` is a driver-loop bound, and because the converged state
+    is a fixed point, running extra rounds never changes the result — which
+    is what lets the SQL oracle replay a fixed unroll.
+
+    Lineage is truncated with an eager localCheckpoint per round (the
+    nondeterministic-recompute trap documented in plans/pipeline.py).
+    Output: (node, core_degree) for k-core members — core_degree is the
+    degree WITHIN the core subgraph (>= k by construction)."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
+            F.greatest(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        ne = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+    )

@@ -178,3 +178,34 @@ def test_semantic_dedup_empty_centroid_fallback(spark):
     df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
     out = semantic_dedup(df, threshold=0.99, centroid_stride=10**6).collect()
     assert len(out) == 1 and out[0]["id"] == "b" and out[0]["dup_of"] == "a"
+
+
+def test_kcore_peels_cascade(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import k_core
+
+    # triangle core {a,b,c} + a pendant chain c-d-e: 2-core keeps only the
+    # triangle, and d is removed in a LATER round than e (cascade)
+    edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    out = {r["node"]: r["core_degree"] for r in k_core(df, k=2).collect()}
+    assert out == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_empty_when_k_exceeds_density(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import k_core
+
+    df = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    assert k_core(df, k=3).count() == 0
+
+
+def test_kcore_fixed_point_idempotent(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import k_core
+
+    # K4 is already a 3-core: peeling must terminate round 1 with K4 intact,
+    # and extra allowed rounds must not change the answer
+    nodes = ["a", "b", "c", "d"]
+    edges = [(x, y) for x in nodes for y in nodes if x < y]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    r1 = sorted(k_core(df, k=3, max_rounds=1).collect())
+    r9 = sorted(k_core(df, k=3, max_rounds=9).collect())
+    assert r1 == r9 and len(r1) == 4 and all(r["core_degree"] == 3 for r in r1)
