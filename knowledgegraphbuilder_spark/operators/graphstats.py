@@ -69,9 +69,15 @@ def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "
     clustering) where clustering = 2*T / (deg*(deg-1)) rounded 4dp (0.0 when
     deg < 2).
 
-    Each triangle a<b<c is emitted exactly once by closing the (a->b, a->c)
-    wedge with edge (b, c); per-node credit then goes to all three corners
-    via an explode — two shuffles on node keys, never an all-pairs product."""
+    Each triangle is emitted exactly once: edges are oriented from the
+    lower-(degree, id) endpoint to the higher (the degree-ordering trick of
+    the same WWW'11 paper — "the curse of the last reducer" IS the hub node,
+    and orienting by degree moves every wedge enumeration to the LOW-degree
+    corner, bounding per-node wedge count by O(sqrt(m)) out-degrees instead
+    of hub-degree-squared); a wedge (v->b, v->c) with ord(b) < ord(c) closes
+    iff the oriented edge b->c exists. Per-node credit then goes to all
+    three corners via an explode — equi-joins on node keys throughout,
+    never an all-pairs product."""
     e = (
         edges.select(
             F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
@@ -84,15 +90,32 @@ def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "
         e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count("*").cast("long").alias("degree"))
     )
-    # wedges at the smallest corner: (a->b, a->c) with b < c
+    # orient: u -> v with (deg(u), u) < (deg(v), v); carry v's rank for the
+    # wedge ordering below
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("degree").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct("da", "a") < F.struct("db", "b"), F.col("a")
+            ).otherwise(F.col("b")).alias("u"),
+            F.when(
+                F.struct("da", "a") < F.struct("db", "b"),
+                F.struct(F.col("db").alias("d"), F.col("b").alias("n")),
+            ).otherwise(
+                F.struct(F.col("da").alias("d"), F.col("a").alias("n"))
+            ).alias("vr"),
+        )
+        .select("u", F.col("vr.n").alias("v"), F.col("vr").alias("vrank"))
+    )
     wedges = (
-        e.alias("x")
-        .join(e.alias("y"), F.col("x.a") == F.col("y.a"))
-        .filter(F.col("x.b") < F.col("y.b"))
-        .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"), F.col("y.b").alias("c"))
+        ed.alias("x")
+        .join(ed.alias("y"), F.col("x.u") == F.col("y.u"))
+        .filter(F.col("x.vrank") < F.col("y.vrank"))
+        .select(F.col("x.u").alias("a"), F.col("x.v").alias("b"), F.col("y.v").alias("c"))
     )
     tris = wedges.join(
-        e.select(F.col("a").alias("b"), F.col("b").alias("c")), ["b", "c"]
+        ed.select(F.col("u").alias("b"), F.col("v").alias("c")), ["b", "c"]
     )
     per_node = (
         tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
