@@ -217,6 +217,46 @@ def main() -> None:
         pack_sequences(docs, seq_len=256, n_shards=8),
     )
 
+    from knowledgegraphbuilder_spark.operators.dedup import semantic_dedup
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges,
+        triangle_clustering,
+    )
+    from knowledgegraphbuilder_spark.operators.textstats import bigram_perplexity
+
+    embs = spark.read.parquet(os.path.join(args.sf, "embeddings.parquet"))
+    add(
+        "SemDeDup semantic dedup (cluster, then prune within clusters)",
+        "The centroid table rides a BroadcastExchange into the assignment "
+        "argmin (one corpus scan); the pairwise cosine join is an equi-join "
+        "on the cluster id — per-cluster quadratic, never corpus-quadratic. "
+        "All vector math is native higher-order functions inside codegen.",
+        semantic_dedup(embs, threshold=0.3),
+    )
+    li = spark.read.parquet(os.path.join(args.sf, "lineitem.parquet")).select(
+        "l_orderkey", "l_partkey"
+    )
+    add(
+        "Co-occurrence projection + degree-ordered triangle counting",
+        "The group-size cap (window count) runs BEFORE the pair self-join, "
+        "so a hot basket never squares; edges then orient from the "
+        "lower-(degree,id) endpoint, putting every wedge enumeration at the "
+        "low-degree corner — the hub of a skewed graph never enumerates "
+        "degree^2 wedges. Equi-joins (shuffle or broadcast per AQE) "
+        "throughout; no cartesian product anywhere. k_core (same module) "
+        "peels with one degree aggregate + two semi-joins per round, each "
+        "round truncated by an eager localCheckpoint.",
+        triangle_clustering(cooccurrence_edges(li, "l_orderkey", "l_partkey")),
+    )
+    add(
+        "Bigram-LM perplexity (CCNet-style quality scoring)",
+        "Two map-side-combinable integer count aggregates (bigram, context) "
+        "re-join the exploded pairs on the bigram key; the per-doc score "
+        "folds a position-sorted array, so the float sum order is fixed by "
+        "data, not by shuffle arrival — repartition-stable output.",
+        bigram_perplexity(docs),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
