@@ -24,6 +24,7 @@ from knowledgegraphbuilder_spark.operators import ann as ann_ops
 from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
+from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
 from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
 from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
 from knowledgegraphbuilder_spark.operators.labels import deterministic_sample, generate_labels
@@ -763,6 +764,65 @@ def q_sql_sessionize(spark, sf_dir):
     )
 
 
+def q_sk_hll(spark, sf_dir):
+    """Deterministic HyperLogLog distinct-orderkey estimate per returnflag
+    (sketches.py:hll_distinct — sha256 registers, exact-integer
+    accumulation), alongside the exact distinct count the sketch replaces at
+    scale. The oracle replays the sketch register-for-register in SQL."""
+    from knowledgegraphbuilder_spark.operators.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    est = hll_distinct(li, "l_returnflag", "cast(l_orderkey as string)")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "l_returnflag")
+
+
+def _copurchase_edges(spark, sf_dir):
+    from knowledgegraphbuilder_spark.operators.graphstats import cooccurrence_edges
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=50)
+
+
+def q_g7_bfs(spark, sf_dir):
+    """Multi-source BFS over the co-purchase graph: exact min-hop distance
+    (<= 3) from the 3 sha256-smallest nodes (graphstats.py:bfs_hops). The
+    oracle replays a fixed 3-round frontier unroll."""
+    from knowledgegraphbuilder_spark.operators.graphstats import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(3)
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def q_g8_labelprop(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 rounds, min-label
+    tie-break) over the co-purchase graph (graphstats.py:label_propagation);
+    oracle = 3-round unrolled SQL replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import label_propagation
+
+    return label_propagation(_copurchase_edges(spark, sf_dir), rounds=3)
+
+
+def q_ts_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per doc by smooth TF-IDF
+    (textstats.py:tfidf_topk), deterministic (score desc, term asc)."""
+    return ts.tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
+def q_ts_pmi(spark, sf_dir):
+    """Top-20 bigram collocations by PMI with a min-count guard
+    (textstats.py:pmi_collocations)."""
+    return ts.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=10, k=20)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -814,6 +874,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_cc": q_g4_cc,
         "g5_triangles": q_g5_triangles,
         "g6_kcore": q_g6_kcore,
+        "g7_bfs": q_g7_bfs,
+        "g8_labelprop": q_g8_labelprop,
+        "sk_hll": q_sk_hll,
+        "ts_tfidf": q_ts_tfidf,
+        "ts_pmi": q_ts_pmi,
         "g3_pagerank": q_g3_pagerank,
         "retrieval_topk": q_retrieval_topk,
         "retrieval_batch": q_retrieval_batch,
@@ -882,6 +947,82 @@ def _kcore_oracle(k: int, rounds: int) -> str:
               SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}
             ) GROUP BY node
         """
+
+# shared co-purchase projection prefix (same as the kcore oracle body):
+# bipartite (order, part) -> canonical a<b item edges, groups capped at 50
+_COPURCHASE_CTES = """gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT x.item AS a, y.item AS b
+              FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            ),
+            sym AS MATERIALIZED (
+              SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+            )"""
+
+
+def _bfs_oracle(hops: int) -> str:
+    """Unrolled multi-source BFS: frontier_r = (neighbors of d_{r-1}) minus
+    settled; exact min-hop because round r reaches exactly the distance-r
+    shell. MATERIALIZED for the same re-evaluation reason as _kcore_oracle."""
+    ctes = ["""seeds AS MATERIALIZED (
+              SELECT node FROM (
+                SELECT DISTINCT u AS node FROM sym
+              ) ORDER BY sha256(node) LIMIT 3
+            )""",
+            "d0 AS MATERIALIZED (SELECT node, 0 AS hop FROM seeds)"]
+    for r in range(1, hops + 1):
+        p = r - 1
+        ctes.append(f"""f{r} AS MATERIALIZED (
+              SELECT DISTINCT s.v AS node FROM sym s
+              JOIN d{p} ON s.u = d{p}.node
+              WHERE s.v NOT IN (SELECT node FROM d{p})
+            )""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT node, hop FROM d{p}
+              UNION ALL SELECT node, {r} FROM f{r}
+            )""")
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT node, CAST(hop AS INTEGER) AS hop FROM d{hops}
+        """
+
+
+def _lpa_oracle(rounds: int) -> str:
+    """Unrolled synchronous label propagation: round r recomputes every
+    node's label from round r-1's labels (most frequent neighbor label, ties
+    to the smallest label) — the fixed round count matches the operator
+    exactly, so no fixed-point argument is needed."""
+    ctes = ["""l0 AS MATERIALIZED (
+              SELECT DISTINCT u AS node, u AS lbl FROM sym
+            )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""l{r} AS MATERIALIZED (
+              SELECT node, lbl FROM (
+                SELECT s.u AS node, l.lbl, count(*) AS cnt,
+                       row_number() OVER (
+                         PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC
+                       ) AS rn
+                FROM sym s JOIN l{p} l ON s.v = l.node
+                GROUP BY s.u, l.lbl
+              ) WHERE rn = 1
+            )""")
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT node, lbl AS community FROM l{rounds}
+        """
+
 
 # words of every doc with char offsets + gazetteer mentions, as a reusable CTE
 _KG_CTE = f"""
@@ -2054,6 +2195,67 @@ def oracle_sql() -> dict[str, str]:
             FROM deg LEFT JOIN per_node USING (node)
         """,
         "g6_kcore": _kcore_oracle(k=80, rounds=8),
+        "g7_bfs": _bfs_oracle(hops=3),
+        "g8_labelprop": _lpa_oracle(rounds=3),
+        "sk_hll": f"""
+            WITH hll AS (
+              {_hll_oracle_sql(
+                  "SELECT l_returnflag, l_orderkey FROM lineitem",
+                  "l_returnflag",
+                  "CAST(l_orderkey AS VARCHAR)",
+              )}
+            ),
+            ex AS (
+              SELECT l_returnflag,
+                     CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+              FROM lineitem GROUP BY 1
+            )
+            SELECT hll.l_returnflag, est_distinct, exact_distinct
+            FROM hll JOIN ex USING (l_returnflag)
+        """,
+        "ts_tfidf": """
+            WITH words AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     UNNEST(string_split(text, ' ')) AS term
+              FROM documents
+            ),
+            w2 AS (SELECT doc_id, term FROM words WHERE term <> ''),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+            dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term,
+                     round(tf.tf * (ln((1.0 + nd.n) / (1.0 + dft.df)) + 1.0), 4) AS score
+              FROM tf JOIN dft USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, term, score FROM (
+              SELECT doc_id, term, score,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term ASC
+                     ) AS rn
+              FROM scored
+            ) WHERE rn <= 3
+        """,
+        "ts_pmi": """
+            WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+            big AS (
+              SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+                SELECT UNNEST([{'w1': ws[i], 'w2': ws[i + 1]}
+                               FOR i IN generate_series(1, len(ws) - 1)]) AS b
+                FROM ws
+              ) WHERE b.w1 <> '' AND b.w2 <> ''
+            ),
+            cxy AS (SELECT w1, w2, count(*) AS n FROM big GROUP BY 1, 2),
+            cx AS (SELECT w1, count(*) AS cx FROM big GROUP BY 1),
+            cy AS (SELECT w2, count(*) AS cy FROM big GROUP BY 1),
+            t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM big)
+            SELECT w1, w2, CAST(n AS BIGINT) AS n,
+                   round(ln(CAST(n AS DOUBLE) * t.total / (cx.cx * cy.cy)), 4) AS pmi
+            FROM cxy JOIN cx USING (w1) JOIN cy USING (w2) CROSS JOIN t
+            WHERE n >= 10
+            ORDER BY pmi DESC, w1 ASC, w2 ASC
+            LIMIT 20
+        """,
         # batched retrieval replay: embeddings of every description + BOTH
         # query texts, per-query LSH bucket probe (same sha256 planes as
         # ann_lsh; float64 query vectors match the Spark batch path exactly),

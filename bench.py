@@ -213,7 +213,8 @@ def main() -> None:
         "bm25", "link_edges", "ts_quality", "ts_fingerprint",
         "dd_substring", "dd_contamination", "ts_pii",
         "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
-        "dd_semdedup", "g5_triangles", "ts_perplexity",
+        "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop",
+        "sk_hll", "ts_tfidf", "ts_pmi", "ts_perplexity",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

@@ -201,3 +201,98 @@ def k_core(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("core_degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node, out to
+    ``max_hops``. Input edges are undirected (symmetrized internally);
+    ``seeds`` is a one-column DataFrame of node ids.
+
+    Each round is frontier ⋈ adjacency (equi-join on the node key) followed
+    by an anti-join against the settled set — never a cross product, and the
+    frontier only touches hop-h nodes, so per-round cost is proportional to
+    the frontier's edge boundary (the textbook Pregel/BSP BFS shape; on a
+    real cluster each round is one shuffle on the node key). Lineage is
+    truncated per round with an eager localCheckpoint (the
+    nondeterministic-recompute trap documented in plans/pipeline.py).
+
+    Output: (node, hop) — hop is the EXACT shortest distance for every node
+    within ``max_hops`` of a seed (frontier-at-round-h nodes are found at
+    their true minimum round, so the cap truncates coverage, not values).
+    """
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).cast("string").alias("u"), F.col(src_col).cast("string").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("node"), F.lit(0).alias("hop")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return dist.select("node", F.col("hop").cast("int").alias("hop"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et al.,
+    2007), made fully deterministic: every node starts with its own id as
+    label; each round every node adopts the most frequent label among its
+    neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label; all
+    updates apply simultaneously. A FIXED number of rounds (no convergence
+    test) keeps the operator exactly replayable by an unrolled SQL oracle.
+
+    Each round is one groupBy((node, label)) count + one per-node top-1
+    window — both shuffle on the node key only; the hot-node cost is the
+    node's degree, never degree². Output: (node, community).
+    """
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).cast("string").alias("u"), F.col(src_col).cast("string").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lbl").alias("community"))

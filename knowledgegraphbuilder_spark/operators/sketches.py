@@ -1,0 +1,156 @@
+"""Distributed cardinality sketches: deterministic HyperLogLog.
+
+Beyond reference parity (the reference never counts anything approximately —
+it works on thousands of docs; see back/kgg/generator.py's eager in-memory
+passes): a 100 TB corpus profile needs per-group distinct counts (vocabulary
+size per language, unique users per event class) without a count-distinct
+shuffle of the raw values. HyperLogLog (Flajolet et al., AofA 2007) is the
+standard answer and Spark ships one (approx_count_distinct) — but its
+register hashing is engine-private, so its output cannot be replayed by an
+independent oracle. This implementation derives every register from sha256,
+making the whole sketch bit-identical in DuckDB SQL: the correctness gate
+verifies the sketch itself, not just "some estimate came out".
+
+Scale design:
+- No pre-distinct: register update is max(), which is idempotent — duplicate
+  values cost nothing, so the plan is one explode + a map-side-combinable
+  two-level groupBy ((group, register) max, then (group) sum). State per
+  group is fixed at m=2**p registers regardless of input size.
+- All register math stays in exact BIGINT (sum of 2**(RHO_MAX - rho) rather
+  than a float sum of 2**-rho): integer addition is order-independent, so
+  the result is invariant to partitioning/shuffle order — the float
+  harmonic-mean form would make the estimate depend on reduction order.
+  Max sum is m * 2**49 = 2**61 for p=12: no overflow under ANSI mode.
+- The float division + bias corrections happen once per GROUP on exact
+  integer inputs, identically in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# 60-bit sha256-derived hash (15 hex chars): bit-identical in DuckDB as
+# ('0x' || substr(sha256(x), 1, 15))::BIGINT
+_H60 = "cast(conv(substring(sha2({x}, 256), 1, 15), 16, 10) as bigint)"
+
+P = 12                       # register-index bits
+M = 1 << P                   # 4096 registers
+W_BITS = 60 - P              # 48 bits feed the rank
+RHO_MAX = W_BITS + 1         # rho when the 48-bit window is all zeros
+ALPHA = 0.7213 / (1.0 + 1.079 / M)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_expr: str,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate of ``value_expr`` (a SQL
+    string expression) per ``group_col``.
+
+    Output: (group_col, est_distinct: double rounded 4dp). Includes the
+    standard small-range linear-counting correction (E <= 2.5m with empty
+    registers); the 32-bit large-range correction does not apply to a 60-bit
+    hash space.
+    """
+    h = df.select(
+        F.col(group_col).alias("g"),
+        F.expr(_H60.format(x=value_expr)).alias("hv"),
+    )
+    mask = (1 << W_BITS) - 1
+    reg = h.select(
+        "g",
+        F.expr(f"hv >> {W_BITS}").alias("idx"),
+        # rho = 1 + leading zeros of the 48-bit window; bin() drops leading
+        # zeros, so its length IS the bit length (exact, no float log)
+        F.expr(
+            f"case when (hv & {mask}) = 0 then {RHO_MAX} "
+            f"else {RHO_MAX} - length(bin(hv & {mask})) end"
+        ).alias("rho"),
+    )
+    mx = reg.groupBy("g", "idx").agg(F.max("rho").alias("maxr"))
+    agg = mx.groupBy("g").agg(
+        F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_MAX} - maxr)")).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    # empty registers contribute 2**-0 = 1 each -> 2**RHO_MAX in integer form
+    est = agg.select(
+        F.col("g").alias(group_col),
+        F.expr(
+            f"cast(s_present + ({M} - n_present) * shiftleft(cast(1 as bigint), {RHO_MAX}) "
+            f"as double)"
+        ).alias("s_int"),
+        F.expr(f"cast({M} - n_present as double)").alias("v"),
+    ).select(
+        group_col,
+        F.expr(
+            f"{ALPHA!r} * {M}.0 * {M}.0 * cast(shiftleft(cast(1 as bigint), {RHO_MAX}) as double)"
+            f" / s_int"
+        ).alias("e_raw"),
+        "v",
+    )
+    return est.select(
+        group_col,
+        F.round(
+            F.when(
+                (F.col("e_raw") <= 2.5 * M) & (F.col("v") > 0),
+                F.expr(f"{M}.0 * ln({M}.0 / v)"),
+            ).otherwise(F.col("e_raw")),
+            4,
+        ).alias(out_col),
+    )
+
+
+def hll_oracle_sql(
+    source_cte: str,
+    group_col: str,
+    value_expr: str,
+    out_col: str = "est_distinct",
+) -> str:
+    """The DuckDB replay of hll_distinct: same sha256 registers, same exact
+    integer accumulation, same correction branch. ``source_cte`` is a SELECT
+    producing rows with ``group_col`` plus whatever columns ``value_expr``
+    references."""
+    mask = (1 << W_BITS) - 1
+    return f"""
+        WITH src AS ({source_cte}),
+        h AS (
+          SELECT {group_col} AS g,
+                 ('0x' || substr(sha256({value_expr}), 1, 15))::BIGINT AS hv
+          FROM src
+        ),
+        reg AS (
+          SELECT g, hv >> {W_BITS} AS idx,
+                 CASE WHEN (hv & {mask}) = 0 THEN {RHO_MAX}
+                      ELSE {RHO_MAX} - length(bin(hv & {mask})) END AS rho
+          FROM h
+        ),
+        mx AS (SELECT g, idx, max(rho) AS maxr FROM reg GROUP BY g, idx),
+        agg AS (
+          SELECT g,
+                 CAST(sum(1::BIGINT << ({RHO_MAX} - maxr)) AS HUGEINT) AS s_present,
+                 count(*) AS n_present
+          FROM mx GROUP BY g
+        ),
+        est AS (
+          -- HUGEINT keeps the accumulation exact (DuckDB would otherwise
+          -- pick DECIMAL(18) and overflow at m * 2**49); the final DOUBLE
+          -- cast rounds the identical integer the Spark side rounds
+          SELECT g,
+                 CAST(s_present + CAST({M} - n_present AS HUGEINT)
+                      * {1 << RHO_MAX}::HUGEINT AS DOUBLE) AS s_int,
+                 CAST({M} - n_present AS DOUBLE) AS v
+          FROM agg
+        )
+        SELECT g AS {group_col},
+               round(CASE WHEN ({ALPHA!r}::DOUBLE * {M}.0 * {M}.0 *
+                                {float(1 << RHO_MAX)!r} / s_int) <= {2.5 * M!r}
+                           AND v > 0
+                          THEN {M}.0 * ln({M}.0 / v)
+                          ELSE {ALPHA!r}::DOUBLE * {M}.0 * {M}.0 *
+                               CAST(1::BIGINT << {RHO_MAX} AS DOUBLE) / s_int END,
+                     4) AS {out_col}
+        FROM est
+    """

@@ -9,7 +9,7 @@ rather than engine-private hash functions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny deterministic stopword lists for the n-gram/stopword language heuristic
@@ -187,3 +187,85 @@ def bigram_perplexity(
             F.round(F.exp(-F.expr(fold) / F.col("n")), 4).alias("ppl"),
         )
     )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k characteristic terms per document by smooth TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — never divides by
+    zero and keeps corpus-wide terms at weight ~tf). Deterministic
+    tie-break: (score desc, term asc).
+
+    Plan shape: one explode + two map-side-combinable counts (term-per-doc
+    and doc-freq) + a broadcastable N, then a per-doc top-k window — the df
+    table is |vocab| rows, tiny next to the corpus, so the join broadcasts.
+    Output: (doc_id, term, score) with score rounded 4dp.
+    """
+    words = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = tf.join(F.broadcast(df_t), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((1.0 + n_docs) / (1.0 + F.col("df"))) + 1.0), 4
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "score")
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    min_count: int = 10,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise mutual information:
+    pmi = ln(c_xy * T / (c_x * c_y)) over the corpus bigram table, where
+    c_x / c_y are the left/right positional marginals and T the total bigram
+    count. ``min_count`` suppresses the classic PMI low-frequency blowup.
+
+    All counts are exact map-side-combinable aggregates over the exploded
+    bigram stream; the two marginal joins key on a single word (vocab-sized
+    dims -> broadcast). Output: (w1, w2, n, pmi) with pmi rounded 4dp,
+    ordered deterministically by (pmi desc, w1 asc, w2 asc) — top-k is a
+    TakeOrderedAndProject, never a global sort of the full vocab².
+    """
+    ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    big = ws.select(
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] as w1, ws[i] as w2))")
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    c_xy = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    c_x = big.groupBy("w1").agg(F.count("*").alias("cx"))
+    c_y = big.groupBy("w2").agg(F.count("*").alias("cy"))
+    total = big.count()
+    scored = (
+        c_xy.filter(F.col("n") >= min_count)
+        .join(F.broadcast(c_x), "w1")
+        .join(F.broadcast(c_y), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log(F.col("n").cast("double") * float(total) / (F.col("cx") * F.col("cy"))),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(k)

@@ -1,0 +1,125 @@
+"""BFS hop distance, label-propagation communities, HLL sketch, TF-IDF, PMI."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from knowledgegraphbuilder_spark.operators.graphstats import bfs_hops, label_propagation
+from knowledgegraphbuilder_spark.operators.sketches import M, hll_distinct
+from knowledgegraphbuilder_spark.operators.textstats import pmi_collocations, tfidf_topk
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _seeds(spark, nodes):
+    return spark.createDataFrame([(n,) for n in nodes], "node string")
+
+
+class TestBfs:
+    def test_path_graph_exact_hops(self, spark):
+        # a-b-c-d-e: hops from {a} are 0..3 within the cap, e unreached
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, _seeds(spark, ["a"]), max_hops=3).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+    def test_multi_source_takes_min(self, spark):
+        # seeds at both ends of a path: middle node gets the closer distance
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, _seeds(spark, ["a", "e"]), max_hops=3).collect()}
+        assert got == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+
+    def test_direction_agnostic(self, spark):
+        # edges are undirected regardless of stored orientation
+        e = _edges(spark, [("b", "a"), ("b", "c")])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, _seeds(spark, ["a"]), max_hops=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_early_stop_on_empty_frontier(self, spark):
+        e = _edges(spark, [("a", "b")])
+        got = {r["node"]: r["hop"] for r in bfs_hops(e, _seeds(spark, ["a"]), max_hops=10).collect()}
+        assert got == {"a": 0, "b": 1}
+
+
+class TestLabelProp:
+    def test_two_cliques_converge_to_min_labels(self, spark):
+        # two triangles joined by one bridge edge: each clique adopts its
+        # smallest member id; the bridge does not merge them in 3 rounds
+        tri1 = [("a1", "a2"), ("a2", "a3"), ("a1", "a3")]
+        tri2 = [("b1", "b2"), ("b2", "b3"), ("b1", "b3")]
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(_edges(spark, tri1 + tri2 + [("a3", "b1")]), rounds=3).collect()
+        }
+        assert {got["a1"], got["a2"], got["a3"]} == {"a1"}
+        assert got["b2"] == got["b3"]
+
+    def test_deterministic_across_runs(self, spark):
+        e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")])
+        r1 = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+        r2 = sorted(map(tuple, label_propagation(e, rounds=3).collect()))
+        assert r1 == r2
+
+    def test_star_center_adopts_leaf_min(self, spark):
+        # round 1: center sees leaves {l1..l4} -> min l1; leaves see center c
+        # round 2: center keeps majority label among leaves' labels
+        e = _edges(spark, [("c", f"l{i}") for i in range(1, 5)])
+        got = {r["node"]: r["community"] for r in label_propagation(e, rounds=1).collect()}
+        assert got["c"] == "l1"
+        assert all(got[f"l{i}"] == "c" for i in range(1, 5))
+
+
+class TestHll:
+    def test_accuracy_within_standard_error(self, spark):
+        # 20k distinct values: HLL(m=4096) standard error = 1.04/sqrt(m) ~ 1.6%
+        df = spark.range(20000).select(F.lit("g").alias("g"), F.col("id"))
+        est = hll_distinct(df, "g", "cast(id as string)").collect()[0]["est_distinct"]
+        assert abs(est - 20000) / 20000 < 0.05
+
+    def test_duplicates_do_not_inflate(self, spark):
+        base = spark.range(5000).select(F.lit("g").alias("g"), F.col("id"))
+        dup = base.unionAll(base).unionAll(base)
+        e1 = hll_distinct(base, "g", "cast(id as string)").collect()[0]["est_distinct"]
+        e3 = hll_distinct(dup, "g", "cast(id as string)").collect()[0]["est_distinct"]
+        assert e1 == e3  # register max is idempotent -> bit-identical
+
+    def test_small_range_linear_counting(self, spark):
+        # far below 2.5m with empty registers -> linear-counting branch,
+        # which is near-exact at tiny cardinalities
+        df = spark.range(50).select(F.lit("g").alias("g"), F.col("id"))
+        est = hll_distinct(df, "g", "cast(id as string)").collect()[0]["est_distinct"]
+        assert abs(est - 50) < 2
+        assert 50 < 2.5 * M
+
+    def test_partitioning_invariance(self, spark):
+        # integer-exact accumulation -> result independent of layout
+        df = spark.range(8000).select(F.lit("g").alias("g"), F.col("id"))
+        e1 = hll_distinct(df.repartition(1), "g", "cast(id as string)").collect()[0]["est_distinct"]
+        e32 = hll_distinct(df.repartition(32), "g", "cast(id as string)").collect()[0]["est_distinct"]
+        assert e1 == e32
+
+
+class TestTfidfPmi:
+    def test_tfidf_prefers_rare_terms(self, spark):
+        docs = spark.createDataFrame(
+            [("d1", "common rare"), ("d2", "common other common"), ("d3", "common x y")],
+            "doc_id string, text string",
+        )
+        top = {
+            r["doc_id"]: r["term"]
+            for r in tfidf_topk(docs, k=1).collect()
+        }
+        # 'common' appears in every doc (min idf); doc-unique terms win
+        assert top["d1"] == "rare"
+        expected = 1.0 * (math.log(4.0 / 2.0) + 1.0)
+        row = [r for r in tfidf_topk(docs, k=3).collect() if r["doc_id"] == "d1" and r["term"] == "rare"][0]
+        assert abs(row["score"] - round(expected, 4)) < 1e-9
+
+    def test_pmi_finds_the_glued_pair(self, spark):
+        # 'new york' always together; fillers are independent
+        rows = [("x", "new york " + "a b c d " * 3)] * 12
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        top = pmi_collocations(docs, min_count=10, k=5).collect()
+        assert (top[0]["w1"], top[0]["w2"]) == ("new", "york")
+        assert top[0]["pmi"] > 0
