@@ -1000,8 +1000,9 @@ def _bfs_oracle(hops: int) -> str:
 def _lpa_oracle(rounds: int) -> str:
     """Unrolled synchronous label propagation: round r recomputes every
     node's label from round r-1's labels (most frequent neighbor label, ties
-    to the smallest label) — the fixed round count matches the operator
-    exactly, so no fixed-point argument is needed."""
+    to the largest label — the tie-break that makes the per-node top-1 a
+    map-side-combinable aggregate on the Spark side) — the fixed round count
+    matches the operator exactly, so no fixed-point argument is needed."""
     ctes = ["""l0 AS MATERIALIZED (
               SELECT DISTINCT u AS node, u AS lbl FROM sym
             )"""]
@@ -1011,7 +1012,7 @@ def _lpa_oracle(rounds: int) -> str:
               SELECT node, lbl FROM (
                 SELECT s.u AS node, l.lbl, count(*) AS cnt,
                        row_number() OVER (
-                         PARTITION BY s.u ORDER BY count(*) DESC, l.lbl ASC
+                         PARTITION BY s.u ORDER BY count(*) DESC, l.lbl DESC
                        ) AS rn
                 FROM sym s JOIN l{p} l ON s.v = l.node
                 GROUP BY s.u, l.lbl

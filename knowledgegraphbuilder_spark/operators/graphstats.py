@@ -263,13 +263,16 @@ def label_propagation(
     """Synchronous label-propagation community detection (Raghavan et al.,
     2007), made fully deterministic: every node starts with its own id as
     label; each round every node adopts the most frequent label among its
-    neighbors, ties broken by the LEXICOGRAPHICALLY SMALLEST label; all
+    neighbors, ties broken by the LEXICOGRAPHICALLY LARGEST label; all
     updates apply simultaneously. A FIXED number of rounds (no convergence
     test) keeps the operator exactly replayable by an unrolled SQL oracle.
 
-    Each round is one groupBy((node, label)) count + one per-node top-1
-    window — both shuffle on the node key only; the hot-node cost is the
-    node's degree, never degree². Output: (node, community).
+    Each round is one groupBy((node, label)) count + one per-node
+    max(struct(cnt, lbl)) aggregate — both map-side combinable and both
+    shuffling on the node key only (the largest-label tie-break exists
+    precisely so the top-1 is an aggregate, not a sorted window); the
+    hot-node cost is the node's degree, never degree². Output:
+    (node, community).
     """
     sym = (
         edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
@@ -288,11 +291,10 @@ def label_propagation(
             .groupBy(F.col("u").alias("node"), "lbl")
             .agg(F.count("*").alias("cnt"))
         )
-        w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
         labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            votes.groupBy("node")
+            .agg(F.max(F.struct("cnt", "lbl")).alias("top"))
+            .select("node", F.col("top.lbl").alias("lbl"))
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
