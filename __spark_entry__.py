@@ -24,6 +24,7 @@ from knowledgegraphbuilder_spark.operators import ann as ann_ops
 from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
+from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
 from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
 from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
@@ -779,6 +780,43 @@ def q_sk_hll(spark, sf_dir):
     return est.join(exact, "l_returnflag")
 
 
+def q_ts_split(spark, sf_dir):
+    """Content-addressed stratified train/val/test split
+    (curation.py:stratified_split): per-(lang, split) doc counts — the gate
+    checks every doc's assignment via the aggregate."""
+    from knowledgegraphbuilder_spark.operators.curation import stratified_split
+
+    s = stratified_split(_t(spark, sf_dir, "documents"))
+    return s.groupBy("lang", "split").agg(F.count("*").cast("long").alias("n_docs"))
+
+
+def q_retrieval_hybrid(spark, sf_dir):
+    """Hybrid search: BM25 lexical leg + exact-cosine dense leg (vec_id-0
+    query vector; embeddings row i is doc i's), fused by reciprocal-rank
+    fusion (textsearch.py:rrf_fuse, c=60). The reference serves retrieval
+    from a single FAISS index (back/kgg/retriever.py:62-68); a production
+    engine runs both legs and fuses — the standard upgrade path."""
+    from knowledgegraphbuilder_spark.operators.textsearch import bm25_topk, rrf_fuse
+
+    lex = bm25_topk(_t(spark, sf_dir, "documents"), ["customer", "stream", "spark"], k=50)
+    embs = _t(spark, sf_dir, "embeddings")
+    qv = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    dense = ann_ops.topk_bruteforce(embs, list(qv), k=50).withColumnRenamed("id", "doc_id")
+    return rrf_fuse([lex, dense], k=10, c=60.0, id_col="doc_id")
+
+
+def q_sk_cms(spark, sf_dir):
+    """Count-Min heavy hitters over lineitem part keys (sketches.py:cms_topk
+    — sha256 cells, fixed 4x1024 sketch, min-probe). 2,000 distinct keys
+    over 1,024 counters per row forces real collisions, so the one-sided
+    overestimate (est_cnt >= exact_cnt) is visible in the output; the
+    oracle replays the sketch cell-for-cell."""
+    from knowledgegraphbuilder_spark.operators.sketches import cms_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    return cms_topk(li, "cast(l_partkey as string)", k=20, out_key="partkey")
+
+
 def _copurchase_edges(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.graphstats import cooccurrence_edges
 
@@ -877,6 +915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_bfs": q_g7_bfs,
         "g8_labelprop": q_g8_labelprop,
         "sk_hll": q_sk_hll,
+        "sk_cms": q_sk_cms,
+        "retrieval_hybrid": q_retrieval_hybrid,
+        "ts_split": q_ts_split,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
         "g3_pagerank": q_g3_pagerank,
@@ -2214,6 +2255,82 @@ def oracle_sql() -> dict[str, str]:
             SELECT hll.l_returnflag, est_distinct, exact_distinct
             FROM hll JOIN ex USING (l_returnflag)
         """,
+        "ts_split": """
+            WITH b AS (
+              SELECT lang,
+                     ('0x' || substr(sha256('split-v1' || ',' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 100 AS bucket
+              FROM documents
+            )
+            SELECT lang,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM b GROUP BY 1, 2
+        """,
+        "retrieval_hybrid": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, len(ws) AS dl FROM d),
+            stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            hits AS (SELECT doc_id, UNNEST(ws) AS term FROM d),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM hits
+              WHERE term IN ('customer', 'spark', 'stream')
+              GROUP BY doc_id, term
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            s AS (
+              SELECT tf.doc_id,
+                     ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)) AS s
+              FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+            ),
+            lex AS (
+              SELECT doc_id, round(sum(s), 4) AS score
+              FROM s GROUP BY doc_id
+              ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            q AS (
+              SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+              FROM embeddings WHERE vec_id = 0
+            ),
+            v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS doc_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            dense AS (
+              SELECT doc_id, round(list_dot_product(e, qv)
+                     / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qv, qv))),
+                     4) AS score
+              FROM v, q ORDER BY score DESC, doc_id LIMIT 50
+            ),
+            lr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM lex
+            ),
+            dr AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+              FROM dense
+            )
+            SELECT doc_id,
+                   round(coalesce(1.0 / (60.0 + lr.r), 0.0)
+                         + coalesce(1.0 / (60.0 + dr.r), 0.0), 6) AS rrf
+            FROM lr FULL OUTER JOIN dr USING (doc_id)
+            ORDER BY rrf DESC, doc_id ASC LIMIT 10
+        """,
+        "sk_cms": _cms_oracle_sql(
+            "SELECT CAST(l_partkey AS VARCHAR) AS v FROM lineitem",
+            "v", k=20, out_key="partkey",
+        ),
         "ts_tfidf": """
             WITH words AS (
               SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -357,3 +357,33 @@ def pii_stats(
         F.regexp_count(F.col(text_col), F.lit(PII_CARD)).cast("int").alias("n_cards"),
         red.alias("redacted"),
     )
+
+
+def stratified_split(
+    docs: DataFrame,
+    ratios: tuple[int, int, int] = (80, 10, 10),
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: bucket = sha256(salt, id)
+    % 100, carved by cumulative ``ratios``. Content-addressed, so the split
+    is stable under re-partitioning, re-ingestion order, and corpus growth
+    (a doc's assignment never changes when other docs arrive) — the property
+    random splits lose at 100 TB where "shuffle then slice" is both
+    non-reproducible and a full sort. Pure projection: no shuffle at all
+    until a downstream consumer aggregates.
+
+    Output: (id_col, strata_col, split). The per-stratum proportions follow
+    the hash uniformity (law of large numbers per stratum, no balancing
+    pass); exact per-stratum balance would need a count + windowed slice,
+    documented here as the trade-off.
+    """
+    t0, t1, _ = ratios
+    assert sum(ratios) == 100, "ratios must sum to 100"
+    b = F.expr(_H60.format(s=f"concat('{salt}', ',', cast({id_col} as string))")) % 100
+    return docs.select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(strata_col),
+        F.when(b < t0, "train").when(b < t0 + t1, "val").otherwise("test").alias("split"),
+    )

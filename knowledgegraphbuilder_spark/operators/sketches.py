@@ -154,3 +154,103 @@ def hll_oracle_sql(
                      4) AS {out_col}
         FROM est
     """
+
+
+CMS_D = 4                    # hash rows
+CMS_W = 1024                 # counters per row
+
+
+def cms_sketch(df: DataFrame, value_expr: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, 2005) of ``value_expr``
+    frequencies: CMS_D independent sha256-derived hash rows of CMS_W
+    counters. Output: (row, col, cnt) — at most CMS_D * CMS_W rows no matter
+    the input size, built by ONE map-side-combinable groupBy (each input row
+    explodes into CMS_D (row, col) cells).
+
+    Like hll_distinct, every hash is sha256-derived so the sketch — not just
+    its answers — replays bit-identically in the DuckDB oracle.
+    """
+    h = _H60.format(x=f"concat(cast(i as string), ',', {value_expr})")
+    cells = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_D - 1}), i -> named_struct("
+                f"'row', i, 'col', {h} % {CMS_W}))"
+            )
+        ).alias("c")
+    ).select("c.row", "c.col")
+    return cells.groupBy("row", "col").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def cms_topk(
+    df: DataFrame,
+    value_expr: str,
+    k: int = 20,
+    out_key: str = "key",
+) -> DataFrame:
+    """Heavy hitters via Count-Min: estimate every distinct key's frequency
+    as min over the sketch's CMS_D cells, return the top-k by
+    (est desc, key asc) plus the exact count for calibration.
+
+    The probe side joins DISTINCT keys (vocab-sized) against the fixed-size
+    sketch on (row, col) — at 100 TB the sketch is still CMS_D * CMS_W
+    counters and broadcasts; the min-over-rows is a k-row aggregate per key.
+    CMS error is one-sided: est >= exact always (collisions only add).
+    """
+    sketch = cms_sketch(df, value_expr)
+    keys = df.select(F.expr(value_expr).alias("key")).groupBy("key").agg(
+        F.count("*").cast("long").alias("exact_cnt")
+    )
+    hk = _H60.format(x="concat(cast(i as string), ',', key)")
+    probes = keys.select(
+        "key",
+        "exact_cnt",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {CMS_D - 1}), i -> named_struct("
+                f"'row', i, 'col', {hk} % {CMS_W}))"
+            )
+        ).alias("c"),
+    ).select("key", "exact_cnt", "c.row", "c.col")
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("key", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return (
+        est.select(F.col("key").alias(out_key), "est_cnt", "exact_cnt")
+        .orderBy(F.col("est_cnt").desc(), F.col(out_key).asc())
+        .limit(k)
+    )
+
+
+def cms_oracle_sql(source_select: str, value_expr: str, k: int = 20, out_key: str = "key") -> str:
+    """DuckDB replay of cms_topk: identical sha256 cells, identical min-probe."""
+    h = f"(('0x' || substr(sha256(i::VARCHAR || ',' || {value_expr}), 1, 15))::BIGINT % {CMS_W})"
+    hk = f"(('0x' || substr(sha256(i::VARCHAR || ',' || key), 1, 15))::BIGINT % {CMS_W})"
+    return f"""
+        WITH src AS ({source_select}),
+        cells AS (
+          SELECT i AS row, {h} AS col
+          FROM src CROSS JOIN generate_series(0, {CMS_D - 1}) t(i)
+        ),
+        sketch AS (
+          SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+          FROM cells GROUP BY row, col
+        ),
+        keys AS (
+          SELECT {value_expr} AS key, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM src GROUP BY 1
+        ),
+        probes AS (
+          SELECT key, exact_cnt, i AS row, {hk} AS col
+          FROM keys CROSS JOIN generate_series(0, {CMS_D - 1}) t(i)
+        ),
+        est AS (
+          SELECT key, exact_cnt, min(cnt) AS est_cnt
+          FROM probes JOIN sketch USING (row, col)
+          GROUP BY key, exact_cnt
+        )
+        SELECT key AS {out_key}, est_cnt, exact_cnt
+        FROM est ORDER BY est_cnt DESC, {out_key} ASC LIMIT {k}
+    """

@@ -16,7 +16,7 @@ LLM-data-pipeline surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -81,3 +81,43 @@ def bm25_topk(
         .agg(F.round(F.sum("s"), 4).alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.col("doc_id")).limit(k)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    c: float = 60.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of
+    pre-truncated rankings: rrf(d) = sum over legs of 1 / (c + rank_leg(d)),
+    ranks 1-based by (score desc, id asc) within each leg; documents missing
+    from a leg simply contribute nothing. The standard hybrid-search
+    combiner for a lexical (BM25) + dense (embedding) pair — rank-based, so
+    the two legs' incomparable score scales never need calibration.
+
+    Each input leg MUST already be a top-N candidate list (the upstream
+    operators end in TakeOrderedAndProject) — the global rank window here
+    is a single-task sort of N rows per leg, not a corpus sort. Output:
+    (id_col, rrf) rounded 6dp, top-k by (rrf desc, id asc).
+    """
+    from functools import reduce
+
+    legs = []
+    for i, df in enumerate(rankings):
+        w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        legs.append(
+            df.select(id_col, "score")
+            .withColumn("r", F.row_number().over(w))
+            .select(id_col, (F.lit(1.0) / (F.lit(float(c)) + F.col("r"))).alias(f"c{i}"))
+        )
+    fused = reduce(lambda a, b: a.join(b, id_col, "full_outer"), legs)
+    contrib = [F.coalesce(F.col(f"c{i}"), F.lit(0.0)) for i in range(len(legs))]
+    total = contrib[0]
+    for x in contrib[1:]:
+        total = total + x
+    return (
+        fused.select(id_col, F.round(total, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

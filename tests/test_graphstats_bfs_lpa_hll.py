@@ -125,3 +125,67 @@ class TestTfidfPmi:
         top = pmi_collocations(docs, min_count=10, k=5).collect()
         assert (top[0]["w1"], top[0]["w2"]) == ("new", "york")
         assert top[0]["pmi"] > 0
+
+
+class TestCms:
+    def test_one_sided_error(self, spark):
+        from knowledgegraphbuilder_spark.operators.sketches import cms_topk
+        from pyspark.sql import functions as F
+
+        # 5000 distinct keys over 4x1024 counters: collisions guaranteed
+        df = spark.range(5000).select(F.col("id"))
+        top = cms_topk(df, "cast(id as string)", k=50).collect()
+        assert all(r["est_cnt"] >= r["exact_cnt"] for r in top)
+
+    def test_exact_when_sparse(self, spark):
+        from knowledgegraphbuilder_spark.operators.sketches import cms_topk
+        from pyspark.sql import functions as F
+
+        # 30 keys with skewed counts: no collisions -> est == exact, and the
+        # heavy hitter surfaces first
+        df = spark.range(300).select((F.col("id") % 30).alias("k")).unionAll(
+            spark.range(100).select(F.lit(7).alias("k"))
+        )
+        top = cms_topk(df, "cast(k as string)", k=5).collect()
+        assert top[0]["key"] == "7" and top[0]["est_cnt"] == top[0]["exact_cnt"] == 110
+
+
+class TestRrfAndSplit:
+    def test_rrf_prefers_docs_on_both_legs(self, spark):
+        from knowledgegraphbuilder_spark.operators.textsearch import rrf_fuse
+
+        lex = spark.createDataFrame(
+            [("a", 3.0), ("b", 2.0), ("c", 1.0)], "doc_id string, score double"
+        )
+        dense = spark.createDataFrame(
+            [("b", 0.9), ("d", 0.8)], "doc_id string, score double"
+        )
+        got = rrf_fuse([lex, dense], k=4).collect()
+        # b: 1/62 + 1/61 beats a: 1/61 alone
+        assert got[0]["doc_id"] == "b"
+        assert abs(got[0]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+        assert {r["doc_id"] for r in got} == {"a", "b", "c", "d"}
+
+    def test_split_stable_and_complete(self, spark):
+        from knowledgegraphbuilder_spark.operators.curation import stratified_split
+        from pyspark.sql import functions as F
+
+        docs = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("lang")
+        )
+        s1 = stratified_split(docs)
+        s2 = stratified_split(docs.repartition(17))
+        assert sorted(map(tuple, s1.collect())) == sorted(map(tuple, s2.collect()))
+        frac = {r["split"]: r["n"] for r in s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert abs(frac["train"] / 2000 - 0.80) < 0.04
+        assert frac["train"] + frac["val"] + frac["test"] == 2000
+
+    def test_split_assignment_survives_corpus_growth(self, spark):
+        from knowledgegraphbuilder_spark.operators.curation import stratified_split
+        from pyspark.sql import functions as F
+
+        small = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+        big = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("en").alias("lang"))
+        a = {r["doc_id"]: r["split"] for r in stratified_split(small).collect()}
+        b = {r["doc_id"]: r["split"] for r in stratified_split(big).collect()}
+        assert all(b[k] == v for k, v in a.items())
