@@ -214,7 +214,8 @@ def main() -> None:
         "dd_substring", "dd_contamination", "ts_pii",
         "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
         "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop",
-        "sk_hll", "ts_tfidf", "ts_pmi", "ts_perplexity",
+        "sk_hll", "sk_cms", "ts_tfidf", "ts_pmi", "ts_split",
+        "retrieval_hybrid", "ts_perplexity",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

@@ -257,6 +257,68 @@ def main() -> None:
         bigram_perplexity(docs),
     )
 
+    from knowledgegraphbuilder_spark.operators.sketches import cms_topk, hll_distinct
+
+    add(
+        "HyperLogLog distinct sketch (register-exact)",
+        "One explode-free projection computes (register, rho) per row, then "
+        "two map-side-combinable HashAggregates — (group, register) max and "
+        "the per-group integer sum. State per group is 4096 registers "
+        "regardless of input size; all arithmetic until the final 1-row-per-"
+        "group estimate is exact BIGINT, so the plan is repartition-stable. "
+        "No Python, no window, no join.",
+        hll_distinct(li, "l_orderkey", "cast(l_partkey as string)"),
+    )
+    add(
+        "Count-Min heavy hitters",
+        "The sketch build is one explode (4 cells/row) + a partial-aggregated "
+        "groupBy capped at 4x1024 cells; the probe side joins DISTINCT keys "
+        "against the sketch via BroadcastHashJoin (the sketch is fixed-size "
+        "by construction) and the top-k is TakeOrderedAndProject.",
+        cms_topk(li, "cast(l_partkey as string)", k=20),
+    )
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        pmi_collocations,
+        tfidf_topk,
+    )
+
+    add(
+        "TF-IDF top terms per doc",
+        "tf and df are both map-side-combinable counts off one explode; the "
+        "vocab-sized df table broadcasts into the scoring join; the per-doc "
+        "top-k window applies WindowGroupLimit before the doc_id exchange.",
+        tfidf_topk(docs, k=3),
+    )
+    add(
+        "PMI collocations",
+        "Bigram stream exploded once; pair counts and both positional "
+        "marginals are partial-aggregated; marginals broadcast; final top-k "
+        "is TakeOrderedAndProject over the min-count-filtered pair table — "
+        "never a sort of the full vocab^2.",
+        pmi_collocations(docs, min_count=10, k=20),
+    )
+    from knowledgegraphbuilder_spark.operators.textsearch import rrf_fuse
+    from knowledgegraphbuilder_spark.operators.ann import topk_bruteforce
+
+    qv2 = [float(x) for x in embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]]
+    add(
+        "Hybrid retrieval: BM25 + dense legs fused by RRF",
+        "Both legs end in TakeOrderedAndProject (50-row candidate lists) "
+        "BEFORE the rank windows, so the single-task rank sort touches 50 "
+        "rows per leg, not the corpus; the fusion is a full-outer join of "
+        "two 50-row sides. BFS / label propagation (graphstats.py) are "
+        "excluded here because they materialize per round (eager "
+        "localCheckpoint) — their per-round plans are the degree-aggregate + "
+        "semi-join shapes shown for k_core above.",
+        rrf_fuse(
+            [
+                bm25_topk(docs, ["customer", "stream", "spark"], k=50),
+                topk_bruteforce(embs, qv2, k=50).withColumnRenamed("id", "doc_id"),
+            ],
+            k=10,
+        ),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
