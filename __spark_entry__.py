@@ -24,6 +24,7 @@ from knowledgegraphbuilder_spark.operators import ann as ann_ops
 from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
+from knowledgegraphbuilder_spark.operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
 from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
@@ -780,6 +781,39 @@ def q_sk_hll(spark, sf_dir):
     return est.join(exact, "l_returnflag")
 
 
+def q_ml_kmeans(spark, sf_dir):
+    """Fixed-point Lloyd k-means over the embedding corpus
+    (clustering.py:kmeans_quantized, k=8, 2 update rounds): entirely integer
+    arithmetic, so the assignment — including both centroid updates — is
+    partition-order-invariant and the oracle replays every round exactly."""
+    from knowledgegraphbuilder_spark.operators.clustering import kmeans_quantized
+
+    return kmeans_quantized(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def q_dd_resolve(spark, sf_dir):
+    """Dedup RESOLUTION — the step that turns near-dup PAIRS into a cleaned
+    corpus: MinHash-LSH pairs (J>=0.9) -> large/small-star connected
+    components -> canonical id = component min (deterministic); every doc
+    maps to its cluster representative (itself when unique). This closes the
+    loop the pair queries leave open: a 100 TB dedup job keeps exactly the
+    rows where is_dup = false."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.9, n_perm=32, bands=16, k=3)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("canonical_id"),
+            (F.coalesce("component", "doc_id") != F.col("doc_id")).alias("is_dup"),
+        )
+    )
+
+
 def q_ts_split(spark, sf_dir):
     """Content-addressed stratified train/val/test split
     (curation.py:stratified_split): per-(lang, split) doc counts — the gate
@@ -918,6 +952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_cms": q_sk_cms,
         "retrieval_hybrid": q_retrieval_hybrid,
         "ts_split": q_ts_split,
+        "dd_resolve": q_dd_resolve,
+        "ml_kmeans": q_ml_kmeans,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
         "g3_pagerank": q_g3_pagerank,
@@ -2254,6 +2290,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT hll.l_returnflag, est_distinct, exact_distinct
             FROM hll JOIN ex USING (l_returnflag)
+        """,
+        "ml_kmeans": _kmeans_oracle_sql(k=8, iters=2, dim=64),
+        "dd_resolve": f"""
+            WITH RECURSIVE {_SHINGLE_CTE},
+            p AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.9),
+            edges AS (SELECT id_a AS s, id_b AS d FROM p UNION SELECT id_b, id_a FROM p),
+            verts AS (SELECT DISTINCT s AS v FROM edges),
+            reach AS (
+              SELECT v, v AS r FROM verts
+              UNION
+              SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+            ),
+            comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+            SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+                   coalesce(c.component, CAST(d.doc_id AS VARCHAR)) AS canonical_id,
+                   coalesce(c.component, CAST(d.doc_id AS VARCHAR))
+                     <> CAST(d.doc_id AS VARCHAR) AS is_dup
+            FROM documents d
+            LEFT JOIN comp c ON c.v = CAST(d.doc_id AS VARCHAR)
         """,
         "ts_split": """
             WITH b AS (

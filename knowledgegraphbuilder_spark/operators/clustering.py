@@ -1,0 +1,169 @@
+"""Distributed k-means over embedding columns, exact-replayable.
+
+Beyond reference parity (the reference's only clustering is FAISS's internal
+IVF training, back/kgg/retriever.py): corpus clustering is the backbone of
+several training-data operations — SemDeDup's coarse partition
+(dedup.py:semantic_dedup uses assignment-only), topic-balanced mixture
+sampling, and IVF index building all start from k-means.
+
+The classic obstacle to verifying distributed k-means is that the centroid
+UPDATE is a float mean, and float sums depend on reduction order — the same
+job on a different partitioning yields different (all "correct") centroids.
+This implementation runs Lloyd's algorithm entirely in FIXED-POINT INTEGERS:
+
+- vectors quantize once to bigint (floor(x * 2**SCALE_BITS));
+- assignment distances are exact integer sums of squared diffs
+  (|x| < 2**21 -> per-dim square < 2**42, 64 dims -> < 2**48: no overflow);
+- the centroid update is an exact per-dimension BIGINT sum (order-independent)
+  followed by ONE deterministic rounding (floor of the double quotient).
+
+Result: byte-identical output under any partitioning, and a DuckDB oracle
+that replays every Lloyd iteration exactly — a property float k-means cannot
+have. The quantization error (2**-20 per coordinate) is orders of magnitude
+below embedding noise.
+
+Scale shape per iteration: one broadcast of k centroids into the assignment
+argmin (corpus scanned once), one posexplode + map-side-combinable
+(cluster, dim) sum for the update — k*dim rows of state, never a collect of
+members. Empty clusters simply drop (deterministic on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE_BITS = 20
+_SCALE = float(1 << SCALE_BITS)
+
+
+def _quantize(embs: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return embs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> cast(floor(cast(x as double) * {_SCALE!r}) as bigint))"
+        ).alias("v"),
+    )
+
+
+_D2 = (
+    "aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y)), "
+    "cast(0 as bigint), (a, x) -> a + x)"
+)
+
+
+def _assign(vq: DataFrame, cents: DataFrame) -> DataFrame:
+    """(id, v, cid, d2): nearest centroid, ties to the smallest cid."""
+    return (
+        vq.crossJoin(F.broadcast(cents))
+        .withColumn("d2", F.expr(_D2))
+        .groupBy("id")
+        .agg(
+            F.first("v").alias("v"),
+            F.min_by(F.struct("cid", "d2"), F.struct("d2", "cid")).alias("best"),
+        )
+        .select("id", "v", F.col("best.cid").alias("cid"), F.col("best.d2").alias("d2"))
+    )
+
+
+def kmeans_quantized(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-point Lloyd k-means: ``iters`` update rounds from the k
+    sha256-smallest seed vectors, then a final assignment.
+
+    Output: (id, cluster, d2) — d2 is the exact integer squared distance in
+    quantized units (no floats anywhere in the output)."""
+    vq = _quantize(embs, id_col, vec_col)
+    cents = (
+        vq.orderBy(F.sha2(F.col("id"), 256))
+        .limit(k)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        assigned = _assign(vq, cents)
+        dims = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "x")
+        )
+        sums = dims.groupBy("cid", "pos").agg(
+            F.sum("x").alias("s"), F.count("*").alias("n")
+        )
+        cents = (
+            sums.select(
+                "cid",
+                "pos",
+                F.expr("cast(floor(cast(s as double) / n) as bigint)").alias("c"),
+            )
+            .groupBy("cid")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)").alias("cv")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return _assign(vq, cents).select(
+        "id", F.col("cid").alias("cluster"), "d2"
+    )
+
+
+def kmeans_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay: identical quantization, seed pick, and unrolled Lloyd
+    rounds (exact integer distances and sums; the single floor-of-quotient
+    rounding is computed on identical doubles)."""
+    d2 = (
+        f"list_sum([(a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]) "
+        f"FOR i IN generate_series(1, {dim})])"
+    )
+    ctes = [
+        f"""vq AS (
+          SELECT CAST({id_col} AS VARCHAR) AS id,
+                 [CAST(floor(CAST(x AS DOUBLE) * {_SCALE!r}) AS BIGINT)
+                  FOR x IN {vec_col}] AS v
+          FROM {table}
+        )""",
+        f"""c0 AS MATERIALIZED (
+          SELECT id AS cid, v AS cv FROM vq ORDER BY sha256(id) LIMIT {k}
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(f"""a{r} AS MATERIALIZED (
+          SELECT id, v, cid FROM (
+            SELECT a.id, a.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY a.id ORDER BY {d2} ASC, c.cid ASC
+                   ) AS rn
+            FROM vq a CROSS JOIN c{p} c
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+          SELECT cid, list(c ORDER BY pos) AS cv FROM (
+            SELECT cid, pos,
+                   CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+            FROM (
+              SELECT cid, i AS pos, v[i] AS x
+              FROM a{r} CROSS JOIN generate_series(1, {dim}) t(i)
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    return f"""
+        WITH {', '.join(ctes)}
+        SELECT id, cid AS cluster, d2 FROM (
+          SELECT a.id, c.cid, CAST({d2} AS BIGINT) AS d2,
+                 row_number() OVER (
+                   PARTITION BY a.id ORDER BY {d2} ASC, c.cid ASC
+                 ) AS rn
+          FROM vq a CROSS JOIN c{iters} c
+        ) WHERE rn = 1
+    """

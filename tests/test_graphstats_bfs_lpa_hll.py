@@ -189,3 +189,53 @@ class TestRrfAndSplit:
         a = {r["doc_id"]: r["split"] for r in stratified_split(small).collect()}
         b = {r["doc_id"]: r["split"] for r in stratified_split(big).collect()}
         assert all(b[k] == v for k, v in a.items())
+
+
+class TestKmeans:
+    def test_partition_invariance(self, spark):
+        # the whole point of quantized Lloyd: byte-identical under any layout
+        from knowledgegraphbuilder_spark.operators.clustering import kmeans_quantized
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = sorted(map(tuple, kmeans_quantized(embs.repartition(1), k=4, iters=2).collect()))
+        b = sorted(map(tuple, kmeans_quantized(embs.repartition(13), k=4, iters=2).collect()))
+        assert a == b and len(a) > 0
+
+    def test_separated_blobs_recovered(self, spark):
+        # two tight blobs far apart: 2-means must split them exactly
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.clustering import kmeans_quantized
+
+        rows = [(i, [10.0 + 0.01 * (i % 5), 10.0]) for i in range(20)]
+        rows += [(100 + i, [-10.0 - 0.01 * (i % 5), -10.0]) for i in range(20)]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = kmeans_quantized(embs, k=2, iters=2).collect()
+        by_cluster = {}
+        for r in got:
+            by_cluster.setdefault(r["cluster"], set()).add(int(r["id"]))
+        groups = sorted(by_cluster.values(), key=min)
+        assert groups == [set(range(20)), {100 + i for i in range(20)}]
+
+    def test_iterations_tighten_inertia(self, spark):
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.clustering import kmeans_quantized
+
+        embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        i0 = kmeans_quantized(embs, k=4, iters=0).agg(F.sum("d2")).collect()[0][0]
+        i2 = kmeans_quantized(embs, k=4, iters=2).agg(F.sum("d2")).collect()[0][0]
+        assert i2 <= i0  # Lloyd never increases inertia
+
+    def test_dd_resolve_plants_resolve_to_original(self, spark):
+        # q_dd_resolve: planted duplicates don't exist in the raw table, but
+        # near-identical docs cluster; every cluster rep is its own canonical
+        import __spark_entry__ as entry
+
+        out = entry.q_dd_resolve(spark, "/root/testdata/sf0.001").collect()
+        canon = {r["doc_id"]: r["canonical_id"] for r in out}
+        dups = [r for r in out if r["is_dup"]]
+        # representatives map to themselves
+        for r in out:
+            assert canon[r["canonical_id"]] == r["canonical_id"]
+        # dedup keeps exactly one doc per cluster
+        kept = {r["doc_id"] for r in out if not r["is_dup"]}
+        assert set(canon.values()) <= kept
