@@ -781,6 +781,42 @@ def q_sk_hll(spark, sf_dir):
     return est.join(exact, "l_returnflag")
 
 
+def q_stream_hll(spark, sf_dir):
+    """STREAMING distinct-count sketch under the value-exact gate: events
+    land as three event_id-ascending files, each micro-batch folds into its
+    HLL register table and max-MERGEs into persistent state
+    (streaming/ingest.py:run_hll_available_now) — then the whole input
+    REPLAYS against a fresh checkpoint (register max is idempotent, so the
+    state is byte-identical). Because register max is associative and
+    commutative, the streamed sketch EQUALS the batch sketch of the full
+    input, which is what the oracle computes; exact distincts ride along for
+    calibration."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.operators.sketches import hll_estimate
+    from knowledgegraphbuilder_spark.streaming.ingest import run_hll_available_now
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_hll_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = ev.agg(F.max("event_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (ev.filter((F.col("event_id") >= bounds[i]) & (F.col("event_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_hll_available_now(spark, f"{base}/in/*", f"{base}/regs", f"{base}/ck")
+    run_hll_available_now(spark, f"{base}/in/*", f"{base}/regs", f"{base}/ck2")
+    est = hll_estimate(
+        spark.read.parquet(f"{base}/regs"), "event_type"
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
 def q_ml_kmeans(spark, sf_dir):
     """Fixed-point Lloyd k-means over the embedding corpus
     (clustering.py:kmeans_quantized, k=8, 2 update rounds): entirely integer
@@ -954,6 +990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_split": q_ts_split,
         "dd_resolve": q_dd_resolve,
         "ml_kmeans": q_ml_kmeans,
+        "stream_hll": q_stream_hll,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
         "g3_pagerank": q_g3_pagerank,
@@ -2292,6 +2329,24 @@ def oracle_sql() -> dict[str, str]:
             FROM hll JOIN ex USING (l_returnflag)
         """,
         "ml_kmeans": _kmeans_oracle_sql(k=8, iters=2, dim=64),
+        # batch HLL over the full events table == the streamed register-merge
+        # (mergeability is the theorem under test)
+        "stream_hll": f"""
+            WITH hll AS (
+              {_hll_oracle_sql(
+                  "SELECT event_type, user_id FROM events",
+                  "event_type",
+                  "CAST(user_id AS VARCHAR)",
+              )}
+            ),
+            ex AS (
+              SELECT event_type,
+                     CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+              FROM events GROUP BY 1
+            )
+            SELECT hll.event_type, est_distinct, exact_distinct
+            FROM hll JOIN ex USING (event_type)
+        """,
         "dd_resolve": f"""
             WITH RECURSIVE {_SHINGLE_CTE},
             p AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.9),

@@ -41,20 +41,11 @@ RHO_MAX = W_BITS + 1         # rho when the 48-bit window is all zeros
 ALPHA = 0.7213 / (1.0 + 1.079 / M)
 
 
-def hll_distinct(
-    df: DataFrame,
-    group_col: str,
-    value_expr: str,
-    out_col: str = "est_distinct",
-) -> DataFrame:
-    """Deterministic HyperLogLog distinct estimate of ``value_expr`` (a SQL
-    string expression) per ``group_col``.
-
-    Output: (group_col, est_distinct: double rounded 4dp). Includes the
-    standard small-range linear-counting correction (E <= 2.5m with empty
-    registers); the 32-bit large-range correction does not apply to a 60-bit
-    hash space.
-    """
+def hll_registers(df: DataFrame, group_col: str, value_expr: str) -> DataFrame:
+    """(g, idx, maxr): the materialized register state per group — the
+    MERGEABLE form of the sketch (union two register tables and re-max to
+    combine sketches over disjoint or overlapping inputs; max is idempotent
+    and commutative, which is what makes the streaming MERGE below exact)."""
     h = df.select(
         F.col(group_col).alias("g"),
         F.expr(_H60.format(x=value_expr)).alias("hv"),
@@ -70,7 +61,32 @@ def hll_distinct(
             f"else {RHO_MAX} - length(bin(hv & {mask})) end"
         ).alias("rho"),
     )
-    mx = reg.groupBy("g", "idx").agg(F.max("rho").alias("maxr"))
+    return reg.groupBy("g", "idx").agg(F.max("rho").alias("maxr"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_expr: str,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate of ``value_expr`` (a SQL
+    string expression) per ``group_col``.
+
+    Output: (group_col, est_distinct: double rounded 4dp). Includes the
+    standard small-range linear-counting correction (E <= 2.5m with empty
+    registers); the 32-bit large-range correction does not apply to a 60-bit
+    hash space.
+    """
+    return hll_estimate(hll_registers(df, group_col, value_expr), group_col, out_col)
+
+
+def hll_estimate(
+    mx: DataFrame,
+    group_col: str,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Finish a register table (g, idx, maxr) into the per-group estimate."""
     agg = mx.groupBy("g").agg(
         F.sum(F.expr(f"shiftleft(cast(1 as bigint), {RHO_MAX} - maxr)")).alias("s_present"),
         F.count("*").alias("n_present"),

@@ -155,3 +155,33 @@ def clear_graph(base_dir: str) -> None:
 def sanitize_rel_type(col: str = "rel_type") -> F.Column:
     """F8 (nodes/neo4j_loader.py:42-43): ' '/'-' -> '_', uppercase."""
     return F.upper(F.translate(F.col(col), " -", "__"))
+
+
+def merge_max(spark: SparkSession, table_dir: str, updates: DataFrame,
+              keys: list[str], val: str) -> None:
+    """Max-combine MERGE: per key, keep the greatest ``val`` of the current
+    table and the updates (the Iceberg `MERGE ... WHEN MATCHED AND s.v > t.v
+    THEN UPDATE ... WHEN NOT MATCHED THEN INSERT` shape). max is idempotent
+    and commutative, so replaying any batch — or the whole input — leaves
+    the table byte-identical: exactly the contract a mergeable sketch's
+    register state needs. Implemented as union + re-aggregate rather than a
+    join + greatest() (greatest() skips NULLs — the silent-floor trap
+    documented in operators/retrieval.py)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        current = spark.read.parquet(table_dir)
+        merged = (
+            current.unionByName(updates)
+            .groupBy(*keys)
+            .agg(F.max(val).alias(val))
+        )
+    else:
+        merged = updates
+    tmp = table_dir.rstrip("/") + "__tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    final = spark.read.parquet(tmp)
+    final.write.mode("overwrite").parquet(table_dir)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)

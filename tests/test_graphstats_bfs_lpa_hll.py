@@ -239,3 +239,31 @@ class TestKmeans:
         # dedup keeps exactly one doc per cluster
         kept = {r["doc_id"] for r in out if not r["is_dup"]}
         assert set(canon.values()) <= kept
+
+
+class TestStreamingHll:
+    def test_streamed_registers_equal_batch_and_replay_is_noop(self, spark, tmp_path):
+        import glob
+
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import hll_registers
+        from knowledgegraphbuilder_spark.streaming.ingest import run_hll_available_now
+
+        ev = spark.range(3000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 700).alias("user_id"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("event_type"),
+        )
+        base = str(tmp_path)
+        for i in range(3):
+            (ev.filter((F.col("event_id") % 3) == i)
+             .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+        run_hll_available_now(spark, f"{base}/in/*", f"{base}/regs", f"{base}/ck")
+        streamed = sorted(map(tuple, spark.read.parquet(f"{base}/regs").collect()))
+        batch = sorted(map(tuple, hll_registers(
+            ev, "event_type", "cast(user_id as string)").collect()))
+        assert streamed == batch  # mergeability: batch boundaries invisible
+        # replay with a fresh checkpoint: max-merge must be a no-op
+        run_hll_available_now(spark, f"{base}/in/*", f"{base}/regs", f"{base}/ck2")
+        again = sorted(map(tuple, spark.read.parquet(f"{base}/regs").collect()))
+        assert again == streamed
