@@ -25,6 +25,7 @@ from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
 from knowledgegraphbuilder_spark.operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
+from knowledgegraphbuilder_spark.operators.sketches import _bloom_positions
 from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
 from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
@@ -781,6 +782,36 @@ def q_sk_hll(spark, sf_dir):
     return est.join(exact, "l_returnflag")
 
 
+def q_sk_bloom(spark, sf_dir):
+    """Bloom-filter membership probe (sketches.py:bloom_build/bloom_probe):
+    the filter is built over the texts of every 50th doc (the eval set),
+    broadcast, and probed by the whole corpus — the fixed-size form of the
+    semi-join/contamination primitive (dd_contamination broadcasts exact
+    hashes; at larger eval sets the Bloom form is what still broadcasts).
+    Output: the flagged docs (all probe bits set) with exact membership for
+    calibration — Bloom's one-sided guarantee means every true member is
+    flagged; flagged non-members are the (visible, replayed) FP rate."""
+    from knowledgegraphbuilder_spark.operators.sketches import BLOOM_K, bloom_build, bloom_probe
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    eval_set = docs.filter(F.col("doc_id").cast("long") % 50 == 0)
+    bloom = bloom_build(eval_set, "text")
+    hits = bloom_probe(docs, bloom, "text", id_col="doc_id")
+    member = eval_set.select("text").distinct().withColumn("m", F.lit(True))
+    return (
+        hits.filter(F.col("hits") == BLOOM_K)
+        .join(docs.withColumnRenamed("doc_id", "id"), "id")
+        .join(member, "text", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("hits"),
+            F.coalesce("m", F.lit(False)).alias("exact_member"),
+        )
+    )
+
+
 def q_stream_hll(spark, sf_dir):
     """STREAMING distinct-count sketch under the value-exact gate: events
     land as three event_id-ascending files, each micro-batch folds into its
@@ -991,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_resolve": q_dd_resolve,
         "ml_kmeans": q_ml_kmeans,
         "stream_hll": q_stream_hll,
+        "sk_bloom": q_sk_bloom,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
         "g3_pagerank": q_g3_pagerank,
@@ -2329,6 +2361,40 @@ def oracle_sql() -> dict[str, str]:
             FROM hll JOIN ex USING (l_returnflag)
         """,
         "ml_kmeans": _kmeans_oracle_sql(k=8, iters=2, dim=64),
+        # same sha256-derived bit positions, same 63-bit words, same bit_or
+        # fold and all-bits-set probe — the filter itself is replayed
+        "sk_bloom": f"""
+            WITH docs AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+            ),
+            ev AS (SELECT doc_id, text FROM docs WHERE CAST(doc_id AS BIGINT) % 50 = 0),
+            bpos AS (
+              SELECT UNNEST([{', '.join(_bloom_positions('text', 'duck'))}]) AS pos
+              FROM ev
+            ),
+            bloom AS (
+              SELECT pos // 63 AS word,
+                     bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+              FROM bpos GROUP BY 1
+            ),
+            probes AS (
+              SELECT doc_id, text,
+                     UNNEST([{', '.join(_bloom_positions('text', 'duck'))}]) AS pos
+              FROM docs
+            ),
+            hits AS (
+              SELECT doc_id, text,
+                     CAST(sum(CASE WHEN b.bits IS NOT NULL
+                                    AND (b.bits & (1::BIGINT << CAST(p.pos % 63 AS INTEGER)))
+                                        = (1::BIGINT << CAST(p.pos % 63 AS INTEGER))
+                                   THEN 1 ELSE 0 END) AS INTEGER) AS hits
+              FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 63
+              GROUP BY doc_id, text
+            )
+            SELECT h.doc_id, h.hits,
+                   (h.text IN (SELECT text FROM ev)) AS exact_member
+            FROM hits h WHERE h.hits = {4}
+        """,
         # batch HLL over the full events table == the streamed register-merge
         # (mergeability is the theorem under test)
         "stream_hll": f"""

@@ -215,7 +215,7 @@ def main() -> None:
         "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
         "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop",
         "sk_hll", "sk_cms", "ts_tfidf", "ts_pmi", "ts_split",
-        "retrieval_hybrid", "ml_kmeans", "dd_resolve", "ts_perplexity",
+        "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

@@ -270,3 +270,69 @@ def cms_oracle_sql(source_select: str, value_expr: str, k: int = 20, out_key: st
         SELECT key AS {out_key}, est_cnt, exact_cnt
         FROM est ORDER BY est_cnt DESC, {out_key} ASC LIMIT {k}
     """
+
+
+BLOOM_BITS = 1 << 15         # m: filter size in bits (63-bit words: m/63 —
+                             # bit 63 stays unused; 1<<63 overflows signed
+                             # BIGINT and DuckDB raises on it)
+BLOOM_K = 4                  # hash functions
+
+
+def _bloom_positions(value_expr: str, engine: str) -> list[str]:
+    """The BLOOM_K bit positions of a value, sha256-derived per hash index —
+    identical expressions for Spark ('spark') and DuckDB ('duck')."""
+    out = []
+    for i in range(BLOOM_K):
+        if engine == "spark":
+            h = f"cast(conv(substring(sha2(concat('{i}', ',', {value_expr}), 256), 1, 15), 16, 10) as bigint)"
+        else:
+            h = f"(('0x' || substr(sha256('{i}' || ',' || {value_expr}), 1, 15))::BIGINT)"
+        out.append(f"({h} % {BLOOM_BITS})")
+    return out
+
+
+def bloom_build(df: DataFrame, value_expr: str) -> DataFrame:
+    """Build a Bloom filter over ``value_expr``: output (word, bits) — the
+    set 64-bit words of an m-bit filter, built by one explode + a
+    map-side-combinable bit_or aggregate. At most m/64 rows regardless of
+    input size: the broadcastable form of a membership set (the primitive
+    behind join pruning / semi-join pushdown at 100 TB, where the exact key
+    set of the small side is still too big to broadcast raw)."""
+    pos_arr = ", ".join(_bloom_positions(value_expr, "spark"))
+    cells = df.select(
+        F.explode(F.expr(f"array({pos_arr})")).alias("pos")
+    ).select(
+        F.expr("pos div 63").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias("bit"),
+    )
+    return cells.groupBy("word").agg(F.expr("bit_or(bit)").alias("bits"))
+
+
+def bloom_probe(df: DataFrame, bloom: DataFrame, value_expr: str,
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, hits): how many of the BLOOM_K probe bits are set (hits =
+    BLOOM_K means 'possibly member'; anything less means definitely not).
+    The filter broadcasts; the probe is a map-side join — the corpus never
+    shuffles. One-sided like all Bloom answers: no false negatives."""
+    pos_arr = ", ".join(_bloom_positions(value_expr, "spark"))
+    probes = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode(F.expr(f"array({pos_arr})")).alias("pos"),
+    ).select(
+        "id",
+        F.expr("pos div 63").alias("word"),
+        F.expr("shiftleft(cast(1 as bigint), cast(pos % 63 as int))").alias("bit"),
+    )
+    return (
+        probes.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "id",
+            F.when(
+                (F.col("bits").isNotNull())
+                & (F.expr("bits & bit") == F.col("bit")),
+                1,
+            ).otherwise(0).alias("hit"),
+        )
+        .groupBy("id")
+        .agg(F.sum("hit").cast("int").alias("hits"))
+    )

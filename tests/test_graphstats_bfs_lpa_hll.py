@@ -267,3 +267,28 @@ class TestStreamingHll:
         run_hll_available_now(spark, f"{base}/in/*", f"{base}/regs", f"{base}/ck2")
         again = sorted(map(tuple, spark.read.parquet(f"{base}/regs").collect()))
         assert again == streamed
+
+
+class TestBloom:
+    def test_no_false_negatives_and_probe_counts(self, spark):
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import (
+            BLOOM_K, bloom_build, bloom_probe,
+        )
+
+        members = spark.range(200).select(
+            F.concat(F.lit("m"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"),
+        )
+        others = spark.range(500).select(
+            F.concat(F.lit("o"), F.col("id")).alias("doc_id"),
+            F.concat(F.lit("other-"), F.col("id")).alias("text"),
+        )
+        bloom = bloom_build(members, "text")
+        hits = {r["id"]: r["hits"] for r in
+                bloom_probe(members.unionByName(others), bloom, "text").collect()}
+        # one-sided: every member has ALL bits set
+        assert all(hits[f"m{i}"] == BLOOM_K for i in range(200))
+        # filter is far from saturated at 200 keys / 32768 bits: FP rate ~0
+        fp = sum(1 for i in range(500) if hits[f"o{i}"] == BLOOM_K)
+        assert fp <= 2
