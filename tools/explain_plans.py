@@ -319,6 +319,37 @@ def main() -> None:
         ),
     )
 
+    from knowledgegraphbuilder_spark.operators.clustering import (
+        _assign,
+        _quantize,
+    )
+    from knowledgegraphbuilder_spark.operators.sketches import bloom_build, bloom_probe
+
+    vq = _quantize(embs, "vec_id", "embedding")
+    cents0 = (
+        vq.orderBy(F.sha2(F.col("id"), 256)).limit(8)
+        .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    )
+    add(
+        "k-means Lloyd iteration (quantized): assignment argmin",
+        "The k-centroid table rides a BroadcastExchange into the per-vector "
+        "distance argmin (min_by aggregate, not a sorted window); distances "
+        "are exact BIGINT sums inside codegen. The update step (not shown — "
+        "each iteration materializes via eager localCheckpoint) is a "
+        "posexplode + map-side-combinable (cluster, dim) sum: k*dim rows of "
+        "state, never a collect of members.",
+        _assign(vq, cents0),
+    )
+    add(
+        "Bloom filter: build + broadcast probe",
+        "The filter build folds sha256 positions into at most m/63 words via "
+        "a partial-aggregated bit_or; the probe joins the corpus to the "
+        "broadcast word table and counts set bits per doc — the corpus never "
+        "shuffles (the semi-join-pushdown primitive at fixed memory).",
+        bloom_probe(docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+                    bloom_build(docs.limit(50), "text"), "text"),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
