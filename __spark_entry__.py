@@ -950,6 +950,23 @@ def q_g8_labelprop(spark, sf_dir):
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=3)
 
 
+def q_g9_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths over the co-purchase graph
+    (graphstats.py:sssp_hops, 4 Bellman-Ford rounds, integer weights =
+    co-occurrence counts): exact min cost over paths of <= 4 edges from the
+    3 sha256-smallest nodes; oracle = 4-round unrolled relaxation."""
+    from knowledgegraphbuilder_spark.operators.graphstats import sssp_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(3)
+    return sssp_hops(edges, seeds, rounds=4)
+
+
 def q_ts_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per doc by smooth TF-IDF
     (textstats.py:tfidf_topk), deterministic (score desc, term asc)."""
@@ -1015,6 +1032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_kcore": q_g6_kcore,
         "g7_bfs": q_g7_bfs,
         "g8_labelprop": q_g8_labelprop,
+        "g9_sssp": q_g9_sssp,
         "sk_hll": q_sk_hll,
         "sk_cms": q_sk_cms,
         "retrieval_hybrid": q_retrieval_hybrid,
@@ -1140,6 +1158,51 @@ def _bfs_oracle(hops: int) -> str:
             WITH {_COPURCHASE_CTES},
             {', '.join(ctes)}
             SELECT node, CAST(hop AS INTEGER) AS hop FROM d{hops}
+        """
+
+
+def _sssp_oracle(rounds: int) -> str:
+    """Unrolled Bellman-Ford: round r holds the exact min path cost over
+    <= r edges — same fixed-round contract as the Spark operator."""
+    ctes = ["""e0w AS MATERIALIZED (
+              SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS w
+              FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+              GROUP BY x.item, y.item
+            )""",
+            """wsym AS MATERIALIZED (
+              SELECT u, v, min(w) AS w FROM (
+                SELECT a AS u, b AS v, w FROM e0w
+                UNION ALL SELECT b, a, w FROM e0w
+              ) GROUP BY u, v
+            )""",
+            """s0 AS MATERIALIZED (
+              SELECT node FROM (SELECT DISTINCT u AS node FROM wsym)
+              ORDER BY sha256(node) LIMIT 3
+            )""",
+            "d0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS dist FROM s0)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{p}
+                UNION ALL
+                SELECT s.v AS node, d.dist + s.w AS dist
+                FROM wsym s JOIN d{p} d ON s.u = d.node
+              ) GROUP BY node
+            )""")
+    return f"""
+            WITH gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            {', '.join(ctes)}
+            SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
         """
 
 
@@ -2344,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "g6_kcore": _kcore_oracle(k=80, rounds=8),
         "g7_bfs": _bfs_oracle(hops=3),
         "g8_labelprop": _lpa_oracle(rounds=3),
+        "g9_sssp": _sssp_oracle(rounds=4),
         "sk_hll": f"""
             WITH hll AS (
               {_hll_oracle_sql(

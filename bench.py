@@ -213,7 +213,7 @@ def main() -> None:
         "bm25", "link_edges", "ts_quality", "ts_fingerprint",
         "dd_substring", "dd_contamination", "ts_pii",
         "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
-        "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop",
+        "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop", "g9_sssp",
         "sk_hll", "sk_cms", "ts_tfidf", "ts_pmi", "ts_split",
         "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",

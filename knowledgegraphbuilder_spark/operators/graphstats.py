@@ -298,3 +298,60 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def sssp_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Multi-source weighted shortest paths, Bellman-Ford style: after
+    ``rounds`` relaxations every node holds the exact minimum total weight
+    over paths of at most ``rounds`` edges from any seed (integer weights ->
+    exact arithmetic; a FIXED round count keeps the operator replayable by
+    an unrolled SQL oracle, the same contract as label_propagation). Edges
+    are undirected.
+
+    Each round is one equi-join of the current distance table with the
+    adjacency on the node key plus a map-side-combinable min — the classic
+    Pregel relaxation as DataFrame ops; no cross products, per-round cost
+    proportional to the relaxed frontier's edge boundary.
+
+    Output: (node, dist) for every node reachable within ``rounds`` edges.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).cast("string").alias("u"),
+            F.col(dst_col).cast("string").alias("v"),
+            F.col(weight_col).cast("long").alias("w"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst_col).cast("string").alias("u"),
+                F.col(src_col).cast("string").alias("v"),
+                F.col(weight_col).cast("long").alias("w"),
+            )
+        )
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    dist = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+    ).distinct().localCheckpoint(eager=True)
+    for _ in range(rounds):
+        relaxed = (
+            sym.join(dist.withColumnRenamed("node", "u"), "u")
+            .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

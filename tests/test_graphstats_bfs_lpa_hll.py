@@ -292,3 +292,36 @@ class TestBloom:
         # filter is far from saturated at 200 keys / 32768 bits: FP rate ~0
         fp = sum(1 for i in range(500) if hits[f"o{i}"] == BLOOM_K)
         assert fp <= 2
+
+
+class TestSssp:
+    def test_weighted_path_beats_direct_edge(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import sssp_hops
+
+        # a-b(1), b-c(1), a-c(5): best a->c is 2 via b
+        e = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)],
+            "src string, dst string, weight long",
+        )
+        got = {r["node"]: r["dist"] for r in sssp_hops(e, _seeds(spark, ["a"]), rounds=4).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_round_cap_bounds_path_length(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import sssp_hops
+
+        # chain of weight-1 edges: rounds=2 only relaxes 2 hops deep
+        e = spark.createDataFrame(
+            [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)],
+            "src string, dst string, weight long",
+        )
+        got = {r["node"]: r["dist"] for r in sssp_hops(e, _seeds(spark, ["a"]), rounds=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_multi_source_min(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import sssp_hops
+
+        e = spark.createDataFrame(
+            [("a", "b", 10), ("z", "b", 1)], "src string, dst string, weight long"
+        )
+        got = {r["node"]: r["dist"] for r in sssp_hops(e, _seeds(spark, ["a", "z"]), rounds=3).collect()}
+        assert got["b"] == 1 and got["a"] == 0 and got["z"] == 0
