@@ -1,15 +1,17 @@
-"""Distributed cardinality sketches: deterministic HyperLogLog.
+"""Distributed sketches: deterministic HyperLogLog, Count-Min, and Bloom.
 
 Beyond reference parity (the reference never counts anything approximately —
 it works on thousands of docs; see back/kgg/generator.py's eager in-memory
-passes): a 100 TB corpus profile needs per-group distinct counts (vocabulary
-size per language, unique users per event class) without a count-distinct
-shuffle of the raw values. HyperLogLog (Flajolet et al., AofA 2007) is the
-standard answer and Spark ships one (approx_count_distinct) — but its
-register hashing is engine-private, so its output cannot be replayed by an
-independent oracle. This implementation derives every register from sha256,
-making the whole sketch bit-identical in DuckDB SQL: the correctness gate
-verifies the sketch itself, not just "some estimate came out".
+passes): a 100 TB corpus profile needs per-group distinct counts, heavy
+hitters, and membership probes without shuffling the raw values. The
+standard sketches answer these — and Spark ships versions of each
+(approx_count_distinct, count_min_sketch, bloom_filter_agg) — but their
+hashing is engine-private, so their output cannot be replayed by an
+independent oracle. These implementations derive every register/cell/bit
+from sha256, making the whole sketch bit-identical in DuckDB SQL: the
+correctness gate verifies the sketch itself, not just "some estimate came
+out". All three keep fixed-size, MERGEABLE state (max / + / bit_or), which
+is also what makes them streaming-safe (see stream_hll).
 
 Scale design:
 - No pre-distinct: register update is max(), which is idempotent — duplicate
