@@ -529,6 +529,19 @@ def q_mm_features(spark, sf_dir):
     return feats.select("media_ref", "media_type", "n_bytes", "byte_mean", "byte_entropy")
 
 
+def q_mm_align(spark, sf_dir):
+    """Media->caption alignment over the interleaved spans table
+    (multimodal.py:align_media_to_text): every image/audio span paired with
+    its nearest preceding text span (else nearest following). The oracle
+    reconstructs the deterministic span synthesis
+    (sources/interleaved.py:synthesize_spans) in SQL and replays the same
+    running-window pairing."""
+    from knowledgegraphbuilder_spark.operators.multimodal import align_media_to_text
+
+    spans = read_documents_parquet(spark, sf_dir)
+    return align_media_to_text(spans)
+
+
 def q_stream_sessions(spark, sf_dir):
     """Stateful STREAMING sessionization under the value-exact gate: the
     events table is replayed as three time-ordered micro-batches through
@@ -1048,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_batch": q_retrieval_batch,
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
+        "mm_align": q_mm_align,
         "asof_join": q_asof_join,
         "stream_sessions": q_stream_sessions,
         "stream_relations": q_stream_relations,
@@ -2883,6 +2897,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_ref, CAST(i AS INT) AS frame_idx,
                    upper(substr(ph, 2 * i * step + 1, 2 * step)) AS frame_hex
             FROM p, generate_series(0, 3) g(i)
+        """,
+        # full SQL replay of synthesize_spans (sources/interleaved.py): k
+        # word-boundary text spans + image after span 1 (doc_id%5) + trailing
+        # audio (doc_id%10), then the same preceding-else-following
+        # running-window caption pairing as align_media_to_text
+        "mm_align": """
+            WITH d AS (
+              SELECT doc_id AS raw_id, 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+                     text, string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            kk AS (
+              SELECT *, len(ws) AS n, least(1 + raw_id % 3, len(ws)) AS k FROM d
+            ),
+            b AS (
+              SELECT *,
+                     [CASE WHEN j = 0 THEN 0
+                           WHEN j = k THEN length(text)
+                           ELSE length(array_to_string(ws[1:CAST((j * n) // k AS INT)], ' ')) + 1
+                      END FOR j IN generate_series(0, k)] AS bl
+              FROM kk
+            ),
+            tsp AS (
+              SELECT *,
+                     [struct_pack(kind := 'text',
+                                  txt := substring(text, bl[j] + 1, bl[j + 1] - bl[j]),
+                                  ref := CAST(NULL AS VARCHAR),
+                                  off := bl[j])
+                      FOR j IN generate_series(1, k)] AS tspans
+              FROM b
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN raw_id % 10 = 0 THEN
+                            tspans[1:1]
+                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://img/' || doc_id || '/0',
+                                            off := bl[2])]
+                            || tspans[2:k]
+                            || [struct_pack(kind := 'audio', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://aud/' || doc_id || '/0',
+                                            off := length(text))]
+                          WHEN raw_id % 5 = 0 THEN
+                            tspans[1:1]
+                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://img/' || doc_id || '/0',
+                                            off := bl[2])]
+                            || tspans[2:k]
+                          ELSE tspans END AS spans
+              FROM tsp
+            ),
+            ex AS (
+              SELECT doc_id, unnest(spans) AS s,
+                     unnest(generate_series(1, len(spans))) AS p
+              FROM sp
+            ),
+            cap AS (
+              SELECT doc_id, p, s,
+                     last_value(CASE WHEN s.kind = 'text'
+                                     THEN struct_pack(o := s.off, t := s.txt) END
+                                IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev,
+                     first_value(CASE WHEN s.kind = 'text'
+                                      THEN struct_pack(o := s.off, t := s.txt) END
+                                 IGNORE NULLS)
+                       OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+              FROM ex
+            )
+            SELECT doc_id, CAST(p - 1 AS INT) AS pos, s.ref AS media_ref,
+                   s.kind AS media_type, coalesce(prev.t, nxt.t) AS caption,
+                   CAST(coalesce(prev.o, nxt.o) AS INT) AS caption_offset
+            FROM cap WHERE s.kind <> 'text'
         """,
         # DuckDB's native ASOF JOIN replays the operator; the right side is
         # deduped per (user, ts) on both sides so tie winners are pinned

@@ -114,6 +114,53 @@ def extract_features(media: DataFrame, dim: int = 8, decoder=None) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def align_media_to_text(spans_df: DataFrame) -> DataFrame:
+    """Caption alignment over the interleaved spans table: pair every media
+    span with its nearest TEXT span in document order — the preceding text
+    span when one exists (the usual caption-above-figure convention), else
+    the nearest following one.
+
+    This is the span-sequence-aware join an interleaved-document pipeline
+    needs before any image-text training-pair export (LAION-style caption
+    harvesting): the pairing depends on span ORDER, which is exactly the
+    invariant the source preserves (sources/interleaved.py docstring).
+
+    Scale design: one posexplode + two running windows partitioned by
+    ``doc_id`` — per-doc state only, shuffles once on the doc key, no
+    self-join of the span table. Output: (doc_id, pos, media_ref,
+    media_type, caption, caption_offset) — ``pos`` is the 0-based span
+    index, ``caption`` the aligned text span's full text.
+    """
+    from pyspark.sql import Window
+
+    s = spans_df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    txt = F.when(
+        F.col("s.kind") == "text",
+        F.struct(F.col("s.offset").alias("o"), F.col("s.text").alias("t")),
+    )
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    return (
+        s.withColumn("prev", F.last(txt, ignorenulls=True).over(w_prev))
+        .withColumn("nxt", F.first(txt, ignorenulls=True).over(w_next))
+        .filter(F.col("s.kind") != "text")
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.kind").alias("media_type"),
+            F.coalesce("prev.t", "nxt.t").alias("caption"),
+            F.coalesce("prev.o", "nxt.o").cast("int").alias("caption_offset"),
+        )
+    )
+
+
 def real_decode_stub(content: bytes, media_type: str):  # pragma: no cover
     """Placeholder for the real decode kernel (PIL / torchaudio / ffmpeg).
     Not available in this container."""

@@ -118,3 +118,49 @@ def test_snapshot_sink_time_travel(spark, tmp_path_factory):
     # time travel: snapshot 1 still shows the old nodes
     old = read_graph_snapshot(spark, base, snapshot_id=1)
     assert {r["id"] for r in old["nodes"].collect()} == {1, 2}
+
+
+def test_align_media_to_text(spark, sf_dir):
+    from knowledgegraphbuilder_spark.operators.multimodal import align_media_to_text
+
+    spans = read_documents_parquet(spark, sf_dir)
+    out = align_media_to_text(spans)
+    rows = {(r["doc_id"], r["media_type"]): r for r in out.collect()}
+    raw = {
+        r["doc_id"]: r["spans"]
+        for r in spans.collect()
+    }
+    assert rows  # sf has media docs
+    for (doc_id, mt), r in rows.items():
+        sp = raw[doc_id]
+        # pairing invariant: caption == the text span nearest before pos
+        # (there is always one: media never leads a doc in the synthesis)
+        prev_texts = [s for s in sp[: r["pos"]] if s["kind"] == "text"]
+        assert prev_texts, (doc_id, mt)
+        assert r["caption"] == prev_texts[-1]["text"]
+        assert r["caption_offset"] == prev_texts[-1]["offset"]
+    # image captions are span 1's text; audio captions are the LAST text span
+    for (doc_id, mt), r in rows.items():
+        sp = raw[doc_id]
+        texts = [s for s in sp if s["kind"] == "text"]
+        if mt == "image":
+            assert r["caption"] == texts[0]["text"]
+        else:
+            assert r["caption"] == texts[-1]["text"]
+
+
+def test_align_media_leading_media_falls_forward(spark):
+    """A doc whose FIRST span is media (no preceding text) aligns to the
+    nearest FOLLOWING text span."""
+    from knowledgegraphbuilder_spark.operators.multimodal import align_media_to_text
+    from knowledgegraphbuilder_spark.sources.interleaved import SPAN_SCHEMA
+
+    df = spark.createDataFrame(
+        [("d0", [
+            {"kind": "image", "text": None, "media_ref": "media://img/d0/0", "offset": 0},
+            {"kind": "text", "text": "hello world", "media_ref": None, "offset": 0},
+        ])],
+        f"doc_id string, spans {SPAN_SCHEMA}",
+    )
+    r = align_media_to_text(df).collect()[0]
+    assert (r["caption"], r["caption_offset"], r["pos"]) == ("hello world", 0, 0)
