@@ -980,6 +980,43 @@ def q_g9_sssp(spark, sf_dir):
     return sssp_hops(edges, seeds, rounds=4)
 
 
+def q_g11_walks(spark, sf_dir):
+    """Derandomized walk corpus over the co-purchase graph
+    (graphstats.py:deterministic_walks): 4-step walks from the 5
+    sha256-smallest nodes, step choice = argmin sha256(seed|t|cur|nbr);
+    oracle = 4-round unrolled argmin replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import deterministic_walks
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(5)
+    return deterministic_walks(edges, seeds, length=4)
+
+
+def q_g10_hits(spark, sf_dir):
+    """HITS hubs/authorities over the DIRECTED customer->supplier purchase
+    graph (graphstats.py:hits_scores, 2 rounds, exact integer scores —
+    unnormalized sums rank identically to the L2-normalized textbook
+    algorithm and stay SQL-replayable). Customers score as hubs, suppliers
+    as authorities."""
+    from knowledgegraphbuilder_spark.operators.graphstats import hits_scores
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    return hits_scores(e, rounds=2)
+
+
 def q_ts_tfidf(spark, sf_dir):
     """Top-3 characteristic terms per doc by smooth TF-IDF
     (textstats.py:tfidf_topk), deterministic (score desc, term asc)."""
@@ -1046,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g7_bfs": q_g7_bfs,
         "g8_labelprop": q_g8_labelprop,
         "g9_sssp": q_g9_sssp,
+        "g10_hits": q_g10_hits,
+        "g11_walks": q_g11_walks,
         "sk_hll": q_sk_hll,
         "sk_cms": q_sk_cms,
         "retrieval_hybrid": q_retrieval_hybrid,
@@ -1245,6 +1284,37 @@ def _lpa_oracle(rounds: int) -> str:
             WITH {_COPURCHASE_CTES},
             {', '.join(ctes)}
             SELECT node, lbl AS community FROM l{rounds}
+        """
+
+
+def _walks_oracle(length: int, n_seeds: int = 5) -> str:
+    """Unrolled derandomized walks: step t picks the neighbor minimizing
+    sha256(seed|t|cur|nbr) — row_number over (hash, nbr) replays Spark's
+    min(struct(hash, nbr)) exactly."""
+    ctes = [f"""s0 AS MATERIALIZED (
+              SELECT node FROM (SELECT DISTINCT u AS node FROM sym)
+              ORDER BY sha256(node) LIMIT {n_seeds}
+            )""",
+            "w0 AS MATERIALIZED (SELECT node AS seed, node FROM s0)"]
+    for t in range(1, length + 1):
+        p = t - 1
+        ctes.append(f"""w{t} AS MATERIALIZED (
+              SELECT seed, node FROM (
+                SELECT c.seed, s.v AS node,
+                       row_number() OVER (
+                         PARTITION BY c.seed
+                         ORDER BY sha256(c.seed || '|{t}|' || s.u || '|' || s.v), s.v
+                       ) AS rn
+                FROM sym s JOIN w{p} c ON s.u = c.node
+              ) WHERE rn = 1
+            )""")
+    selects = " UNION ALL ".join(
+        f"SELECT seed, {t} AS step, node FROM w{t}" for t in range(0, length + 1)
+    )
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT seed, CAST(step AS INTEGER) AS step, node FROM ({selects})
         """
 
 
@@ -2422,6 +2492,30 @@ def oracle_sql() -> dict[str, str]:
         "g7_bfs": _bfs_oracle(hops=3),
         "g8_labelprop": _lpa_oracle(rounds=3),
         "g9_sssp": _sssp_oracle(rounds=4),
+        "g11_walks": _walks_oracle(length=4),
+        # unrolled 2-round integer HITS: a_r = sum_in(h_{r-1}), h_r = sum_out(a_r)
+        "g10_hits": """
+            WITH e AS MATERIALIZED (
+              SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS u,
+                              's:' || CAST(l_suppkey AS VARCHAR) AS v
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+            ),
+            h0 AS (SELECT node, CAST(1 AS BIGINT) AS h FROM nodes),
+            a1 AS (SELECT v AS node, CAST(sum(h) AS BIGINT) AS a
+                   FROM e JOIN h0 ON h0.node = e.u GROUP BY v),
+            h1 AS (SELECT u AS node, CAST(sum(a) AS BIGINT) AS h
+                   FROM e JOIN a1 ON a1.node = e.v GROUP BY u),
+            a2 AS (SELECT v AS node, CAST(sum(h) AS BIGINT) AS a
+                   FROM e JOIN h1 ON h1.node = e.u GROUP BY v),
+            h2 AS (SELECT u AS node, CAST(sum(a) AS BIGINT) AS h
+                   FROM e JOIN a2 ON a2.node = e.v GROUP BY u)
+            SELECT n.node, coalesce(h2.h, 0) AS hub, coalesce(a2.a, 0) AS auth
+            FROM nodes n LEFT JOIN h2 ON h2.node = n.node
+                         LEFT JOIN a2 ON a2.node = n.node
+        """,
         "sk_hll": f"""
             WITH hll AS (
               {_hll_oracle_sql(

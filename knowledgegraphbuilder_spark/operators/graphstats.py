@@ -355,3 +355,114 @@ def sssp_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def hits_scores(
+    edges: DataFrame,
+    rounds: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge list,
+    in EXACT INTEGER arithmetic: h_0 = 1 for every node, then per round
+    a_r(v) = sum of h_{r-1} over in-neighbors, h_r(u) = sum of a_r over
+    out-neighbors. The per-round L2 normalization of the textbook algorithm
+    is a positive scalar — it never changes the RANKING, so dropping it
+    keeps the scores integer, partition-order-invariant, and exactly
+    replayable by an unrolled SQL oracle (the same fixed-round contract as
+    label_propagation). Magnitudes grow by at most (max_deg * n) per round;
+    with the default 2 rounds and bigint scores that bounds graphs well past
+    1e6 edges — callers at larger scale shift to float and accept
+    rank-stable-but-unreplayable sums.
+
+    Each round is two equi-joins on a node key plus map-side-combinable
+    sums — no cross products, hub-node cost linear in degree. Output:
+    (node, hub, auth) for every node incident to an edge; a node with no
+    out-edges has hub 0, no in-edges auth 0.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("u"),
+            F.col(dst_col).cast("string").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    hub = nodes.withColumn("h", F.lit(1).cast("long"))
+    auth = None
+    for _ in range(rounds):
+        auth = (
+            e.join(hub.withColumnRenamed("node", "u"), "u")
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("h").alias("a"))
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"))
+            .agg(F.sum("a").alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("h", F.lit(0)).cast("long").alias("hub"),
+            F.coalesce("a", F.lit(0)).cast("long").alias("auth"),
+        )
+    )
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Walk-corpus generation (the input of DeepWalk/node2vec-style graph
+    embedding training), DERANDOMIZED: from every seed node, a walk of
+    ``length`` steps where step t moves from node c to the neighbor v
+    minimizing sha256(seed|t|c|v) — a hash-derived choice that is uniform
+    in distribution over neighbors, differs per (seed, step), and is exactly
+    replayable by an unrolled SQL oracle (the same sha256-derived-randomness
+    contract as the LSH hyperplanes in ann.py).
+
+    Scale shape: the frontier holds ONE row per active walk, so each step is
+    one equi-join of the frontier with the adjacency on the current-node key
+    plus a per-walk min(struct(hash, neighbor)) aggregate — map-side
+    combinable, hub cost linear in degree, millions of walks advance in the
+    same join. Walks at a dead-end node simply stop (no step-t row). Output:
+    (seed, step, node) — step 0 is the seed itself.
+    """
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).cast("string").alias("u"), F.col(src_col).cast("string").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("seed")
+    ).distinct().withColumn("node", F.col("seed")).withColumn("step", F.lit(0))
+    out = cur
+    for t in range(1, length + 1):
+        cur = (
+            sym.join(cur.select("seed", F.col("node").alias("u")), "u")
+            .withColumn(
+                "hkey",
+                F.sha2(F.concat_ws("|", "seed", F.lit(str(t)), "u", "v"), 256),
+            )
+            .groupBy("seed")
+            .agg(F.min(F.struct("hkey", "v")).alias("m"))
+            .select("seed", F.col("m.v").alias("node"), F.lit(t).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(cur)
+    return out.select("seed", F.col("step").cast("int").alias("step"), "node")

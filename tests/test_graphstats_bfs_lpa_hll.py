@@ -325,3 +325,62 @@ class TestSssp:
         )
         got = {r["node"]: r["dist"] for r in sssp_hops(e, _seeds(spark, ["a", "z"]), rounds=3).collect()}
         assert got["b"] == 1 and got["a"] == 0 and got["z"] == 0
+
+
+class TestHits:
+    def test_bipartite_star(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import hits_scores
+
+        # c1 -> {s1, s2}; c2 -> {s1}. Round 1: a(s1)=2, a(s2)=1;
+        # h(c1)=3, h(c2)=2. Round 2: a(s1)=h(c1)+h(c2)=5, a(s2)=h(c1)=3;
+        # h(c1)=a(s1)+a(s2)=8, h(c2)=a(s1)=5.
+        e = spark.createDataFrame(
+            [("c1", "s1"), ("c1", "s2"), ("c2", "s1")], "src string, dst string"
+        )
+        got = {r["node"]: (r["hub"], r["auth"]) for r in hits_scores(e, rounds=2).collect()}
+        assert got == {"c1": (8, 0), "c2": (5, 0), "s1": (0, 5), "s2": (0, 3)}
+
+    def test_rounds_zero_is_degree_free_identity(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import hits_scores
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        got = {r["node"]: (r["hub"], r["auth"]) for r in hits_scores(e, rounds=1).collect()}
+        # one round: a(b)=1, h(a)=1
+        assert got == {"a": (1, 0), "b": (0, 1)}
+
+
+class TestWalks:
+    def _edges(self, spark):
+        return spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")], "src string, dst string"
+        )
+
+    def test_walks_follow_edges_and_are_deterministic(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import deterministic_walks
+
+        e = self._edges(spark)
+        seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+        nbrs = {}
+        for r in e.collect():
+            nbrs.setdefault(r["src"], set()).add(r["dst"])
+            nbrs.setdefault(r["dst"], set()).add(r["src"])
+        w1 = deterministic_walks(e, seeds, length=3).collect()
+        w2 = deterministic_walks(e, seeds, length=3).collect()
+        assert sorted(map(tuple, w1)) == sorted(map(tuple, w2))
+        by_walk = {}
+        for r in w1:
+            by_walk.setdefault(r["seed"], {})[r["step"]] = r["node"]
+        for seed, steps in by_walk.items():
+            assert steps[0] == seed
+            assert sorted(steps) == list(range(4))  # no dead ends here
+            for t in range(1, 4):
+                assert steps[t] in nbrs[steps[t - 1]]
+
+    def test_dead_end_stops_walk(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import deterministic_walks
+
+        # isolated seed: only step 0 emitted
+        e = spark.createDataFrame([("x", "y")], "src string, dst string")
+        seeds = spark.createDataFrame([("z",)], "node string")
+        rows = deterministic_walks(e, seeds, length=2).collect()
+        assert [(r["seed"], r["step"], r["node"]) for r in rows] == [("z", 0, "z")]
