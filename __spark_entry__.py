@@ -645,6 +645,30 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join, binned equi-join path (no range cross-join):
+    per-user error intervals x purchase intervals, each interval
+    [epoch(ts), epoch(ts) + floor(value*120)]. The oracle replays the exact
+    overlap predicate with a plain range join (fine at oracle scale)."""
+    from knowledgegraphbuilder_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.col("event_id").cast("long").alias("interval_id"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("start"),
+        (F.floor(F.unix_timestamp("ts"))
+         + F.floor(F.col("value") * 120)).cast("long").alias("end"),
+    )
+    return interval_overlap_join(
+        e.filter(F.col("event_type") == "error"),
+        e.filter(F.col("event_type") == "purchase"),
+        bin_width=3600,
+    )
+
+
 def q_mm_frames(spark, sf_dir):
     """Frame sampling (1 media row -> N frame rows, the video UDTF shape):
     byte-exact frame payload replay via the deterministic fake fetch."""
@@ -1102,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "mm_align": q_mm_align,
         "asof_join": q_asof_join,
+        "interval_overlap": q_interval_overlap,
         "stream_sessions": q_stream_sessions,
         "stream_relations": q_stream_relations,
         "stream_dedup": q_stream_dedup,
@@ -3068,6 +3093,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # DuckDB's native ASOF JOIN replays the operator; the right side is
         # deduped per (user, ts) on both sides so tie winners are pinned
+        # plain range join replays the binned equi-join exactly (binning
+        # only prunes candidates; the overlap predicate is identical)
+        "interval_overlap": """
+            WITH iv AS (
+              SELECT user_id, event_type, CAST(event_id AS BIGINT) AS iid,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS s,
+                     CAST(floor(epoch(ts)) AS BIGINT)
+                       + CAST(floor(value * 120) AS BIGINT) AS e
+              FROM events
+            )
+            SELECT l.user_id, l.iid AS l_id, r.iid AS r_id,
+                   greatest(l.s, r.s) AS overlap_start,
+                   least(l.e, r.e) AS overlap_end
+            FROM iv l JOIN iv r
+              ON l.user_id = r.user_id AND l.s <= r.e AND r.s <= l.e
+            WHERE l.event_type = 'error' AND r.event_type = 'purchase'
+        """,
         "asof_join": """
             WITH r AS (
               SELECT user_id, ts, max(event_id) AS r_event_id,
