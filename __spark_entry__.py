@@ -259,6 +259,22 @@ def q_g5_triangles(spark, sf_dir):
     return triangle_clustering(edges)
 
 
+def q_g12_linkpred(spark, sf_dir):
+    """Link prediction on the weight>=2 co-purchase graph: top-100 missing
+    edges by exact-integer Resource Allocation (graphstats.link_prediction);
+    the max_hub_degree=10 wedge-center cap is contract-exercised (graph max
+    degree is 13 at sf0.01, so the cap actually prunes)."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges, link_prediction,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_group_size=50, min_weight=2
+    )
+    return link_prediction(edges, max_hub_degree=10, top_n=100)
+
+
 def q_dd_substring(spark, sf_dir):
     """Exact-substring duplication stats (windowed Lee-et-al-2022 dedup):
     documents + planted partial copies (every 40th doc's first 20 tokens under
@@ -1103,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_perplexity": q_ts_perplexity,
         "g4_cc": q_g4_cc,
         "g5_triangles": q_g5_triangles,
+        "g12_linkpred": q_g12_linkpred,
         "g6_kcore": q_g6_kcore,
         "g7_bfs": q_g7_bfs,
         "g8_labelprop": q_g8_labelprop,
@@ -2518,6 +2535,55 @@ def oracle_sql() -> dict[str, str]:
         "g8_labelprop": _lpa_oracle(rounds=3),
         "g9_sssp": _sssp_oracle(rounds=4),
         "g11_walks": _walks_oracle(length=4),
+        # integer-exact Resource Allocation: 10^12 // deg sums are
+        # order-independent BIGINTs, so the replay is bit-exact; // floors
+        # in DuckDB == div truncation in Spark on positive ints
+        "g12_linkpred": """
+            WITH gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            e AS (
+              SELECT a, b FROM (
+                SELECT x.item AS a, y.item AS b, count(*) AS w
+                FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+                GROUP BY 1, 2
+              ) WHERE w >= 2
+            ),
+            adj AS (SELECT a AS z, b AS n FROM e
+                    UNION ALL SELECT b, a FROM e),
+            deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+                    FROM adj GROUP BY z),
+            center AS (
+              SELECT adj.z, adj.n, 1000000000000 // deg AS ra1
+              FROM adj JOIN deg USING (z) WHERE deg <= 10
+            ),
+            w AS (
+              SELECT x.n AS src, y.n AS dst, x.ra1
+              FROM center x JOIN center y ON x.z = y.z AND x.n < y.n
+            ),
+            cand AS (
+              SELECT src, dst, CAST(count(*) AS BIGINT) AS cn,
+                     CAST(sum(ra1) AS BIGINT) AS ra_units
+              FROM w GROUP BY 1, 2
+            ),
+            nc AS (
+              SELECT cand.* FROM cand
+              LEFT JOIN e ON cand.src = e.a AND cand.dst = e.b
+              WHERE e.a IS NULL
+            )
+            SELECT src, dst, cn, ra_units,
+                   round(cn / (du.deg + dv.deg - cn), 6) AS jaccard
+            FROM nc JOIN deg du ON nc.src = du.z
+                    JOIN deg dv ON nc.dst = dv.z
+            ORDER BY ra_units DESC, src, dst LIMIT 100
+        """,
         # unrolled 2-round integer HITS: a_r = sum_in(h_{r-1}), h_r = sum_out(a_r)
         "g10_hits": """
             WITH e AS MATERIALIZED (

@@ -209,3 +209,51 @@ def test_kcore_fixed_point_idempotent(spark):
     r1 = sorted(k_core(df, k=3, max_rounds=1).collect())
     r9 = sorted(k_core(df, k=3, max_rounds=9).collect())
     assert r1 == r9 and len(r1) == 4 and all(r["core_degree"] == 3 for r in r1)
+
+
+from knowledgegraphbuilder_spark.operators.graphstats import link_prediction  # noqa: E402
+
+
+def _lp_edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_linkpred_square_predicts_diagonals(spark):
+    # 4-cycle a-b-c-d-a: the two missing diagonals (a,c) and (b,d) each
+    # share 2 common neighbors of degree 2 -> ra_units = 2 * (1e12 // 2)
+    got = {
+        (r.src, r.dst): (r.cn, r.ra_units, r.jaccard)
+        for r in link_prediction(
+            _lp_edges(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")])
+        ).collect()
+    }
+    assert got == {
+        ("a", "c"): (2, 1_000_000_000_000, 1.0),
+        ("b", "d"): (2, 1_000_000_000_000, 1.0),
+    }
+
+
+def test_linkpred_excludes_existing_edges(spark):
+    # triangle + pendant: every 2-hop pair is already an edge except (a, p)
+    out = link_prediction(
+        _lp_edges(spark, [("a", "b"), ("b", "c"), ("a", "c"), ("b", "p")])
+    ).collect()
+    assert {(r.src, r.dst) for r in out} == {("a", "p"), ("c", "p")}
+    row = {(r.src, r.dst): r for r in out}[("a", "p")]
+    # one common neighbor b of degree 3; jaccard = 1 / (2 + 1 - 1)
+    assert (row.cn, row.ra_units, row.jaccard) == (1, 1_000_000_000_000 // 3, 0.5)
+
+
+def test_linkpred_hub_cap_drops_wedge_centers(spark):
+    # star: hub h connects x0..x4 -> all candidate pairs go through h
+    star = [("h", f"x{i}") for i in range(5)]
+    assert link_prediction(_lp_edges(spark, star)).count() == 10
+    assert link_prediction(_lp_edges(spark, star), max_hub_degree=4).count() == 0
+
+
+def test_linkpred_top_n_is_deterministic_total_order(spark):
+    star = [("h", f"x{i}") for i in range(5)]
+    top = link_prediction(_lp_edges(spark, star), top_n=3).collect()
+    assert [(r.src, r.dst) for r in top] == [
+        ("x0", "x1"), ("x0", "x2"), ("x0", "x3")
+    ]
