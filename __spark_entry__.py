@@ -901,6 +901,42 @@ def q_stream_hll(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+def q_stream_cms(spark, sf_dir):
+    """STREAMING heavy hitters under the value-exact gate: the events stream
+    folds per micro-batch into per-batch Count-Min sketches keyed by batch
+    content (ingest.py:run_cms_available_now), then the whole input REPLAYS
+    against a fresh checkpoint — replace-by-batch-key MERGE makes the
+    non-idempotent CMS addition idempotent, so state is byte-identical.
+    Summing the per-batch sketches equals the batch sketch of the full
+    input (CMS add is associative/commutative), which is exactly what the
+    oracle computes."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.operators.sketches import cms_probe_topk
+    from knowledgegraphbuilder_spark.streaming.ingest import run_cms_available_now
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_cms_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = ev.agg(F.max("event_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (ev.filter((F.col("event_id") >= bounds[i]) & (F.col("event_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck")
+    run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck2")
+    total = (
+        spark.read.parquet(f"{base}/sk")
+        .groupBy("row", "col").agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    keys = ev.groupBy(
+        F.col("user_id").cast("string").alias("key")
+    ).agg(F.count("*").cast("long").alias("exact_cnt"))
+    return cms_probe_topk(total, keys, k=20, out_key="user_key")
+
+
 def q_ml_kmeans(spark, sf_dir):
     """Fixed-point Lloyd k-means over the embedding corpus
     (clustering.py:kmeans_quantized, k=8, 2 update rounds): entirely integer
@@ -1133,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_resolve": q_dd_resolve,
         "ml_kmeans": q_ml_kmeans,
         "stream_hll": q_stream_hll,
+        "stream_cms": q_stream_cms,
         "sk_bloom": q_sk_bloom,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
@@ -2660,6 +2697,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # batch HLL over the full events table == the streamed register-merge
         # (mergeability is the theorem under test)
+        # streamed per-batch CMS sketches sum to the batch sketch of the
+        # full input, so the batch oracle replays the streamed answer
+        "stream_cms": _cms_oracle_sql(
+            "SELECT CAST(user_id AS VARCHAR) AS v FROM events",
+            "v", k=20, out_key="user_key",
+        ),
         "stream_hll": f"""
             WITH hll AS (
               {_hll_oracle_sql(

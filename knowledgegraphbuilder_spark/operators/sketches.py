@@ -219,6 +219,20 @@ def cms_topk(
     keys = df.select(F.expr(value_expr).alias("key")).groupBy("key").agg(
         F.count("*").cast("long").alias("exact_cnt")
     )
+    return cms_probe_topk(sketch, keys, k=k, out_key=out_key)
+
+
+def cms_probe_topk(
+    sketch: DataFrame,
+    keys: DataFrame,
+    k: int = 20,
+    out_key: str = "key",
+) -> DataFrame:
+    """Probe a prebuilt (row, col, cnt) Count-Min sketch with a
+    (key, exact_cnt) table — the half of cms_topk that also serves merged
+    sketches (e.g. the summed per-batch state a streaming fold leaves
+    behind). est = min over the key's CMS_D cells; top-k by
+    (est desc, key asc)."""
     hk = _H60.format(x="concat(cast(i as string), ',', key)")
     probes = keys.select(
         "key",

@@ -242,3 +242,53 @@ def run_hll_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cms_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    value_expr: str = "cast(user_id as string)",
+    schema: str = "event_id long, user_id long, event_type string",
+) -> None:
+    """Streaming heavy-hitter sketching: each micro-batch reduces to its own
+    Count-Min sketch (operators/sketches.py:cms_sketch) and lands in the
+    state table under a CONTENT-derived batch key (the batch's min
+    event_id), via replace-by-key MERGE (sources/sinks.py:merge_upsert).
+
+    CMS addition is associative/commutative but NOT idempotent — naively
+    adding a replayed batch into one global sketch double-counts. Keying the
+    state by batch content instead makes the fold idempotent: a replay (or a
+    fresh checkpoint over the same files, in any arrival order) overwrites
+    each batch's rows with identical values, so the state — and therefore
+    the summed total sketch — is byte-identical, and equals the batch
+    sketch of the full input. State size: <= CMS_D * CMS_W rows per batch,
+    independent of batch row count; a compaction pass may fold closed
+    batches into one row-group whenever replay of those batches is no
+    longer possible."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import cms_sketch
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        lo = batch_df.agg(F.min("event_id")).first()[0]
+        if lo is None:
+            return
+        sk = cms_sketch(batch_df, value_expr).select(
+            F.lit(int(lo)).alias("bkey"), "row", "col", "cnt"
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, sk, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -384,3 +384,38 @@ class TestWalks:
         seeds = spark.createDataFrame([("z",)], "node string")
         rows = deterministic_walks(e, seeds, length=2).collect()
         assert [(r["seed"], r["step"], r["node"]) for r in rows] == [("z", 0, "z")]
+
+
+class TestStreamingCms:
+    def test_summed_batch_sketches_equal_batch_and_replay_is_noop(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import cms_sketch
+        from knowledgegraphbuilder_spark.streaming.ingest import run_cms_available_now
+
+        ev = spark.range(3000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 97).alias("user_id"),
+            F.lit("t").alias("event_type"),
+        )
+        base = str(tmp_path)
+        # contiguous event_id ranges -> distinct content-derived batch keys
+        for i in range(3):
+            (ev.filter((F.col("event_id") >= i * 1000)
+                       & (F.col("event_id") < (i + 1) * 1000))
+             .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+        run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck")
+        state = sorted(map(tuple, spark.read.parquet(f"{base}/sk").collect()))
+        # one sketch per batch, keyed by the batch's min event_id
+        assert {r[0] for r in state} == {0, 1000, 2000}
+        total = sorted(map(tuple, (
+            spark.read.parquet(f"{base}/sk")
+            .groupBy("row", "col").agg(F.sum("cnt").cast("long").alias("cnt"))
+            .collect()
+        )))
+        batch = sorted(map(tuple, cms_sketch(
+            ev, "cast(user_id as string)").collect()))
+        assert total == batch  # additivity: batch boundaries invisible
+        # replay against a fresh checkpoint: replace-by-batch-key is a no-op
+        run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck2")
+        again = sorted(map(tuple, spark.read.parquet(f"{base}/sk").collect()))
+        assert again == state
