@@ -397,6 +397,16 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ops.ann_ivf(embs, list(q), k=10, centroid_stride=50, nprobe=4)
 
 
+def q_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (ann.py:ann_pq): 8 subspaces, sha256-stride
+    codebooks, ADC shortlist of 50 via fixed-order pivot sums, exact cosine
+    rescore — the whole pruning path replays value-exactly in SQL."""
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ops.ann_pq(embs, list(q), k=10, m=8, centroid_stride=50,
+                          shortlist=50)
+
+
 def q_ann_ivf_batch(spark, sf_dir):
     """Batched IVF probe: one corpus coarse-quantization serves every query;
     per-query nprobe cells rescored exactly (see ann.py:ann_ivf_batch)."""
@@ -1143,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_pq": q_ann_pq,
         "ann_batch": q_ann_batch,
         "ann_lsh_batch": q_ann_lsh_batch,
         "ann_ivf_batch": q_ann_ivf_batch,
@@ -2287,6 +2298,73 @@ def oracle_sql() -> dict[str, str]:
               LIMIT 4
             ),
             cand AS (SELECT a.id FROM assigned a JOIN probe USING (cid))
+            SELECT v.id,
+                   round(list_dot_product(v.e, q.qv)
+                         / (sqrt(list_dot_product(v.e, v.e))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 4) AS score
+            FROM v JOIN cand USING (id), q
+            ORDER BY score DESC, id LIMIT 10
+        """,
+        # PQ replay: sha256-stride codebooks, per-subspace argmin codes,
+        # ADC = pd0..pd7 added in index order (matches the Spark pivot —
+        # never a float SUM over shuffled rows), exact cosine rescore
+        "ann_pq": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            cents AS (
+              SELECT id AS cid, e AS ce FROM v
+              WHERE ('0x' || substr(sha256(id), 1, 8))::BIGINT % 50 = 0
+            ),
+            cb AS (
+              SELECT j, cid,
+                     [ce[j * 8 + i] FOR i IN generate_series(1, 8)] AS cw
+              FROM cents CROSS JOIN generate_series(0, 7) t(j)
+            ),
+            vm AS (
+              SELECT id, j,
+                     [e[j * 8 + i] FOR i IN generate_series(1, 8)] AS vs
+              FROM v CROSS JOIN generate_series(0, 7) t(j)
+            ),
+            d AS (
+              SELECT vm.id, vm.j, cb.cid,
+                     list_sum([(vm.vs[i] - cb.cw[i]) * (vm.vs[i] - cb.cw[i])
+                               FOR i IN generate_series(1, 8)]) AS d2
+              FROM vm JOIN cb USING (j)
+            ),
+            codes AS (
+              SELECT id, j, cid FROM (
+                SELECT id, j, cid,
+                       row_number() OVER (PARTITION BY id, j
+                                          ORDER BY d2, cid) AS rn
+                FROM d) WHERE rn = 1
+            ),
+            q AS (SELECT e AS qv FROM v WHERE id = '0'),
+            qpd AS (
+              SELECT j, cid,
+                     list_sum([cw[i] * qv[j * 8 + i]
+                               FOR i IN generate_series(1, 8)]) AS pd
+              FROM cb, q
+            ),
+            adc AS (
+              SELECT id,
+                     max(CASE WHEN j = 0 THEN pd END) AS pd0,
+                     max(CASE WHEN j = 1 THEN pd END) AS pd1,
+                     max(CASE WHEN j = 2 THEN pd END) AS pd2,
+                     max(CASE WHEN j = 3 THEN pd END) AS pd3,
+                     max(CASE WHEN j = 4 THEN pd END) AS pd4,
+                     max(CASE WHEN j = 5 THEN pd END) AS pd5,
+                     max(CASE WHEN j = 6 THEN pd END) AS pd6,
+                     max(CASE WHEN j = 7 THEN pd END) AS pd7
+              FROM codes JOIN qpd USING (j, cid) GROUP BY id
+            ),
+            cand AS (
+              SELECT id FROM adc
+              ORDER BY pd0 + pd1 + pd2 + pd3 + pd4 + pd5 + pd6 + pd7 DESC, id
+              LIMIT 50
+            )
             SELECT v.id,
                    round(list_dot_product(v.e, q.qv)
                          / (sqrt(list_dot_product(v.e, v.e))

@@ -336,3 +336,102 @@ def ann_ivf_batch(
         .filter(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def ann_pq(
+    embs: DataFrame, query: list[float], k: int = 10,
+    m: int = 8, centroid_stride: int = 50, shortlist: int = 50,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): split each vector into
+    ``m`` subvectors, quantize every subvector to a per-subspace codebook,
+    rank by the ADC (asymmetric-distance) score — the sum over subspaces of
+    dot(query_subvector, chosen codeword) — then exact-rescore the top
+    ``shortlist`` candidates. Output schema == topk_bruteforce.
+
+    Why this is the 100 TB memory path: the scan that ranks 10^12 vectors
+    touches m 1-byte codes per vector instead of 64 floats (32x smaller),
+    and the score is m lookups into a broadcast (m x |codebook|) table of
+    precomputed query partial dots — no float vector ever shuffles.
+
+    Oracle-replayability, same recipe as ann_ivf: codebooks are the
+    sha256-stride-picked vectors' own subvectors (deterministic, no trained
+    k-means), assignment argmin ties break on codeword id, and the ADC sum
+    is pivoted to fixed columns pd0..pd{m-1} added in index order — never a
+    float SUM over shuffled rows, whose low bits would depend on partition
+    order. Falls back to exact brute force when the stride picks no
+    codewords (corpus < ~centroid_stride)."""
+    v = _as_double(embs, vec_col, id_col)
+    pick = (
+        f"cast(conv(substring(sha2(id, 256), 1, 8), 16, 10) as bigint) "
+        f"% {centroid_stride} = 0"
+    )
+    cents = v.filter(F.expr(pick)).select(
+        F.col("id").alias("cid"), F.col("v").alias("ce")
+    )
+    if not cents.take(1):
+        return topk_bruteforce(embs, query, k=k, id_col=id_col, vec_col=vec_col)
+    dims = len(query)
+    if dims % m:
+        raise ValueError(f"query dim {dims} not divisible by m={m}")
+    ds = dims // m
+
+    # codebook: (j, cid, cw) — subspace j's codewords
+    cb = cents.select(
+        "cid",
+        F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), j -> named_struct("
+            f"'j', j, 'cw', slice(ce, j * {ds} + 1, {ds})))"
+        )).alias("s"),
+    ).select(F.col("s.j").alias("j"), "cid", F.col("s.cw").alias("cw"))
+
+    # encode: per (id, j) argmin L2 over the subspace's codewords
+    vm = v.select(
+        "id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {m - 1}), j -> named_struct("
+            f"'j', j, 'vs', slice(v, j * {ds} + 1, {ds})))"
+        )).alias("s"),
+    ).select("id", F.col("s.j").alias("j"), F.col("s.vs").alias("vs"))
+    d2 = ("aggregate(zip_with(vs, cw, (x, y) -> (x - y) * (x - y)), "
+          "0.0d, (a, x) -> a + x)")
+    codes = (
+        vm.join(F.broadcast(cb), "j")
+        .withColumn("d2", F.expr(d2))
+        .groupBy("id", "j")
+        .agg(F.min_by("cid", F.struct("d2", "cid")).alias("cid"))
+    )
+
+    # ADC table: query partial dot per (j, codeword) — |cb| rows, broadcast
+    qlit = "array(" + ", ".join(f"{float(x)!r}d" for x in query) + ")"
+    qpd = cb.select(
+        "j", "cid",
+        F.expr(
+            f"aggregate(zip_with(cw, slice({qlit}, j * {ds} + 1, {ds}), "
+            f"(x, y) -> x * y), 0.0d, (a, x) -> a + x)"
+        ).alias("pd"),
+    )
+    pivots = [
+        F.max(F.when(F.col("j") == i, F.col("pd"))).alias(f"pd{i}")
+        for i in range(m)
+    ]
+    adc_sum = F.col("pd0")
+    for i in range(1, m):
+        adc_sum = adc_sum + F.col(f"pd{i}")
+    cand = (
+        codes.join(F.broadcast(qpd), ["j", "cid"])
+        .groupBy("id")
+        .agg(*pivots)
+        .withColumn("adc", adc_sum)
+        .orderBy(F.desc("adc"), F.col("id"))
+        .limit(int(shortlist))
+        .select("id")
+    )
+    return (
+        cosine_scores(
+            v.join(cand, "id").withColumnRenamed("v", "embedding"),
+            query, "id", "embedding",
+        )
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )

@@ -285,3 +285,37 @@ def test_bm25_matches_python_reference(spark, corpus_df_flat):
     got = [(r["doc_id"], r["score"]) for r in bm25_topk(
         corpus_df_flat, terms, k=10).collect()]
     assert got == top
+
+
+def test_ann_pq(spark, sf_dir):
+    """PQ ADC shortlist: query ranks itself first (its own codes maximize
+    its ADC), returned scores equal the exact cosine, deterministic."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    got = ann_ops.ann_pq(embs, q, 10, m=8, centroid_stride=50, shortlist=50).collect()
+    assert got and got[0]["id"] == "3" and got[0]["score"] == 1.0
+    exact = {r["id"]: r["score"] for r in ann_ops.cosine_scores(embs, q).collect()}
+    for r in got:
+        assert r["score"] == exact[r["id"]]
+    assert got == ann_ops.ann_pq(
+        embs, q, 10, m=8, centroid_stride=50, shortlist=50
+    ).collect()
+
+
+def test_ann_pq_full_shortlist_equals_bruteforce(spark, sf_dir):
+    """With shortlist >= corpus size, PQ only reorders the candidate scan —
+    the exact rescore must reproduce brute force identically."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    pq = ann_ops.ann_pq(embs, q, 10, m=8, centroid_stride=50, shortlist=10_000)
+    assert pq.collect() == ann_ops.topk_bruteforce(embs, q, 10).collect()
+
+
+def test_ann_pq_empty_codebook_falls_back_exact(spark, sf_dir):
+    """Corpus smaller than the stride pick -> brute-force answer, not []."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id").isin(3, 5, 7)  # none sha256-picked at stride 10^9
+    )
+    q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
+    got = ann_ops.ann_pq(embs, q, 10, centroid_stride=1_000_000_000)
+    assert got.collect() == ann_ops.topk_bruteforce(embs, q, 10).collect()
