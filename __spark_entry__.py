@@ -1173,6 +1173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_sssp": q_g9_sssp,
         "g10_hits": q_g10_hits,
         "g11_walks": q_g11_walks,
+        "g13_walkpairs": q_g13_walkpairs,
+        "kg_negsample": q_kg_negsample,
         "sk_hll": q_sk_hll,
         "sk_cms": q_sk_cms,
         "retrieval_hybrid": q_retrieval_hybrid,
@@ -1374,6 +1376,103 @@ def _lpa_oracle(rounds: int) -> str:
             WITH {_COPURCHASE_CTES},
             {', '.join(ctes)}
             SELECT node, lbl AS community FROM l{rounds}
+        """
+
+
+def q_g13_walkpairs(spark, sf_dir):
+    """Skip-gram (center, context, cnt) pairs from the derandomized walk
+    corpus (graphstats.py:skipgram_pairs, window=2) — the DeepWalk ->
+    word2vec training-data step; oracle = unrolled walk replay + banded
+    step self-join."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        deterministic_walks, skipgram_pairs,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(5)
+    walks = deterministic_walks(edges, seeds, length=4)
+    return skipgram_pairs(walks, window=2)
+
+
+def q_kg_negsample(spark, sf_dir):
+    """Deterministic filtered negative sampling over the weight>=2
+    co-purchase graph (graphstats.py:negative_sample_edges, k=2 tail
+    corruptions per edge): sha256-ranked vocabulary pick, true edges (both
+    orientations) and self-corruptions dropped."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges, negative_sample_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(
+        li, "l_orderkey", "l_partkey", max_group_size=50, min_weight=2
+    )
+    return negative_sample_edges(edges, k=2)
+
+
+def _skipgram_oracle(length: int, window: int, n_seeds: int = 5) -> str:
+    """Skip-gram pair replay: the _walks_oracle unrolled walk corpus, then
+    the banded |step-step| <= window self-join and the (center, context)
+    count aggregate."""
+    walks = _walks_oracle(length, n_seeds)
+    return f"""
+            WITH walks AS MATERIALIZED ({walks})
+            SELECT c.node AS center, x.node AS context,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM walks c JOIN walks x
+              ON c.seed = x.seed AND x.step <> c.step
+             AND abs(x.step - c.step) <= {int(window)}
+            GROUP BY 1, 2
+        """
+
+
+def _negsample_oracle(k: int) -> str:
+    """Filtered tail-corruption replay: sha256-ranked vocabulary pick over
+    the weight>=2 co-purchase graph, self/true-pair (both orientations)
+    candidates dropped — byte-for-byte the negative_sample_edges plan."""
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            e2 AS (
+              SELECT a, b FROM (
+                SELECT x.item AS a, y.item AS b, count(*) AS w
+                FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+                GROUP BY 1, 2
+              ) WHERE w >= 2
+            ),
+            nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2)
+            ),
+            vocab AS (
+              SELECT node, row_number() OVER (ORDER BY node) - 1 AS rank
+              FROM nodes
+            ),
+            cand AS (
+              SELECT e2.a AS src, e2.b AS dst, t.i,
+                     ('0x' || substr(sha256(e2.a || '|' || e2.b || '|'
+                       || CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                       % (SELECT count(*) FROM nodes) AS rank
+              FROM e2 CROSS JOIN generate_series(0, {int(k) - 1}) t(i)
+            ),
+            picked AS (
+              SELECT c.src, v.node AS dst_neg, c.i
+              FROM cand c JOIN vocab v USING (rank)
+              WHERE v.node <> c.src
+            ),
+            true_pairs AS (
+              SELECT a AS src, b AS dst_neg FROM e2
+              UNION SELECT b, a FROM e2
+            )
+            SELECT p.src, p.dst_neg, CAST(p.i AS INTEGER) AS sample_idx
+            FROM picked p
+            LEFT JOIN true_pairs tp
+              ON p.src = tp.src AND p.dst_neg = tp.dst_neg
+            WHERE tp.src IS NULL
         """
 
 
@@ -2650,6 +2749,8 @@ def oracle_sql() -> dict[str, str]:
         "g8_labelprop": _lpa_oracle(rounds=3),
         "g9_sssp": _sssp_oracle(rounds=4),
         "g11_walks": _walks_oracle(length=4),
+        "g13_walkpairs": _skipgram_oracle(length=4, window=2),
+        "kg_negsample": _negsample_oracle(k=2),
         # integer-exact Resource Allocation: 10^12 // deg sums are
         # order-independent BIGINTs, so the replay is bit-exact; // floors
         # in DuckDB == div truncation in Spark on positive ints

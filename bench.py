@@ -209,13 +209,14 @@ def main() -> None:
         "kg_triples", "kg_a1_nodes", "kg_u2_mentions",
         "g3_pagerank", "retrieval_topk", "retrieval_batch",
         "dd_minhash_lsh", "dd_ngram_jaccard", "dd_simhash", "dd_embed_cosine_lsh",
-        "ann_topk", "ann_lsh", "ann_ivf", "ann_lsh_batch", "ann_ivf_batch",
+        "ann_topk", "ann_lsh", "ann_ivf", "ann_pq", "ann_lsh_batch", "ann_ivf_batch",
         "bm25", "link_edges", "ts_quality", "ts_fingerprint",
         "dd_substring", "dd_contamination", "ts_pii",
         "ts_repetition", "ts_qualityfilter", "dd_mixture", "ts_packing",
         "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop", "g9_sssp",
         "sk_hll", "sk_cms", "ts_tfidf", "ts_pmi", "ts_split",
         "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
+        "g12_linkpred", "interval_overlap",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

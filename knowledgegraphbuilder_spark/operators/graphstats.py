@@ -548,3 +548,98 @@ def link_prediction(
         .orderBy(F.desc("ra_units"), "src", "dst")
         .limit(int(top_n))
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "seed",
+    step_col: str = "step",
+    node_col: str = "node",
+) -> DataFrame:
+    """Skip-gram training pairs from a walk corpus (the DeepWalk/node2vec ->
+    word2vec data step): for every walk position, emit (center, context) for
+    each context within ``window`` steps, aggregated to
+    (center, context, cnt) — the compact form a 100 TB embedding-training
+    pipeline feeds to its trainer (raw pair streams re-expand trivially).
+
+    Shape: ONE self-equi-join on the walk id with a banded step predicate —
+    each walk row meets only its own walk's rows, so output is
+    |walks| * 2*window rows, linear in corpus size; the groupBy is
+    map-side-combinable on (center, context). No window functions, no
+    per-walk collect."""
+    w = walks.select(
+        F.col(walk_col).alias("wid"),
+        F.col(step_col).cast("int").alias("i"),
+        F.col(node_col).alias("n"),
+    )
+    pairs = (
+        w.alias("c")
+        .join(w.alias("x"), "wid")
+        .filter(
+            (F.col("x.i") != F.col("c.i"))
+            & (F.abs(F.col("x.i") - F.col("c.i")) <= F.lit(int(window)))
+        )
+        .select(F.col("c.n").alias("center"), F.col("x.n").alias("context"))
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+
+
+def negative_sample_edges(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic filtered negative sampling for embedding training
+    (TransE-style tail corruption): for every edge (src, dst) and sample
+    index i in 0..k-1, replace dst with the vocabulary entry at rank
+    sha256(src|dst|i) % |V|, then anti-join the real edge set (the
+    "filtered" setting — a corrupted pair that happens to be a true edge is
+    dropped, not relabeled). Output: (src, dst_neg, sample_idx).
+
+    The node dictionary is a row_number over the sorted distinct-node table
+    — vocabulary-sized, not corpus-sized, the same dictionary every
+    embedding trainer builds anyway; its count rides along as a column so no
+    driver-side collect gates the plan. The hash pick makes the sample
+    reproducible run-to-run AND replayable in the SQL oracle, unlike
+    rand()-based sampling."""
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    vocab = nodes.select(
+        "node",
+        (F.row_number().over(Window.orderBy("node")) - 1).alias("rank"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    h = ("cast(conv(substring(sha2(concat(src, '|', dst, '|', "
+         "cast(i as string)), 256), 1, 15), 16, 10) as bigint)")
+    cand = (
+        e.select(
+            "src", "dst",
+            F.explode(F.expr(f"sequence(0, {int(k) - 1})")).alias("i"),
+        )
+        .crossJoin(F.broadcast(vocab.select(F.max("n").alias("n"))))
+        .withColumn("rank", F.expr(f"{h} % n"))
+        .join(F.broadcast(vocab.select("rank", F.col("node").alias("dst_neg"))),
+              "rank")
+    )
+    true_pairs = (
+        e.select("src", F.col("dst").alias("dst_neg"))
+        .unionAll(e.select(F.col("dst").alias("src"),
+                           F.col("src").alias("dst_neg")))
+        .distinct()
+    )
+    return (
+        cand.filter(F.col("dst_neg") != F.col("src"))
+        .join(true_pairs, ["src", "dst_neg"], "left_anti")
+        .select("src", "dst_neg", F.col("i").cast("int").alias("sample_idx"))
+    )

@@ -257,3 +257,49 @@ def test_linkpred_top_n_is_deterministic_total_order(spark):
     assert [(r.src, r.dst) for r in top] == [
         ("x0", "x1"), ("x0", "x2"), ("x0", "x3")
     ]
+
+
+def test_skipgram_pairs_window_semantics(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w1", 0, "a"), ("w1", 1, "b"), ("w1", 2, "c"), ("w1", 3, "a"),
+         ("w2", 0, "x"), ("w2", 1, "y")],
+        "seed string, step int, node string",
+    )
+    got = {(r.center, r.context): r.cnt
+           for r in skipgram_pairs(walks, window=1).collect()}
+    # adjacent pairs only, both directions; walk w1 = a b c a
+    assert got == {
+        ("a", "b"): 1, ("b", "a"): 1,
+        ("b", "c"): 1, ("c", "b"): 1,
+        ("c", "a"): 1, ("a", "c"): 1,
+        ("x", "y"): 1, ("y", "x"): 1,
+    }
+    # window=3 sees across the whole 4-walk; walks never mix
+    wide = {(r.center, r.context): r.cnt
+            for r in skipgram_pairs(walks, window=3).collect()}
+    assert wide[("a", "a")] == 2  # a@0 x a@3, both directions
+    assert ("a", "x") not in wide and ("x", "a") not in wide
+
+
+def test_negative_samples_are_filtered_and_deterministic(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        negative_sample_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d")],
+        "src string, dst string",
+    )
+    out = negative_sample_edges(edges, k=3).collect()
+    truth = {("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("b", "d")}
+    for r in out:
+        assert r.dst_neg != r.src
+        assert (r.src, r.dst_neg) not in truth
+        assert (r.dst_neg, r.src) not in truth
+        assert 0 <= r.sample_idx < 3
+    assert len(out) <= 5 * 3
+    assert sorted(map(tuple, out)) == sorted(
+        map(tuple, negative_sample_edges(edges, k=3).collect())
+    )
