@@ -350,6 +350,72 @@ def main() -> None:
                     bloom_build(docs.limit(50), "text"), "text"),
     )
 
+    from knowledgegraphbuilder_spark.operators.ann import ann_pq
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        link_prediction,
+        negative_sample_edges,
+    )
+    from knowledgegraphbuilder_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    ev = spark.read.parquet(os.path.join(args.sf, "events.parquet"))
+    iv = ev.select(
+        "user_id", "event_type",
+        F.col("event_id").cast("long").alias("interval_id"),
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("start"),
+        (F.floor(F.unix_timestamp("ts"))
+         + F.floor(F.col("value") * 120)).cast("long").alias("end"),
+    )
+    add(
+        "Binned interval-overlap join",
+        "The range predicate never reaches the join: both sides explode to "
+        "fixed-width bins and meet in a plain (key, bin) SortMergeJoin/"
+        "ShuffledHashJoin that AQE can skew-split — no CartesianProduct or "
+        "BroadcastNestedLoopJoin anywhere (pinned by tests/"
+        "test_intervals.py). The overlap test re-applies exactly on "
+        "candidates and each pair is emitted once by bin arithmetic, not by "
+        "a distinct() shuffle.",
+        interval_overlap_join(
+            iv.filter(F.col("event_type") == "error"),
+            iv.filter(F.col("event_type") == "purchase"),
+            bin_width=3600,
+        ),
+    )
+    lp_edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                                  max_group_size=50, min_weight=2)
+    add(
+        "Link prediction (wedge join, integer-exact Resource Allocation)",
+        "Wedge enumeration is one equi-self-join of the adjacency list on "
+        "the center node, with the max_hub_degree filter applied BEFORE the "
+        "join so no hub squares; RA mass is an exact BIGINT sum "
+        "(repartition-stable — float sums over shuffled wedges are not); "
+        "the candidate anti-join and the global top-k "
+        "(TakeOrderedAndProject) close the plan.",
+        link_prediction(lp_edges, max_hub_degree=10, top_n=100),
+    )
+    add(
+        "Deterministic filtered negative sampling",
+        "The vocabulary (distinct nodes + rank) broadcasts twice — once for "
+        "|V| and once for the rank->node pick — so the edge stream is "
+        "scanned once, exploded k-fold, hash-ranked, and anti-joined against "
+        "true pairs; the only wide exchange is the anti-join on (src, "
+        "dst_neg). The one global window builds the vocabulary dictionary — "
+        "vocabulary-sized, the table every embedding trainer materializes "
+        "anyway.",
+        negative_sample_edges(lp_edges, k=2),
+    )
+    add(
+        "Product-quantization ANN (ADC shortlist + exact rescore)",
+        "Codebooks and the query's partial-dot (ADC) table both ride "
+        "BroadcastExchanges; the corpus is scanned once, exploded to m "
+        "subvector rows, argmin-coded (min_by aggregate), and scored by m "
+        "broadcast lookups summed in fixed column order — never a float SUM "
+        "over shuffled rows. The shortlist is TakeOrderedAndProject; only "
+        "shortlist rows are cosine-rescored.",
+        ann_pq(embs, qv2, k=10, m=8, centroid_stride=50, shortlist=50),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
