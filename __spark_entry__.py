@@ -911,6 +911,19 @@ def q_stream_hll(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+def q_sk_quantile(spark, sf_dir):
+    """HDR-histogram quantile sketch over lineitem prices in integer cents
+    (sketches.py:hdr_quantiles): bit_length/shift bucketing keeps every
+    boundary integer-exact cross-engine (a DDSketch ln() boundary can flip
+    by one ulp between libms), relative error <= 2^-4. The oracle replays
+    the sketch, the cumulative walk, and the rank pick; quantile literals
+    are forced to DOUBLE on both sides so ceil(q*n) rounds identically."""
+    from knowledgegraphbuilder_spark.operators.sketches import hdr_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return hdr_quantiles(li, "cast(floor(l_extendedprice * 100) as bigint)")
+
+
 def q_stream_cms(spark, sf_dir):
     """STREAMING heavy hitters under the value-exact gate: the events stream
     folds per micro-batch into per-batch Count-Min sketches keyed by batch
@@ -1183,6 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kmeans": q_ml_kmeans,
         "stream_hll": q_stream_hll,
         "stream_cms": q_stream_cms,
+        "sk_quantile": q_sk_quantile,
         "sk_bloom": q_sk_bloom,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
@@ -2876,6 +2890,39 @@ def oracle_sql() -> dict[str, str]:
         """,
         # batch HLL over the full events table == the streamed register-merge
         # (mergeability is the theorem under test)
+        # HDR sketch replay: identical integer buckets, cumulative walk and
+        # rank pick; q literals cast to DOUBLE so ceil(q*n) matches Spark
+        "sk_quantile": """
+            WITH v AS (
+              SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS x
+              FROM lineitem
+            ),
+            sk AS (
+              SELECT CAST(length(bin(x)) AS INTEGER) AS b,
+                     x >> CAST(greatest(length(bin(x)) - 5, 0) AS INTEGER)
+                       AS hi,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM v GROUP BY 1, 2
+            ),
+            cum AS (
+              SELECT b, hi, cnt,
+                     sum(cnt) OVER (ORDER BY b, hi
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sk
+            ),
+            tot AS (SELECT sum(cnt) AS n FROM sk),
+            qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q0),
+            pick AS (
+              SELECT CAST(q0 AS DOUBLE) AS q, b, hi,
+                     row_number() OVER (PARTITION BY q0 ORDER BY b, hi) AS rn
+              FROM qs, cum, tot
+              WHERE cum >= ceil(CAST(q0 AS DOUBLE) * n)
+            )
+            SELECT q,
+                   CAST(hi << CAST(greatest(b - 5, 0) AS INTEGER) AS BIGINT)
+                     AS est
+            FROM pick WHERE rn = 1
+        """,
         # streamed per-batch CMS sketches sum to the batch sketch of the
         # full input, so the batch oracle replays the streamed answer
         "stream_cms": _cms_oracle_sql(

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # 60-bit sha256-derived hash (15 hex chars): bit-identical in DuckDB as
 # ('0x' || substr(sha256(x), 1, 15))::BIGINT
@@ -351,4 +352,72 @@ def bloom_probe(df: DataFrame, bloom: DataFrame, value_expr: str,
         )
         .groupBy("id")
         .agg(F.sum("hit").cast("int").alias("hits"))
+    )
+
+
+HDR_SUB_BITS = 4             # sub-bucket resolution: relative error <= 2^-4
+
+
+def hdr_histogram(df: DataFrame, value_expr: str) -> DataFrame:
+    """HdrHistogram-style log2 quantile sketch of a POSITIVE INTEGER value:
+    bucket = (bit_length(v), top (1+HDR_SUB_BITS) bits of v). At most
+    ~64 * 2^HDR_SUB_BITS rows regardless of input size, built by one
+    map-side-combinable groupBy; counts are additive, so sketches merge by
+    summing (the same mergeability contract as hll_registers/cms_sketch).
+
+    Integer bucketing on purpose: DDSketch's floor(ln(x)/ln(gamma)) puts a
+    transcendental on the bucket boundary, where Spark's and DuckDB's libm
+    may disagree by one ulp and flip a bucket; bit_length + shiftright is
+    exact in both engines (length(bin(x)) == bit length, per the sk_bloom
+    conventions), so the sketch — not just its answers — replays in SQL.
+    Output: (b, hi, cnt) with b = bit_length(v), hi = v >> max(b-1-
+    HDR_SUB_BITS, 0)."""
+    b = f"length(bin({value_expr}))"
+    shift = f"greatest({b} - {1 + HDR_SUB_BITS}, 0)"
+    return (
+        df.select(
+            F.expr(f"cast({b} as int)").alias("b"),
+            F.expr(
+                f"shiftright(cast({value_expr} as bigint), "
+                f"cast({shift} as int))"
+            ).alias("hi"),
+        )
+        .groupBy("b", "hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame, value_expr: str, qs: list[float] | None = None
+) -> DataFrame:
+    """Approximate quantiles from the HDR sketch: for each q, the LOWER
+    BOUND of the first bucket whose cumulative count reaches ceil(q * n) —
+    within a factor 2^-HDR_SUB_BITS of the exact rank value, by bucket
+    construction. Output: (q, est) with est in the input's integer units.
+
+    The cumulative walk is a window over the SKETCH (<= ~1k rows, one
+    partition by design — same fixed-state argument as the CMS probe), not
+    over the data: the corpus contributes only the groupBy."""
+    qs = qs or [0.25, 0.5, 0.75, 0.9, 0.99]
+    sk = hdr_histogram(df, value_expr)
+    cum = sk.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.orderBy("b", "hi")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).crossJoin(F.broadcast(sk.groupBy().agg(F.sum("cnt").alias("n"))))
+    qdf = None
+    for q in qs:
+        row = F.lit(float(q)).alias("q")
+        qdf = (cum.sparkSession.range(1).select(row) if qdf is None
+               else qdf.unionByName(cum.sparkSession.range(1).select(row)))
+    lo = (f"shiftleft(hi, cast(greatest(b - {1 + HDR_SUB_BITS}, 0) "
+          f"as int))")
+    return (
+        qdf.crossJoin(cum)
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min_by(F.expr(lo), F.struct("b", "hi")).alias("est"))
+        .select("q", F.col("est").cast("long").alias("est"))
     )

@@ -419,3 +419,42 @@ class TestStreamingCms:
         run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck2")
         again = sorted(map(tuple, spark.read.parquet(f"{base}/sk").collect()))
         assert again == state
+
+
+class TestHdrQuantiles:
+    def test_error_bound_and_monotonic(self, spark):
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import (
+            HDR_SUB_BITS, hdr_quantiles,
+        )
+
+        # skewed positive integers: v = (i % 97 + 1)^2 * (1 + i % 7)
+        df = spark.range(20_000).select(
+            (((F.col("id") % 97 + 1) * (F.col("id") % 97 + 1))
+             * (F.lit(1) + F.col("id") % 7)).alias("x")
+        )
+        got = {r.q: r.est for r in hdr_quantiles(df, "x").collect()}
+        exact = df.selectExpr(
+            *[f"percentile_disc({q}) WITHIN GROUP (ORDER BY x) AS p{i}"
+              for i, q in enumerate([0.25, 0.5, 0.75, 0.9, 0.99])]
+        ).collect()[0]
+        rel = 2.0 ** -HDR_SUB_BITS
+        ests = [got[q] for q in sorted(got)]
+        assert ests == sorted(ests)  # quantiles are monotone
+        for i, q in enumerate([0.25, 0.5, 0.75, 0.9, 0.99]):
+            # est is the bucket lower bound: est <= exact < est*(1+2*rel)
+            assert got[q] <= exact[i] < got[q] * (1 + 2 * rel) + 1
+
+    def test_sketch_merges_by_summing(self, spark):
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import hdr_histogram
+
+        df = spark.range(5_000).select((F.col("id") * 37 % 9973 + 1).alias("x"))
+        a = hdr_histogram(df.filter(F.col("x") % 2 == 0), "x")
+        b = hdr_histogram(df.filter(F.col("x") % 2 == 1), "x")
+        merged = sorted(map(tuple, (
+            a.unionByName(b).groupBy("b", "hi")
+            .agg(F.sum("cnt").cast("long").alias("cnt")).collect()
+        )))
+        whole = sorted(map(tuple, hdr_histogram(df, "x").collect()))
+        assert merged == whole
