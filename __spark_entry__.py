@@ -911,6 +911,23 @@ def q_stream_hll(spark, sf_dir):
     return est.join(exact, "event_type")
 
 
+def q_layout_zorder(spark, sf_dir):
+    """Z-order layout evidence (layout.py:zorder_bucket_stats): Morton-key
+    bucket stats over events (user_id x price-cents) — per-bucket min/max of
+    BOTH dimensions stay tight, which is the file-skipping property an
+    OPTIMIZE ZORDER write buys; bit interleave is exact BIGINT, replayed as
+    a list_sum of disjoint bit contributions."""
+    from knowledgegraphbuilder_spark.operators.layout import (
+        zorder_bucket_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return zorder_bucket_stats(ev, "user_id", "cents", bits=16, prefix_bits=8)
+
+
 def q_sk_quantile(spark, sf_dir):
     """HDR-histogram quantile sketch over lineitem prices in integer cents
     (sketches.py:hdr_quantiles): bit_length/shift bucketing keeps every
@@ -1197,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "stream_cms": q_stream_cms,
         "sk_quantile": q_sk_quantile,
+        "layout_zorder": q_layout_zorder,
         "sk_bloom": q_sk_bloom,
         "ts_tfidf": q_ts_tfidf,
         "ts_pmi": q_ts_pmi,
@@ -2890,6 +2908,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # batch HLL over the full events table == the streamed register-merge
         # (mergeability is the theorem under test)
+        # Morton interleave replay: disjoint bit positions, so OR == sum and
+        # list_sum replays Spark's aggregate fold exactly
+        "layout_zorder": """
+            WITH v AS (
+              SELECT CAST(user_id AS BIGINT) AS x,
+                     CAST(floor(value * 100) AS BIGINT) AS y
+              FROM events
+            ),
+            z AS (
+              SELECT x, y,
+                     CAST(list_sum([
+                       (((x >> i) & 1) << (2 * i))
+                       + (((y >> i) & 1) << (2 * i + 1))
+                       FOR i IN generate_series(0, 15)
+                     ]) AS BIGINT) AS zkey
+              FROM v
+            )
+            SELECT zkey >> 24 AS bucket, CAST(count(*) AS BIGINT) AS cnt,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+            FROM z GROUP BY 1
+        """,
         # HDR sketch replay: identical integer buckets, cumulative walk and
         # rank pick; q literals cast to DOUBLE so ceil(q*n) matches Spark
         "sk_quantile": """
