@@ -568,6 +568,18 @@ def q_mm_align(spark, sf_dir):
     return align_media_to_text(spans)
 
 
+def q_mm_transitions(spark, sf_dir):
+    """Modality transition matrix over the interleaved spans table
+    (multimodal.py:modality_transitions): consecutive span-kind bigram
+    counts; oracle replays the span synthesis + the same lag pairing."""
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        modality_transitions,
+    )
+
+    spans = read_documents_parquet(spark, sf_dir)
+    return modality_transitions(spans)
+
+
 def q_stream_sessions(spark, sf_dir):
     """Stateful STREAMING sessionization under the value-exact gate: the
     events table is replayed as three time-ordered micro-batches through
@@ -1224,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "mm_frames": q_mm_frames,
         "mm_align": q_mm_align,
+        "mm_transitions": q_mm_transitions,
         "asof_join": q_asof_join,
         "interval_overlap": q_interval_overlap,
         "stream_sessions": q_stream_sessions,
@@ -1445,6 +1458,58 @@ def q_kg_negsample(spark, sf_dir):
         li, "l_orderkey", "l_partkey", max_group_size=50, min_weight=2
     )
     return negative_sample_edges(edges, k=2)
+
+
+_SPANS_SQL = """d AS (
+              SELECT doc_id AS raw_id, 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+                     text, string_split(text, ' ') AS ws
+              FROM documents
+            ),
+            kk AS (
+              SELECT *, len(ws) AS n, least(1 + raw_id % 3, len(ws)) AS k FROM d
+            ),
+            b AS (
+              SELECT *,
+                     [CASE WHEN j = 0 THEN 0
+                           WHEN j = k THEN length(text)
+                           ELSE length(array_to_string(ws[1:CAST((j * n) // k AS INT)], ' ')) + 1
+                      END FOR j IN generate_series(0, k)] AS bl
+              FROM kk
+            ),
+            tsp AS (
+              SELECT *,
+                     [struct_pack(kind := 'text',
+                                  txt := substring(text, bl[j] + 1, bl[j + 1] - bl[j]),
+                                  ref := CAST(NULL AS VARCHAR),
+                                  off := bl[j])
+                      FOR j IN generate_series(1, k)] AS tspans
+              FROM b
+            ),
+            sp AS (
+              SELECT doc_id,
+                     CASE WHEN raw_id % 10 = 0 THEN
+                            tspans[1:1]
+                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://img/' || doc_id || '/0',
+                                            off := bl[2])]
+                            || tspans[2:k]
+                            || [struct_pack(kind := 'audio', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://aud/' || doc_id || '/0',
+                                            off := length(text))]
+                          WHEN raw_id % 5 = 0 THEN
+                            tspans[1:1]
+                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
+                                            ref := 'media://img/' || doc_id || '/0',
+                                            off := bl[2])]
+                            || tspans[2:k]
+                          ELSE tspans END AS spans
+              FROM tsp
+            ),
+            ex AS (
+              SELECT doc_id, unnest(spans) AS s,
+                     unnest(generate_series(1, len(spans))) AS p
+              FROM sp
+            )"""
 
 
 def _skipgram_oracle(length: int, window: int, n_seeds: int = 5) -> str:
@@ -3396,57 +3461,21 @@ def oracle_sql() -> dict[str, str]:
         # word-boundary text spans + image after span 1 (doc_id%5) + trailing
         # audio (doc_id%10), then the same preceding-else-following
         # running-window caption pairing as align_media_to_text
-        "mm_align": """
-            WITH d AS (
-              SELECT doc_id AS raw_id, 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
-                     text, string_split(text, ' ') AS ws
-              FROM documents
-            ),
-            kk AS (
-              SELECT *, len(ws) AS n, least(1 + raw_id % 3, len(ws)) AS k FROM d
-            ),
-            b AS (
-              SELECT *,
-                     [CASE WHEN j = 0 THEN 0
-                           WHEN j = k THEN length(text)
-                           ELSE length(array_to_string(ws[1:CAST((j * n) // k AS INT)], ' ')) + 1
-                      END FOR j IN generate_series(0, k)] AS bl
-              FROM kk
-            ),
-            tsp AS (
-              SELECT *,
-                     [struct_pack(kind := 'text',
-                                  txt := substring(text, bl[j] + 1, bl[j + 1] - bl[j]),
-                                  ref := CAST(NULL AS VARCHAR),
-                                  off := bl[j])
-                      FOR j IN generate_series(1, k)] AS tspans
-              FROM b
-            ),
-            sp AS (
-              SELECT doc_id,
-                     CASE WHEN raw_id % 10 = 0 THEN
-                            tspans[1:1]
-                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
-                                            ref := 'media://img/' || doc_id || '/0',
-                                            off := bl[2])]
-                            || tspans[2:k]
-                            || [struct_pack(kind := 'audio', txt := CAST(NULL AS VARCHAR),
-                                            ref := 'media://aud/' || doc_id || '/0',
-                                            off := length(text))]
-                          WHEN raw_id % 5 = 0 THEN
-                            tspans[1:1]
-                            || [struct_pack(kind := 'image', txt := CAST(NULL AS VARCHAR),
-                                            ref := 'media://img/' || doc_id || '/0',
-                                            off := bl[2])]
-                            || tspans[2:k]
-                          ELSE tspans END AS spans
-              FROM tsp
-            ),
-            ex AS (
-              SELECT doc_id, unnest(spans) AS s,
-                     unnest(generate_series(1, len(spans))) AS p
-              FROM sp
-            ),
+        # span synthesis replay + lag bigram over positions
+        "mm_transitions": f"""
+            WITH {_SPANS_SQL},
+            t AS (
+              SELECT doc_id, p, s.kind,
+                     lag(s.kind) OVER (PARTITION BY doc_id ORDER BY p)
+                       AS prev
+              FROM ex
+            )
+            SELECT prev AS from_kind, kind AS to_kind,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM t WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        "mm_align": f"""
+            WITH {_SPANS_SQL},
             cap AS (
               SELECT doc_id, p, s,
                      last_value(CASE WHEN s.kind = 'text'

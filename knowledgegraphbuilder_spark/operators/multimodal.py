@@ -186,3 +186,30 @@ def frame_sample(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame({"media_ref": refs, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, "media_ref string, frame_idx int, frame binary")
+
+
+def modality_transitions(spans: DataFrame) -> DataFrame:
+    """Interleaving-structure profile of a multimodal corpus: counts of
+    consecutive span-kind transitions (text->image, image->text, ...) across
+    all documents. The signal a curriculum/mixture designer reads before
+    packing interleaved sequences — e.g. image-caption-first vs caption-last
+    corpora train differently.
+
+    Shape: posexplode + one lag window keyed by doc_id (uniform key, same
+    shuffle as every per-doc window here) + a map-side-combinable count.
+    Output: (from_kind, to_kind, cnt)."""
+    from pyspark.sql.window import Window
+
+    ex = spans.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    ).select("doc_id", "pos", F.col("s.kind").alias("kind"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = ex.withColumn("prev", F.lag("kind").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    return (
+        t.groupBy(
+            F.col("prev").alias("from_kind"), F.col("kind").alias("to_kind")
+        )
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )

@@ -164,3 +164,26 @@ def test_align_media_leading_media_falls_forward(spark):
     )
     r = align_media_to_text(df).collect()[0]
     assert (r["caption"], r["caption_offset"], r["pos"]) == ("hello world", 0, 0)
+
+
+def test_modality_transitions_counts(spark):
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        modality_transitions,
+    )
+
+    spans = spark.createDataFrame(
+        [
+            ("d1", [("text", "a", None, 0), ("image", None, "m1", 1),
+                    ("text", "b", None, 1), ("audio", None, "m2", 2)]),
+            ("d2", [("text", "c", None, 0), ("text", "d", None, 2)]),
+            ("d3", [("image", None, "m3", 0)]),  # single span: no transition
+        ],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    got = {(r.from_kind, r.to_kind): r.cnt
+           for r in modality_transitions(spans).collect()}
+    assert got == {
+        ("text", "image"): 1, ("image", "text"): 1,
+        ("text", "audio"): 1, ("text", "text"): 1,
+    }
