@@ -580,6 +580,27 @@ def q_mm_transitions(spark, sf_dir):
     return modality_transitions(spans)
 
 
+def q_mm_pack(spark, sf_dir):
+    """Interleaved-aware sequence packing: per-doc cost = text tokens +
+    256 patches per image span + 750 frames per audio span, computed FROM
+    the spans themselves (curation.py:pack_sequences with cost_expr); the
+    oracle recomputes the same cost from the flat documents table via the
+    synthesis invariants (word-boundary spans partition the text; image on
+    doc%5, audio on doc%10) — a mismatch in span synthesis would break the
+    hash."""
+    from knowledgegraphbuilder_spark.operators.curation import pack_sequences
+
+    spans = read_documents_parquet(spark, sf_dir).select(
+        F.substring("doc_id", 5, 18).cast("long").alias("doc_id"), "spans"
+    )
+    # non-final text spans end in the boundary space -> drop empty tokens
+    cost = ("aggregate(spans, cast(0 as bigint), (acc, s) -> acc + "
+            "case s.kind when 'text' then "
+            "size(filter(split(s.text, ' '), x -> x <> '')) "
+            "when 'image' then 256 else 750 end)")
+    return pack_sequences(spans, seq_len=2048, n_shards=8, cost_expr=cost)
+
+
 def q_stream_sessions(spark, sf_dir):
     """Stateful STREAMING sessionization under the value-exact gate: the
     events table is replayed as three time-ordered micro-batches through
@@ -1237,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": q_mm_frames,
         "mm_align": q_mm_align,
         "mm_transitions": q_mm_transitions,
+        "mm_pack": q_mm_pack,
         "asof_join": q_asof_join,
         "interval_overlap": q_interval_overlap,
         "stream_sessions": q_stream_sessions,
@@ -3461,6 +3483,29 @@ def oracle_sql() -> dict[str, str]:
         # word-boundary text spans + image after span 1 (doc_id%5) + trailing
         # audio (doc_id%10), then the same preceding-else-following
         # running-window caption pairing as align_media_to_text
+        # cost from the documents table via the synthesis invariants: span
+        # word counts sum to the doc's word count; media spans by doc_id mod
+        "mm_pack": """
+            WITH b AS (
+              SELECT CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)),
+                           1, 15))::BIGINT % 8 AS INTEGER) AS shard,
+                     CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(string_split(text, ' '))
+                          + CASE WHEN doc_id % 5 = 0 THEN 256 ELSE 0 END
+                          + CASE WHEN doc_id % 10 = 0 THEN 750 ELSE 0 END
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            )
+            SELECT shard, doc_id, n_tokens,
+                   CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                            ROWS UNBOUNDED PRECEDING)
+                        - n_tokens AS BIGINT) AS start_off,
+                   CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                                                   ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / 2048.0) AS BIGINT) AS seq_id
+            FROM b
+        """,
         # span synthesis replay + lag bigram over positions
         "mm_transitions": f"""
             WITH {_SPANS_SQL},

@@ -283,6 +283,7 @@ def pack_sequences(
     n_shards: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    cost_expr: str | None = None,
 ) -> DataFrame:
     """Sequence packing for training: concatenate documents in a
     deterministic order and slice the token stream into fixed ``seq_len``
@@ -298,6 +299,10 @@ def pack_sequences(
     budget) and each shard becomes one output file. Within a shard the
     order is doc_id (deterministic, replayable).
 
+    ``cost_expr`` overrides the whitespace token count with any integer SQL
+    cost — e.g. an interleaved document's tokens + image patches + audio
+    frames (see q_mm_pack) — packing logic unchanged.
+
     Output: (shard, doc_id, n_tokens, start_off, seq_id) where
     start_off = running token offset within the shard stream and
     seq_id = floor(start_off / seq_len). One shuffle (by shard) feeding a
@@ -307,7 +312,8 @@ def pack_sequences(
     base = docs.select(
         F.expr(_H60.format(s=f"cast({id_col} as string)")).alias("_h"),
         F.col(id_col).cast("long").alias("doc_id"),
-        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+        F.expr(cost_expr or f"size(split({text_col}, ' '))")
+        .cast("long").alias("n_tokens"),
     ).select((F.col("_h") % n_shards).cast("int").alias("shard"), "doc_id", "n_tokens")
     w = (
         Window.partitionBy("shard")
