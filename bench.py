@@ -216,7 +216,8 @@ def main() -> None:
         "dd_semdedup", "g5_triangles", "g6_kcore", "g7_bfs", "g8_labelprop", "g9_sssp",
         "sk_hll", "sk_cms", "ts_tfidf", "ts_pmi", "ts_split",
         "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
-        "g12_linkpred", "interval_overlap",
+        "g12_linkpred", "g13_walkpairs", "kg_negsample", "interval_overlap",
+        "sk_quantile", "layout_zorder", "mm_transitions", "mm_pack",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
