@@ -287,6 +287,7 @@ def main() -> None:
             import gc
 
             entry._PIPE_CACHE.clear()
+            entry._EDGE_CACHE.clear()
             gc.collect()
     spark.stop()
 

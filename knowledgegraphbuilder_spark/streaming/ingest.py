@@ -292,3 +292,71 @@ def run_cms_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_stream_join_available_now(
+    spark: SparkSession, views_dir: str, purchases_dir: str,
+    output_dir: str, checkpoint_dir: str,
+    max_gap_s: int = 7200, watermark: str = "48 hours",
+    schema: str = "event_id long, ts timestamp, user_id long",
+) -> None:
+    """Stream-stream inner join with event-time bounds: every purchase event
+    joined to the same user's view events at most ``max_gap_s`` seconds
+    earlier — the attribution join, as two unbounded streams.
+
+    Both sides carry a watermark so Spark can BOUND the join state: a view
+    older than (watermark + max_gap_s) can never match a future purchase and
+    its state is dropped — without the time-interval condition + watermarks
+    the state grows with the stream. Inner-join emission itself does not
+    wait for the watermark, so with a watermark generous enough that no
+    state is evicted before its matches arrive (true for a drained backlog
+    under availableNow), the streamed result EQUALS the batch time-bounded
+    join — which is what the oracle computes.
+
+    Output MERGEs per micro-batch keyed by the deterministic pair id, so
+    replays (or a second run against a fresh checkpoint) are no-ops — same
+    idempotency contract as every streaming sink here."""
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    def side(d: str) -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .format("parquet")
+            .load(d)
+            .withWatermark("ts", watermark)
+        )
+
+    v = side(views_dir).select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+        F.col("user_id").alias("v_user"),
+    )
+    p = side(purchases_dir).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        "user_id",
+    )
+    j = p.join(
+        v,
+        F.expr(
+            f"user_id = v_user AND p_ts >= v_ts "
+            f"AND p_ts <= v_ts + interval {int(max_gap_s)} seconds"
+        ),
+    ).select(
+        F.concat_ws("|", F.col("purchase_id"), F.col("view_id")).alias("pair_id"),
+        "purchase_id", "view_id", "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts"))
+        .cast("long").alias("gap_s"),
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        merge_upsert(batch_df.sparkSession, output_dir, batch_df, "pair_id")
+
+    q = (
+        j.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

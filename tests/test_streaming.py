@@ -146,3 +146,47 @@ def test_streaming_curation_matches_batch(spark, corpus, tmp_path_factory):
     run_curation_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2")
     again = {tuple(r) for r in spark.read.parquet(f"{base}/out").select(*cols).collect()}
     assert again == expected
+
+
+def test_stream_stream_join_equals_batch_and_replay_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_stream_join_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"),
+        F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 300)").alias("ts"),
+        (F.col("id") % 7).alias("user_id"),
+        F.when(F.col("id") % 3 == 0, "view").otherwise("purchase").alias("event_type"),
+    )
+    base = str(tmp_path)
+    for kind, t in (("views", "view"), ("purchases", "purchase")):
+        side = ev.filter(F.col("event_type") == t).drop("event_type")
+        for i in range(3):
+            (side.filter(F.col("event_id") % 3 == i)
+             .coalesce(1).write.mode("overwrite").parquet(f"{base}/{kind}/b{i}"))
+    args = (f"{base}/views/*", f"{base}/purchases/*", f"{base}/out")
+    run_stream_join_available_now(spark, *args, f"{base}/ck", max_gap_s=1200)
+    got = sorted(map(tuple, spark.read.parquet(f"{base}/out")
+                 .select("purchase_id", "view_id", "user_id", "gap_s").collect()))
+    batch = sorted(map(tuple, (
+        ev.filter(F.col("event_type") == "purchase").alias("p")
+        .join(ev.filter(F.col("event_type") == "view").alias("v"),
+              F.expr("p.user_id = v.user_id AND p.ts >= v.ts "
+                     "AND p.ts <= v.ts + interval 1200 seconds"))
+        .select(F.col("p.event_id").alias("purchase_id"),
+                F.col("v.event_id").alias("view_id"),
+                F.col("p.user_id").alias("user_id"),
+                (F.unix_timestamp("p.ts") - F.unix_timestamp("v.ts"))
+                .cast("long").alias("gap_s"))
+        .collect()
+    )))
+    assert got and got == batch  # streamed == batch time-bounded join
+    # replay against a fresh checkpoint: MERGE by pair id is a no-op
+    run_stream_join_available_now(spark, *args, f"{base}/ck2", max_gap_s=1200)
+    again = sorted(map(tuple, spark.read.parquet(f"{base}/out")
+                   .select("purchase_id", "view_id", "user_id", "gap_s").collect()))
+    assert again == got
