@@ -316,6 +316,8 @@ def run_stream_join_available_now(
     Output MERGEs per micro-batch keyed by the deterministic pair id, so
     replays (or a second run against a fresh checkpoint) are no-ops — same
     idempotency contract as every streaming sink here."""
+    from pyspark.sql import functions as F
+
     from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
 
     def side(d: str) -> DataFrame:

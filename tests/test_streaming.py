@@ -159,7 +159,9 @@ def test_stream_stream_join_equals_batch_and_replay_noop(spark, tmp_path):
     ev = spark.range(600).select(
         F.col("id").alias("event_id"),
         F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0, id * 300)").alias("ts"),
-        (F.col("id") % 7).alias("user_id"),
+        # blocks of 3 consecutive events share a user, so each block's
+        # view (id = 3k) matches its two purchases within the gap
+        ((F.col("id") / 3).cast("long") % 5).alias("user_id"),
         F.when(F.col("id") % 3 == 0, "view").otherwise("purchase").alias("event_type"),
     )
     base = str(tmp_path)
