@@ -839,6 +839,52 @@ def q_sql_topk_count(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 (forecast revenue change): tight scan-with-pushdown shape —
+    three range predicates reach the parquet scan, one global sum."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                     2).alias("revenue"))
+    )
+
+
+def q_sql_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority, adapted to the driver schema — no
+    o_shippriority column): segment-filtered customers x unshipped orders x
+    late lineitems, top-10 revenue — selective-dimension join + grouped agg
+    + TakeOrderedAndProject."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-01-01")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_sql_anti_join(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
@@ -1319,6 +1365,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
         "sql_topk_count": q_sql_topk_count,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q3": q_sql_tpch_q3,
         "sql_anti_join": q_sql_anti_join,
         "sql_window_cum": q_sql_window_cum,
         "sql_sessionize": q_sql_sessionize,
@@ -3106,6 +3154,27 @@ def oracle_sql() -> dict[str, str]:
         # full input, so the batch oracle replays the streamed answer
         # streamed inner join == batch time-bounded join (watermark never
         # evicts state before its matches under a drained availableNow run)
+        "sql_tpch_q6": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "sql_tpch_q3": """
+            SELECT l_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < '1999-01-01'
+              AND l_shipdate > '1999-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
         "stream_join": """
             SELECT p.event_id AS purchase_id, v.event_id AS view_id,
                    p.user_id,
