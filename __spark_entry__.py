@@ -1045,6 +1045,16 @@ def q_layout_zorder(spark, sf_dir):
     return zorder_bucket_stats(ev, "user_id", "cents", bits=16, prefix_bits=8)
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (bpe.py:bpe_merges, 4 rounds):
+    weighted pair counts on the vocabulary-scaled word-frequency table,
+    driver argmax per round (1 row), greedy run-parity merges. The oracle
+    unrolls all 4 rounds."""
+    from knowledgegraphbuilder_spark.operators.bpe import bpe_merges
+
+    return bpe_merges(spark, _t(spark, sf_dir, "documents"), rounds=4)
+
+
 def q_sk_quantile(spark, sf_dir):
     """HDR-histogram quantile sketch over lineitem prices in integer cents
     (sketches.py:hdr_quantiles): bit_length/shift bucketing keeps every
@@ -1344,6 +1354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll": q_stream_hll,
         "stream_cms": q_stream_cms,
         "sk_quantile": q_sk_quantile,
+        "bpe_merges": q_bpe_merges,
         "layout_zorder": q_layout_zorder,
         "sk_bloom": q_sk_bloom,
         "ts_tfidf": q_ts_tfidf,
@@ -1632,6 +1643,62 @@ _SPANS_SQL = """d AS (
                      unnest(generate_series(1, len(spans))) AS p
               FROM sp
             )"""
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE replay: per round, the weighted pair count + the
+    (cnt desc, a, b) argmax + the greedy run-parity merge — 1-based DuckDB
+    lists mirror the 0-based Spark arrays (identical parity arithmetic;
+    DuckDB list indexing is NULL-safe out of range, matching Spark's
+    get())."""
+    ctes = ["""w0 AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                 [substring(word, i, 1)
+                  FOR i IN generate_series(1, length(word))] AS s
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word
+        )"""]
+    for t in range(1, rounds + 1):
+        p = t - 1
+        ctes.append(f"""p{t} AS (
+          SELECT u.a, u.b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq,
+                   unnest([{{'a': s[i], 'b': s[i + 1]}}
+                           FOR i IN generate_series(1, len(s) - 1)]) AS u
+            FROM w{p}) GROUP BY 1, 2
+        )""")
+        ctes.append(f"""b{t} AS MATERIALIZED (
+          SELECT a, b, cnt FROM p{t} ORDER BY cnt DESC, a, b LIMIT 1
+        )""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+          SELECT word, freq, list_filter([
+              CASE WHEN coalesce(kept[i], false) THEN s[i] || s[i + 1]
+                   WHEN coalesce(kept[i - 1], false) THEN NULL
+                   ELSE s[i] END
+              FOR i IN generate_series(1, len(s))],
+            x -> x IS NOT NULL) AS s
+          FROM (
+            SELECT word, freq, s,
+                   [m[i] AND ((i - (coalesce(list_max(
+                        [j FOR j IN generate_series(1, i - 1)
+                         IF NOT m[j]]), 0) + 1)) % 2 = 0)
+                    FOR i IN generate_series(1, len(m))] AS kept
+            FROM (
+              SELECT word, freq, s,
+                     [s[i] = b{t}.a AND s[i + 1] = b{t}.b
+                      FOR i IN generate_series(1, len(s) - 1)] AS m
+              FROM w{p}, b{t}))
+        )""")
+    selects = " UNION ALL ".join(
+        f"SELECT {t} AS rank, a AS left_sym, b AS right_sym, cnt FROM b{t}"
+        for t in range(1, rounds + 1)
+    )
+    return f"""
+            WITH {', '.join(ctes)}
+            SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, cnt
+            FROM ({selects})
+        """
 
 
 def _skipgram_oracle(length: int, window: int, n_seeds: int = 5) -> str:
@@ -3117,6 +3184,7 @@ def oracle_sql() -> dict[str, str]:
                    min(y) AS y_min, max(y) AS y_max
             FROM z GROUP BY 1
         """,
+        "bpe_merges": _bpe_oracle(rounds=4),
         # HDR sketch replay: identical integer buckets, cumulative walk and
         # rank pick; q literals cast to DOUBLE so ceil(q*n) matches Spark
         "sk_quantile": """
