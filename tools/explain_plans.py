@@ -416,6 +416,20 @@ def main() -> None:
         ann_pq(embs, qv2, k=10, m=8, centroid_stride=50, shortlist=50),
     )
 
+    from knowledgegraphbuilder_spark.operators.bpe import bpe_merges
+
+    add(
+        "BPE merge round: weighted pair count over the vocab table",
+        "The corpus is touched once (word-frequency groupBy with partial "
+        "aggregation); every merge round's pair count runs on the "
+        "vocabulary-scaled table — explode to adjacent pairs, map-side-"
+        "combinable weighted sum. The per-round argmax is a 1-row "
+        "TakeOrderedAndProject collect (the merge rule IS the trained "
+        "model); the merge rewrite is a pure codegen array expression "
+        "(greedy run-parity arithmetic, no sequential fold, no Python).",
+        bpe_merges(spark, docs, rounds=1),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
