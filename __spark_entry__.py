@@ -215,6 +215,23 @@ def q_dd_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=3)
 
 
+def q_dd_contain(spark, sf_dir):
+    """Asymmetric set-containment dedup (dedup.py:ngram_containment_pairs):
+    documents + planted 25-token snippets (every 40th doc, id+20M) — the
+    quoted-inside case Jaccard misses (J ~ 0.25, C = 1.0). Probe-side
+    prefix filter; exact ratio verified on full shingle sets."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 25)).alias("text"),
+    )
+    return dd.ngram_containment_pairs(
+        d.unionByName(planted), threshold=0.9, k=3
+    )
+
+
 def q_dd_minhash_lsh(spark, sf_dir):
     # bands=16/rows=2: P(miss at J=0.9) = (1 - 0.9^2)^16 ~ 3e-12, and the
     # 2-row band key keeps bucket sizes (and the candidate self-join) small —
@@ -1308,6 +1325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_f9_strip_think": q_kg_f9_strip_think,
         "dd_exact": q_dd_exact,
         "dd_ngram_jaccard": q_dd_ngram_jaccard,
+        "dd_contain": q_dd_contain,
         "dd_minhash_lsh": q_dd_minhash_lsh,
         "dd_simhash": q_dd_simhash,
         "dd_embed_cosine": q_dd_embed_cosine,
@@ -2128,6 +2146,33 @@ def oracle_sql() -> dict[str, str]:
             FROM aug GROUP BY sha256(text) HAVING count(*) > 1
         """,
         "dd_ngram_jaccard": _JACCARD_09,
+        # directed containment over docs + planted snippets: i / |A|
+        "dd_contain": """
+            WITH docs2 AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT CAST(doc_id AS BIGINT) + 20000000,
+                     array_to_string(string_split(text, ' ')[1:25], ' ')
+              FROM documents WHERE doc_id % 40 = 0
+            ),
+            sh AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id,
+                     list_distinct([array_to_string(ws[i+1:i+3], ' ')
+                        FOR i IN range(0, greatest(len(ws) - 3, 0) + 1)]) AS s
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM docs2)
+              WHERE len(ws) > 0
+            ),
+            inv AS (SELECT id, UNNEST(s) AS g FROM sh),
+            sz AS (SELECT id, len(s) AS n FROM sh),
+            cpairs AS (
+              SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+              FROM inv a JOIN inv b ON a.g = b.g AND a.id <> b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, round(i * 1.0 / x.n, 6) AS containment
+            FROM cpairs JOIN sz x ON x.id = id_a
+            WHERE round(i * 1.0 / x.n, 6) >= 0.9
+        """,
         "dd_minhash_lsh": _JACCARD_09,
         # exact all-pairs Hamming join over the same 60-bit sha256-based
         # simhash; the Spark side's pigeonhole banding (n_blocks > max_hamming)

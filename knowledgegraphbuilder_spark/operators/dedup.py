@@ -479,3 +479,88 @@ def semantic_dedup(
             F.col("best.cosine").alias("cosine"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame, threshold: float = 0.9, k: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    prefix_filter: bool = True,
+) -> DataFrame:
+    """EXACT set-containment pairs: C(A -> B) = |A intersect B| / |A| >=
+    threshold over k-token shingle sets — the asymmetric near-dup case
+    Jaccard misses (a short document quoted inside a long one scores
+    J ~= |A|/|B| ~= 0 but C = 1). Directed output: (id_a, id_b,
+    containment) with id_a the CONTAINED side, id_a != id_b.
+
+    Scale shape mirrors ngram_jaccard_pairs' PPJoin filter, adapted to the
+    asymmetric predicate: only the PROBE side (A) is prefix-pruned — if
+    C >= t, at most n_a - ceil(t*n_a) of A's shingles miss B, so A's first
+    n_a - ceil(t*n_a) + 1 shingles under the global (df, hash) order must
+    hit B — while the indexed side keeps its full posting list (containment
+    puts no upper bound on |B|, so B cannot be prefix-shortened). Hot
+    stop-shingles still sort last and rarely enter a probe prefix, which
+    keeps every join key's candidate fan-out bounded; the only size filter
+    is n_b >= t * n_a (B must be able to hold t*n_a of A's shingles).
+    Verification computes the exact ratio on full shingle arrays.
+
+    ``prefix_filter=False`` keeps the naive full inverted-index join as the
+    small-scale oracle for the filter."""
+    sh = _with_shingles(docs, k, text_col, id_col)
+    sizes = sh.select("id", F.size("shingles").alias("n"))
+    inv = sh.select("id", F.explode("shingles").alias("shingle"))
+    t = float(threshold)
+    if prefix_filter:
+        from pyspark.sql.window import Window
+
+        invh = inv.select("id", F.xxhash64("shingle").alias("h"))
+        dfreq = invh.groupBy("h").agg(F.count("*").alias("df"))
+        ranked = (
+            invh.join(dfreq, "h")
+            .join(sizes, "id")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("df", "h")
+                ),
+            )
+        )
+        probe = ranked.filter(
+            F.col("rn") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1
+        ).select("id", "h", "n")
+        index = ranked.select("id", "h", "n")
+        cand = (
+            probe.alias("a")
+            .join(
+                index.alias("b"),
+                (F.col("a.h") == F.col("b.h"))
+                & (F.col("a.id") != F.col("b.id"))
+                & (F.col("b.n") >= F.col("a.n") * F.lit(t)),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        cand = (
+            inv.alias("a")
+            .join(
+                inv.alias("b"),
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.id") != F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    av = sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sa"))
+    bv = sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sb"))
+    return (
+        cand.join(av, "id_a")
+        .join(bv, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.size(F.array_intersect("sa", "sb")) / F.size("sa"), 6
+            ),
+        )
+        .filter(F.col("containment") >= t)
+        .select("id_a", "id_b", "containment")
+    )

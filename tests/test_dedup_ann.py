@@ -319,3 +319,31 @@ def test_ann_pq_empty_codebook_falls_back_exact(spark, sf_dir):
     q = list(embs.filter(F.col("vec_id") == 3).select("embedding").collect()[0][0])
     got = ann_ops.ann_pq(embs, q, 10, centroid_stride=1_000_000_000)
     assert got.collect() == ann_ops.topk_bruteforce(embs, q, 10).collect()
+
+
+def test_containment_prefix_filter_equals_naive(spark, dup_docs):
+    """The probe-side prefix filter must be lossless for containment, at a
+    loose and a tight threshold."""
+    for thr in (0.5, 0.9):
+        fast = {(r["id_a"], r["id_b"]): r["containment"]
+                for r in dd.ngram_containment_pairs(
+                    dup_docs, threshold=thr, prefix_filter=True).collect()}
+        naive = {(r["id_a"], r["id_b"]): r["containment"]
+                 for r in dd.ngram_containment_pairs(
+                     dup_docs, threshold=thr, prefix_filter=False).collect()}
+        assert fast == naive
+
+
+def test_containment_catches_quoted_snippet(spark):
+    long_doc = " ".join(f"w{i}" for i in range(80))
+    snippet = " ".join(f"w{i}" for i in range(20))       # fully contained
+    other = " ".join(f"z{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, snippet), (3, other)], "doc_id long, text string"
+    )
+    got = {(r.id_a, r.id_b): r.containment
+           for r in dd.ngram_containment_pairs(df, threshold=0.9).collect()}
+    # snippet -> long_doc is a perfect containment; the reverse is not
+    assert got == {("2", "1"): 1.0}
+    # and Jaccard at the same threshold misses it entirely
+    assert dd.ngram_jaccard_pairs(df, threshold=0.9).count() == 0
