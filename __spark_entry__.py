@@ -276,6 +276,24 @@ def q_g5_triangles(spark, sf_dir):
     return triangle_clustering(edges)
 
 
+def q_g14_harmonic(spark, sf_dir):
+    """Bounded harmonic centrality of the 3 sha256-smallest nodes
+    (graphstats.py:harmonic_centrality, 3-hop ball, integer micro-unit
+    1/dist sums); oracle = seed-keyed 3-round BFS unroll."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        harmonic_centrality,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(3)
+    return harmonic_centrality(edges, seeds, max_hops=3)
+
+
 def q_g12_linkpred(spark, sf_dir):
     """Link prediction on the weight>=2 co-purchase graph: top-100 missing
     edges by exact-integer Resource Allocation (graphstats.link_prediction);
@@ -1355,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_cc": q_g4_cc,
         "g5_triangles": q_g5_triangles,
         "g12_linkpred": q_g12_linkpred,
+        "g14_harmonic": q_g14_harmonic,
         "g6_kcore": q_g6_kcore,
         "g7_bfs": q_g7_bfs,
         "g8_labelprop": q_g8_labelprop,
@@ -1777,6 +1796,36 @@ def _negsample_oracle(k: int) -> str:
             LEFT JOIN true_pairs tp
               ON p.src = tp.src AND p.dst_neg = tp.dst_neg
             WHERE tp.src IS NULL
+        """
+
+
+def _harmonic_oracle(hops: int, n_seeds: int = 3) -> str:
+    """Seed-keyed BFS unroll (the _bfs_oracle shape with a seed column) +
+    the integer harmonic sum: 10^6 // hop floors identically to Spark's
+    div on positive ints."""
+    ctes = [f"""s0 AS MATERIALIZED (
+              SELECT node FROM (SELECT DISTINCT u AS node FROM sym)
+              ORDER BY sha256(node) LIMIT {n_seeds}
+            )""",
+            "d0 AS MATERIALIZED (SELECT node AS seed, node, 0 AS hop FROM s0)"]
+    for r in range(1, hops + 1):
+        p = r - 1
+        ctes.append(f"""f{r} AS MATERIALIZED (
+              SELECT DISTINCT d.seed, s.v AS node
+              FROM sym s JOIN d{p} d ON s.u = d.node
+              WHERE NOT EXISTS (SELECT 1 FROM d{p} x
+                                WHERE x.seed = d.seed AND x.node = s.v)
+            )""")
+        ctes.append(f"""d{r} AS MATERIALIZED (
+              SELECT seed, node, hop FROM d{p}
+              UNION ALL SELECT seed, node, {r} FROM f{r}
+            )""")
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT seed, CAST(count(*) AS BIGINT) AS n_reached,
+                   CAST(sum(1000000 // hop) AS BIGINT) AS harmonic_units
+            FROM d{hops} WHERE hop > 0 GROUP BY seed
         """
 
 
@@ -3080,6 +3129,7 @@ def oracle_sql() -> dict[str, str]:
         "g8_labelprop": _lpa_oracle(rounds=3),
         "g9_sssp": _sssp_oracle(rounds=4),
         "g11_walks": _walks_oracle(length=4),
+        "g14_harmonic": _harmonic_oracle(hops=3),
         "g13_walkpairs": _skipgram_oracle(length=4, window=2),
         "kg_negsample": _negsample_oracle(k=2),
         # integer-exact Resource Allocation: 10^12 // deg sums are

@@ -218,7 +218,7 @@ def main() -> None:
         "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
         "g12_linkpred", "g13_walkpairs", "kg_negsample", "interval_overlap",
         "sk_quantile", "layout_zorder", "mm_transitions", "mm_pack",
-        "bpe_merges", "sql_tpch_q6", "sql_tpch_q3",
+        "bpe_merges", "g14_harmonic", "dd_contain", "sql_tpch_q6", "sql_tpch_q3",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling

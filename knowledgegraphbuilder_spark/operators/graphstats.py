@@ -643,3 +643,62 @@ def negative_sample_edges(
         .join(true_pairs, ["src", "dst_neg"], "left_anti")
         .select("src", "dst_neg", F.col("i").cast("int").alias("sample_idx"))
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bounded harmonic centrality (Boldi & Vigna 2014, truncated): for each
+    seed, sum 1/dist(seed, v) over every v within ``max_hops`` — reported in
+    exact integer micro-units ``sum(10^6 div hop)`` (the same
+    order-independent-integer-sum contract as link_prediction's RA score),
+    plus the raided node count. The hop cap is the standard web-scale
+    truncation: exact closeness needs full-graph BFS per node; the R-hop
+    ball is what production centrality jobs actually compute.
+
+    Shape: SEED-KEYED BFS — one (seed, node) frontier advances all seeds'
+    searches in the same per-round equi-join + anti-join (Pregel/BSP shape,
+    per-round cost = the frontiers' edge boundary); rounds truncate lineage
+    with eager localCheckpoints. Output: (seed, n_reached, harmonic_units).
+    """
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"),
+                     F.col(dst_col).cast("string").alias("v"))
+        .unionAll(edges.select(F.col(dst_col).cast("string").alias("u"),
+                               F.col(src_col).cast("string").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("string").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist.select("seed", "node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(dist.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("hop", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("seed", "node")
+    return (
+        dist.filter(F.col("hop") > 0)
+        .groupBy("seed")
+        .agg(
+            F.count("*").cast("long").alias("n_reached"),
+            F.sum(F.expr("CAST(1000000 AS BIGINT) div hop"))
+            .cast("long").alias("harmonic_units"),
+        )
+    )

@@ -303,3 +303,23 @@ def test_negative_samples_are_filtered_and_deterministic(spark):
     assert sorted(map(tuple, out)) == sorted(
         map(tuple, negative_sample_edges(edges, k=3).collect())
     )
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        harmonic_centrality,
+    )
+
+    # path a-b-c-d-e, seeds {a, c}: a reaches b@1 c@2 d@3 (e beyond cap);
+    # c reaches b@1 d@1 a@2 e@2
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",), ("c",)], "node string")
+    got = {r.seed: (r.n_reached, r.harmonic_units)
+           for r in harmonic_centrality(edges, seeds, max_hops=3).collect()}
+    assert got == {
+        "a": (3, 1_000_000 + 500_000 + 333_333),
+        "c": (4, 2 * 1_000_000 + 2 * 500_000),
+    }
