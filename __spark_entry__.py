@@ -116,6 +116,40 @@ def q_kg_triples(spark, sf_dir):
     return t.select("subj", "pred", "obj", "doc_id")
 
 
+def q_kg_sink_roundtrip(spark, sf_dir):
+    """Bulk graph sink + re-read under the value-exact gate (S3/S4/S6/S7):
+    the pipeline's tables write through sinks.write_graph (edges partitioned
+    by rel_type — hive pruning on typed traversals), read back with
+    read_graph, and the triples re-derive FROM THE SINKED TABLES (edges
+    joined to re-linked nodes, J5) — so schema drift, partition mangling, or
+    FK breakage in the sink layer breaks the hash against the same oracle
+    that checks the in-memory triples."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        read_graph, write_graph,
+    )
+
+    kg = _kg(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_sink_rt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    write_graph(base, nodes=kg.nodes, edges=kg.edges,
+                provenance=kg.provenance)
+    g = read_graph(spark, base)
+    e, n = g["edges"], g["nodes"]
+    hn = n.select(F.col("node_id").alias("head_node_id"),
+                  F.col("text").alias("subj"))
+    tn = n.select(F.col("node_id").alias("tail_node_id"),
+                  F.col("text").alias("obj"))
+    return (
+        e.join(F.broadcast(hn), "head_node_id")
+        .join(F.broadcast(tn), "tail_node_id")
+        .select("subj", F.col("rel_type").alias("pred"), "obj", "doc_id")
+    )
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rows (north-rule lineage surface; the physical
     partition_id column is execution-dependent and excluded from the value
@@ -1334,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_a1_nodes": q_kg_a1_nodes,
         "kg_j2_edges": q_kg_j2_edges,
         "kg_triples": q_kg_triples,
+        "kg_sink_roundtrip": q_kg_sink_roundtrip,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2120,6 +2155,12 @@ def oracle_sql() -> dict[str, str]:
             JOIN nid t ON t.text = r.tail_text
         """,
         "kg_triples": f"""
+            WITH {_REL_CTE}
+            SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
+            FROM rels_id
+        """,
+        # the sinked-and-re-read graph must re-derive the same triples
+        "kg_sink_roundtrip": f"""
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
             FROM rels_id
