@@ -150,6 +150,31 @@ def q_kg_sink_roundtrip(spark, sf_dir):
     )
 
 
+def q_kg_snapshot_timetravel(spark, sf_dir):
+    """Snapshot-commit sink (S3+): v1 = the full triple table, v2 = a
+    corrupting overwrite (half the rows) — then TIME TRAVEL back to v1 must
+    re-derive the full table value-exactly. Pins the immutable-version
+    property (a reader of snapshot 1 is unaffected by later commits), not
+    just write-then-read."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        read_graph_snapshot, write_graph_snapshot,
+    )
+
+    kg = _kg(spark, sf_dir)
+    t = kg.triples.select("subj", "pred", "obj", "doc_id")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_snap_tt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v1 = write_graph_snapshot(base, {"triples": t})
+    write_graph_snapshot(
+        base, {"triples": t.filter(F.crc32(F.col("subj")) % 2 == 0)}
+    )
+    return read_graph_snapshot(spark, base, snapshot_id=v1)["triples"]
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rows (north-rule lineage surface; the physical
     partition_id column is execution-dependent and excluded from the value
@@ -1369,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_j2_edges": q_kg_j2_edges,
         "kg_triples": q_kg_triples,
         "kg_sink_roundtrip": q_kg_sink_roundtrip,
+        "kg_snapshot_timetravel": q_kg_snapshot_timetravel,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2161,6 +2187,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the sinked-and-re-read graph must re-derive the same triples
         "kg_sink_roundtrip": f"""
+            WITH {_REL_CTE}
+            SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
+            FROM rels_id
+        """,
+        # time travel to snapshot 1 is immune to the later corrupting commit
+        "kg_snapshot_timetravel": f"""
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
             FROM rels_id
