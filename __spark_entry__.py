@@ -175,6 +175,36 @@ def q_kg_snapshot_timetravel(spark, sf_dir):
     return read_graph_snapshot(spark, base, snapshot_id=v1)["triples"]
 
 
+def q_src_jsonl(spark, sf_dir):
+    """S1 JSONL scan under the value-exact gate: documents written as three
+    id-less JSONL files, re-read through read_jsonl_documents — ids must be
+    the contiguous deterministic numbering (per-file sha256(text) windows +
+    broadcast file offsets), which the oracle recomputes from the same
+    partitioning rule."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.interleaved import (
+        read_jsonl_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("orig_id"), "text"
+    )
+    n = d.agg(F.max("orig_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_src_jsonl_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    for i in range(3):
+        (d.filter((F.col("orig_id") >= bounds[i])
+                  & (F.col("orig_id") < bounds[i + 1]))
+         .select(F.to_json(F.struct("text")).alias("value"))
+         .coalesce(1).write.mode("overwrite").text(f"{base}/b{i}"))
+    out = read_jsonl_documents(spark, f"{base}/b*/part-*")
+    return out.select("doc_id", "text")
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rows (north-rule lineage surface; the physical
     partition_id column is execution-dependent and excluded from the value
@@ -1395,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triples": q_kg_triples,
         "kg_sink_roundtrip": q_kg_sink_roundtrip,
         "kg_snapshot_timetravel": q_kg_snapshot_timetravel,
+        "src_jsonl": q_src_jsonl,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2190,6 +2221,41 @@ def oracle_sql() -> dict[str, str]:
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
             FROM rels_id
+        """,
+        # replay the deterministic numbering: files are doc_id thirds (file
+        # order b0 < b1 < b2), within-file rank by sha256(text); JSON
+        # round-trip escapes are invisible because text comes back verbatim
+        "src_jsonl": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS orig_id, text,
+                     (SELECT max(CAST(doc_id AS BIGINT)) FROM documents) AS n
+              FROM documents
+            ),
+            f AS (
+              SELECT text,
+                     CASE WHEN orig_id < n // 3 THEN 0
+                          WHEN orig_id < (2 * n) // 3 THEN 1
+                          ELSE 2 END AS file
+              FROM d
+            ),
+            ranked AS (
+              SELECT text, file,
+                     row_number() OVER (PARTITION BY file
+                                        ORDER BY sha256(text)) - 1 AS rn
+              FROM f
+            ),
+            offs AS (
+              SELECT file, count(*) AS cnt FROM ranked GROUP BY file
+            ),
+            cum AS (
+              SELECT file,
+                     coalesce(sum(cnt) OVER (ORDER BY file
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS off
+              FROM offs
+            )
+            SELECT 'doc_' || CAST(r.rn + c.off AS VARCHAR) AS doc_id, r.text
+            FROM ranked r JOIN cum c USING (file)
         """,
         # time travel to snapshot 1 is immune to the later corrupting commit
         "kg_snapshot_timetravel": f"""
