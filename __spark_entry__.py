@@ -175,6 +175,28 @@ def q_kg_snapshot_timetravel(spark, sf_dir):
     return read_graph_snapshot(spark, base, snapshot_id=v1)["triples"]
 
 
+def q_kg_answer(spark, sf_dir):
+    """U6 answer generation under the value-exact gate: full QA chain
+    (retrieval -> context format -> deterministic template backend ->
+    <think> strip) for the standard question; the oracle derives the same
+    string from the retrieval_topk oracle's row count, so retrieval drift or
+    a broken strip/template breaks the hash."""
+    import dataclasses
+
+    from knowledgegraphbuilder_spark.operators.answer import answer_question
+
+    kg = _kg(spark, sf_dir)
+    cfg = dataclasses.replace(CFG, pagerank_max_iter=300, pagerank_tol=1.0e-12)
+    idx = index_edges(kg.edges, CFG.embedding_dim)
+    q = "which customer stream uses spark"
+    ranked = retrieve_documents(kg.edges, kg.membership, idx, q, cfg)
+    docs = read_documents_parquet(spark, sf_dir)
+    from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
+
+    ans = answer_question(ranked, flatten_documents(docs), q)
+    return spark.createDataFrame([(q, ans)], "question string, answer string")
+
+
 def q_src_jsonl(spark, sf_dir):
     """S1 JSONL scan under the value-exact gate: documents written as three
     id-less JSONL files, re-read through read_jsonl_documents — ids must be
@@ -1426,6 +1448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sink_roundtrip": q_kg_sink_roundtrip,
         "kg_snapshot_timetravel": q_kg_snapshot_timetravel,
         "src_jsonl": q_src_jsonl,
+        "kg_answer": q_kg_answer,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2170,7 +2193,7 @@ def _hits(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     qstop = ", ".join(f"'{w}'" for w in ts.QUALITY_STOPWORDS)
-    return {
+    o = {
         "kg_s1_flatten": """
             SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, text,
                    CASE WHEN doc_id % 10 = 0 THEN 2
@@ -4103,3 +4126,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY user_id
         """,
     }
+    # U6 answer = deterministic template over the retrieval result: derive
+    # from the retrieval_topk oracle so the two can never drift apart
+    q = "which customer stream uses spark"
+    o["kg_answer"] = (
+        "WITH base AS (" + o["retrieval_topk"] + ") "
+        + f"SELECT '{q}' AS question, "
+        + "'Based on ' || CAST(n AS VARCHAR) || "
+        + f"' retrieved passages, the answer to ''{q}'' is grounded in "
+        + "the top-ranked document.' AS answer "
+        + "FROM (SELECT count(*) AS n FROM base)"
+    )
+    return o
+
