@@ -227,6 +227,32 @@ def q_src_jsonl(spark, sf_dir):
     return out.select("doc_id", "text")
 
 
+def q_src_txt(spark, sf_dir):
+    """S2 TXT scan under the value-exact gate: ten documents written as
+    whole-text files (one doc per file, reference front/app.py:105-113
+    shape), re-read through read_txt_documents — filename-derived ids and
+    verbatim text replayed from the documents table."""
+    import hashlib
+    import os
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.interleaved import (
+        read_txt_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("orig_id"), "text"
+    ).filter(F.col("orig_id") < 10)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_src_txt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    for r in d.collect():
+        with open(f"{base}/t{r['orig_id']}", "w") as f:
+            f.write(r["text"])
+    return read_txt_documents(spark, f"{base}/t*").select("doc_id", "text")
+
+
 def q_kg_provenance(spark, sf_dir):
     """Per-triple provenance rows (north-rule lineage surface; the physical
     partition_id column is execution-dependent and excluded from the value
@@ -1449,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_timetravel": q_kg_snapshot_timetravel,
         "src_jsonl": q_src_jsonl,
         "kg_answer": q_kg_answer,
+        "src_txt": q_src_txt,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2244,6 +2271,11 @@ def oracle_sql() -> dict[str, str]:
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
             FROM rels_id
+        """,
+        # one doc per file named t<doc_id>; id = 'doc_' + filename
+        "src_txt": """
+            SELECT 'doc_t' || CAST(doc_id AS VARCHAR) AS doc_id, text
+            FROM documents WHERE doc_id < 10
         """,
         # replay the deterministic numbering: files are doc_id thirds (file
         # order b0 < b1 < b2), within-file rank by sha256(text); JSON
