@@ -197,6 +197,33 @@ def q_kg_answer(spark, sf_dir):
     return spark.createDataFrame([(q, ans)], "question string, answer string")
 
 
+def q_kg_snapshot_diff(spark, sf_dir):
+    """CDC between graph snapshots (sinks.py:snapshot_diff): v1 = full
+    triples, v2 = the sha-even subset, committed as two snapshot versions
+    and diffed after read-back — exactly the 'removed' rows (sha-odd)
+    survive, which the oracle computes directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        read_graph_snapshot, snapshot_diff, write_graph_snapshot,
+    )
+
+    kg = _kg(spark, sf_dir)
+    t = kg.triples.select("subj", "pred", "obj", "doc_id")
+    keep = F.expr(
+        "cast(conv(substring(sha2(subj, 256), 1, 15), 16, 10) as bigint) % 2"
+    ) == 0
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_snap_diff_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v1 = write_graph_snapshot(base, {"triples": t})
+    v2 = write_graph_snapshot(base, {"triples": t.filter(keep)})
+    old = read_graph_snapshot(spark, base, snapshot_id=v1)["triples"]
+    new = read_graph_snapshot(spark, base, snapshot_id=v2)["triples"]
+    return snapshot_diff(old, new)
+
+
 def q_src_jsonl(spark, sf_dir):
     """S1 JSONL scan under the value-exact gate: documents written as three
     id-less JSONL files, re-read through read_jsonl_documents — ids must be
@@ -1476,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_jsonl": q_src_jsonl,
         "kg_answer": q_kg_answer,
         "src_txt": q_src_txt,
+        "kg_snapshot_diff": q_kg_snapshot_diff,
         "kg_provenance": q_kg_provenance,
         "kg_p1_chunk_entities": q_kg_p1_chunk_entities,
         "kg_a5_docweight": q_kg_a5_docweight,
@@ -2271,6 +2299,14 @@ def oracle_sql() -> dict[str, str]:
             WITH {_REL_CTE}
             SELECT head_text AS subj, rel_type AS pred, tail_text AS obj, doc_id
             FROM rels_id
+        """,
+        # the diff of (full, sha-even subset) is exactly the sha-odd rows
+        "kg_snapshot_diff": f"""
+            WITH {_REL_CTE}
+            SELECT 'removed' AS op, head_text AS subj, rel_type AS pred,
+                   tail_text AS obj, doc_id
+            FROM rels_id
+            WHERE ('0x' || substr(sha256(head_text), 1, 15))::BIGINT % 2 = 1
         """,
         # one doc per file named t<doc_id>; id = 'doc_' + filename
         "src_txt": """

@@ -185,3 +185,21 @@ def merge_max(spark: SparkSession, table_dir: str, updates: DataFrame,
     import shutil
 
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data capture between two table versions: one row per
+    difference, tagged ``op`` = 'added' (in new, not old) or 'removed'
+    (in old, not new) — multiset semantics via exceptAll, so duplicate-row
+    count changes surface too. The Iceberg/Delta ``table_changes`` shape,
+    computed from any two snapshot reads (pairs with
+    write_graph_snapshot/read_graph_snapshot). Two anti-set differences,
+    each one shuffle on the full row; no keys required."""
+    from pyspark.sql import functions as F
+
+    return (
+        new.exceptAll(old).select(F.lit("added").alias("op"), "*")
+        .unionByName(
+            old.exceptAll(new).select(F.lit("removed").alias("op"), "*")
+        )
+    )

@@ -187,3 +187,17 @@ def test_modality_transitions_counts(spark):
         ("text", "image"): 1, ("image", "text"): 1,
         ("text", "audio"): 1, ("text", "text"): 1,
     }
+
+
+def test_snapshot_diff_multiset_semantics(spark):
+    from knowledgegraphbuilder_spark.sources.sinks import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("b", 2), ("c", 3)], "k string, v int"
+    )
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("d", 4)], "k string, v int"
+    )
+    got = sorted(map(tuple, snapshot_diff(old, new).collect()))
+    # one of the duplicate (b,2) rows was removed; (c,3) removed; (d,4) added
+    assert got == [("added", "d", 4), ("removed", "b", 2), ("removed", "c", 3)]
