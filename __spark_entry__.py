@@ -879,6 +879,56 @@ def q_stream_sessions(spark, sf_dir):
     )
 
 
+def q_kg_incremental(spark, sf_dir):
+    """Batch-incremental KG maintenance under the value-exact gate: the
+    corpus splits into two doc-ranged increments; each runs the batch RE
+    chain and MERGEs into the relation table by deterministic relation_id
+    (S8) — then increment 1 REPLAYS (idempotency). The final table must
+    equal the full-corpus batch extraction: incremental == batch, with no
+    streaming machinery involved."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
+    from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
+    from knowledgegraphbuilder_spark.operators.ner import extract_mentions
+    from knowledgegraphbuilder_spark.operators.relations import extract_relations
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    spans = read_documents_parquet(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_incr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = spans.agg(
+        F.max(F.expr("cast(substring(doc_id, 5, 10) as int)"))
+    ).first()[0]
+
+    def fold(part):
+        docs = flatten_documents(part)
+        mentions = extract_mentions(
+            chunk_documents(docs, CFG.ner_chunk_size, CFG.ner_chunk_overlap),
+            CFG,
+        )
+        rels = extract_relations(
+            chunk_documents(docs, CFG.re_chunk_size, CFG.re_chunk_overlap),
+            mentions, CFG,
+        )
+        merge_upsert(spark, f"{base}/out", rels, "relation_id")
+
+    half = (n + 1) // 2
+    lo = spans.filter(
+        F.expr(f"cast(substring(doc_id, 5, 10) as int) < {half}"))
+    hi = spans.filter(
+        F.expr(f"cast(substring(doc_id, 5, 10) as int) >= {half}"))
+    fold(lo)
+    fold(hi)
+    fold(lo)  # replay: MERGE by relation_id must be a no-op
+    return spark.read.parquet(f"{base}/out").select(
+        "relation_id", "doc_id", "head_mention_id", "tail_mention_id",
+        "rel_type", "description",
+    )
+
+
 def q_stream_relations(spark, sf_dir):
     """STREAMING relation extraction under the value-exact gate: the corpus
     lands as three doc_id-ranged files, drains through the full RE chain
@@ -1579,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_join": q_stream_join,
         "stream_sessions": q_stream_sessions,
         "stream_relations": q_stream_relations,
+        "kg_incremental": q_kg_incremental,
         "stream_dedup": q_stream_dedup,
         "sql_agg_pushdown": q_sql_agg_pushdown,
         "sql_join_agg": q_sql_join_agg,
@@ -4103,6 +4154,12 @@ def oracle_sql() -> dict[str, str]:
         # closed sessions from the STREAMING stateful operator == batch
         # sessionization minus each user's trailing (still-open) session
         # the streamed-and-replayed relation table must equal the batch one
+        # incremental MERGE folds must reconstruct the batch relation table
+        "kg_incremental": f"""
+            WITH {_REL_CTE}
+            SELECT relation_id, doc_id, head_mention_id, tail_mention_id, rel_type, description
+            FROM rels_id
+        """,
         "stream_relations": f"""
             WITH {_REL_CTE}
             SELECT relation_id, doc_id, head_mention_id, tail_mention_id, rel_type, description
