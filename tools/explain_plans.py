@@ -430,6 +430,39 @@ def main() -> None:
         bpe_merges(spark, docs, rounds=1),
     )
 
+    from knowledgegraphbuilder_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        harmonic_centrality,
+    )
+
+    add(
+        "Asymmetric set-containment dedup (probe-side prefix filter)",
+        "Only the probe side is prefix-pruned (containment bounds how many "
+        "of A's shingles can miss B, so A's df-ordered prefix must hit B; "
+        "B's postings cannot be shortened) — candidates come from an "
+        "equi-join on 8-byte shingle hashes with the n_b >= t*n_a size "
+        "residual, and the exact ratio is verified on full shingle arrays "
+        "for candidates only. Same hot-shingle immunity as the Jaccard "
+        "PPJoin: stop-shingles sort last and stay out of probe prefixes.",
+        ngram_containment_pairs(docs, threshold=0.9),
+    )
+    seeds3 = (
+        lp_edges.select(F.col("src").alias("node"))
+        .unionAll(lp_edges.select(F.col("dst").alias("node")))
+        .distinct().orderBy(F.sha2(F.col("node"), 256)).limit(3)
+    )
+    add(
+        "Bounded harmonic centrality (seed-keyed BFS ball)",
+        "All seeds' searches advance in ONE per-round frontier join + "
+        "anti-join on the node key (Pregel/BSP shape; per-round cost is the "
+        "frontiers' edge boundary, rounds truncated by eager "
+        "localCheckpoints, visible as Scan ExistingRDD); the harmonic sum "
+        "is an exact BIGINT aggregate — repartition-stable.",
+        harmonic_centrality(lp_edges, seeds3, max_hops=2),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
