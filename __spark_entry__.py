@@ -1541,6 +1541,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+    # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
+    # entries. Round-4 rotation puts the 35 queries never driver-checked in
+    # rounds 1-3 first, then the two ever-red rows (dd_substring oracle
+    # typing fixed this round; mm_frames hex fix landed r3), then 13
+    # r2-green-but-not-rechecked queries. With rounds 1-3 green rows, this
+    # makes the union of driver-checked queries cover the full registry.
+        "g5_triangles": q_g5_triangles,
+        "g12_linkpred": q_g12_linkpred,
+        "g14_harmonic": q_g14_harmonic,
+        "g6_kcore": q_g6_kcore,
+        "g7_bfs": q_g7_bfs,
+        "g8_labelprop": q_g8_labelprop,
+        "g9_sssp": q_g9_sssp,
+        "g10_hits": q_g10_hits,
+        "g11_walks": q_g11_walks,
+        "g13_walkpairs": q_g13_walkpairs,
+        "kg_negsample": q_kg_negsample,
+        "sk_hll": q_sk_hll,
+        "sk_cms": q_sk_cms,
+        "retrieval_hybrid": q_retrieval_hybrid,
+        "ts_split": q_ts_split,
+        "dd_resolve": q_dd_resolve,
+        "ml_kmeans": q_ml_kmeans,
+        "stream_hll": q_stream_hll,
+        "stream_cms": q_stream_cms,
+        "sk_quantile": q_sk_quantile,
+        "bpe_merges": q_bpe_merges,
+        "layout_zorder": q_layout_zorder,
+        "sk_bloom": q_sk_bloom,
+        "ts_tfidf": q_ts_tfidf,
+        "ts_pmi": q_ts_pmi,
+        "mm_align": q_mm_align,
+        "mm_transitions": q_mm_transitions,
+        "mm_pack": q_mm_pack,
+        "interval_overlap": q_interval_overlap,
+        "stream_join": q_stream_join,
+        "stream_relations": q_stream_relations,
+        "kg_incremental": q_kg_incremental,
+        "stream_dedup": q_stream_dedup,
+        "sql_tpch_q6": q_sql_tpch_q6,
+        "sql_tpch_q3": q_sql_tpch_q3,
+        "dd_substring": q_dd_substring,
+        "mm_frames": q_mm_frames,
+        "asof_join": q_asof_join,
+        "g3_pagerank": q_g3_pagerank,
+        "mm_features": q_mm_features,
+        "retrieval_batch": q_retrieval_batch,
+        "retrieval_topk": q_retrieval_topk,
+        "stream_sessions": q_stream_sessions,
+        "sql_agg_pushdown": q_sql_agg_pushdown,
+        "sql_anti_join": q_sql_anti_join,
+        "sql_join_agg": q_sql_join_agg,
+        "sql_quantiles": q_sql_quantiles,
+        "sql_rollup": q_sql_rollup,
+        "sql_sessionize": q_sql_sessionize,
+        "sql_window_cum": q_sql_window_cum,
+        # ---- end of round-4 driver window (first 50) ----
         "kg_s1_flatten": q_kg_s1_flatten,
         "kg_u2_mentions": q_kg_u2_mentions,
         "kg_u3_labels": q_kg_u3_labels,
@@ -1569,7 +1626,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_embed_cosine": q_dd_embed_cosine,
         "dd_embed_cosine_lsh": q_dd_embed_cosine_lsh,
         "dd_semdedup": q_dd_semdedup,
-        "dd_substring": q_dd_substring,
         "dd_contamination": q_dd_contamination,
         "ts_pii": q_ts_pii,
         "ts_repetition": q_ts_repetition,
@@ -1591,56 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_fingerprint": q_ts_fingerprint,
         "ts_perplexity": q_ts_perplexity,
         "g4_cc": q_g4_cc,
-        "g5_triangles": q_g5_triangles,
-        "g12_linkpred": q_g12_linkpred,
-        "g14_harmonic": q_g14_harmonic,
-        "g6_kcore": q_g6_kcore,
-        "g7_bfs": q_g7_bfs,
-        "g8_labelprop": q_g8_labelprop,
-        "g9_sssp": q_g9_sssp,
-        "g10_hits": q_g10_hits,
-        "g11_walks": q_g11_walks,
-        "g13_walkpairs": q_g13_walkpairs,
-        "kg_negsample": q_kg_negsample,
-        "sk_hll": q_sk_hll,
-        "sk_cms": q_sk_cms,
-        "retrieval_hybrid": q_retrieval_hybrid,
-        "ts_split": q_ts_split,
-        "dd_resolve": q_dd_resolve,
-        "ml_kmeans": q_ml_kmeans,
-        "stream_hll": q_stream_hll,
-        "stream_cms": q_stream_cms,
-        "sk_quantile": q_sk_quantile,
-        "bpe_merges": q_bpe_merges,
-        "layout_zorder": q_layout_zorder,
-        "sk_bloom": q_sk_bloom,
-        "ts_tfidf": q_ts_tfidf,
-        "ts_pmi": q_ts_pmi,
-        "g3_pagerank": q_g3_pagerank,
-        "retrieval_topk": q_retrieval_topk,
-        "retrieval_batch": q_retrieval_batch,
-        "mm_features": q_mm_features,
-        "mm_frames": q_mm_frames,
-        "mm_align": q_mm_align,
-        "mm_transitions": q_mm_transitions,
-        "mm_pack": q_mm_pack,
-        "asof_join": q_asof_join,
-        "interval_overlap": q_interval_overlap,
-        "stream_join": q_stream_join,
-        "stream_sessions": q_stream_sessions,
-        "stream_relations": q_stream_relations,
-        "kg_incremental": q_kg_incremental,
-        "stream_dedup": q_stream_dedup,
-        "sql_agg_pushdown": q_sql_agg_pushdown,
-        "sql_join_agg": q_sql_join_agg,
         "sql_topk_count": q_sql_topk_count,
-        "sql_tpch_q6": q_sql_tpch_q6,
-        "sql_tpch_q3": q_sql_tpch_q3,
-        "sql_anti_join": q_sql_anti_join,
-        "sql_window_cum": q_sql_window_cum,
-        "sql_sessionize": q_sql_sessionize,
-        "sql_rollup": q_sql_rollup,
-        "sql_quantiles": q_sql_quantiles,
     }
 
 
@@ -2621,12 +2628,15 @@ def oracle_sql() -> dict[str, str]:
             cnt AS (SELECT whash, count(*) AS n_docs FROM wh GROUP BY whash),
             pd AS (
               SELECT doc_id, count(*) AS n_windows,
-                     sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+                     -- CAST: DuckDB sum(INTEGER) is HUGEINT -> pandas float64,
+                     -- which hash-mismatches Spark's int64 despite equal values
+                     CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_windows
               FROM wh JOIN cnt USING (whash) GROUP BY doc_id
             )
             SELECT a.doc_id,
-                   coalesce(n_windows, 0) AS n_windows,
-                   coalesce(n_dup_windows, 0) AS n_dup_windows,
+                   CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                    round(coalesce(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_frac
             FROM allc a LEFT JOIN pd ON a.doc_id = pd.doc_id
         """,

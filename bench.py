@@ -185,11 +185,19 @@ def main() -> None:
                 if line:
                     runs[key].append(json.loads(line[-1])["sec"])
                 time.sleep(15)
+        import statistics
+
         for key, vals in runs.items():
             scaling[key] = min(vals) if vals else None
+            scaling[key + "_median"] = round(statistics.median(vals), 1) if vals else None
             scaling[key + "_runs"] = [round(v, 1) for v in vals]
         if scaling.get("t_n") and scaling.get("t_4n"):
             ratio = scaling["t_n"] / scaling["t_4n"]
+            # min-based efficiency is the dedicated-cluster stand-in (see
+            # the contention note above); the median-based figure is
+            # reported alongside so the artifact carries the honest spread
+            # (round-3 VERDICT item 4) rather than only the best case
+            med_ratio = scaling["t_n_median"] / scaling["t_4n_median"]
             scaling.update(
                 n_cpus=n_small,
                 mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted"),
@@ -197,6 +205,8 @@ def main() -> None:
                 amplify=int(os.environ.get("SPARK_GRAFT_SCALE_AMP", "20")),
                 throughput_ratio=round(ratio, 3),
                 efficiency=round(ratio / 4.0, 3),
+                throughput_ratio_median=round(med_ratio, 3),
+                efficiency_median=round(med_ratio / 4.0, 3),
             )
 
     from knowledgegraphbuilder_spark.session import build_session

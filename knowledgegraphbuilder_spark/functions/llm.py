@@ -72,18 +72,44 @@ Output format:
 ]
 """
 
-# prompts.py:392-428 (GRAPH_ANSWERING_INSTRUCTION), abridged to its 8 rules'
-# operative sentences — answering (U6)
+# prompts.py:394-428 (GRAPH_ANSWERING_INSTRUCTION), VERBATIM (public
+# content) so the assembled answer chat is byte-identical to the
+# reference's GRAPH_ANSWERING_PROMPT (prompts.py:511-524; few-shot turns
+# are commented out there, so none are wired here either) — answering (U6)
 ANSWERING_INSTRUCTION = """
 You are an assistant performing question-answering tasks based on provided source texts. You must follow these rules:
-1. Read the question and source texts carefully; do not rely on your own knowledge.
-2. Locate relevant information in the texts; your answer must be directly supported by them.
-3. Answer only if information exists in the texts.
-4. No assumptions or external knowledge.
-5. Reference the specific text snippet(s) that support your answer.
-6. Provide a concise, direct answer, then list the parts of the text you used.
-7. No additional commentary.
-8. If the answer is not in the texts, say: "I cannot answer this question based on the provided information."
+
+1. Read the Question and Source Texts Carefully
+   - You will be given one or more texts along with a user’s question.
+   - Do not rely on your own knowledge. Only consider the information explicitly stated in the provided texts.
+
+2. Locate Relevant Information in the Texts
+   - Identify parts of the texts that answer or relate to the question.
+   - Your answer must be directly supported by these specific parts of the texts.
+
+3. Answer Only if Information Exists
+   - If you find relevant information, provide the answer based solely on the texts.
+   - If you cannot find the answer in the texts, respond with:
+     "I cannot answer this question based on the provided information"
+
+4. No Assumptions or External Knowledge
+   - Do not use external information (even if you know it).
+   - Do not speculate, infer, or assume facts that are not explicitly stated in the texts.
+
+5. Reference the Texts in Your Answer
+   - Refer to the specific text snippet(s) or document section(s) that support your answer.
+   - For example, “According to Text A, paragraph 2: …”
+
+6. Maintain a Clear Answer Format
+   - Provide a concise, direct answer to the question.
+   - Then explicitly list the parts of the text you used.
+
+7. No Additional Commentary
+   - Do not add personal opinions or extra commentary.
+   - Only give the factual answer supported by the text.
+
+8. If the answer is not in the texts, say:
+   "I cannot answer this question based on the provided information."
 """
 
 # user-turn templates (prompts.py:373 "{user_input}", :386-388

@@ -143,7 +143,6 @@ def personalized_pagerank_batch(
     )
     ranks = pers.select("query_id", "node_id", F.col("p").alias("score"))
     d = float(damping)
-    last = ranks
     for it in range(max_iter):
         contribs = (
             trans.join(
@@ -161,7 +160,7 @@ def personalized_pagerank_batch(
             .groupBy("query_id")
             .agg(F.coalesce(F.sum("score"), F.lit(0.0)).alias("dmass"))
         )
-        ranks = (
+        new_ranks = (
             pers.join(contribs, qkey, "left")
             .join(F.broadcast(dangling), "query_id", "left")
             .select(
@@ -175,20 +174,23 @@ def personalized_pagerank_batch(
             .localCheckpoint(eager=True)
         )
         if (it + 1) % 5 == 0 or it == max_iter - 1:
-            # same convergence norm as the per-query paths: L1 per query
-            # (max over queries), threshold scaled by the check interval —
-            # keeps the batch and single-query loops stopping at the same
-            # iterate near tol
+            # SINGLE-STEP L1 per query (max over queries) against tol —
+            # the exact criterion _driver_ppr and the per-query loop apply,
+            # evaluated at check boundaries. An interval-summed delta vs
+            # tol*interval stops at a different iterate because deltas
+            # shrink geometrically, not linearly (round-3 ADVICE).
             delta = (
-                ranks.join(last.withColumnRenamed("score", "old"), qkey)
+                new_ranks.join(ranks.withColumnRenamed("score", "old"), qkey)
                 .groupBy("query_id")
                 .agg(F.sum(F.abs(F.col("score") - F.col("old"))).alias("l1"))
                 .agg(F.max("l1"))
                 .collect()[0][0]
             )
-            last = ranks
-            if delta is not None and delta < tol * 5:
+            ranks = new_ranks
+            if delta is not None and delta < tol:
                 break
+        else:
+            ranks = new_ranks
     return ranks
 
 
@@ -258,7 +260,6 @@ def personalized_pagerank(
 
     ranks = pers.select("node_id", F.col("p").alias("score"))
     d = float(damping)
-    last_ckpt = ranks
     for it in range(max_iter):
         # NOTE: new_ranks references ranks twice (contribs + dangling); left
         # lazy the plan would double per iteration, so ranks is materialized
@@ -289,14 +290,17 @@ def personalized_pagerank(
         )
         new_ranks = new_ranks.localCheckpoint(eager=True)
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
+            # single-step L1 vs tol — same criterion as _driver_ppr,
+            # evaluated at checkpoint boundaries (round-3 ADVICE: an
+            # interval-summed delta vs tol*interval diverges from the
+            # per-iteration criterion because deltas shrink geometrically)
             delta = (
-                new_ranks.join(last_ckpt.withColumnRenamed("score", "old"), "node_id")
+                new_ranks.join(ranks.withColumnRenamed("score", "old"), "node_id")
                 .agg(F.sum(F.abs(F.col("score") - F.col("old"))))
                 .collect()[0][0]
             )
             ranks = new_ranks
-            last_ckpt = new_ranks
-            if delta is not None and delta < tol * checkpoint_every:
+            if delta is not None and delta < tol:
                 break
         else:
             ranks = new_ranks

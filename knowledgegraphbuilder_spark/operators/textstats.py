@@ -244,10 +244,17 @@ def pmi_collocations(
     ordered deterministically by (pmi desc, w1 asc, w2 asc) — top-k is a
     TakeOrderedAndProject, never a global sort of the full vocab².
     """
+    # sequence(1, size-1) DESCENDS to [1, 0] when size(ws) < 2 (null text
+    # splits to null -> size -1), indexing ws out of bounds under ANSI mode
+    # — guard single-token/empty docs with an empty bigram array instead
     ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
     big = ws.select(
         F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] as w1, ws[i] as w2))")
+            F.expr(
+                "CASE WHEN ws IS NULL OR size(ws) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] as w1, ws[i] as w2)) END"
+            )
         ).alias("b")
     ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
     c_xy = big.groupBy("w1", "w2").agg(F.count("*").alias("n"))

@@ -47,24 +47,66 @@ def read_graph(spark: SparkSession, base_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def _recover_table(table_dir: str) -> None:
+    """Bring a table directory back to a committed state after a crash at
+    any point inside _commit_table. Invariant: at every instant either the
+    live dir or __old holds a complete previous version, or __tmp holds a
+    complete new version — so recovery never loses the table."""
+    import shutil
+
+    table_dir = table_dir.rstrip("/")
+    tmp, old = table_dir + "__tmp", table_dir + "__old"
+    if os.path.exists(table_dir):
+        # live dir authoritative: a leftover __old means the commit
+        # finished (crash before cleanup); a leftover __tmp means the
+        # commit never started swapping — the merge will be redone
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+        # crash between the two renames: the new version is complete
+        os.rename(tmp, table_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        return
+    shutil.rmtree(tmp, ignore_errors=True)
+    if os.path.exists(old):
+        # incomplete new version discarded; previous version restored
+        os.rename(old, table_dir)
+
+
+def _commit_table(merged: DataFrame, table_dir: str) -> None:
+    """Crash-safe table rewrite via atomic directory renames (round-3
+    ADVICE: the old write-tmp-then-overwrite-live left a window where a
+    crash lost the table entirely). Sequence — each rename atomic on POSIX:
+    (1) write new version to <dir>__tmp; (2) rename live -> <dir>__old;
+    (3) rename __tmp -> live; (4) drop __old. A crash anywhere is repaired
+    by _recover_table. Single data write (the old path wrote twice). On a
+    real lake this whole function is one Iceberg snapshot commit."""
+    import shutil
+
+    table_dir = table_dir.rstrip("/")
+    tmp, old = table_dir + "__tmp", table_dir + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(table_dir):
+        os.rename(table_dir, old)
+    os.rename(tmp, table_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def merge_upsert(spark: SparkSession, table_dir: str, updates: DataFrame,
                  key: str) -> None:
     """S8: idempotent MERGE by key — existing rows not in updates are kept,
     matching keys are replaced. (With Iceberg this is a single MERGE INTO;
-    on raw parquet it is anti-join + union + atomic-ish rewrite.)"""
+    on raw parquet it is anti-join + union + a crash-safe rename commit.)"""
+    _recover_table(table_dir)
     if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         current = spark.read.parquet(table_dir)
         kept = current.join(updates.select(key).distinct(), key, "left_anti")
         merged = kept.unionByName(updates)
     else:
         merged = updates
-    tmp = table_dir.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    _commit_table(merged, table_dir)
 
 
 def merge_insert_missing(spark: SparkSession, table_dir: str,
@@ -73,19 +115,14 @@ def merge_insert_missing(spark: SparkSession, table_dir: str,
     rows are inserted only for keys not yet in the table (the Iceberg
     `MERGE INTO ... WHEN NOT MATCHED THEN INSERT` shape). Replaying the same
     updates is a no-op — the primitive streaming dedup builds on."""
+    _recover_table(table_dir)
     if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         current = spark.read.parquet(table_dir)
         fresh = updates.join(current.select(key).distinct(), key, "left_anti")
         merged = current.unionByName(fresh)
     else:
         merged = updates
-    tmp = table_dir.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    _commit_table(merged, table_dir)
 
 
 def write_graph_snapshot(base_dir: str, tables: dict[str, DataFrame]) -> int:
@@ -169,6 +206,7 @@ def merge_max(spark: SparkSession, table_dir: str, updates: DataFrame,
     documented in operators/retrieval.py)."""
     from pyspark.sql import functions as F
 
+    _recover_table(table_dir)
     if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
         current = spark.read.parquet(table_dir)
         merged = (
@@ -178,13 +216,7 @@ def merge_max(spark: SparkSession, table_dir: str, updates: DataFrame,
         )
     else:
         merged = updates
-    tmp = table_dir.rstrip("/") + "__tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(table_dir)
-    import shutil
-
-    shutil.rmtree(tmp, ignore_errors=True)
+    _commit_table(merged, table_dir)
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -251,8 +251,9 @@ def run_cms_available_now(
 ) -> None:
     """Streaming heavy-hitter sketching: each micro-batch reduces to its own
     Count-Min sketch (operators/sketches.py:cms_sketch) and lands in the
-    state table under a CONTENT-derived batch key (the batch's min
-    event_id), via replace-by-key MERGE (sources/sinks.py:merge_upsert).
+    state table under a CONTENT-derived batch key (sha256 of the batch's
+    (count, min, max, order-independent row-hash sum) over event_id), via
+    replace-by-key MERGE (sources/sinks.py:merge_upsert).
 
     CMS addition is associative/commutative but NOT idempotent — naively
     adding a replayed batch into one global sketch double-counts. Keying the
@@ -277,11 +278,27 @@ def run_cms_available_now(
     )
 
     def process(batch_df, batch_id: int) -> None:
-        lo = batch_df.agg(F.min("event_id")).first()[0]
-        if lo is None:
+        # bkey must be a bijection of batch CONTENT: keying by min(event_id)
+        # alone silently overwrites a distinct batch that happens to share a
+        # min (overlapping files, re-split input). Fold an order-independent
+        # content digest instead — (count, min, max, sum of per-row hashes)
+        # collapses only for identical multisets of event_ids.
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+            # bounded residue before the sum: a raw xxhash64 sum overflows
+            # long under ANSI; decimal(38,0) over <1e9 residues never does
+            F.sum(
+                F.pmod(F.xxhash64(F.col("event_id").cast("string")),
+                       F.lit(1_000_000_007)).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
             return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
         sk = cms_sketch(batch_df, value_expr).select(
-            F.lit(int(lo)).alias("bkey"), "row", "col", "cnt"
+            F.sha2(F.lit(bkey), 256).alias("bkey"), "row", "col", "cnt"
         )
         merge_upsert(batch_df.sparkSession, table_dir, sk, "bkey")
 

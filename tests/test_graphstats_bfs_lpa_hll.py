@@ -126,6 +126,17 @@ class TestTfidfPmi:
         assert (top[0]["w1"], top[0]["w2"]) == ("new", "york")
         assert top[0]["pmi"] > 0
 
+    def test_pmi_survives_degenerate_docs(self, spark):
+        # single-token / empty / null docs used to crash: sequence(1, size-1)
+        # descends to [1, 0] and indexes ws[-1]/ws[1] out of bounds under
+        # ANSI mode (round-3 ADVICE item). They must contribute no bigrams.
+        rows = [("x", "new york " + "a b c d " * 3)] * 12
+        rows += [("e", ""), ("s", "lonely"), ("n", None), ("w", " ")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        top = pmi_collocations(docs, min_count=10, k=5).collect()
+        assert (top[0]["w1"], top[0]["w2"]) == ("new", "york")
+        assert all("lonely" not in (r["w1"], r["w2"]) for r in top)
+
 
 class TestCms:
     def test_one_sided_error(self, spark):
@@ -405,8 +416,8 @@ class TestStreamingCms:
              .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
         run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck")
         state = sorted(map(tuple, spark.read.parquet(f"{base}/sk").collect()))
-        # one sketch per batch, keyed by the batch's min event_id
-        assert {r[0] for r in state} == {0, 1000, 2000}
+        # one sketch per batch, keyed by a content digest of the batch
+        assert len({r[0] for r in state}) == 3
         total = sorted(map(tuple, (
             spark.read.parquet(f"{base}/sk")
             .groupBy("row", "col").agg(F.sum("cnt").cast("long").alias("cnt"))
@@ -419,6 +430,36 @@ class TestStreamingCms:
         run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck2")
         again = sorted(map(tuple, spark.read.parquet(f"{base}/sk").collect()))
         assert again == state
+
+    def test_distinct_batches_sharing_min_event_id_both_counted(self, spark, tmp_path):
+        # round-3 ADVICE: keying by min(event_id) alone lets two distinct
+        # batches with the same min silently overwrite each other under
+        # replace-MERGE. Content-digest keys must keep both.
+        from pyspark.sql import functions as F
+        from knowledgegraphbuilder_spark.operators.sketches import cms_sketch
+        from knowledgegraphbuilder_spark.streaming.ingest import run_cms_available_now
+
+        ev = spark.range(200).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 13).alias("user_id"),
+            F.lit("t").alias("event_type"),
+        )
+        base = str(tmp_path)
+        # both files contain event_id 0 -> identical min, different content
+        a = ev.filter(F.col("event_id") < 100)
+        b = ev.filter((F.col("event_id") == 0) | (F.col("event_id") >= 100))
+        a.coalesce(1).write.parquet(f"{base}/in/a")
+        b.coalesce(1).write.parquet(f"{base}/in/b")
+        run_cms_available_now(spark, f"{base}/in/*", f"{base}/sk", f"{base}/ck")
+        assert spark.read.parquet(f"{base}/sk").select("bkey").distinct().count() == 2
+        total = sorted(map(tuple, (
+            spark.read.parquet(f"{base}/sk")
+            .groupBy("row", "col").agg(F.sum("cnt").cast("long").alias("cnt"))
+            .collect()
+        )))
+        both = sorted(map(tuple, cms_sketch(
+            a.unionAll(b), "cast(user_id as string)").collect()))
+        assert total == both
 
 
 class TestHdrQuantiles:

@@ -58,6 +58,23 @@ def test_relation_prompt_matches_reference():
     assert [(r, _h(c)) for r, c in msgs] == RE_EXPECTED
 
 
+# GRAPH_ANSWERING_PROMPT (back/kgg/prompts.py:511-524): system instruction
+# (prompts.py:394-428, all few-shot turns commented out in the reference)
+# + "Question: {question}\n\nTexts:\n{texts}" user turn, where texts is
+# "\n\n".join("[Text i] <doc text>") (graph_answering.py:32-36)
+ANSWER_EXPECTED = [
+    ("system", "47ed99f69f56dfcb"),
+    ("human", "1420ed5ebbda1868"),
+]
+
+
+def test_answer_prompt_matches_reference():
+    be = llm.OllamaAnswerBackend.__new__(llm.OllamaAnswerBackend)
+    context = "[Text 1] Spark is a distributed engine."
+    msgs = be.messages_for("What is Spark?", context)
+    assert [(r, _h(c)) for r, c in msgs] == ANSWER_EXPECTED
+
+
 def test_defaults_are_the_reference_examples():
     """Constructing the backends without arguments must wire the reference
     example turns (3 each); [] opts into zero-shot."""

@@ -21,19 +21,54 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(x):
-    if isinstance(x, float):
+    """Dtype-aware normalization, matching the driver's hash semantics:
+    a float64 3.0 and an int64 3 must NOT collapse to the same token
+    (that collapse is exactly how the dd_substring HUGEINT->float64
+    oracle bug shipped through this gate in round 3)."""
+    import numpy as np
+
+    if x is None or x is pandas_NA(x):
+        return "NULL"
+    if isinstance(x, (bool, np.bool_)):
+        return f"b:{bool(x)}"
+    if isinstance(x, (float, np.floating)):
+        x = float(x)
         if math.isnan(x):
-            return "nan"
-        return f"{x:.9g}"
+            return "f:nan"
+        return f"f:{x!r}"
+    if isinstance(x, (int, np.integer)):
+        return f"i:{int(x)}"
     if isinstance(x, bytes):
-        return x.hex()
-    return str(x)
+        return "x:" + x.hex()
+    if isinstance(x, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(v) for v in x) + "]"
+    if isinstance(x, dict):
+        return "{" + ",".join(f"{k}={norm_cell(v)}" for k, v in sorted(x.items())) + "}"
+    return "s:" + str(x)
+
+
+def pandas_NA(x):
+    import pandas as pd
+
+    try:
+        if x is pd.NA or x is pd.NaT:
+            return x
+    except Exception:
+        pass
+    return object()
 
 
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
+
+
+def frame_rows(df):
+    """pandas DataFrame -> (cols, row tuples). Going through pandas on BOTH
+    sides reproduces the driver's typing: DuckDB HUGEINT lands as float64
+    here, exactly as it does in the driver's comparator."""
+    return list(df.columns), [tuple(r) for r in df.itertuples(index=False, name=None)]
 
 
 def main():
@@ -62,8 +97,7 @@ def main():
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            scols, srows = frame_rows(sdf.toPandas())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -73,8 +107,7 @@ def main():
             continue
         try:
             res = con.sql(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dcols, drows = frame_rows(res.df())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
