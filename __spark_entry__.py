@@ -431,13 +431,9 @@ def q_g5_triangles(spark, sf_dir):
     """Co-purchase graph (orders x parts bipartite projection, group-size
     capped) -> per-node triangle counts + local clustering coefficient
     (graphstats.py:cooccurrence_edges / triangle_clustering)."""
-    from knowledgegraphbuilder_spark.operators.graphstats import (
-        cooccurrence_edges, triangle_clustering,
-    )
+    from knowledgegraphbuilder_spark.operators.graphstats import triangle_clustering
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=50)
-    return triangle_clustering(edges)
+    return triangle_clustering(_copurchase_edges(spark, sf_dir))
 
 
 def q_g14_harmonic(spark, sf_dir):
@@ -463,14 +459,10 @@ def q_g12_linkpred(spark, sf_dir):
     edges by exact-integer Resource Allocation (graphstats.link_prediction);
     the max_hub_degree=10 wedge-center cap is contract-exercised (graph max
     degree is 13 at sf0.01, so the cap actually prunes)."""
-    from knowledgegraphbuilder_spark.operators.graphstats import (
-        cooccurrence_edges, link_prediction,
-    )
+    from knowledgegraphbuilder_spark.operators.graphstats import link_prediction
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", max_group_size=50, min_weight=2
-    )
+    # min_weight=2 is a pure filter over the shared cached projection
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
     return link_prediction(edges, max_hub_degree=10, top_n=100)
 
 
@@ -695,13 +687,9 @@ def q_g6_kcore(spark, sf_dir):
     oracle replays a fixed 8-round unroll — peeling converges in 6 rounds on
     this input and the converged state is a fixed point, so extra rounds are
     no-ops."""
-    from knowledgegraphbuilder_spark.operators.graphstats import (
-        cooccurrence_edges, k_core,
-    )
+    from knowledgegraphbuilder_spark.operators.graphstats import k_core
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", max_group_size=50)
-    return k_core(edges, k=80)
+    return k_core(_copurchase_edges(spark, sf_dir), k=80)
 
 
 def q_g3_pagerank(spark, sf_dir):
@@ -1847,14 +1835,10 @@ def q_kg_negsample(spark, sf_dir):
     co-purchase graph (graphstats.py:negative_sample_edges, k=2 tail
     corruptions per edge): sha256-ranked vocabulary pick, true edges (both
     orientations) and self-corruptions dropped."""
-    from knowledgegraphbuilder_spark.operators.graphstats import (
-        cooccurrence_edges, negative_sample_edges,
-    )
+    from knowledgegraphbuilder_spark.operators.graphstats import negative_sample_edges
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    edges = cooccurrence_edges(
-        li, "l_orderkey", "l_partkey", max_group_size=50, min_weight=2
-    )
+    # min_weight=2 is a pure filter over the shared cached projection
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
     return negative_sample_edges(edges, k=2)
 
 

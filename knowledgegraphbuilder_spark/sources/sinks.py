@@ -23,15 +23,17 @@ GRAPH_TABLES = ("nodes", "edges", "provenance", "documents", "membership")
 def write_graph(base_dir: str, *, nodes: DataFrame, edges: DataFrame,
                 provenance: DataFrame, documents: DataFrame | None = None,
                 membership: DataFrame | None = None) -> None:
-    """S3/S6/S7: bulk createOrReplace of the graph tables. Edges partition by
-    rel_type (low-cardinality, supports partition pruning on typed traversals)."""
-    nodes.write.mode("overwrite").parquet(f"{base_dir}/nodes")
-    edges.write.mode("overwrite").partitionBy("rel_type").parquet(f"{base_dir}/edges")
-    provenance.write.mode("overwrite").parquet(f"{base_dir}/provenance")
+    """S3/S6/S7: bulk createOrReplace of the graph tables, each committed via
+    the crash-safe rename swap (_commit_table) so a failed rewrite never
+    loses the previous version of a table. Edges partition by rel_type
+    (low-cardinality, supports partition pruning on typed traversals)."""
+    _commit_table(nodes, f"{base_dir}/nodes")
+    _commit_table(edges, f"{base_dir}/edges", partition_by="rel_type")
+    _commit_table(provenance, f"{base_dir}/provenance")
     if documents is not None:
-        documents.drop("spans").write.mode("overwrite").parquet(f"{base_dir}/documents")
+        _commit_table(documents.drop("spans"), f"{base_dir}/documents")
     if membership is not None:
-        membership.write.mode("overwrite").parquet(f"{base_dir}/membership")
+        _commit_table(membership, f"{base_dir}/membership")
 
 
 def read_graph(spark: SparkSession, base_dir: str) -> dict[str, DataFrame]:
@@ -74,7 +76,8 @@ def _recover_table(table_dir: str) -> None:
         os.rename(old, table_dir)
 
 
-def _commit_table(merged: DataFrame, table_dir: str) -> None:
+def _commit_table(merged: DataFrame, table_dir: str,
+                  partition_by: str | None = None) -> None:
     """Crash-safe table rewrite via atomic directory renames (round-3
     ADVICE: the old write-tmp-then-overwrite-live left a window where a
     crash lost the table entirely). Sequence — each rename atomic on POSIX:
@@ -87,7 +90,10 @@ def _commit_table(merged: DataFrame, table_dir: str) -> None:
     table_dir = table_dir.rstrip("/")
     tmp, old = table_dir + "__tmp", table_dir + "__old"
     shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").parquet(tmp)
+    w = merged.write.mode("overwrite")
+    if partition_by is not None:
+        w = w.partitionBy(partition_by)
+    w.parquet(tmp)
     if os.path.exists(table_dir):
         os.rename(table_dir, old)
     os.rename(tmp, table_dir)
@@ -186,7 +192,8 @@ def clear_graph(base_dir: str) -> None:
     import shutil
 
     for t in GRAPH_TABLES:
-        shutil.rmtree(f"{base_dir}/{t}", ignore_errors=True)
+        for suffix in ("", "__tmp", "__old"):
+            shutil.rmtree(f"{base_dir}/{t}{suffix}", ignore_errors=True)
 
 
 def sanitize_rel_type(col: str = "rel_type") -> F.Column:
