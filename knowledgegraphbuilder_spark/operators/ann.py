@@ -22,7 +22,10 @@ from pyspark.sql.window import Window
 
 
 def _norm_expr(col: str) -> str:
-    return f"sqrt(aggregate({col}, 0.0d, (a, x) -> a + x * x))"
+    # floored at a tiny positive: an all-zero vector has dot 0 with any
+    # query, so flooring its norm yields cosine 0.0 instead of an ANSI
+    # DIVIDE_BY_ZERO crash (degenerate-input suite, round 4)
+    return f"greatest(sqrt(aggregate({col}, 0.0d, (a, x) -> a + x * x)), 1e-100d)"
 
 
 def _as_double(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:

@@ -363,9 +363,9 @@ def embedding_cosine_pairs_lsh(
         .distinct()
     )
     av = v.select(F.col("id").alias("id_a"), F.col("v").alias("va")).withColumn(
-        "na", F.expr("sqrt(aggregate(va, 0.0d, (a, x) -> a + x * x))"))
+        "na", F.expr("greatest(sqrt(aggregate(va, 0.0d, (a, x) -> a + x * x)), 1e-100d)"))
     bv = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb")).withColumn(
-        "nb", F.expr("sqrt(aggregate(vb, 0.0d, (a, x) -> a + x * x))"))
+        "nb", F.expr("greatest(sqrt(aggregate(vb, 0.0d, (a, x) -> a + x * x)), 1e-100d)"))
     return (
         cand.join(av, "id_a").join(bv, "id_b")
         .withColumn(
@@ -392,7 +392,7 @@ def embedding_cosine_pairs(
     v = embs.select(
         F.col(id_col).cast("string").alias("id"),
         F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
-    ).withColumn("norm", F.expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
+    ).withColumn("norm", F.expr("greatest(sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x)), 1e-100d)"))
     a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     return (
@@ -453,7 +453,7 @@ def semantic_dedup(
             .agg(F.min_by(F.struct("cid", "v"), F.struct("d2", "cid")).alias("best"))
             .select("id", F.col("best.cid").alias("cid"), F.col("best.v").alias("v"))
         )
-    m = assigned.withColumn("norm", F.expr("sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x))"))
+    m = assigned.withColumn("norm", F.expr("greatest(sqrt(aggregate(v, 0.0d, (a, x) -> a + x * x)), 1e-100d)"))
     a = m.select("cid", F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("norm").alias("na"))
     b = m.select("cid", F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("norm").alias("nb"))
     pairs = (

@@ -1,0 +1,165 @@
+"""Degenerate-input robustness across operator families.
+
+Round-3 ADVICE found pmi_collocations crashing on single-token/empty/null
+docs (sequence(1, size-1) DESCENDS to [1,0] and indexes out of bounds under
+ANSI mode) because every test corpus was well-formed. This suite runs each
+text/dedup/curation/graph/ANN operator against the corpora a 100 TB crawl
+actually contains — empty tables, empty strings, nulls, single tokens,
+whitespace-only — and asserts they neither raise nor emit junk rows for the
+degenerate docs. Catching this class locally is cheap; catching it on a
+1000-executor run is not.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = "doc_id long, text string"
+
+# (name, rows) — every text operator must survive all of these
+CORPORA = [
+    ("empty_table", []),
+    ("empty_string", [(1, "")]),
+    ("null_text", [(1, None)]),
+    ("single_token", [(1, "lonely")]),
+    ("whitespace", [(1, " ")]),
+    ("mixed", [(1, ""), (2, None), (3, "one"), (4, "two tokens"),
+               (5, "   "), (6, "a normal looking document with several tokens")]),
+]
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def _run(df):
+    """Force full execution."""
+    return df.collect()
+
+
+class TestTextStatsDegenerate:
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_all_textstats(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.textstats import (
+            bigram_perplexity,
+            fingerprint,
+            language_id,
+            pmi_collocations,
+            quality_score,
+            tfidf_topk,
+            token_counts,
+        )
+
+        docs = _docs(spark, rows)
+        for op in (language_id, quality_score, token_counts, fingerprint):
+            _run(op(docs))
+        _run(tfidf_topk(docs, k=2))
+        _run(pmi_collocations(docs, min_count=1, k=2))
+        _run(bigram_perplexity(docs))
+
+
+class TestDedupDegenerate:
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_text_dedup(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.dedup import (
+            exact_duplicates,
+            minhash_lsh_pairs,
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+
+        docs = _docs(spark, rows)
+        _run(exact_duplicates(docs))
+        _run(ngram_jaccard_pairs(docs, threshold=0.5, k=3))
+        _run(minhash_lsh_pairs(docs, threshold=0.5, k=3))
+        _run(simhash_pairs(docs))
+        _run(ngram_containment_pairs(docs, threshold=0.5, k=3))
+
+    def test_embedding_dedup_empty_and_tiny(self, spark):
+        from knowledgegraphbuilder_spark.operators.dedup import (
+            embedding_cosine_pairs,
+            embedding_cosine_pairs_lsh,
+            semantic_dedup,
+        )
+
+        schema = "vec_id long, embedding array<float>"
+        for rows in ([], [(1, [0.0] * 8)], [(1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7)]):
+            emb = spark.createDataFrame(rows, schema)
+            _run(embedding_cosine_pairs(emb, threshold=0.9))
+            _run(embedding_cosine_pairs_lsh(emb, threshold=0.9, dim=8))
+            _run(semantic_dedup(emb, threshold=0.9, centroid_stride=2))
+
+
+class TestCurationDegenerate:
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_curation_ops(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.curation import (
+            decontaminate,
+            pack_sequences,
+            pii_stats,
+            quality_filter,
+            repetition_stats,
+            stratified_split,
+            substring_dup_stats,
+        )
+
+        docs = _docs(spark, rows)
+        _run(substring_dup_stats(docs, k=3))
+        _run(decontaminate(docs, docs.limit(1), k=3))
+        _run(repetition_stats(docs, n=2))
+        _run(quality_filter(docs))
+        _run(pii_stats(docs))
+        _run(pack_sequences(docs, seq_len=8, n_shards=2))
+        _run(stratified_split(docs.withColumn("lang", F.lit("en"))))
+
+
+class TestGraphDegenerate:
+    def test_graph_ops_on_empty_and_tiny_edge_lists(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            bfs_hops,
+            harmonic_centrality,
+            hits_scores,
+            k_core,
+            label_propagation,
+            link_prediction,
+            sssp_hops,
+            triangle_clustering,
+        )
+
+        schema = "src string, dst string, weight long"
+        for rows in ([], [("a", "b", 1)], [("a", "a", 1)]):
+            edges = spark.createDataFrame(rows, schema)
+            seeds = spark.createDataFrame([("a",)], "node string")
+            _run(triangle_clustering(edges))
+            _run(k_core(edges, k=2))
+            _run(label_propagation(edges, rounds=2))
+            _run(hits_scores(edges, rounds=2))
+            _run(harmonic_centrality(edges, seeds, max_hops=2))
+            _run(link_prediction(edges, max_hub_degree=5, top_n=5))
+            _run(bfs_hops(edges, seeds, max_hops=2))
+            _run(sssp_hops(edges, seeds, rounds=2))
+
+    def test_cc_and_canonicalize_empty(self, spark):
+        from knowledgegraphbuilder_spark.operators.canonicalize import (
+            connected_components,
+        )
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        _run(connected_components(edges))
+
+
+class TestAnnDegenerate:
+    def test_ann_empty_corpus_and_zero_vectors(self, spark):
+        from knowledgegraphbuilder_spark.operators.ann import (
+            ann_ivf,
+            ann_lsh,
+            topk_bruteforce,
+        )
+
+        schema = "vec_id long, embedding array<float>"
+        q = [0.5] * 8
+        for rows in ([], [(1, [0.0] * 8)]):
+            emb = spark.createDataFrame(rows, schema)
+            _run(topk_bruteforce(emb, q, k=3))
+            _run(ann_lsh(emb, q, k=3, dim=8))
+            _run(ann_ivf(emb, q, k=3, centroid_stride=2))
