@@ -163,3 +163,38 @@ class TestAnnDegenerate:
             _run(topk_bruteforce(emb, q, k=3))
             _run(ann_lsh(emb, q, k=3, dim=8))
             _run(ann_ivf(emb, q, k=3, centroid_stride=2))
+
+
+class TestKgPipelineDegenerate:
+    def test_full_kg_chain_survives_degenerate_docs(self, spark):
+        """The spans->triples chain (flatten, chunk, NER, interval join, RE,
+        canonicalize, graph build) must survive a corpus whose docs are
+        empty, null, whitespace-only, or single-token — and still extract
+        from the one well-formed doc."""
+        from knowledgegraphbuilder_spark.config import KGConfig
+        from knowledgegraphbuilder_spark.plans.pipeline import run_pipeline
+        from knowledgegraphbuilder_spark.sources.interleaved import synthesize_spans
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "lonely"), (4, " "),
+             (5, "the customer sent a spark stream to the table "
+                 "while the vector index stayed warm")],
+            "doc_id long, text string",
+        )
+        res = run_pipeline(synthesize_spans(docs.filter(F.col("text").isNotNull())),
+                           KGConfig())
+        triples = res.triples.collect()
+        # doc 5 contains gazetteer surface forms -> at least one triple
+        assert len(triples) > 0
+        assert all(t["subj"] is not None and t["obj"] is not None
+                   for t in triples)
+
+    def test_empty_corpus_yields_empty_graph(self, spark):
+        from knowledgegraphbuilder_spark.config import KGConfig
+        from knowledgegraphbuilder_spark.plans.pipeline import run_pipeline
+        from knowledgegraphbuilder_spark.sources.interleaved import synthesize_spans
+
+        docs = spark.createDataFrame([], "doc_id long, text string")
+        res = run_pipeline(synthesize_spans(docs), KGConfig())
+        assert res.triples.count() == 0
+        assert res.nodes.count() == 0
