@@ -433,7 +433,10 @@ def q_g5_triangles(spark, sf_dir):
     (graphstats.py:cooccurrence_edges / triangle_clustering)."""
     from knowledgegraphbuilder_spark.operators.graphstats import triangle_clustering
 
-    return triangle_clustering(_copurchase_edges(spark, sf_dir))
+    # the cached projection is canonical (src < dst, distinct) by
+    # construction — skip the re-canonicalization shuffle
+    return triangle_clustering(_copurchase_edges(spark, sf_dir),
+                               assume_canonical=True)
 
 
 def q_g14_harmonic(spark, sf_dir):

@@ -61,13 +61,19 @@ def cooccurrence_edges(
     )
 
 
-def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "dst",
+                        assume_canonical: bool = False) -> DataFrame:
     """Per-node triangle count and local clustering coefficient.
 
     Input: undirected edges (any orientation, duplicates and self-loops
     tolerated — canonicalized internally). Output: (node, degree, triangles,
     clustering) where clustering = 2*T / (deg*(deg-1)) rounded 4dp (0.0 when
     deg < 2).
+
+    ``assume_canonical=True`` skips the least/greatest + distinct pass — one
+    full shuffle of the edge list, which at 10^9+ edges is a real stage —
+    for inputs already in canonical form (src < dst, no duplicates), e.g.
+    the cooccurrence_edges projection. Results are identical either way.
 
     Each triangle is emitted exactly once: edges are oriented from the
     lower-(degree, id) endpoint to the higher (the degree-ordering trick of
@@ -78,14 +84,20 @@ def triangle_clustering(edges: DataFrame, src_col: str = "src", dst_col: str = "
     iff the oriented edge b->c exists. Per-node credit then goes to all
     three corners via an explode — equi-joins on node keys throughout,
     never an all-pairs product."""
-    e = (
-        edges.select(
-            F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
-            F.greatest(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("b"),
+    if assume_canonical:
+        e = edges.select(
+            F.col(src_col).cast("string").alias("a"),
+            F.col(dst_col).cast("string").alias("b"),
         )
-        .filter(F.col("a") < F.col("b"))
-        .distinct()
-    )
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
+                F.greatest(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("b"),
+            )
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
     deg = (
         e.select(F.col("a").alias("node")).unionAll(e.select(F.col("b").alias("node")))
         .groupBy("node").agg(F.count("*").cast("long").alias("degree"))
