@@ -76,6 +76,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--window", type=int, default=0,
+                    help="check only the FIRST N registry entries in order "
+                         "(the driver gate checks the first 50)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -92,6 +95,8 @@ def main():
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = args.names or list(qs)
+    if args.window:
+        names = list(qs)[: args.window]
     failures = []
     for name in names:
         t0 = time.time()
