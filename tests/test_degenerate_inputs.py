@@ -24,6 +24,11 @@ CORPORA = [
     ("whitespace", [(1, " ")]),
     ("mixed", [(1, ""), (2, None), (3, "one"), (4, "two tokens"),
                (5, "   "), (6, "a normal looking document with several tokens")]),
+    # multi-byte text, combining marks, emoji, RTL, and one absurdly long
+    # token — regexp/substring/shingle paths must be byte-safety-agnostic
+    ("unicode", [(1, "naïve café résumé"), (2, "数据 去重 流水线 测试"),
+                 (3, "🙂🚀 emoji 🧪 mix"), (4, "مرحبا بالعالم"),
+                 (5, "x" * 20000), (6, "á combining mark")]),
 ]
 
 
