@@ -187,17 +187,20 @@ def main() -> None:
                 time.sleep(15)
         import statistics
 
+        medians = {}
         for key, vals in runs.items():
             scaling[key] = min(vals) if vals else None
-            scaling[key + "_median"] = round(statistics.median(vals), 1) if vals else None
+            medians[key] = statistics.median(vals) if vals else None
+            scaling[key + "_median"] = round(medians[key], 1) if vals else None
             scaling[key + "_runs"] = [round(v, 1) for v in vals]
-        if scaling.get("t_n") and scaling.get("t_4n"):
+        if scaling.get("t_n") and scaling.get("t_4n") and medians["t_4n"]:
             ratio = scaling["t_n"] / scaling["t_4n"]
             # min-based efficiency is the dedicated-cluster stand-in (see
             # the contention note above); the median-based figure is
             # reported alongside so the artifact carries the honest spread
-            # (round-3 VERDICT item 4) rather than only the best case
-            med_ratio = scaling["t_n_median"] / scaling["t_4n_median"]
+            # (round-3 VERDICT item 4) rather than only the best case.
+            # Ratio from RAW medians, not the display-rounded ones.
+            med_ratio = medians["t_n"] / medians["t_4n"]
             scaling.update(
                 n_cpus=n_small,
                 mode=os.environ.get("SPARK_GRAFT_SCALE_MODE", "weighted"),

@@ -89,7 +89,10 @@ def _commit_table(merged: DataFrame, table_dir: str,
 
     table_dir = table_dir.rstrip("/")
     tmp, old = table_dir + "__tmp", table_dir + "__old"
-    shutil.rmtree(tmp, ignore_errors=True)
+    # normalize any prior crash state first: a stale __old left by a crash
+    # between rename(tmp->live) and rmtree(old) would otherwise make the
+    # rename(live->old) below fail with ENOTEMPTY forever after
+    _recover_table(table_dir)
     w = merged.write.mode("overwrite")
     if partition_by is not None:
         w = w.partitionBy(partition_by)

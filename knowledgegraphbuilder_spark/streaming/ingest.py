@@ -281,8 +281,10 @@ def run_cms_available_now(
         # bkey must be a bijection of batch CONTENT: keying by min(event_id)
         # alone silently overwrites a distinct batch that happens to share a
         # min (overlapping files, re-split input). Fold an order-independent
-        # content digest instead — (count, min, max, sum of per-row hashes)
-        # collapses only for identical multisets of event_ids.
+        # content digest instead — (count, min, max, sum of per-row hashes
+        # over event_id AND the sketched value) collapses only for identical
+        # row multisets; digesting event_id alone would still collide two
+        # batches whose ids match but whose sketched payloads differ.
         agg = batch_df.agg(
             F.count("*").alias("n"),
             F.min("event_id").alias("lo"),
@@ -290,8 +292,14 @@ def run_cms_available_now(
             # bounded residue before the sum: a raw xxhash64 sum overflows
             # long under ANSI; decimal(38,0) over <1e9 residues never does
             F.sum(
-                F.pmod(F.xxhash64(F.col("event_id").cast("string")),
-                       F.lit(1_000_000_007)).cast("decimal(38,0)")
+                F.pmod(
+                    F.xxhash64(F.concat_ws(
+                        "|",
+                        F.col("event_id").cast("string"),
+                        F.coalesce(F.expr(value_expr).cast("string"), F.lit("")),
+                    )),
+                    F.lit(1_000_000_007),
+                ).cast("decimal(38,0)")
             ).alias("hsum"),
         ).first()
         if agg["n"] == 0:

@@ -186,8 +186,7 @@ class TestKgPipelineDegenerate:
                  "while the vector index stayed warm")],
             "doc_id long, text string",
         )
-        res = run_pipeline(synthesize_spans(docs.filter(F.col("text").isNotNull())),
-                           KGConfig())
+        res = run_pipeline(synthesize_spans(docs), KGConfig())
         triples = res.triples.collect()
         # doc 5 contains gazetteer surface forms -> at least one triple
         assert len(triples) > 0

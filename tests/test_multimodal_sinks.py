@@ -253,6 +253,22 @@ class TestCrashSafeCommit:
         assert sorted(map(tuple, spark.read.parquet(d).collect())) == [("a", 1), ("b", 2)]
         assert not os.path.exists(d + "__old") and not os.path.exists(d + "__tmp")
 
+    def test_stale_old_next_to_live_does_not_wedge_the_next_commit(self, spark, tmp_path):
+        # crash between rename(tmp->live) and rmtree(old): live is the new
+        # version, __old the previous one. The NEXT commit (write_graph path
+        # calls _commit_table directly, without a prior merge-recovery) must
+        # not fail renaming live onto the non-empty leftover __old.
+        import os
+
+        from knowledgegraphbuilder_spark.sources.sinks import _commit_table
+
+        d = self._seed(spark, str(tmp_path / "t"))
+        spark.createDataFrame([("old", 0)], "k string, v int") \
+            .write.mode("overwrite").parquet(d + "__old")
+        _commit_table(spark.createDataFrame([("n", 7)], "k string, v int"), d)
+        assert sorted(map(tuple, spark.read.parquet(d).collect())) == [("n", 7)]
+        assert not os.path.exists(d + "__old") and not os.path.exists(d + "__tmp")
+
     def test_merge_runs_recovery_first(self, spark, tmp_path):
         import os
 

@@ -20,14 +20,16 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+import numpy as np
+import pandas as pd
+
+
 def norm_cell(x):
     """Dtype-aware normalization, matching the driver's hash semantics:
     a float64 3.0 and an int64 3 must NOT collapse to the same token
     (that collapse is exactly how the dd_substring HUGEINT->float64
     oracle bug shipped through this gate in round 3)."""
-    import numpy as np
-
-    if x is None or x is pandas_NA(x):
+    if x is None or x is pd.NA or x is pd.NaT:
         return "NULL"
     if isinstance(x, (bool, np.bool_)):
         return f"b:{bool(x)}"
@@ -45,17 +47,6 @@ def norm_cell(x):
     if isinstance(x, dict):
         return "{" + ",".join(f"{k}={norm_cell(v)}" for k, v in sorted(x.items())) + "}"
     return "s:" + str(x)
-
-
-def pandas_NA(x):
-    import pandas as pd
-
-    try:
-        if x is pd.NA or x is pd.NaT:
-            return x
-    except Exception:
-        pass
-    return object()
 
 
 def norm_rows(cols, rows):
@@ -94,9 +85,9 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
-    names = args.names or list(qs)
-    if args.window:
-        names = list(qs)[: args.window]
+    if args.window and args.names:
+        ap.error("--window and explicit query names are mutually exclusive")
+    names = list(qs)[: args.window] if args.window else (args.names or list(qs))
     failures = []
     for name in names:
         t0 = time.time()
