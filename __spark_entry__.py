@@ -1525,6 +1525,29 @@ def q_ts_pmi(spark, sf_dir):
     return ts.pmi_collocations(_t(spark, sf_dir, "documents"), min_count=10, k=20)
 
 
+def q_ts_dsir(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023; curation.py:dsir_weights):
+    hashed uni+bigram bucket LMs (target = lang 'en' slice vs raw = whole
+    corpus), per-doc importance log-weights, Gumbel top-50 resampling —
+    buckets, weights, and the sampled set all replay value-exactly in SQL."""
+    from knowledgegraphbuilder_spark.operators.curation import dsir_weights
+
+    return dsir_weights(
+        _t(spark, sf_dir, "documents"),
+        target_lang="en", n_buckets=64, alpha=0.5, sample_k=50,
+    )
+
+
+def q_ann_knn(spark, sf_dir):
+    """Approximate kNN GRAPH over the whole embedding corpus
+    (ann.py:knn_graph): LSH-bucketed candidate self-join (never corpus^2),
+    exact cosine rescore, per-src top-5 — the kNN-graph substrate for
+    graph-based dedup clustering and semantic label propagation."""
+    return ann_ops.knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1639,6 +1662,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_perplexity": q_ts_perplexity,
         "g4_cc": q_g4_cc,
         "sql_topk_count": q_sql_topk_count,
+        # ---- round-4 additions (past the gate window; round-5 rotation
+        # material, strict-gate verified locally) ----
+        "ts_dsir": q_ts_dsir,
+        "ann_knn": q_ann_knn,
     }
 
 
@@ -4246,6 +4273,117 @@ def oracle_sql() -> dict[str, str]:
                      epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
               FROM events)
             GROUP BY user_id
+        """,
+        # DSIR replay: hashed uni+bigram buckets, add-0.5-smoothed bucket LMs
+        # (target = lang 'en', raw = all), bucket-sorted ln fold, Gumbel keys
+        # from the salted sha256 draw; sampled = Gumbel top-50 (rank over the
+        # SAME rounded keys the Spark side ranks, ties on doc_id)
+        "ts_dsir": """
+            WITH d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang = 'en' AS is_t,
+                     string_split(lower(text), ' ') AS ws
+              FROM documents WHERE text IS NOT NULL
+            ),
+            f AS (
+              SELECT doc_id, is_t,
+                     UNNEST(list_concat(ws,
+                       CASE WHEN len(ws) < 2 THEN []
+                            ELSE [ws[i] || ' ' || ws[i + 1]
+                                  FOR i IN generate_series(1, len(ws) - 1)]
+                       END)) AS feat
+              FROM d
+            ),
+            b AS (
+              SELECT doc_id, is_t,
+                     CAST(('0x' || substr(sha256(feat), 1, 15))::BIGINT % 64
+                          AS INTEGER) AS bucket
+              FROM f
+            ),
+            ct AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ctc
+                   FROM b WHERE is_t GROUP BY bucket),
+            cr AS (SELECT bucket, CAST(count(*) AS BIGINT) AS crc
+                   FROM b GROUP BY bucket),
+            probs AS (
+              SELECT cr.bucket, coalesce(ct.ctc, 0) AS ctc, cr.crc AS crc
+              FROM cr LEFT JOIN ct USING (bucket)
+            ),
+            tot AS (
+              SELECT CAST(sum(ctc) AS DOUBLE) AS t_tot,
+                     CAST(sum(crc) AS DOUBLE) AS r_tot
+              FROM probs
+            ),
+            pd AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_occ
+                   FROM b GROUP BY doc_id, bucket),
+            terms AS (
+              SELECT doc_id, CAST(sum(n_occ) AS BIGINT) AS n_feats,
+                     list({'bucket': bucket, 'n_occ': n_occ,
+                           'ctc': ctc, 'crc': crc} ORDER BY bucket) AS ts
+              FROM pd JOIN probs USING (bucket) GROUP BY doc_id
+            ),
+            scored AS (
+              SELECT doc_id, n_feats,
+                     list_reduce(list_prepend(0.0, list_transform(ts,
+                       t -> t.n_occ * (ln((t.ctc + 0.5) / (t_tot + 0.5 * 64))
+                                       - ln((t.crc + 0.5) / (r_tot + 0.5 * 64))))),
+                       (a, x) -> a + x) AS lw
+              FROM terms, tot
+            ),
+            keyed AS (
+              SELECT doc_id, n_feats, round(lw, 4) AS log_weight,
+                     round(lw - ln(-ln(
+                       (('0x' || substr(sha256('dsir' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 1000000 + 0.5) / 1000000.0)), 4) AS gumbel_key
+              FROM scored
+            )
+            SELECT doc_id, n_feats, log_weight, gumbel_key,
+                   row_number() OVER (ORDER BY gumbel_key DESC, doc_id) <= 50 AS sampled
+            FROM keyed
+        """,
+        # kNN graph replay: same sha256 hyperplanes as ann.py:hyperplane
+        # (seed 42, 8 tables x 4 bits, dim 64), self-equi-join on
+        # (table, bucket), exact cosine on the deduped ordered pairs,
+        # row_number over the SAME rounded scores
+        "ann_knn": """
+            WITH planes AS (
+              SELECT t, b, d,
+                     ('0x' || substr(sha256('42,' || t || ',' || b || ',' || d), 1, 8))::BIGINT
+                       / 4294967296.0 - 0.5 AS w
+              FROM generate_series(0, 7) ts(t),
+                   generate_series(0, 3) bs(b),
+                   generate_series(0, 63) ds(d)
+            ),
+            v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            dots AS (
+              SELECT v.id, p.t, p.b, sum(v.e[p.d + 1] * p.w) AS dot
+              FROM v, planes p GROUP BY v.id, p.t, p.b
+            ),
+            buckets AS (
+              SELECT id, t, sum(CASE WHEN dot >= 0 THEN 1 << b ELSE 0 END) AS bucket
+              FROM dots GROUP BY id, t
+            ),
+            cand AS (
+              SELECT DISTINCT x.id AS src, y.id AS dst
+              FROM buckets x JOIN buckets y
+                ON x.t = y.t AND x.bucket = y.bucket AND x.id <> y.id
+            ),
+            scored AS (
+              SELECT c.src, c.dst,
+                     round(list_dot_product(a.e, b.e)
+                           / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-100)
+                              * greatest(sqrt(list_dot_product(b.e, b.e)), 1e-100)),
+                           4) AS score
+              FROM cand c JOIN v a ON a.id = c.src JOIN v b ON b.id = c.dst
+            )
+            SELECT src, dst, score, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT src, dst, score,
+                     row_number() OVER (PARTITION BY src
+                                        ORDER BY score DESC, dst) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
     }
     # U6 answer = deterministic template over the retrieval result: derive

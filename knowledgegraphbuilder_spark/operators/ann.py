@@ -438,3 +438,66 @@ def ann_pq(
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
     )
+
+
+def knn_graph(
+    embs: DataFrame, k: int = 5,
+    dim: int | None = None, n_bits: int = 4, n_tables: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole embedding corpus:
+    every vector gets (up to) its k nearest bucket-mates by cosine — the
+    substrate for kNN-graph dedup clustering, label propagation over
+    semantic neighborhoods, and graph-based retrieval (NN-Descent's target
+    structure, built here in one declarative pass instead of iterative
+    refinement).
+
+    Scale shape: NEVER corpus x corpus. One scan emits each vector's
+    (table, bucket) signature rows (corpus x n_tables); candidates are a
+    self-equi-join on (table, bucket) — cost tracks bucket occupancy, the
+    same shape as dedup.embedding_cosine_pairs_lsh — deduped per ordered
+    pair by a groupBy BEFORE the exact cosine rescore, then a per-src
+    row_number window keeps k. The window partitions by src (corpus-wide
+    key, parallel), not a global sort. Recall is the LSH union-over-tables
+    guarantee; misses are vectors sharing no bucket in any table (tunable
+    via n_bits/n_tables, same knobs as ann_lsh).
+
+    Output: (src, dst, score, rank) — directed; src/dst are id strings,
+    score is cosine rounded 4dp, rank 1..k per src (desc score, asc dst).
+    Replayable value-exactly in SQL: buckets come from the sha256-derived
+    hyperplanes (``hyperplane``), so the oracle rebuilds the same graph.
+    """
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    v = _as_double(embs, vec_col, id_col)
+    tb = F.explode(F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 lsh_bucket_expr("v", dim, n_bits, t, seed).alias("bucket"))
+        for t in range(n_tables)
+    ])).alias("tb")
+    bucketed = v.select("id", "v", tb).select(
+        "id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    rhs = bucketed.select(
+        F.col("id").alias("dst"), F.col("v").alias("dv"), "t", "bucket"
+    )
+    cands = (
+        bucketed.join(rhs, ["t", "bucket"])
+        .filter(F.col("id") != F.col("dst"))
+        .groupBy(F.col("id").alias("src"), "dst")
+        .agg(F.first("v").alias("v"), F.first("dv").alias("dv"))
+    )
+    scored = cands.select(
+        "src", "dst",
+        F.round(
+            F.expr("aggregate(zip_with(v, dv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
+            / (F.expr(_norm_expr("v")) * F.expr(_norm_expr("dv"))),
+            4,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("score"), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("src", "dst", "score", "rank")
+    )

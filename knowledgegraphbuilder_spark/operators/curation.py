@@ -393,3 +393,134 @@ def stratified_split(
         F.col(strata_col),
         F.when(b < t0, "train").when(b < t0 + t1, "val").otherwise("test").alias("split"),
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 64,
+    alpha: float = 0.5,
+    sample_k: int = 50,
+    salt: str = "dsir",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw document by how much
+    more likely its hashed n-gram features are under a target-domain
+    bag-of-features LM than under the raw-corpus LM, then resample by weight
+    with the Gumbel top-k trick. The target distribution here is the corpus
+    slice ``lang == target_lang`` (the in-domain pool); the raw distribution
+    is the whole corpus — exactly the paper's setup with the sandbox corpus
+    standing in for (Wikipedia+books, Pile-CC).
+
+    Features are the paper's hashed unigrams + bigrams of whitespace tokens,
+    bucketed by a 60-bit sha256 prefix mod ``n_buckets`` — portable, so the
+    DuckDB oracle replays bucket assignment (and therefore every weight and
+    the exact resampled set) value-exactly. Importance log-weight of a doc =
+    sum over its feature occurrences of ln(p_b/q_b) with add-``alpha``
+    smoothing; the Gumbel key = logw - ln(-ln(u)) with u a salted sha256 draw
+    per doc (sampling without replacement ∝ weight, deterministic across
+    re-runs and cluster sizes — no RNG state, like mixture_sample).
+
+    Scale shape (100 TB): feature explode collapses into TWO map-side
+    combinable count aggregates over ``n_buckets`` keys (the bucket LMs are
+    KB-sized however big the corpus is) that broadcast back onto the per-doc
+    (doc, bucket) partial counts — one shuffle on doc_id, no all-corpus sort;
+    the top-k selection is NOT a global window (a single-partition
+    row_number would serialize the corpus): orderBy().limit(k) is Spark's
+    TakeOrdered (per-partition top-k, merge k·P rows), whose boundary row
+    broadcasts back as a pure filter predicate. Per-doc fold runs
+    over a bucket-sorted array so float summation order is deterministic
+    (same trick as textstats.bigram_perplexity). Single-token and empty docs
+    contribute unigram features only (the sequence(1, size-1) bigram trap is
+    CASE-guarded, see ADVICE r3 on pmi_collocations).
+
+    Output: (doc_id, n_feats, log_weight, gumbel_key, sampled) for EVERY
+    non-null-text doc — sampled marks the Gumbel top-``sample_k``; keys are
+    rounded 4dp before ranking so both engines rank identical values, ties
+    broken on doc_id.
+    """
+    B, a = int(n_buckets), float(alpha)
+    w = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(lang_col) == target_lang).alias("is_t"),
+        F.split(F.lower(F.col(text_col)), " ").alias("ws"),
+    ).filter(F.col(text_col).isNotNull())
+    feats = w.select(
+        "doc_id",
+        "is_t",
+        F.explode(
+            F.expr(
+                "concat(ws, case when size(ws) < 2 then array() else "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) end)"
+            )
+        ).alias("feat"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (F.expr(_H60.format(s="feat")) % B).cast("int").alias("bucket"),
+    )
+    ct = feats.filter("is_t").groupBy("bucket").agg(F.count("*").alias("ctc"))
+    cr = feats.groupBy("bucket").agg(F.count("*").alias("crc"))
+    probs = (
+        cr.join(ct, "bucket", "left")
+        .select("bucket", F.coalesce("ctc", F.lit(0)).alias("ctc"), "crc")
+    )
+    tot = probs.agg(
+        F.sum("ctc").cast("double").alias("t_tot"),
+        F.sum("crc").cast("double").alias("r_tot"),
+    )
+    perdoc = feats.groupBy("doc_id", "bucket").agg(F.count("*").alias("n_occ"))
+    terms = (
+        perdoc.join(F.broadcast(probs), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_feats"),
+            F.array_sort(
+                F.collect_list(F.struct("bucket", "n_occ", "ctc", "crc"))
+            ).alias("ts"),
+        )
+    )
+    fold = (
+        f"aggregate(ts, 0.0d, (acc, t) -> acc + t.n_occ * ("
+        f"ln((t.ctc + {a}d) / (t_tot + {a}d * {B})) - "
+        f"ln((t.crc + {a}d) / (r_tot + {a}d * {B}))))"
+    )
+    u = (
+        (F.expr(_H60.format(s=f"concat('{salt}', cast(doc_id as string))"))
+         % F.lit(1_000_000)).cast("double") + F.lit(0.5)
+    ) / F.lit(1_000_000.0)
+    scored = terms.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "n_feats",
+        F.round(F.expr(fold), 4).alias("log_weight"),
+        F.round(F.expr(fold) - F.log(-F.log(u)), 4).alias("gumbel_key"),
+    )
+    # Gumbel top-k boundary: the k-th row under (key desc, doc_id asc) is
+    # the (smallest key, largest doc_id at that key) of the TakeOrdered set.
+    boundary = (
+        scored.orderBy(F.desc("gumbel_key"), F.col("doc_id"))
+        .limit(sample_k)
+        .agg(
+            F.min_by(
+                F.struct(
+                    F.col("gumbel_key").alias("bk"), F.col("doc_id").alias("bdoc")
+                ),
+                F.struct(F.col("gumbel_key"), (-F.col("doc_id")).alias("nd")),
+            ).alias("b")
+        )
+        .select(F.col("b.bk").alias("bk"), F.col("b.bdoc").alias("bdoc"))
+    )
+    return scored.crossJoin(F.broadcast(boundary)).select(
+        "doc_id",
+        "n_feats",
+        "log_weight",
+        "gumbel_key",
+        (
+            (F.col("gumbel_key") > F.col("bk"))
+            | ((F.col("gumbel_key") == F.col("bk")) & (F.col("doc_id") <= F.col("bdoc")))
+        ).alias("sampled"),
+    )
