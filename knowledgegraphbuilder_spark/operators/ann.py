@@ -455,12 +455,17 @@ def knn_graph(
     Scale shape: NEVER corpus x corpus. One scan emits each vector's
     (table, bucket) signature rows (corpus x n_tables); candidates are a
     self-equi-join on (table, bucket) — cost tracks bucket occupancy, the
-    same shape as dedup.embedding_cosine_pairs_lsh — deduped per ordered
-    pair by a groupBy BEFORE the exact cosine rescore, then a per-src
-    row_number window keeps k. The window partitions by src (corpus-wide
-    key, parallel), not a global sort. Recall is the LSH union-over-tables
-    guarantee; misses are vectors sharing no bucket in any table (tunable
-    via n_bits/n_tables, same knobs as ann_lsh).
+    same shape as dedup.embedding_cosine_pairs_lsh. The exact cosine is
+    computed MAP-SIDE inside the join projection and the vectors are
+    dropped before any shuffle: a pair seen in several tables recomputes
+    the (cheap, deterministic) score per sighting, and the dedup is a
+    distinct over slim (src, dst, score) rows — ~24 bytes — instead of a
+    groupBy dragging two dim-sized double arrays per candidate through the
+    exchange (measured 2 GB or GC collapse at bench scale, vs KBs slim).
+    Then a per-src row_number window keeps k; it partitions by src
+    (corpus-wide key, parallel), not a global sort. Recall is the LSH
+    union-over-tables guarantee; misses are vectors sharing no bucket in
+    any table (tunable via n_bits/n_tables, same knobs as ann_lsh).
 
     Output: (src, dst, score, rank) — directed; src/dst are id strings,
     score is cosine rounded 4dp, rank 1..k per src (desc score, asc dst).
@@ -481,19 +486,21 @@ def knn_graph(
     rhs = bucketed.select(
         F.col("id").alias("dst"), F.col("v").alias("dv"), "t", "bucket"
     )
-    cands = (
+    scored = (
         bucketed.join(rhs, ["t", "bucket"])
         .filter(F.col("id") != F.col("dst"))
-        .groupBy(F.col("id").alias("src"), "dst")
-        .agg(F.first("v").alias("v"), F.first("dv").alias("dv"))
-    )
-    scored = cands.select(
-        "src", "dst",
-        F.round(
-            F.expr("aggregate(zip_with(v, dv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)")
-            / (F.expr(_norm_expr("v")) * F.expr(_norm_expr("dv"))),
-            4,
-        ).alias("score"),
+        .select(
+            F.col("id").alias("src"),
+            "dst",
+            F.round(
+                F.expr(
+                    "aggregate(zip_with(v, dv, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"
+                )
+                / (F.expr(_norm_expr("v")) * F.expr(_norm_expr("dv"))),
+                4,
+            ).alias("score"),
+        )
+        .distinct()
     )
     w = Window.partitionBy("src").orderBy(F.desc("score"), F.col("dst"))
     return (
