@@ -1548,6 +1548,19 @@ def q_ann_knn(spark, sf_dir):
     )
 
 
+def q_ann_knn_cc(spark, sf_dir):
+    """kNN-graph near-dup clustering: the knn_graph edges above thresholded
+    at cosine >= 0.4, resolved to components by the SAME large/small-star CC
+    the entity canonicalizer uses (canonicalize.py:connected_components) —
+    the graph-based SemDeDup variant (cluster by semantic neighborhood, not
+    by centroid cell), end-to-end declarative."""
+    g = ann_ops.knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
+    )
+    edges = g.filter(F.col("score") >= 0.4).select("src", "dst")
+    return connected_components(edges)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1666,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # material, strict-gate verified locally) ----
         "ts_dsir": q_ts_dsir,
         "ann_knn": q_ann_knn,
+        "ann_knn_cc": q_ann_knn_cc,
     }
 
 
@@ -4386,6 +4400,24 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
     }
+    # kNN clustering = CC over the thresholded knn oracle: derive from the
+    # ann_knn oracle so the two can never drift apart (same trick as
+    # kg_answer below); symmetrize + min-reachable recursive CTE (g4_cc
+    # pattern)
+    o["ann_knn_cc"] = (
+        "WITH RECURSIVE knn AS (" + o["ann_knn"] + "), "
+        + """
+            p AS (SELECT src, dst FROM knn WHERE score >= 0.4),
+            edges AS (SELECT src AS s, dst AS d FROM p UNION SELECT dst, src FROM p),
+            verts AS (SELECT DISTINCT s AS v FROM edges),
+            reach AS (
+              SELECT v, v AS r FROM verts
+              UNION
+              SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+            )
+            SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """
+    )
     # U6 answer = deterministic template over the retrieval result: derive
     # from the retrieval_topk oracle so the two can never drift apart
     q = "which customer stream uses spark"

@@ -169,3 +169,31 @@ def test_knn_graph_no_self_edges_and_k_cap(spark):
     for ranks in per.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 3
+
+
+def test_knn_cc_clusters_tight_groups(spark):
+    from knowledgegraphbuilder_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from pyspark.sql import functions as F
+
+    # two tight clusters around orthogonal axes + one lone outlier
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = []
+    for i in range(4):
+        rows.append((i, [x + 0.01 * i for x in base_a]))
+    for i in range(4, 8):
+        rows.append((i, [x + 0.01 * i for x in base_b]))
+    rows.append((99, [0.0, 0.0, 0.0, -1.0]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = knn_graph(embs, k=3, n_bits=2, n_tables=6)
+    comps = {
+        r["vertex"]: r["component"]
+        for r in connected_components(
+            g.filter(F.col("score") >= 0.9).select("src", "dst")
+        ).collect()
+    }
+    assert {comps[str(i)] for i in range(4)} == {"0"}
+    assert {comps[str(i)] for i in range(4, 8)} == {"4"}
+    assert "99" not in comps  # the outlier joins no cluster
