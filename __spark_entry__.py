@@ -1538,6 +1538,18 @@ def q_ts_dsir(spark, sf_dir):
     )
 
 
+def q_ts_temperature(spark, sf_dir):
+    """Temperature-based mixture rebalancing over the (non-uniform) lang
+    strata, XLM-R alpha=0.3 (curation.py:temperature_sample): rare langs get
+    upweighted keep-rates, one stratum-count agg + a pure salted-hash
+    filter."""
+    from knowledgegraphbuilder_spark.operators.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), alpha=0.3, target_frac=0.5,
+    )
+
+
 def q_ann_knn(spark, sf_dir):
     """Approximate kNN GRAPH over the whole embedding corpus
     (ann.py:knn_graph): LSH-bucketed candidate self-join (never corpus^2),
@@ -1680,6 +1692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_dsir": q_ts_dsir,
         "ann_knn": q_ann_knn,
         "ann_knn_cc": q_ann_knn_cc,
+        "ts_temperature": q_ts_temperature,
     }
 
 
@@ -4287,6 +4300,34 @@ def oracle_sql() -> dict[str, str]:
                      epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
               FROM events)
             GROUP BY user_id
+        """,
+        # temperature rebalancing replay: per-lang counts, alpha=0.3 rates
+        # rounded 6dp on BOTH sides of the keep comparison (pow ULP-safe)
+        "ts_temperature": """
+            WITH c AS (
+              SELECT lang, CAST(count(*) AS BIGINT) AS n_s
+              FROM documents GROUP BY lang
+            ),
+            t AS (
+              SELECT CAST(sum(n_s) AS DOUBLE) AS n_total,
+                     sum(pow(CAST(n_s AS DOUBLE), 0.3)) AS sum_w
+              FROM c
+            ),
+            r AS (
+              SELECT lang,
+                     round(least(1.0,
+                       0.5 * n_total * pow(CAST(n_s AS DOUBLE), 0.3)
+                       / (sum_w * n_s)), 6) AS rate
+              FROM c, t
+            ),
+            d AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+                     round((('0x' || substr(sha256('temp1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                            % 1000000) / 1000000.0, 6) AS mix_u
+              FROM documents
+            )
+            SELECT d.doc_id, d.lang, d.mix_u, r.rate
+            FROM d JOIN r USING (lang) WHERE d.mix_u < r.rate
         """,
         # DSIR replay: hashed uni+bigram buckets, add-0.5-smoothed bucket LMs
         # (target = lang 'en', raw = all), bucket-sorted ln fold, Gumbel keys

@@ -524,3 +524,63 @@ def dsir_weights(
             | ((F.col("gumbel_key") == F.col("bk")) & (F.col("doc_id") <= F.col("bdoc")))
         ).alias("sampled"),
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    salt: str = "temp1",
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture rebalancing (the multilingual-pretraining
+    standard, XLM-R / mBERT: sample stratum s with probability proportional
+    to n_s^alpha, alpha<1 upweighting rare strata): per-stratum keep-rate
+    r_s = min(1, target_frac * N * n_s^alpha / (sum_t n_t^alpha * n_s)),
+    so the kept corpus totals ~target_frac * N docs distributed by the
+    temperature-flattened stratum shares. alpha=1 degenerates to uniform
+    r_s = target_frac (no rebalancing); alpha=0 equalizes stratum sizes.
+
+    Scale shape: ONE map-side-combinable count per stratum (a KB-sized
+    table however big the corpus), rates derived on it and broadcast back —
+    then a pure per-row filter with the same salted-sha256 draw as
+    mixture_sample: zero shuffle on the corpus, no RNG state, stable under
+    repartitioning and corpus re-order. Rates and draws are rounded 6dp on
+    BOTH sides of the comparison so the DuckDB oracle replays the kept set
+    exactly (pow() ULP differences cannot flip an unrounded boundary).
+
+    Output: kept rows' (doc_id, strata_col, mix_u, rate).
+    """
+    a = float(alpha)
+    counts = docs.groupBy(strata_col).agg(F.count("*").alias("n_s"))
+    tot = counts.agg(
+        F.sum("n_s").cast("double").alias("n_total"),
+        F.sum(F.pow(F.col("n_s").cast("double"), a)).alias("sum_w"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        strata_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_frac)) * F.col("n_total")
+                * F.pow(F.col("n_s").cast("double"), a)
+                / (F.col("sum_w") * F.col("n_s")),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    u = (
+        F.expr(_H60.format(s=f"concat('{salt}', cast({id_col} as string))"))
+        % F.lit(1_000_000)
+    ) / F.lit(1_000_000.0)
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(strata_col),
+            F.round(u, 6).alias("mix_u"),
+        )
+        .join(F.broadcast(rates), strata_col)
+        .filter(F.col("mix_u") < F.col("rate"))
+        .select("doc_id", strata_col, "mix_u", "rate")
+    )

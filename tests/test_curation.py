@@ -336,3 +336,40 @@ def test_bigram_perplexity_is_repartition_stable(spark):
     out1 = sorted(bigram_perplexity(df).collect())
     out2 = sorted(bigram_perplexity(df.repartition(7)).collect())
     assert out1 == out2  # shuffle order must not leak into the float fold
+
+
+def test_temperature_sample_rebalances_rare_strata(spark):
+    from knowledgegraphbuilder_spark.operators.curation import temperature_sample
+
+    # 90/10 skew: alpha=0.3 must give the rare stratum a higher keep-rate
+    rows = [(i, "en" if i < 90 else "fr", "x") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    rates = {
+        r["lang"]: r["rate"]
+        for r in temperature_sample(docs, alpha=0.3, target_frac=0.5)
+        .select("lang", "rate").distinct().collect()
+    }
+    assert rates["fr"] > rates["en"]
+    # expected closed form: rate_s = 0.5 * N * n_s^0.3 / (sum_w * n_s)
+    sw = 90 ** 0.3 + 10 ** 0.3
+    assert rates["en"] == round(min(1.0, 0.5 * 100 * 90 ** 0.3 / (sw * 90)), 6)
+    assert rates["fr"] == round(min(1.0, 0.5 * 100 * 10 ** 0.3 / (sw * 10)), 6)
+    # alpha=1 is a no-op rebalance: every stratum keeps target_frac
+    flat = {
+        r["rate"]
+        for r in temperature_sample(docs, alpha=1.0, target_frac=0.5)
+        .select("rate").distinct().collect()
+    }
+    assert flat == {0.5}
+
+
+def test_temperature_sample_repartition_stable(spark):
+    from knowledgegraphbuilder_spark.operators.curation import temperature_sample
+
+    rows = [(i, "en" if i % 4 else "de", f"doc {i}") for i in range(80)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    a = sorted(r["doc_id"] for r in temperature_sample(docs).collect())
+    b = sorted(
+        r["doc_id"] for r in temperature_sample(docs.repartition(11)).collect()
+    )
+    assert a == b and len(a) > 0
