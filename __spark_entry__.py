@@ -375,6 +375,20 @@ def q_ann_lsh_batch(spark, sf_dir):
     return ann_ops.ann_lsh_batch(embs, queries, k=5, n_bits=4, n_tables=8)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN calibration (ann.py:recall_at_k): per-query recall@k + MRR of the
+    batched-LSH ranker against the exact brute-force ranking — the measured
+    quality side of the recall/latency trade-off (same params as ann_batch /
+    ann_lsh_batch so the oracle composes from those two texts verbatim)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_ops.topk_bruteforce_batch(embs, queries, k=5)
+    approx = ann_ops.ann_lsh_batch(embs, queries, k=5, n_bits=4, n_tables=8)
+    return ann_ops.recall_at_k(exact, approx)
+
+
 def q_dd_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.9, k=3)
 
@@ -1693,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn": q_ann_knn,
         "ann_knn_cc": q_ann_knn_cc,
         "ts_temperature": q_ts_temperature,
+        "ann_recall": q_ann_recall,
     }
 
 
@@ -4457,6 +4472,34 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """
+    )
+    # ANN calibration = metrics over the two ranker oracles, composed from
+    # the ann_batch (exact) and ann_lsh_batch (approx) oracle texts verbatim
+    # so the three entries can never drift apart; nested WITH-in-subquery is
+    # DuckDB-supported
+    o["ann_recall"] = (
+        "WITH exact AS (SELECT * FROM (" + o["ann_batch"] + ")), "
+        + "approx AS (SELECT * FROM (" + o["ann_lsh_batch"] + ")), "
+        + """
+            base AS (
+              SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+              FROM exact GROUP BY query_id
+            ),
+            hits AS (
+              SELECT a.query_id,
+                     CAST(count(*) AS BIGINT) AS n_hit_raw,
+                     min(a.rank) AS first_rank
+              FROM approx a JOIN exact e USING (query_id, id)
+              GROUP BY a.query_id
+            )
+            SELECT b.query_id, b.n_exact,
+                   CAST(coalesce(h.n_hit_raw, 0) AS BIGINT) AS n_hit,
+                   round(CAST(coalesce(h.n_hit_raw, 0) AS DOUBLE)
+                         / b.n_exact, 6) AS recall,
+                   coalesce(round(1.0::DOUBLE / h.first_rank, 6),
+                            0.0::DOUBLE) AS mrr
+            FROM base b LEFT JOIN hits h ON b.query_id = h.query_id
         """
     )
     # U6 answer = deterministic template over the retrieval result: derive

@@ -508,3 +508,45 @@ def knn_graph(
         .filter(F.col("rank") <= k)
         .select("src", "dst", "score", "rank")
     )
+
+
+def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query ANN quality metrics: recall@k and MRR of an approximate
+    ranking against the exact brute-force ranking. Both inputs use the
+    batch-ANN contract (query_id, id, score, rank) — any pair of rankers
+    with that shape composes (LSH vs exact, IVF vs exact, PQ vs exact), so
+    index-parameter sweeps (n_bits, n_tables, nprobe) become measured
+    recall/latency trade-offs instead of folklore. The calibration loop the
+    reference's fixed FAISS index never exposes (back/kgg/retriever.py).
+
+    Scale shape: both inputs are queries x k rows — tiny however big the
+    corpus; the expensive part is producing them (the rankers' job). The
+    metric itself is two equi-joins on (query_id, id) + per-query count/min
+    aggs, all map-side combinable. recall = |approx ∩ exact| / |exact|;
+    mrr = 1 / min(approx rank that hits the exact set), 0.0 when the
+    approximate ranker misses entirely (both rounded 6dp for oracle replay).
+    """
+    e = exact.select("query_id", "id")
+    a = approx.select("query_id", "id", "rank")
+    base = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    joined = a.join(e, ["query_id", "id"])
+    hits = joined.groupBy("query_id").agg(
+        F.count("*").alias("n_hit_raw"), F.min("rank").alias("first_rank")
+    )
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hit_raw", F.lit(0).cast("long")).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit_raw", F.lit(0).cast("long"))
+                / F.col("n_exact").cast("double"),
+                6,
+            ).alias("recall"),
+            F.coalesce(
+                F.round(F.lit(1.0) / F.col("first_rank").cast("double"), 6),
+                F.lit(0.0),
+            ).alias("mrr"),
+        )
+    )

@@ -347,3 +347,42 @@ def test_containment_catches_quoted_snippet(spark):
     assert got == {("2", "1"): 1.0}
     # and Jaccard at the same threshold misses it entirely
     assert dd.ngram_jaccard_pairs(df, threshold=0.9).count() == 0
+
+
+def test_recall_at_k_pure_python_parity(spark):
+    # hand-built rankings: q0 approx hits 2/3 gold (first hit at rank 1),
+    # q1 hits 0/3 (mrr 0.0), q2 hits 3/3 but first hit at rank 2
+    exact = spark.createDataFrame(
+        [(q, f"d{i}", 1.0 - i / 10.0, i) for q in ["0", "1", "2"] for i in (1, 2, 3)],
+        "query_id string, id string, score double, rank int",
+    )
+    approx = spark.createDataFrame(
+        [("0", "d1", 0.9, 1), ("0", "x", 0.8, 2), ("0", "d3", 0.7, 3),
+         ("1", "x", 0.9, 1), ("1", "y", 0.8, 2), ("1", "z", 0.7, 3),
+         ("2", "x", 0.9, 1), ("2", "d1", 0.8, 2), ("2", "d2", 0.7, 3),
+         ("2", "d3", 0.6, 4)],
+        "query_id string, id string, score double, rank int",
+    )
+    got = {r["query_id"]: r for r in ann_ops.recall_at_k(exact, approx).collect()}
+    assert got["0"]["n_exact"] == 3 and got["0"]["n_hit"] == 2
+    assert got["0"]["recall"] == round(2 / 3, 6) and got["0"]["mrr"] == 1.0
+    assert got["1"]["n_hit"] == 0 and got["1"]["recall"] == 0.0 and got["1"]["mrr"] == 0.0
+    assert got["2"]["recall"] == 1.0 and got["2"]["mrr"] == 0.5
+
+
+def test_recall_at_k_lsh_vs_exact_on_fixture(spark, sf_dir):
+    # end-to-end over the fixture embeddings: every metric in [0,1], one row
+    # per query, and a self-comparison scores perfect recall/mrr
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = ann_ops.topk_bruteforce_batch(embs, queries, k=5)
+    approx = ann_ops.ann_lsh_batch(embs, queries, k=5, n_bits=4, n_tables=8)
+    rows = ann_ops.recall_at_k(exact, approx).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert 0.0 <= r["recall"] <= 1.0 and 0.0 <= r["mrr"] <= 1.0
+        assert r["n_exact"] == 5
+    perfect = ann_ops.recall_at_k(exact, exact).collect()
+    assert all(r["recall"] == 1.0 and r["mrr"] == 1.0 for r in perfect)
