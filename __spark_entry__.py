@@ -419,6 +419,18 @@ def q_dd_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_dd_calibration(spark, sf_dir):
+    """Dedup-candidate calibration (dedup.py:pair_metrics): precision /
+    recall / F1 of the Hamming<=3 SimHash pair set against the exact
+    Jaccard>=0.9 gold — the two similarity notions genuinely disagree on
+    this corpus (22/25 overlap), so the metrics are non-trivial. Oracle
+    composes the dd_simhash and dd_ngram_jaccard oracle texts verbatim."""
+    docs = _t(spark, sf_dir, "documents")
+    gold = dd.ngram_jaccard_pairs(docs, threshold=0.9, k=3)
+    cand = dd.simhash_pairs(docs, max_hamming=3, n_blocks=4)
+    return dd.pair_metrics(gold, cand)
+
+
 def q_dd_simhash(spark, sf_dir):
     # max_hamming=3 < n_blocks=4: pigeonhole-complete, so the banded LSH
     # output is EXACTLY the all-pairs Hamming join the DuckDB oracle runs
@@ -1708,6 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_cc": q_ann_knn_cc,
         "ts_temperature": q_ts_temperature,
         "ann_recall": q_ann_recall,
+        "dd_calibration": q_dd_calibration,
     }
 
 
@@ -4472,6 +4485,40 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """
+    )
+    # dedup calibration = P/R/F1 over the two pair-set oracles, composed
+    # verbatim (dd_simhash candidates vs exact-Jaccard gold); pair keys are
+    # normalized with least/greatest exactly as pair_metrics does
+    o["dd_calibration"] = (
+        "WITH gold0 AS (SELECT * FROM (" + o["dd_ngram_jaccard"] + ")), "
+        + "cand0 AS (SELECT * FROM (" + o["dd_simhash"] + ")), "
+        + """
+            gold AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                            greatest(id_a, id_b) AS b FROM gold0),
+            cand AS (SELECT DISTINCT least(id_a, id_b) AS a,
+                            greatest(id_a, id_b) AS b FROM cand0),
+            ng AS (SELECT CAST(count(*) AS BIGINT) AS n_gold FROM gold),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+            nh AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+                   FROM gold JOIN cand USING (a, b)),
+            m AS (
+              SELECT n_gold, n_cand, n_hit,
+                     CASE WHEN n_cand > 0
+                          THEN n_hit / CAST(n_cand AS DOUBLE) ELSE 0.0::DOUBLE
+                     END AS p_raw,
+                     CASE WHEN n_gold > 0
+                          THEN n_hit / CAST(n_gold AS DOUBLE) ELSE 0.0::DOUBLE
+                     END AS r_raw
+              FROM ng, nh, nc
+            )
+            SELECT n_gold, n_cand, n_hit,
+                   round(p_raw, 6) AS precision,
+                   round(r_raw, 6) AS recall,
+                   round(CASE WHEN p_raw + r_raw > 0
+                              THEN 2.0::DOUBLE * p_raw * r_raw / (p_raw + r_raw)
+                              ELSE 0.0::DOUBLE END, 6) AS f1
+            FROM m
         """
     )
     # ANN calibration = metrics over the two ranker oracles, composed from

@@ -564,3 +564,52 @@ def ngram_containment_pairs(
         .filter(F.col("containment") >= t)
         .select("id_a", "id_b", "containment")
     )
+
+
+def pair_metrics(
+    gold: DataFrame, cand: DataFrame,
+    id_a: str = "id_a", id_b: str = "id_b",
+) -> DataFrame:
+    """Dedup-candidate calibration: precision / recall / F1 of a candidate
+    pair set against a gold pair set (e.g. MinHash-LSH candidates vs the
+    exact PPJoin Jaccard join at the same threshold). Turns LSH parameter
+    choices (bands, rows, n_perm) into measured numbers — the collision-
+    probability algebra in minhash_lsh_pairs' docstring predicts recall;
+    this operator verifies it on the actual corpus.
+
+    Scale shape: pair sets are output-sized (candidates, not corpus^2 —
+    both producers are bucketed/prefix-filtered); the metric is one
+    equi-join on the normalized (a, b) key + three 1-row counts cross-joined
+    (broadcast, constant-size). Pairs are order-normalized with
+    least/greatest and deduped, so either orientation convention composes.
+    Output: one row (n_gold, n_cand, n_hit, precision, recall, f1), ratios
+    rounded 6dp — f1 is computed from the UNROUNDED ratios then rounded, so
+    the oracle replays it exactly with the same scalar arithmetic.
+    """
+    def norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        ).distinct()
+
+    g = norm(gold)
+    c = norm(cand)
+    ng = g.agg(F.count("*").alias("n_gold"))
+    nc = c.agg(F.count("*").alias("n_cand"))
+    nh = g.join(c, ["a", "b"]).agg(F.count("*").alias("n_hit"))
+    p_raw = F.when(F.col("n_cand") > 0, F.col("n_hit") / F.col("n_cand").cast("double")).otherwise(F.lit(0.0))
+    r_raw = F.when(F.col("n_gold") > 0, F.col("n_hit") / F.col("n_gold").cast("double")).otherwise(F.lit(0.0))
+    return (
+        ng.crossJoin(nh).crossJoin(nc)
+        .select(
+            "n_gold", "n_cand", "n_hit",
+            F.round(p_raw, 6).alias("precision"),
+            F.round(r_raw, 6).alias("recall"),
+            F.round(
+                F.when(
+                    p_raw + r_raw > 0, 2.0 * p_raw * r_raw / (p_raw + r_raw)
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )

@@ -386,3 +386,39 @@ def test_recall_at_k_lsh_vs_exact_on_fixture(spark, sf_dir):
         assert r["n_exact"] == 5
     perfect = ann_ops.recall_at_k(exact, exact).collect()
     assert all(r["recall"] == 1.0 and r["mrr"] == 1.0 for r in perfect)
+
+
+def test_pair_metrics_pure_python_parity(spark):
+    gold = spark.createDataFrame(
+        [(1, 2, 0.95), (3, 4, 0.92), (5, 6, 0.91), (7, 8, 0.90)],
+        "id_a long, id_b long, jaccard double",
+    )
+    # one true hit given in reversed orientation + duplicated, one false
+    # positive, two gold pairs missed
+    cand = spark.createDataFrame(
+        [(2, 1, 0.95), (1, 2, 0.95), (4, 3, 0.92), (9, 10, 0.99)],
+        "id_a long, id_b long, jaccard double",
+    )
+    row = dd.pair_metrics(gold, cand).collect()[0]
+    assert (row["n_gold"], row["n_cand"], row["n_hit"]) == (4, 3, 2)
+    assert row["precision"] == round(2 / 3, 6)
+    assert row["recall"] == 0.5
+    p, r = 2 / 3, 0.5
+    assert row["f1"] == round(2 * p * r / (p + r), 6)
+
+
+def test_pair_metrics_empty_candidates(spark):
+    gold = spark.createDataFrame([(1, 2, 0.95)], "id_a long, id_b long, jaccard double")
+    cand = gold.filter(F.col("id_a") < 0)
+    row = dd.pair_metrics(gold, cand).collect()[0]
+    assert (row["n_cand"], row["precision"], row["recall"], row["f1"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_pair_metrics_simhash_vs_jaccard_fixture(spark, dup_docs):
+    gold = dd.ngram_jaccard_pairs(dup_docs, threshold=0.9, k=3)
+    cand = dd.simhash_pairs(dup_docs, max_hamming=3, n_blocks=4)
+    row = dd.pair_metrics(gold, cand).collect()[0]
+    assert row["n_gold"] > 0 and 0.0 <= row["f1"] <= 1.0
+    # self-calibration is perfect by definition
+    perfect = dd.pair_metrics(gold, gold).collect()[0]
+    assert perfect["precision"] == 1.0 and perfect["recall"] == 1.0 and perfect["f1"] == 1.0
