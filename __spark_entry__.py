@@ -419,6 +419,18 @@ def q_dd_minhash_lsh(spark, sf_dir):
     )
 
 
+def q_ts_profile(spark, sf_dir):
+    """Table profiling (profile.py:profile_table): per-column null/distinct
+    counts, binary min/max, avg stringified length, modal value — one corpus
+    scan via a stack unpivot, output stays #columns rows at any scale."""
+    from knowledgegraphbuilder_spark.operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
 def q_dd_calibration(spark, sf_dir):
     """Dedup-candidate calibration (dedup.py:pair_metrics): precision /
     recall / F1 of the Hamming<=3 SimHash pair set against the exact
@@ -1721,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_temperature": q_ts_temperature,
         "ann_recall": q_ann_recall,
         "dd_calibration": q_dd_calibration,
+        "ts_profile": q_ts_profile,
     }
 
 
@@ -4487,6 +4500,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
         """
     )
+    # table-profile replay: same unpivot -> per-column aggs; modal value
+    # breaks count ties toward the LARGER string, matching max(struct)
+    o["ts_profile"] = """
+        WITH kv AS (
+          SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS val FROM documents
+          UNION ALL SELECT 'text', text FROM documents
+          UNION ALL SELECT 'lang', lang FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+        ),
+        base AS (
+          SELECT col,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(*) FILTER (WHERE val IS NULL) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+                 min(val) AS min_value,
+                 max(val) AS max_value,
+                 round(avg(CAST(length(val) AS DOUBLE)), 4) AS avg_len
+          FROM kv GROUP BY col
+        ),
+        cnts AS (
+          SELECT col, val, CAST(count(*) AS BIGINT) AS cnt
+          FROM kv WHERE val IS NOT NULL GROUP BY col, val
+        ),
+        mode AS (
+          SELECT col, val AS top_value, cnt AS top_count FROM (
+            SELECT col, val, cnt,
+                   row_number() OVER (PARTITION BY col
+                                      ORDER BY cnt DESC, val DESC) AS rn
+            FROM cnts) WHERE rn = 1
+        )
+        SELECT b.col AS "column", b.n_rows, b.n_null, b.n_distinct,
+               b.min_value, b.max_value, b.avg_len,
+               m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
+        FROM base b LEFT JOIN mode m ON b.col = m.col
+    """
     # dedup calibration = P/R/F1 over the two pair-set oracles, composed
     # verbatim (dd_simhash candidates vs exact-Jaccard gold); pair keys are
     # normalized with least/greatest exactly as pair_metrics does
