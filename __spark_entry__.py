@@ -1497,6 +1497,20 @@ def q_g8_labelprop(spark, sf_dir):
     return label_propagation(_copurchase_edges(spark, sf_dir), rounds=3)
 
 
+def q_g15_modularity(spark, sf_dir):
+    """Newman modularity of the 3-round LPA partition over the co-purchase
+    graph (graphstats.py:modularity): per-community q_c from INTEGER edge /
+    degree sums (no float folds over shuffled rows), global Q = sum(q_c) —
+    the measured did-LPA-find-structure gauge. Oracle composes the LPA
+    replay with integer modularity aggregates over the same edge CTEs."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        label_propagation, modularity,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return modularity(edges, label_propagation(edges, rounds=3))
+
+
 def q_g9_sssp(spark, sf_dir):
     """Multi-source weighted shortest paths over the co-purchase graph
     (graphstats.py:sssp_hops, 4 Bellman-Ford rounds, integer weights =
@@ -1734,6 +1748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "dd_calibration": q_dd_calibration,
         "ts_profile": q_ts_profile,
+        "g15_modularity": q_g15_modularity,
     }
 
 
@@ -4498,6 +4513,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
             )
             SELECT v AS vertex, min(r) AS component FROM reach GROUP BY v
+        """
+    )
+    # modularity replay: LPA oracle nested as the partition, then integer
+    # edge/degree sums over the same co-purchase CTEs; q is one scalar
+    # double expression over integers (identical operation order both sides)
+    _lpa3 = _lpa_oracle(3)
+    o["g15_modularity"] = (
+        # splice onto the LPA oracle's WITH chain (everything before its
+        # final SELECT), reusing its gi/kept/e0/sym CTEs instead of nesting
+        # a duplicate declaration (DuckDB rejects shadowed CTE names)
+        _lpa3[: _lpa3.rindex("SELECT")]
+        + ", lpa AS MATERIALIZED (SELECT node, lbl AS community FROM l3), "
+        + """
+            m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+            deg AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS deg
+              FROM sym GROUP BY u
+            ),
+            base AS (
+              SELECT l.community,
+                     CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(coalesce(d.deg, 0)) AS BIGINT) AS deg_sum
+              FROM lpa l LEFT JOIN deg d ON l.node = d.node
+              GROUP BY l.community
+            ),
+            inside AS (
+              SELECT la.community, CAST(count(*) AS BIGINT) AS in_edges
+              FROM e0
+              JOIN lpa la ON e0.a = la.node
+              JOIN lpa lb ON e0.b = lb.node
+              WHERE la.community = lb.community
+              GROUP BY la.community
+            )
+            SELECT b.community, b.n_nodes,
+                   CAST(coalesce(i.in_edges, 0) AS BIGINT) AS in_edges,
+                   b.deg_sum,
+                   round(coalesce(i.in_edges, 0) / CAST(m.m AS DOUBLE)
+                         - (b.deg_sum / (2.0::DOUBLE * m.m))
+                           * (b.deg_sum / (2.0::DOUBLE * m.m)), 6)
+                   + 0.0::DOUBLE AS q
+            FROM base b LEFT JOIN inside i ON b.community = i.community, m
         """
     )
     # table-profile replay: same unpivot -> per-column aggs; modal value

@@ -714,3 +714,83 @@ def harmonic_centrality(
             .cast("long").alias("harmonic_units"),
         )
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    comm_col: str = "community",
+) -> DataFrame:
+    """Newman modularity per community over the UNWEIGHTED undirected graph
+    (the same view label_propagation votes on): for community c,
+    q_c = in_c/m - (deg_c/(2m))^2 with in_c = #edges inside c, deg_c = sum
+    of member degrees, m = #undirected edges; global Q = sum(q_c). The
+    quality gauge for any partition (LPA, CC, dedup clusters) — "did the
+    rounds produce structure or noise" becomes a measured number.
+
+    Determinism at scale: every aggregate (m, in_c, deg_c, node counts) is
+    an INTEGER sum — no float folds over shuffled rows — and q_c is one
+    scalar double expression over those integers, so the result is
+    partition- and order-invariant. Cost: edge normalization + two
+    label joins shuffling on node/community keys, all map-side combinable;
+    output is #communities rows.
+
+    Output: (community, n_nodes, in_edges, deg_sum, q) with q rounded 6dp.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("a"),
+            F.greatest(F.col(src_col).cast("string"), F.col(dst_col).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = communities.select(
+        F.col(node_col).cast("string").alias("node"),
+        F.col(comm_col).cast("string").alias("community"),
+    )
+    m = e.agg(F.count("*").alias("m"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    base = (
+        lab.join(deg, "node", "left")
+        .groupBy("community")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum(F.coalesce("deg", F.lit(0))).alias("deg_sum"),
+        )
+    )
+    la = lab.select(F.col("node").alias("a"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("community").alias("cb"))
+    inside = (
+        e.join(la, "a").join(lb, "b")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("in_edges"))
+    )
+    return (
+        base.join(inside, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("in_edges", F.lit(0).cast("long")).alias("in_edges"),
+            "deg_sum",
+            (
+                F.round(
+                    F.coalesce("in_edges", F.lit(0).cast("long")) / F.col("m").cast("double")
+                    - (F.col("deg_sum") / (F.lit(2.0) * F.col("m")))
+                    * (F.col("deg_sum") / (F.lit(2.0) * F.col("m"))),
+                    6,
+                )
+                + F.lit(0.0)  # +0.0 canonicalizes IEEE negative zero
+            ).alias("q"),
+        )
+    )

@@ -323,3 +323,55 @@ def test_harmonic_centrality_path_graph(spark):
         "a": (3, 1_000_000 + 500_000 + 333_333),
         "c": (4, 2 * 1_000_000 + 2 * 500_000),
     }
+
+
+def test_modularity_hand_checked(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import modularity
+
+    # triangle {1,2,3} + disjoint pair {4,5}: m=4; each community
+    # contributes in/m - (deg/2m)^2 = 0.1875; global Q = 0.375
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("1", "3"), ("4", "5")], "src string, dst string"
+    )
+    comm = spark.createDataFrame(
+        [("1", "c1"), ("2", "c1"), ("3", "c1"), ("4", "c2"), ("5", "c2")],
+        "node string, community string",
+    )
+    rows = {r["community"]: r for r in modularity(edges, comm).collect()}
+    assert rows["c1"]["n_nodes"] == 3 and rows["c1"]["in_edges"] == 3
+    assert rows["c1"]["deg_sum"] == 6 and rows["c1"]["q"] == 0.1875
+    assert rows["c2"]["q"] == 0.1875
+    assert abs(sum(r["q"] for r in rows.values()) - 0.375) < 1e-12
+
+
+def test_modularity_singleton_partition_nonpositive(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import modularity
+
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("1", "3")], "src string, dst string"
+    )
+    comm = spark.createDataFrame(
+        [(n, n) for n in "123"], "node string, community string"
+    )
+    rows = modularity(edges, comm).collect()
+    # singletons have no internal edges: q_c = -(deg/2m)^2 < 0
+    assert all(r["in_edges"] == 0 and r["q"] < 0 for r in rows)
+
+
+def test_modularity_lpa_composition_and_stability(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        label_propagation, modularity,
+    )
+
+    # two 4-cliques bridged by one edge: LPA must find structure (Q > 0)
+    clique = lambda ns: [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]]
+    edges = spark.createDataFrame(
+        clique(["a1", "a2", "a3", "a4"]) + clique(["b1", "b2", "b3", "b4"])
+        + [("a1", "b1")],
+        "src string, dst string",
+    )
+    part = label_propagation(edges, rounds=3)
+    out1 = sorted(map(tuple, modularity(edges, part).collect()))
+    assert sum(r[4] for r in out1) > 0.2
+    out2 = sorted(map(tuple, modularity(edges.repartition(7), part).collect()))
+    assert out1 == out2
