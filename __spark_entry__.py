@@ -507,6 +507,28 @@ def q_g12_linkpred(spark, sf_dir):
     return link_prediction(edges, max_hub_degree=10, top_n=100)
 
 
+def q_dd_rewrite(spark, sf_dir):
+    """Exact-substring dedup REWRITE (curation.py:substring_dedup_rewrite,
+    the removal step of Lee et al. 2022): same planted-partial-copy corpus
+    as dd_substring; every duplicated 8-token window keeps only its global
+    first occurrence and later occurrences' tokens are cut, so the planted
+    docs lose their copied prefixes to the originals."""
+    from knowledgegraphbuilder_spark.operators.curation import substring_dedup_rewrite
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 20)),
+            F.lit(" planted tail "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return substring_dedup_rewrite(d.unionByName(planted), k=8)
+
+
 def q_dd_substring(spark, sf_dir):
     """Exact-substring duplication stats (windowed Lee-et-al-2022 dedup):
     documents + planted partial copies (every 40th doc's first 20 tokens under
@@ -1749,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_calibration": q_dd_calibration,
         "ts_profile": q_ts_profile,
         "g15_modularity": q_g15_modularity,
+        "dd_rewrite": q_dd_rewrite,
     }
 
 
@@ -2736,6 +2759,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                    round(coalesce(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_frac
             FROM allc a LEFT JOIN pd ON a.doc_id = pd.doc_id
+        """,
+        # exact-substring REWRITE replay: positional (not distinct) window
+        # occurrences, canonical = min(doc_id*1e6 + pos) (same ordering as
+        # Spark's min(struct(doc_id, pos)) since pos < 1e6), covered
+        # positions unioned, surviving tokens re-joined in position order
+        "dd_rewrite": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            ),
+            planted AS (
+              SELECT doc_id + 10000000 AS doc_id,
+                     array_to_string((string_split(text, ' '))[1:20], ' ')
+                       || ' planted tail ' || CAST(doc_id AS VARCHAR) AS text
+              FROM base WHERE doc_id % 40 = 0
+            ),
+            allc AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            tk AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+              FROM allc
+            ),
+            occ AS (
+              SELECT doc_id, u.pos AS pos,
+                     ('0x' || substr(sha256(u.w), 1, 15))::BIGINT AS whash
+              FROM (
+                SELECT doc_id,
+                       UNNEST([{'pos': i,
+                                'w': array_to_string(toks[i : i + 7], ' ')}
+                               FOR i IN generate_series(1, len(toks) - 7)]) AS u
+                FROM tk)
+            ),
+            canon AS (
+              SELECT whash, CAST(count(*) AS BIGINT) AS n_occ,
+                     min(doc_id * 1000000 + pos) AS ck
+              FROM occ GROUP BY whash
+            ),
+            rem AS (
+              SELECT o.doc_id, o.pos FROM occ o JOIN canon c USING (whash)
+              WHERE c.n_occ >= 2 AND o.doc_id * 1000000 + o.pos <> c.ck
+            ),
+            cov AS (
+              SELECT DISTINCT doc_id, p FROM (
+                SELECT doc_id,
+                       UNNEST([pos + d FOR d IN generate_series(0, 7)]) AS p
+                FROM rem)
+            ),
+            tok AS (
+              SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+                SELECT doc_id,
+                       UNNEST([{'p': i, 'tok': toks[i]}
+                               FOR i IN generate_series(1, len(toks))]) AS u
+                FROM tk)
+            ),
+            kept AS (
+              SELECT t.doc_id, t.p, t.tok
+              FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+              WHERE c.p IS NULL
+            ),
+            cl AS (
+              SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+                     CAST(count(*) AS BIGINT) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT k.doc_id,
+                   coalesce(cl.clean_text, '') AS clean_text,
+                   CAST(len(k.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(k.toks) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed
+            FROM tk k LEFT JOIN cl ON k.doc_id = cl.doc_id
         """,
         # n-gram-overlap decontamination: eval windows (30-token slice of
         # every 100th doc) hashed and joined against training windows

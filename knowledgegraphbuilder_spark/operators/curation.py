@@ -584,3 +584,77 @@ def temperature_sample(
         .filter(F.col("mix_u") < F.col("rate"))
         .select("doc_id", strata_col, "mix_u", "rate")
     )
+
+
+def substring_dedup_rewrite(
+    docs: DataFrame, k: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring deduplication that actually REWRITES the corpus (the
+    removal step of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — substring_dup_stats above is its measurement
+    side): every k-token window that occurs more than once corpus-wide keeps
+    only its globally FIRST occurrence (min (doc_id, pos)); all tokens
+    covered by any later occurrence are cut, and each document is
+    re-assembled from its surviving tokens in position order.
+
+    Deterministic spec: windows are ALL positions (not per-doc distinct),
+    1-indexed over single-space tokens; within-doc repeats count as
+    duplicates (self-repetition is removed too); overlapping removal spans
+    union; a document shorter than k tokens is untouched.
+
+    Scale shape: two shuffles on the 60-bit window hash (count + canonical
+    min(struct), both map-side combinable; no window function) and one on
+    doc_id for the covered-position anti-join + reassembly. Reassembly
+    memory is bounded by single-document length (collect_list per doc).
+
+    Output: (doc_id, clean_text, n_tokens, n_removed).
+    """
+    ws = f"split(coalesce({text_col}, ''), ' ')"
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"size({ws})").alias("n_tokens"),
+        F.expr(
+            f"case when size({ws}) >= {k} then "
+            f"transform(sequence(1, size({ws}) - {k} + 1), "
+            f"i -> struct(i as pos, "
+            + _H60.format(s=f"concat_ws(' ', slice({ws}, i, {k}))")
+            + " as whash)) else array() end"
+        ).alias("wins"),
+        F.expr(ws).alias("toks"),
+    ).localCheckpoint(eager=True)
+    occ = base.select("doc_id", F.explode("wins").alias("w")).select(
+        "doc_id", F.col("w.pos").alias("pos"), F.col("w.whash").alias("whash")
+    )
+    canon = occ.groupBy("whash").agg(
+        F.count("*").alias("n_occ"),
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+    )
+    removed = (
+        occ.join(canon, "whash")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("p"))
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(removed, ["doc_id", "p"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(p, tok))), x -> x.tok)"),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
+    )

@@ -373,3 +373,54 @@ def test_temperature_sample_repartition_stable(spark):
         r["doc_id"] for r in temperature_sample(docs.repartition(11)).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_substring_rewrite_hand_checked(spark):
+    from knowledgegraphbuilder_spark.operators.curation import substring_dedup_rewrite
+
+    # doc 1 and doc 2 share the 4-token window "a b c d"; doc 1 is the
+    # canonical (first) occurrence, so doc 2 loses exactly those 4 tokens
+    docs = spark.createDataFrame(
+        [(1, "a b c d x y"), (2, "p a b c d q"), (3, "u v w z")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dedup_rewrite(docs, k=4).collect()}
+    assert out[1]["clean_text"] == "a b c d x y" and out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "p q" and out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "u v w z" and out[3]["n_removed"] == 0
+    assert out[2]["n_tokens"] == 6
+
+
+def test_substring_rewrite_self_repetition_and_overlap(spark):
+    from knowledgegraphbuilder_spark.operators.curation import substring_dedup_rewrite
+
+    # "a b a b a b": windows(k=2 tokens x2... use k=2): "a b","b a","a b",
+    # "b a","a b" -> later occurrences removed; overlapping spans union
+    docs = spark.createDataFrame([(1, "a b a b a b")], "doc_id long, text string")
+    row = substring_dedup_rewrite(docs, k=2).collect()[0]
+    # canonical "a b"@1 and "b a"@2 survive; every position >= 3 is covered
+    assert row["clean_text"] == "a b" and row["n_removed"] == 4
+
+
+def test_substring_rewrite_short_docs_untouched(spark):
+    from knowledgegraphbuilder_spark.operators.curation import substring_dedup_rewrite
+
+    docs = spark.createDataFrame(
+        [(1, "only three tokens"), (2, "only three tokens")],
+        "doc_id long, text string",
+    )
+    # k=8 > doc length: no windows, both docs pass through even though they
+    # are exact duplicates (that's exact_duplicates' job, not this one's)
+    rows = substring_dedup_rewrite(docs, k=8).collect()
+    assert all(r["clean_text"] == "only three tokens" and r["n_removed"] == 0 for r in rows)
+
+
+def test_substring_rewrite_repartition_stable(spark):
+    from knowledgegraphbuilder_spark.operators.curation import substring_dedup_rewrite
+
+    rows = [(i, f"tok{i % 5} alpha beta gamma delta tok{i % 3} epsilon zeta")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, substring_dedup_rewrite(docs, k=3).collect()))
+    b = sorted(map(tuple, substring_dedup_rewrite(docs.repartition(9), k=3).collect()))
+    assert a == b
