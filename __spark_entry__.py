@@ -1772,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_profile": q_ts_profile,
         "g15_modularity": q_g15_modularity,
         "dd_rewrite": q_dd_rewrite,
+        "g16_node2vec": q_g16_node2vec,
     }
 
 
@@ -1944,6 +1945,22 @@ def _lpa_oracle(rounds: int) -> str:
             {', '.join(ctes)}
             SELECT node, lbl AS community FROM l{rounds}
         """
+
+
+def q_g16_node2vec(spark, sf_dir):
+    """node2vec second-order biased walks (graphstats.py:biased_walks,
+    Grover & Leskovec 2016), derandomized via integer ticket replication:
+    return/BFS/DFS weights (1, 4, 2); oracle = unrolled ticket replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import biased_walks
+
+    edges = _copurchase_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.orderBy(F.sha2(F.col("node"), 256)).limit(5)
+    return biased_walks(edges, seeds, length=4, ret_w=1, bfs_w=4, dfs_w=2)
 
 
 def q_g13_walkpairs(spark, sf_dir):
@@ -2200,6 +2217,68 @@ def _walks_oracle(length: int, n_seeds: int = 5) -> str:
             )""")
     selects = " UNION ALL ".join(
         f"SELECT seed, {t} AS step, node FROM w{t}" for t in range(0, length + 1)
+    )
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT seed, CAST(step AS INTEGER) AS step, node FROM ({selects})
+        """
+
+
+def _node2vec_oracle(
+    length: int, ret_w: int = 1, bfs_w: int = 4, dfs_w: int = 2, n_seeds: int = 5
+) -> str:
+    """Unrolled biased (node2vec) walks: step 1 is the uniform first-order
+    choice; step t>=2 weights each neighbor by its node2vec class (return /
+    distance-1 / distance-2) as INTEGER ticket counts, and row_number over
+    (sha256(seed|t|cur|v|i), v) across all tickets replays Spark's
+    min(struct) exactly. The correlated ticket fan-out uses the
+    list-comprehension + UNNEST-in-SELECT pattern (correlated
+    generate_series in FROM is unsupported)."""
+    ctes = [f"""s0 AS MATERIALIZED (
+              SELECT node FROM (SELECT DISTINCT u AS node FROM sym)
+              ORDER BY sha256(node) LIMIT {n_seeds}
+            )""",
+            """v1 AS MATERIALIZED (
+              SELECT seed, prev, node FROM (
+                SELECT c.node AS seed, s.u AS prev, s.v AS node,
+                       row_number() OVER (
+                         PARTITION BY c.node
+                         ORDER BY sha256(c.node || '|1|' || s.u || '|' || s.v || '|1'), s.v
+                       ) AS rn
+                FROM sym s JOIN s0 c ON s.u = c.node
+              ) WHERE rn = 1
+            )"""]
+    for t in range(2, length + 1):
+        p = t - 1
+        ctes.append(f"""c{t} AS (
+              SELECT s.seed, s.node AS cur, sym.v,
+                     CASE WHEN sym.v = s.prev THEN {ret_w}
+                          WHEN pe.v IS NOT NULL THEN {bfs_w}
+                          ELSE {dfs_w} END AS w
+              FROM v{p} s
+              JOIN sym ON sym.u = s.node
+              LEFT JOIN sym pe ON pe.u = s.prev AND pe.v = sym.v
+            )""")
+        ctes.append(f"""k{t} AS (
+              SELECT seed, cur, v,
+                     UNNEST([i FOR i IN generate_series(1, w)]) AS i
+              FROM c{t}
+            )""")
+        ctes.append(f"""v{t} AS MATERIALIZED (
+              SELECT seed, prev, node FROM (
+                SELECT seed, cur AS prev, v AS node,
+                       row_number() OVER (
+                         PARTITION BY seed
+                         ORDER BY sha256(seed || '|{t}|' || cur || '|' || v
+                                         || '|' || CAST(i AS VARCHAR)), v
+                       ) AS rn
+                FROM k{t}
+              ) WHERE rn = 1
+            )""")
+    selects = " UNION ALL ".join(
+        [f"SELECT node AS seed, 0 AS step, node FROM s0"]
+        + [f"SELECT seed, {t} AS step, node FROM v{t}" for t in range(1, length + 1)]
     )
     return f"""
             WITH {_COPURCHASE_CTES},
@@ -3607,6 +3686,7 @@ def oracle_sql() -> dict[str, str]:
         "g8_labelprop": _lpa_oracle(rounds=3),
         "g9_sssp": _sssp_oracle(rounds=4),
         "g11_walks": _walks_oracle(length=4),
+        "g16_node2vec": _node2vec_oracle(length=4, ret_w=1, bfs_w=4, dfs_w=2),
         "g14_harmonic": _harmonic_oracle(hops=3),
         "g13_walkpairs": _skipgram_oracle(length=4, window=2),
         "kg_negsample": _negsample_oracle(k=2),

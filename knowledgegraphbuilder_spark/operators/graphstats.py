@@ -794,3 +794,105 @@ def modularity(
             ).alias("q"),
         )
     )
+
+
+def biased_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 4,
+    ret_w: int = 1,
+    bfs_w: int = 4,
+    dfs_w: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """node2vec-style SECOND-ORDER biased walks (Grover & Leskovec 2016),
+    derandomized. At step t the walk sits at ``cur`` having come from
+    ``prev``; each neighbor v of cur is weighted by its node2vec class —
+    ``ret_w`` if v == prev (the 1/p return weight), ``bfs_w`` if v is also a
+    neighbor of prev (distance-1, the BFS weight), ``dfs_w`` otherwise
+    (distance-2, the 1/q weight). Weights are INTEGER ticket counts: a
+    candidate with weight w gets tickets 1..w, each hashed with
+    sha256(seed|t|cur|v|i), and the walk moves to the candidate owning the
+    globally smallest ticket — exact weighted sampling in distribution
+    (every ticket is equally likely to be the minimum), yet deterministic
+    and exactly replayable by an unrolled SQL oracle. Step 1 has no prev and
+    falls back to the uniform first-order choice (one ticket per neighbor,
+    same contract as deterministic_walks).
+
+    Scale shape: per step, one equi-join of the frontier on the current
+    node, one LEFT join against the adjacency on (prev, v) for the
+    distance-1 flag, a ticket explode bounded by max(ret_w, bfs_w, dfs_w),
+    and a per-walk min(struct) aggregate — map-side combinable, hub cost
+    linear in degree x max-weight, no window function. Dead-end walks stop.
+    Output: (seed, step, node) — step 0 is the seed itself.
+    """
+    if min(ret_w, bfs_w, dfs_w) < 1:
+        # sequence(1, 0) DESCENDS under ANSI mode, so a 0-weight class would
+        # silently emit phantom tickets; excluding a class needs a filter,
+        # not a zero weight
+        raise ValueError("ticket weights must be integers >= 1")
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).cast("string").alias("u"), F.col(src_col).cast("string").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = seeds.select(
+        F.col(seeds.columns[0]).cast("string").alias("seed")
+    ).distinct().withColumn("node", F.col("seed")).withColumn("step", F.lit(0))
+    # step 1: uniform first-order choice (single ticket per neighbor)
+    cur = (
+        sym.join(out.select("seed", F.col("node").alias("u")), "u")
+        .withColumn(
+            "hkey", F.sha2(F.concat_ws("|", "seed", F.lit("1"), "u", "v", F.lit("1")), 256)
+        )
+        .groupBy("seed")
+        .agg(F.min(F.struct("hkey", "v")).alias("m"), F.first("u").alias("prev"))
+        .select("seed", "prev", F.col("m.v").alias("node"))
+        .localCheckpoint(eager=True)
+    )
+    out = out.unionAll(cur.select("seed", "node", F.lit(1).alias("step")))
+    pe = sym.select(
+        F.col("u").alias("pprev"), F.col("v").alias("pcand"), F.lit(1).alias("d1")
+    )
+    for t in range(2, length + 1):
+        cands = (
+            sym.join(cur.select("seed", "prev", F.col("node").alias("u")), "u")
+            .join(
+                pe,
+                (F.col("prev") == F.col("pprev")) & (F.col("v") == F.col("pcand")),
+                "left",
+            )
+            .select(
+                "seed", F.col("u").alias("cur"), "v",
+                F.when(F.col("v") == F.col("prev"), F.lit(ret_w))
+                .when(F.col("d1").isNotNull(), F.lit(bfs_w))
+                .otherwise(F.lit(dfs_w))
+                .alias("w"),
+            )
+        )
+        cur = (
+            cands.select(
+                "seed", "cur", "v",
+                F.explode(F.expr("sequence(1, w)")).alias("i"),
+            )
+            .withColumn(
+                "hkey",
+                F.sha2(
+                    F.concat_ws(
+                        "|", "seed", F.lit(str(t)), "cur", "v",
+                        F.col("i").cast("string"),
+                    ),
+                    256,
+                ),
+            )
+            .groupBy("seed")
+            .agg(F.min(F.struct("hkey", "v")).alias("m"), F.first("cur").alias("prev"))
+            .select("seed", "prev", F.col("m.v").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(cur.select("seed", "node", F.lit(t).alias("step")))
+    return out.select("seed", F.col("step").cast("int").alias("step"), "node")

@@ -375,3 +375,80 @@ def test_modularity_lpa_composition_and_stability(spark):
     assert sum(r[4] for r in out1) > 0.2
     out2 = sorted(map(tuple, modularity(edges.repartition(7), part).collect()))
     assert out1 == out2
+
+
+def _n2v_reference(adj, seed, length, rw, bw, dw):
+    """Pure-Python replay of biased_walks' derandomized contract."""
+    import hashlib
+
+    h = lambda s: hashlib.sha256(s.encode()).hexdigest()
+    out = [(seed, 0, seed)]
+    if not adj.get(seed):
+        return out
+    cur = min(adj[seed], key=lambda v: (h(f"{seed}|1|{seed}|{v}|1"), v))
+    prev = seed
+    out.append((seed, 1, cur))
+    for t in range(2, length + 1):
+        if not adj.get(cur):
+            break
+        tickets = []
+        for v in sorted(adj[cur]):
+            w = rw if v == prev else (bw if v in adj[prev] else dw)
+            for i in range(1, w + 1):
+                tickets.append((h(f"{seed}|{t}|{cur}|{v}|{i}"), v))
+        nxt = min(tickets)[1]
+        prev, cur = cur, nxt
+        out.append((seed, t, cur))
+    return out
+
+
+def test_biased_walks_pure_python_parity(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import biased_walks
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c"),
+                 ("b", "e"), ("e", "f"), ("f", "a")]
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    seeds = spark.createDataFrame([("a",), ("e",)], "node string")
+    got = sorted(
+        (r["seed"], r["step"], r["node"])
+        for r in biased_walks(edges, seeds, length=4, ret_w=1, bfs_w=4, dfs_w=2).collect()
+    )
+    want = sorted(
+        _n2v_reference(adj, s, 4, 1, 4, 2)[i]
+        for s in ("a", "e")
+        for i in range(5)
+    )
+    assert got == want
+
+
+def test_biased_walks_weight_extremes_change_path(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import biased_walks
+
+    # weights must actually influence the choice: compare (1,1,1) uniform
+    # tickets vs an extreme BFS bias on a graph with both class types
+    edge_list = [("a", "b"), ("b", "c"), ("b", "d"), ("a", "c")]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    uni = {(r["step"]): r["node"]
+           for r in biased_walks(edges, seeds, length=2, ret_w=1, bfs_w=1, dfs_w=1).collect()}
+    bfs = {(r["step"]): r["node"]
+           for r in biased_walks(edges, seeds, length=2, ret_w=1, bfs_w=500, dfs_w=1).collect()}
+    assert uni[0] == bfs[0] == "a" and uni[1] == bfs[1]
+    # with bfs_w=500 the distance-1 candidate ("c" if step1 went to b, since
+    # a-c closes the triangle) wins with overwhelming ticket mass
+    if uni[1] == "b":
+        assert bfs[2] in ("c",)  # c is prev-adjacent; d is distance-2; a is return
+
+
+def test_biased_walks_rejects_zero_weight(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import biased_walks
+
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        biased_walks(edges, seeds, ret_w=0)
