@@ -1292,6 +1292,38 @@ def q_sk_bloom(spark, sf_dir):
     )
 
 
+def q_stream_ann(spark, sf_dir):
+    """STREAMING ANN-index maintenance under the value-exact gate: the
+    embedding corpus arrives as three vec_id-range files, each micro-batch
+    replace-MERGEs its deterministic LSH bucket rows into the persistent
+    index (streaming/ingest.py:run_lsh_index_available_now), the whole input
+    then REPLAYS against a fresh checkpoint (bucket assignment is a pure
+    per-row function, so the MERGE is idempotent and the index is
+    byte-identical) — and a probe over the streamed index
+    (probe_lsh_index) must equal batch ann_lsh over the full corpus, which
+    is exactly what the existing ann_lsh SQL oracle computes."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        probe_lsh_index, run_lsh_index_available_now,
+    )
+
+    embs = _t(spark, sf_dir, "embeddings")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_ann_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = embs.agg(F.max("vec_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (embs.filter((F.col("vec_id") >= bounds[i]) & (F.col("vec_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_lsh_index_available_now(spark, f"{base}/in/*", f"{base}/idx", f"{base}/ck")
+    run_lsh_index_available_now(spark, f"{base}/in/*", f"{base}/idx", f"{base}/ck2")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return probe_lsh_index(spark, f"{base}/idx", list(q), k=10, n_bits=4, n_tables=8)
+
+
 def q_stream_hll(spark, sf_dir):
     """STREAMING distinct-count sketch under the value-exact gate: events
     land as three event_id-ascending files, each micro-batch folds into its
@@ -1773,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_modularity": q_g15_modularity,
         "dd_rewrite": q_dd_rewrite,
         "g16_node2vec": q_g16_node2vec,
+        "stream_ann": q_stream_ann,
     }
 
 
@@ -4762,6 +4795,10 @@ def oracle_sql() -> dict[str, str]:
                m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
         FROM base b LEFT JOIN mode m ON b.col = m.col
     """
+    # streamed LSH index + probe must equal batch ann_lsh exactly (pure
+    # per-row bucket function + idempotent replace-MERGE), so the oracle is
+    # the ann_lsh replay verbatim — reuse, like dd_minhash_lsh/_JACCARD_09
+    o["stream_ann"] = o["ann_lsh"]
     # dedup calibration = P/R/F1 over the two pair-set oracles, composed
     # verbatim (dd_simhash candidates vs exact-Jaccard gold); pair keys are
     # normalized with least/greatest exactly as pair_metrics does

@@ -387,3 +387,84 @@ def run_stream_join_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_lsh_index_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    dim: int = 64, n_bits: int = 4, n_tables: int = 8, seed: int = 42,
+    schema: str = "vec_id long, embedding array<float>",
+) -> None:
+    """Streaming ANN-index maintenance: each embedding micro-batch computes
+    its deterministic LSH bucket rows (one per table, same sha256-derived
+    hyperplanes as operators/ann.py) and replace-MERGEs them into the
+    persistent index keyed by (vec_id, table). Bucket assignment is a pure
+    per-row function of the vector, so the MERGE is idempotent — replays,
+    re-checkpoints, and any batch boundary produce a byte-identical index,
+    and the streamed index EQUALS the batch-built index row for row. That is
+    the incremental story FAISS-style in-memory indexes lack: new vectors
+    flow in continuously, and probes (probe_lsh_index) see them as soon as
+    their batch commits.
+
+    State is #vectors x n_tables slim rows in a keyed table (id, t, bucket,
+    v); per batch the work is one projection + a bounded MERGE — no
+    cross-batch shuffle."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.ann import _as_double, lsh_bucket_expr
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        v = _as_double(batch_df, "embedding", "vec_id")
+        tb = F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket_expr("v", dim, n_bits, t, seed).alias("bucket"))
+            for t in range(n_tables)
+        ])).alias("tb")
+        idx = v.select("id", "v", tb).select(
+            F.concat_ws("|", "id", F.col("tb.t")).alias("ik"),
+            "id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"), "v",
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, idx, "ik")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def probe_lsh_index(
+    spark: SparkSession, table_dir: str, query: list, k: int = 10,
+    n_bits: int = 4, n_tables: int = 8, seed: int = 42,
+) -> "DataFrame":
+    """Query the streamed LSH index: one OR-of-bucket-equalities filter over
+    the slim index rows (never a corpus scan of raw embeddings), dedup to
+    one row per candidate id, exact cosine rescore, top-k. Output and values
+    match operators/ann.py:ann_lsh run over the full batch corpus — pinned
+    by the gate against the same SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.ann import _bucket_of, cosine_scores
+
+    idx = spark.read.parquet(table_dir)
+    dim = len(query)
+    cond = None
+    for t in range(n_tables):
+        qb = _bucket_of([float(x) for x in query], t, n_bits, dim, seed)
+        m = (F.col("t") == t) & (F.col("bucket") == qb)
+        cond = m if cond is None else (cond | m)
+    cands = idx.filter(cond).dropDuplicates(["id"]).select("id", "v")
+    return (
+        cosine_scores(cands.withColumnRenamed("v", "embedding"), query, "id", "embedding")
+        .orderBy(F.desc("score"), F.col("id"))
+        .limit(k)
+    )

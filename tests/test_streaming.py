@@ -192,3 +192,33 @@ def test_stream_stream_join_equals_batch_and_replay_noop(spark, tmp_path):
     again = sorted(map(tuple, spark.read.parquet(f"{base}/out")
                    .select("purchase_id", "view_id", "user_id", "gap_s").collect()))
     assert again == got
+
+
+def test_stream_lsh_index_equals_batch_and_is_replay_idempotent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        probe_lsh_index, run_lsh_index_available_now,
+    )
+
+    rng = [((i * 2654435761) % 97) / 97.0 for i in range(64 * 30)]
+    rows = [(i, [float(rng[i * 64 + d] - 0.5) for d in range(64)]) for i in range(30)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = str(tmp_path / "sann")
+    for i in range(3):
+        (embs.filter((F.col("vec_id") % 3) == i)
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_lsh_index_available_now(spark, f"{base}/in/*", f"{base}/idx", f"{base}/ck")
+    idx1 = sorted(map(tuple, spark.read.parquet(f"{base}/idx")
+                      .select("ik", "bucket").collect()))
+    # full replay against a fresh checkpoint: byte-identical index
+    run_lsh_index_available_now(spark, f"{base}/in/*", f"{base}/idx", f"{base}/ck2")
+    idx2 = sorted(map(tuple, spark.read.parquet(f"{base}/idx")
+                      .select("ik", "bucket").collect()))
+    assert idx1 == idx2 and len(idx1) == 30 * 8
+    # probe over the streamed index == batch ann_lsh over the full corpus
+    q = rows[0][1]
+    got = sorted(map(tuple, probe_lsh_index(spark, f"{base}/idx", q, k=5).collect()))
+    want = sorted(map(tuple, ann_ops.ann_lsh(embs, q, k=5, n_bits=4, n_tables=8).collect()))
+    assert got == want and len(want) > 0
