@@ -1139,6 +1139,29 @@ def q_sql_topk_count(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 (pricing summary): the canonical scan-heavy grouped
+    aggregate — one wide scan, map-side partial aggregation into 4 groups,
+    every measure a combinable sum/count (rounded like sql_tpch_q6 so the
+    ULP noise of shuffled double sums cannot reach the compared digits)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (F.lit(1.0) + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def q_sql_tpch_q6(spark, sf_dir):
     """TPC-H Q6 (forecast revenue change): tight scan-with-pushdown shape —
     three range predicates reach the parquet scan, one global sum."""
@@ -1806,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_rewrite": q_dd_rewrite,
         "g16_node2vec": q_g16_node2vec,
         "stream_ann": q_stream_ann,
+        "sql_tpch_q1": q_sql_tpch_q1,
     }
 
 
@@ -3914,6 +3938,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24
+        """,
+        "sql_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(sum(l_extendedprice * (1.0 - l_discount)
+                             * (1.0 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "sql_tpch_q3": """
             SELECT l_orderkey,

@@ -231,7 +231,7 @@ def main() -> None:
         "retrieval_hybrid", "ml_kmeans", "dd_resolve", "sk_bloom", "ts_perplexity",
         "g12_linkpred", "g13_walkpairs", "kg_negsample", "interval_overlap",
         "sk_quantile", "layout_zorder", "mm_transitions", "mm_pack",
-        "bpe_merges", "g14_harmonic", "dd_contain", "sql_tpch_q6", "sql_tpch_q3",
+        "bpe_merges", "g14_harmonic", "dd_contain", "sql_tpch_q6", "sql_tpch_q3", "sql_tpch_q1",
         "sql_agg_pushdown", "sql_join_agg", "sql_window_cum", "sql_sessionize",
         "ts_dsir", "ann_knn", "ts_temperature", "ann_recall", "dd_calibration", "ts_profile", "g15_modularity", "dd_rewrite", "g16_node2vec", "stream_ann",
     ]
