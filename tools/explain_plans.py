@@ -463,6 +463,55 @@ def main() -> None:
         harmonic_centrality(lp_edges, seeds3, max_hops=2),
     )
 
+    from knowledgegraphbuilder_spark.operators.curation import (
+        substring_dedup_rewrite, temperature_sample,
+    )
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        biased_walks, label_propagation, modularity,
+    )
+    from knowledgegraphbuilder_spark.operators.profile import profile_table
+
+    add(
+        "Exact-substring dedup rewrite (Lee et al. 2022 removal step)",
+        "Canonical occurrence = min(struct(doc_id, pos)) as a partial "
+        "aggregate on the 60-bit window hash — no window function, so the "
+        "hot-window cost is map-side combined; covered positions union via "
+        "explode+distinct on the doc key, and reassembly is one per-doc "
+        "aggregate whose memory is bounded by single-document length.",
+        substring_dedup_rewrite(docs, k=8),
+    )
+    add(
+        "Table profile: stack unpivot, one scan for all columns",
+        "stack() is a codegen projection (no shuffle, no per-column scan); "
+        "base stats partial-aggregate on the column key and the modal value "
+        "is a count groupBy + max(struct) — the only value-keyed exchange.",
+        profile_table(docs, ["doc_id", "lang", "n_chars"]),
+    )
+    add(
+        "Temperature mixture rebalancing: broadcast rates, zero corpus shuffle",
+        "Stratum counts are a KB-sized aggregate; rates broadcast back onto "
+        "a pure salted-hash filter — the corpus is scanned once and never "
+        "shuffled, so the plan survives any corpus scale.",
+        temperature_sample(docs, alpha=0.3, target_frac=0.5),
+    )
+    add(
+        "node2vec biased walk step: ticket explode + min(struct) aggregate",
+        "Per step: frontier equi-join on the current node, LEFT adjacency "
+        "join for the distance-1 class, ticket explode bounded by "
+        "max(ret_w, bfs_w, dfs_w), and the weighted choice is a map-side "
+        "min(struct(hash, candidate)) — no window function, hub cost linear "
+        "in degree x max weight. Earlier steps hide behind Scan ExistingRDD "
+        "(eager localCheckpoint lineage truncation).",
+        biased_walks(lp_edges, seeds3, length=2, ret_w=1, bfs_w=4, dfs_w=2),
+    )
+    add(
+        "Modularity: integer sums + broadcast scalar m",
+        "in_c/deg_c/m are integer aggregates (order-invariant under any "
+        "shuffle); the single-row m cross-joins via BroadcastExchange; q_c "
+        "is one scalar double expression over the integers.",
+        modularity(lp_edges, label_propagation(lp_edges, rounds=2)),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
