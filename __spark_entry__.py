@@ -1830,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_node2vec": q_g16_node2vec,
         "stream_ann": q_stream_ann,
         "sql_tpch_q1": q_sql_tpch_q1,
+        "g17_anf": q_g17_anf,
     }
 
 
@@ -2002,6 +2003,17 @@ def _lpa_oracle(rounds: int) -> str:
             {', '.join(ctes)}
             SELECT node, lbl AS community FROM l{rounds}
         """
+
+
+def q_g17_anf(spark, sf_dir):
+    """Approximate neighborhood function / hop plot over the co-purchase
+    graph (graphstats.py:anf_hyperball, ANF KDD'02 / HyperBall): per-node
+    16-register HLL balls folded by register max per hop; estimates in
+    integer micro-units (no float folds, no runtime ln). Oracle = unrolled
+    register replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    return anf_hyperball(_copurchase_edges(spark, sf_dir), max_hops=3, p=4)
 
 
 def q_g16_node2vec(spark, sf_dir):
@@ -2279,6 +2291,71 @@ def _walks_oracle(length: int, n_seeds: int = 5) -> str:
             WITH {_COPURCHASE_CTES},
             {', '.join(ctes)}
             SELECT seed, CAST(step AS INTEGER) AS step, node FROM ({selects})
+        """
+
+
+def _anf_oracle(max_hops: int = 3, p: int = 4) -> str:
+    """Unrolled ANF/HyperBall replay: sha256 per-node registers, hop h =
+    (node, idx) register max over neighbors ∪ self, per-node estimates in
+    INTEGER micro-units (one BIGINT floor-division for the raw branch —
+    DuckDB // floors, Spark div truncates, identical on positives — and
+    Python-precomputed literals for the linear-counting branch, so no
+    runtime ln() on either engine), per-hop BIGINT sums."""
+    import math
+
+    m = 1 << p
+    w_bits = 28
+    rho_max = w_bits + 1
+    wmask = (1 << w_bits) - 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    c_micro = round(alpha * m * m * (1 << rho_max) * 1e6)
+    lc_case = "CASE " + " ".join(
+        f"WHEN v_empty = {v} THEN {round(m * math.log(m / v) * 1e6)}"
+        for v in range(1, m)
+    ) + " END"
+    ctes = [f"""r0 AS MATERIALIZED (
+              SELECT node, hv & {m - 1} AS idx,
+                     CASE WHEN ((hv >> {p}) & {wmask}) = 0 THEN {rho_max}
+                          ELSE {rho_max} - length(bin((hv >> {p}) & {wmask}))
+                     END AS maxr
+              FROM (SELECT node,
+                           ('0x' || substr(sha256(node), 1, 15))::BIGINT AS hv
+                    FROM (SELECT DISTINCT u AS node FROM sym))
+            )"""]
+    for h in range(1, max_hops + 1):
+        ctes.append(f"""r{h} AS MATERIALIZED (
+              SELECT node, idx, max(maxr) AS maxr FROM (
+                SELECT s.u AS node, r.idx, r.maxr
+                FROM sym s JOIN r{h - 1} r ON r.node = s.v
+                UNION ALL SELECT node, idx, maxr FROM r{h - 1}
+              ) GROUP BY node, idx
+            )""")
+    for h in range(0, max_hops + 1):
+        ctes.append(f"""est{h} AS (
+              SELECT {h} AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+                     CAST(sum(est_micro) AS BIGINT) AS anf_micro
+              FROM (
+                SELECT CASE WHEN {c_micro} <= {int(2.5 * m * 1e6)} * s_int
+                                 AND v_empty > 0
+                            THEN {lc_case}
+                            ELSE {c_micro} // s_int END AS est_micro
+                FROM (
+                  SELECT CAST(sum(1::BIGINT << ({rho_max} - maxr)) AS BIGINT)
+                         + ({m} - count(*)) * {1 << rho_max} AS s_int,
+                         {m} - count(*) AS v_empty
+                  FROM r{h} GROUP BY node
+                )
+              )
+            )""")
+    selects = " UNION ALL ".join(
+        f"SELECT * FROM est{h}" for h in range(0, max_hops + 1)
+    )
+    return f"""
+            WITH {_COPURCHASE_CTES},
+            {', '.join(ctes)}
+            SELECT CAST(hop AS INTEGER) AS hop, n_nodes, anf_micro,
+                   round(anf_micro / 1000000.0, 4) AS anf
+            FROM ({selects})
         """
 
 
@@ -3744,6 +3821,7 @@ def oracle_sql() -> dict[str, str]:
         "g9_sssp": _sssp_oracle(rounds=4),
         "g11_walks": _walks_oracle(length=4),
         "g16_node2vec": _node2vec_oracle(length=4, ret_w=1, bfs_w=4, dfs_w=2),
+        "g17_anf": _anf_oracle(max_hops=3, p=4),
         "g14_harmonic": _harmonic_oracle(hops=3),
         "g13_walkpairs": _skipgram_oracle(length=4, window=2),
         "kg_negsample": _negsample_oracle(k=2),

@@ -896,3 +896,108 @@ def biased_walks(
         )
         out = out.unionAll(cur.select("seed", "node", F.lit(t).alias("step")))
     return out.select("seed", F.col("step").cast("int").alias("step"), "node")
+
+
+def anf_hyperball(
+    edges: DataFrame,
+    max_hops: int = 3,
+    p: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Approximate Neighborhood Function via per-node HyperLogLog balls
+    (ANF, Palmer/Gibbons/Faloutsos KDD'02; register-max formulation of
+    HyperBall, Boldi & Vigna). Every node keeps an m=2^p-register HLL of
+    its h-hop ball; hop h folds each node's registers with its neighbors'
+    by ELEMENTWISE MAX — the same mergeable-register trick as sk_hll, so a
+    hop is one equi-join + a map-side-combinable (node, idx) max groupBy,
+    never a per-node set union. ANF(h) = sum over nodes of the estimated
+    ball size — the hop-plot / effective-diameter curve for a graph too
+    large to BFS from every node.
+
+    Determinism contract (the sk_hll discipline, taken further): registers
+    are sha256-derived; per-node estimates are computed in INTEGER
+    micro-units — the raw branch is one BIGINT division
+    (C_micro div s_int, both engines truncate identically on positives) and
+    the linear-counting branch is a CASE over m-1 PYTHON-precomputed
+    integer literals (no runtime ln(), so no cross-engine ULP risk at all);
+    the per-hop total is a BIGINT sum, order- and partition-invariant.
+
+    Output: (hop, n_nodes, anf_micro, anf) — anf = anf_micro/1e6 rounded
+    4dp; hop 0 is the singleton-ball baseline (~n_nodes).
+    """
+    import math
+
+    m = 1 << p
+    w_bits = 28                      # rank window; s_int <= m * 2^29
+    rho_max = w_bits + 1
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    c_micro = round(alpha * m * m * (1 << rho_max) * 1e6)
+    lc_micro = {v: round(m * math.log(m / v) * 1e6) for v in range(1, m)}
+    sym = (
+        edges.select(F.col(src_col).cast("string").alias("u"), F.col(dst_col).cast("string").alias("v"))
+        .unionAll(
+            edges.select(F.col(dst_col).cast("string").alias("u"), F.col(src_col).cast("string").alias("v"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h60 = "cast(conv(substring(sha2(node, 256), 1, 15), 16, 10) as bigint)"
+    wmask = (1 << w_bits) - 1
+    regs = (
+        sym.select(F.col("u").alias("node")).distinct()
+        .withColumn("hv", F.expr(h60))
+        .select(
+            "node",
+            F.expr(f"hv & {m - 1}").alias("idx"),
+            F.expr(
+                f"case when ((hv >> {p}) & {wmask}) = 0 then {rho_max} "
+                f"else {rho_max} - length(bin((hv >> {p}) & {wmask})) end"
+            ).alias("maxr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    lc_case = "case " + " ".join(
+        f"when v_empty = {v} then {lc_micro[v]}L" for v in range(1, m)
+    ) + " end"
+
+    def estimate(r: DataFrame, hop: int) -> DataFrame:
+        per_node = r.groupBy("node").agg(
+            F.expr(f"sum(shiftleft(cast(1 as bigint), {rho_max} - maxr))").alias("s_present"),
+            F.count("*").alias("n_present"),
+        ).select(
+            (F.col("s_present")
+             + (F.lit(m) - F.col("n_present")) * F.lit(1 << rho_max)).alias("s_int"),
+            (F.lit(m) - F.col("n_present")).alias("v_empty"),
+        ).select(
+            F.expr(
+                # small-range branch iff e_raw <= 2.5m, i.e.
+                # C_micro <= 2.5*m*1e6 * s_int — all-integer comparison
+                f"case when {c_micro}L <= {int(2.5 * m * 1e6)}L * s_int "
+                f"and v_empty > 0 then {lc_case} "
+                f"else {c_micro}L div s_int end"
+            ).alias("est_micro")
+        )
+        return per_node.agg(
+            F.lit(hop).cast("int").alias("hop"),
+            F.count("*").cast("long").alias("n_nodes"),
+            F.sum("est_micro").cast("long").alias("anf_micro"),
+        ).select(
+            "hop", "n_nodes", "anf_micro",
+            F.round(F.col("anf_micro") / F.lit(1_000_000.0), 4).alias("anf"),
+        )
+
+    out = estimate(regs, 0)
+    for h in range(1, max_hops + 1):
+        nbr = (
+            sym.join(regs.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "idx", "maxr")
+        )
+        regs = (
+            nbr.unionAll(regs)
+            .groupBy("node", "idx")
+            .agg(F.max("maxr").alias("maxr"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionAll(estimate(regs, h))
+    return out

@@ -452,3 +452,84 @@ def test_biased_walks_rejects_zero_weight(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         biased_walks(edges, seeds, ret_w=0)
+
+
+def _anf_reference(adj, max_hops, p=4):
+    """Pure-Python replay of anf_hyperball's integer contract."""
+    import hashlib
+    import math
+
+    m = 1 << p
+    w_bits, rho_max = 28, 29
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1.0 + 1.079 / m))
+    c_micro = round(alpha * m * m * (1 << rho_max) * 1e6)
+    lc = {v: round(m * math.log(m / v) * 1e6) for v in range(1, m)}
+
+    def reg_of(node):
+        hv = int(hashlib.sha256(node.encode()).hexdigest()[:15], 16)
+        w = (hv >> p) & ((1 << w_bits) - 1)
+        rho = rho_max if w == 0 else rho_max - w.bit_length()
+        return (hv & (m - 1), rho)
+
+    regs = {n: {reg_of(n)[0]: reg_of(n)[1]} for n in adj}
+    rows = []
+    for hop in range(0, max_hops + 1):
+        if hop > 0:
+            new = {}
+            for n in adj:
+                d = dict(regs[n])
+                for nb in adj[n]:
+                    for idx, r in regs[nb].items():
+                        d[idx] = max(d.get(idx, 0), r)
+                new[n] = d
+            regs = new
+        total = 0
+        for n in adj:
+            s = sum(1 << (rho_max - r) for r in regs[n].values())
+            v_empty = m - len(regs[n])
+            s_int = s + v_empty * (1 << rho_max)
+            if c_micro <= int(2.5 * m * 1e6) * s_int and v_empty > 0:
+                total += lc[v_empty]
+            else:
+                total += c_micro // s_int
+        rows.append((hop, len(adj), total, round(total / 1e6, 4)))
+    return rows
+
+
+def test_anf_pure_python_parity(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    edge_list = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "c"),
+                 ("e", "f"), ("f", "g"), ("g", "a"), ("x", "y")]
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = sorted(map(tuple, anf_hyperball(edges, max_hops=3, p=4).collect()))
+    want = sorted(_anf_reference(adj, 3))
+    assert got == want
+
+
+def test_anf_monotone_and_saturates_on_clique(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    ns = [f"n{i}" for i in range(6)]
+    edges = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(ns) for b in ns[i + 1:]],
+        "src string, dst string",
+    )
+    rows = {r["hop"]: r for r in anf_hyperball(edges, max_hops=2, p=4).collect()}
+    # hop 0 ~ one per node; hop 1 reaches the whole clique; hop 2 adds nothing
+    assert rows[0]["anf"] < rows[1]["anf"]
+    assert rows[1]["anf_micro"] == rows[2]["anf_micro"]
+
+
+def test_anf_repartition_stable(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    edge_list = [(f"a{i}", f"a{(i * 3 + 1) % 40}") for i in range(40)]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    a = sorted(map(tuple, anf_hyperball(edges, max_hops=2).collect()))
+    b = sorted(map(tuple, anf_hyperball(edges.repartition(11), max_hops=2).collect()))
+    assert a == b
