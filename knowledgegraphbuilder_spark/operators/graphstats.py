@@ -752,7 +752,9 @@ def modularity(
         F.col(node_col).cast("string").alias("node"),
         F.col(comm_col).cast("string").alias("community"),
     )
-    m = e.agg(F.count("*").alias("m"))
+    # greatest(m, 1): an empty edge list yields in_c = deg_c = 0 for every
+    # community, so q_c = 0/1 - 0 = 0.0 instead of an ANSI DIVIDE_BY_ZERO
+    m = e.agg(F.greatest(F.count("*"), F.lit(1)).alias("m"))
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
@@ -981,7 +983,8 @@ def anf_hyperball(
         return per_node.agg(
             F.lit(hop).cast("int").alias("hop"),
             F.count("*").cast("long").alias("n_nodes"),
-            F.sum("est_micro").cast("long").alias("anf_micro"),
+            # coalesce: sum over an empty graph is null, not 0
+            F.coalesce(F.sum("est_micro"), F.lit(0)).cast("long").alias("anf_micro"),
         ).select(
             "hop", "n_nodes", "anf_micro",
             F.round(F.col("anf_micro") / F.lit(1_000_000.0), 4).alias("anf"),

@@ -202,3 +202,74 @@ class TestKgPipelineDegenerate:
         res = run_pipeline(synthesize_spans(docs), KGConfig())
         assert res.triples.count() == 0
         assert res.nodes.count() == 0
+
+
+class TestRound4OperatorsDegenerate:
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_substring_rewrite(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.curation import (
+            substring_dedup_rewrite,
+        )
+
+        out = _run(substring_dedup_rewrite(_docs(spark, rows), k=3))
+        assert len(out) == len(rows)  # every doc survives, possibly emptied
+        for r in out:
+            assert r["n_removed"] >= 0 and r["clean_text"] is not None
+
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_profile_table(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.profile import profile_table
+
+        out = _run(profile_table(_docs(spark, rows)))
+        # empty table -> no rows (nothing to profile); else one per column
+        assert len(out) == (0 if not rows else 2)
+
+    @pytest.mark.parametrize("name,rows", CORPORA, ids=[c[0] for c in CORPORA])
+    def test_temperature_sample(self, spark, name, rows):
+        from knowledgegraphbuilder_spark.operators.curation import temperature_sample
+
+        docs = _docs(spark, rows).withColumn(
+            "lang", F.when(F.col("doc_id") % 2 == 0, "en")
+        )  # odd doc_ids get NULL lang — dropped by the stratum join, not a crash
+        out = _run(temperature_sample(docs, alpha=0.3, target_frac=1.0))
+        assert all(r["rate"] is not None for r in out)
+
+    def test_modularity_empty_edges(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import modularity
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        comm = spark.createDataFrame([("a", "c1")], "node string, community string")
+        rows = _run(modularity(edges, comm))
+        assert rows[0]["q"] == 0.0 and rows[0]["deg_sum"] == 0
+
+    def test_anf_empty_and_selfloop(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        rows = _run(anf_hyperball(empty, max_hops=2))
+        assert all(r["n_nodes"] == 0 and r["anf_micro"] == 0 for r in rows)
+        loop = spark.createDataFrame([("a", "a"), ("a", "b")], "src string, dst string")
+        rows = _run(anf_hyperball(loop, max_hops=1))
+        assert all(r["anf_micro"] >= 0 for r in rows)
+
+    def test_biased_walks_dead_end_seed(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import biased_walks
+
+        edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+        seeds = spark.createDataFrame([("zz",)], "node string")  # isolated
+        rows = _run(biased_walks(edges, seeds, length=3))
+        assert rows == [("zz", 0, "zz")] or [
+            (r["seed"], r["step"], r["node"]) for r in rows
+        ] == [("zz", 0, "zz")]
+
+    def test_recall_and_pair_metrics_empty_inputs(self, spark):
+        from knowledgegraphbuilder_spark.operators import ann as ann_ops
+        from knowledgegraphbuilder_spark.operators import dedup as dd
+
+        empty_rank = spark.createDataFrame(
+            [], "query_id string, id string, score double, rank int"
+        )
+        assert _run(ann_ops.recall_at_k(empty_rank, empty_rank)) == []
+        empty_pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
+        row = _run(dd.pair_metrics(empty_pairs, empty_pairs))[0]
+        assert (row["n_gold"], row["precision"], row["recall"], row["f1"]) == (0, 0.0, 0.0, 0.0)
