@@ -507,6 +507,22 @@ def q_g12_linkpred(spark, sf_dir):
     return link_prediction(edges, max_hub_degree=10, top_n=100)
 
 
+def q_ts_adaptive_filter(spark, sf_dir):
+    """Per-language adaptive quantile thresholding
+    (curation.py:per_group_quantile_filter): keep each lang's docs at or
+    above that lang's HDR-estimated median n_chars — per-stratum cutoffs a
+    single global threshold gets wrong; sketch per group, thresholds
+    broadcast onto a pure filter."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter,
+    )
+
+    return per_group_quantile_filter(
+        _t(spark, sf_dir, "documents"), group_col="lang",
+        value_expr="n_chars", q=0.5,
+    )
+
+
 def q_dd_rewrite(spark, sf_dir):
     """Exact-substring dedup REWRITE (curation.py:substring_dedup_rewrite,
     the removal step of Lee et al. 2022): same planted-partial-copy corpus
@@ -1831,6 +1847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_ann": q_stream_ann,
         "sql_tpch_q1": q_sql_tpch_q1,
         "g17_anf": q_g17_anf,
+        "ts_adaptive_filter": q_ts_adaptive_filter,
     }
 
 
@@ -2972,6 +2989,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                    round(coalesce(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_frac
             FROM allc a LEFT JOIN pd ON a.doc_id = pd.doc_id
+        """,
+        # per-group HDR-quantile threshold replay: same integer bit_length
+        # buckets, per-group cumulative walk over sketch rows, first bucket
+        # reaching ceil(q*n) (q cast DOUBLE — DECIMAL ceil rounds
+        # differently), lower bound broadcast back as the filter
+        "ts_adaptive_filter": """
+            WITH src AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS g,
+                     CAST(n_chars AS BIGINT) AS v
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+            ),
+            sk AS (
+              SELECT g, length(bin(v)) AS b,
+                     v >> greatest(length(bin(v)) - 5, 0) AS hi,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM src GROUP BY 1, 2, 3
+            ),
+            cum AS (
+              SELECT g, b, hi, cnt,
+                     sum(cnt) OVER (PARTITION BY g ORDER BY b, hi
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sk
+            ),
+            n AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n FROM sk GROUP BY g),
+            thr AS (
+              SELECT g, CAST(lo AS BIGINT) AS threshold FROM (
+                SELECT c.g, c.hi << greatest(c.b - 5, 0) AS lo,
+                       row_number() OVER (PARTITION BY c.g
+                                          ORDER BY c.b, c.hi) AS rn
+                FROM cum c JOIN n ON c.g = n.g
+                WHERE c.cum >= ceil(0.5::DOUBLE * n.n)
+              ) WHERE rn = 1
+            )
+            SELECT s.doc_id, s.g AS lang, s.v, t.threshold
+            FROM src s JOIN thr t ON s.g = t.g
+            WHERE s.v >= t.threshold
         """,
         # exact-substring REWRITE replay: positional (not distinct) window
         # occurrences, canonical = min(doc_id*1e6 + pos) (same ordering as

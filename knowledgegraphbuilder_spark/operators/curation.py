@@ -658,3 +658,69 @@ def substring_dedup_rewrite(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).cast("long").alias("n_removed"),
     )
+
+
+def per_group_quantile_filter(
+    docs: DataFrame,
+    group_col: str = "lang",
+    value_expr: str = "n_chars",
+    q: float = 0.5,
+    id_col: str = "doc_id",
+    sub_bits: int = 4,
+) -> DataFrame:
+    """Per-stratum ADAPTIVE quantile thresholding: keep each group's rows at
+    or above that group's q-quantile of ``value_expr`` — "the longest half
+    per language", the curation move a single global cutoff gets wrong for
+    every language at once (a p50 threshold fit on English discards most of
+    a terser language). The quantile is the HDR-histogram estimate
+    (sketches.py:hdr_histogram discipline: integer bit_length buckets —
+    exact in both engines, no transcendental on a bucket boundary), so the
+    whole operator replays in SQL.
+
+    Scale shape: the per-group sketch is ONE map-side-combinable groupBy
+    (corpus never shuffled on values); the cumulative walk runs over sketch
+    rows (<= ~64 * 2^sub_bits per group), thresholds broadcast back onto a
+    pure filter. Rows with NULL or non-positive values are dropped (the
+    sketch is defined on positive integers).
+
+    Output: (doc_id, group_col, v, threshold) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    b = "length(bin(v))"
+    shift = f"greatest({b} - {1 + sub_bits}, 0)"
+    src = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(group_col).alias("g"),
+        F.expr(f"cast({value_expr} as bigint)").alias("v"),
+    ).filter(F.col("v").isNotNull() & (F.col("v") > 0))
+    sk = (
+        src.select(
+            "g",
+            F.expr(f"cast({b} as int)").alias("b"),
+            F.expr(f"shiftright(v, cast({shift} as int))").alias("hi"),
+        )
+        .groupBy("g", "b", "hi")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    cum = sk.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("g").orderBy("b", "hi")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n = sk.groupBy("g").agg(F.sum("cnt").alias("n"))
+    lo = f"shiftleft(hi, cast(greatest(b - {1 + sub_bits}, 0) as int))"
+    thr = (
+        cum.join(n, "g")
+        .filter(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")))
+        .groupBy("g")
+        .agg(F.min_by(F.expr(lo), F.struct("b", "hi")).alias("t"))
+        .select("g", F.col("t").cast("long").alias("threshold"))
+    )
+    return (
+        src.join(F.broadcast(thr), "g")
+        .filter(F.col("v") >= F.col("threshold"))
+        .select("doc_id", F.col("g").alias(group_col), "v", "threshold")
+    )

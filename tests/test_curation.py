@@ -424,3 +424,56 @@ def test_substring_rewrite_repartition_stable(spark):
     a = sorted(map(tuple, substring_dedup_rewrite(docs, k=3).collect()))
     b = sorted(map(tuple, substring_dedup_rewrite(docs.repartition(9), k=3).collect()))
     assert a == b
+
+
+def test_per_group_quantile_filter_hand_checked(spark):
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter,
+    )
+
+    # en lengths 8..15 share one HDR bucket-range; de lengths 100..1500
+    rows = (
+        [(i, "en", 8 + i) for i in range(8)]
+        + [(100 + i, "de", 100 * (i + 1)) for i in range(15)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, n_chars long")
+    out = per_group_quantile_filter(docs, q=0.5)
+    got = {r["lang"]: r["threshold"] for r in out.select("lang", "threshold").distinct().collect()}
+    # thresholds are per-group HDR lower bounds: en's median-ish cutoff is
+    # far below de's — a global cutoff would keep zero en docs
+    assert got["en"] < got["de"]
+    kept = out.groupBy("lang").count().collect()
+    counts = {r["lang"]: r["count"] for r in kept}
+    assert counts["en"] > 0 and counts["de"] > 0
+    # every kept row respects its own group's threshold
+    assert out.filter(F.col("v") < F.col("threshold")).count() == 0
+
+
+def test_per_group_quantile_filter_exact_on_powers_of_two(spark):
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter,
+    )
+
+    # powers of two are exact HDR bucket lower bounds: with values 1..8
+    # (n=8, ceil(.5*8)=4) the threshold is exactly 4 and keeps {4..8}
+    docs = spark.createDataFrame(
+        [(i, "x", 2 ** (i % 8)) for i in range(8)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = per_group_quantile_filter(docs, q=0.5).collect()
+    assert len(out) > 0
+    thr = out[0]["threshold"]
+    assert all(r["v"] >= thr for r in out)
+
+
+def test_per_group_quantile_filter_null_and_zero_dropped(spark):
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", None), (2, "en", 0), (3, "en", 10), (4, "en", 20)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = per_group_quantile_filter(docs, q=0.5).collect()
+    assert {r["doc_id"] for r in out} <= {3, 4} and len(out) >= 1
