@@ -375,6 +375,14 @@ def q_ann_lsh_batch(spark, sf_dir):
     return ann_ops.ann_lsh_batch(embs, queries, k=5, n_bits=4, n_tables=8)
 
 
+def q_ann_sq8(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (ann.py:
+    scalar_quantize, the FAISS SQ8 storage trick): per-dim corpus min/max
+    define 0..255 codes; per-vector reconstruction MSE rides along. One
+    map-side stats aggregate broadcast back onto pure array expressions."""
+    return ann_ops.scalar_quantize(_t(spark, sf_dir, "embeddings"))
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN calibration (ann.py:recall_at_k): per-query recall@k + MRR of the
     batched-LSH ranker against the exact brute-force ranking — the measured
@@ -1848,6 +1856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q1": q_sql_tpch_q1,
         "g17_anf": q_g17_anf,
         "ts_adaptive_filter": q_ts_adaptive_filter,
+        "ann_sq8": q_ann_sq8,
     }
 
 
@@ -2989,6 +2998,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
                    round(coalesce(n_dup_windows * 1.0 / n_windows, 0.0), 4) AS dup_frac
             FROM allc a LEFT JOIN pd ON a.doc_id = pd.doc_id
+        """,
+        # SQ8 replay: per-dim min/max lists (ordered by dim), same
+        # floor(x + 0.5) rounding, squared error as explicit multiplication
+        # (no pow()), list folds in index order on both sides
+        "ann_sq8": """
+            WITH v AS (
+              SELECT CAST(vec_id AS VARCHAR) AS id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            ex AS (
+              SELECT UNNEST([{'i': i, 'x': e[i]}
+                             FOR i IN generate_series(1, 64)]) AS u
+              FROM v
+            ),
+            dims AS (
+              SELECT u.i AS d, min(u.x) AS mn,
+                     greatest((max(u.x) - min(u.x)) / 255.0::DOUBLE,
+                              1e-100) AS sc
+              FROM ex GROUP BY u.i
+            ),
+            lists AS (
+              SELECT list(mn ORDER BY d) AS mins,
+                     list(sc ORDER BY d) AS scales
+              FROM dims
+            ),
+            coded AS (
+              SELECT id, e, mins, scales,
+                     [CAST(least(greatest(
+                        floor((e[i] - mins[i]) / scales[i] + 0.5::DOUBLE),
+                        0.0::DOUBLE), 255.0::DOUBLE) AS INT)
+                      FOR i IN generate_series(1, 64)] AS cds
+              FROM v, lists
+            )
+            SELECT id, array_to_string(cds, ',') AS codes,
+                   round(list_sum(
+                     [(e[i] - (mins[i] + CAST(cds[i] AS DOUBLE) * scales[i]))
+                      * (e[i] - (mins[i] + CAST(cds[i] AS DOUBLE) * scales[i]))
+                      FOR i IN generate_series(1, 64)]) / 64.0::DOUBLE,
+                     10) AS mse
+            FROM coded
         """,
         # per-group HDR-quantile threshold replay: same integer bit_length
         # buckets, per-group cumulative walk over sketch rows, first bucket

@@ -550,3 +550,57 @@ def recall_at_k(exact: DataFrame, approx: DataFrame) -> DataFrame:
             ).alias("mrr"),
         )
     )
+
+
+def scalar_quantize(
+    embs: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Int8 scalar quantization (the FAISS SQ8 storage trick): per-DIMENSION
+    corpus min/max define a linear 0..255 code for every coordinate — 4x
+    smaller vectors (and 8x vs double) with bounded reconstruction error,
+    which is how a 100 TB float corpus becomes a 25 TB index. Emits the
+    per-vector code string plus the exact reconstruction MSE, so the
+    compression-vs-error trade-off is a measured column, not a hope.
+
+    Scale shape: the per-dim stats are ONE map-side-combinable aggregate
+    (2*dim scalars however big the corpus), broadcast back as literal
+    arrays; coding and the MSE are pure per-row array expressions (codegen,
+    no shuffle, no UDF). Determinism: floor(x + 0.5) rounding (identical in
+    both engines — no banker's-rounding ambiguity), constant-dimension
+    degenerate case codes to 0 via the 1e-100 scale floor, MSE folds the
+    array in INDEX order (not shuffle order) and is rounded 10dp.
+
+    Output: (id, codes: '12,0,...,255', mse).
+    """
+    if dim is None:
+        dim = len(embs.select(vec_col).first()[0])
+    v = _as_double(embs, vec_col, id_col)
+    stats = v.agg(
+        F.array(*[F.min(F.expr(f"v[{d}]")) for d in range(dim)]).alias("mins"),
+        F.array(*[
+            F.expr(
+                f"greatest((max(v[{d}]) - min(v[{d}])) / 255.0d, 1e-100d)"
+            )
+            for d in range(dim)
+        ]).alias("scales"),
+    )
+    code = (
+        "transform(sequence(0, {n}), i -> cast(least(greatest("
+        "floor((v[i] - mins[i]) / scales[i] + 0.5d), 0.0d), 255.0d) as int))"
+    ).format(n=dim - 1)
+    recon_err = (
+        "aggregate(transform(sequence(0, {n}), i -> "
+        "(v[i] - (mins[i] + cast(codes[i] as double) * scales[i])) "
+        "* (v[i] - (mins[i] + cast(codes[i] as double) * scales[i]))), "
+        "0.0d, (a, x) -> a + x) / {dim}.0d"
+    ).format(n=dim - 1, dim=dim)
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .withColumn("codes", F.expr(code))
+        .select(
+            "id",
+            F.expr("array_join(codes, ',')").alias("codes"),
+            F.round(F.expr(recon_err), 10).alias("mse"),
+        )
+    )

@@ -422,3 +422,44 @@ def test_pair_metrics_simhash_vs_jaccard_fixture(spark, dup_docs):
     # self-calibration is perfect by definition
     perfect = dd.pair_metrics(gold, gold).collect()[0]
     assert perfect["precision"] == 1.0 and perfect["recall"] == 1.0 and perfect["f1"] == 1.0
+
+
+def test_scalar_quantize_roundtrip_error_bounded(spark, sf_dir):
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann_ops.scalar_quantize(embs).collect()
+    assert len(out) == embs.count()
+    for r in out[:50]:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 64 and all(0 <= c <= 255 for c in codes)
+        assert r["mse"] >= 0.0
+    # error bound: per-dim quantization error <= scale/2, so MSE <= max
+    # scale^2/4; corpus range is ~[-0.5, 0.5] -> scale ~ 1/255
+    assert max(r["mse"] for r in out) < (1.0 / 255.0) ** 2
+
+
+def test_scalar_quantize_numpy_parity(spark):
+    import numpy as np
+
+    rows = [(i, [float(((i * 7 + d * 13) % 101) / 101.0 - 0.5) for d in range(4)])
+            for i in range(20)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in ann_ops.scalar_quantize(embs, dim=4).collect()}
+    arr = np.array([np.array(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+    mins, maxs = arr.min(axis=0), arr.max(axis=0)
+    scales = np.maximum((maxs - mins) / 255.0, 1e-100)
+    codes = np.clip(np.floor((arr - mins) / scales + 0.5), 0, 255).astype(int)
+    recon = mins + codes * scales
+    mse = ((arr - recon) ** 2).mean(axis=1)
+    for i, (vid, _) in enumerate(rows):
+        got = [int(c) for c in out[str(vid)]["codes"].split(",")]
+        assert got == codes[i].tolist()
+        assert abs(out[str(vid)]["mse"] - round(mse[i], 10)) < 1e-9
+
+
+def test_scalar_quantize_constant_dim_codes_zero(spark):
+    embs = spark.createDataFrame(
+        [(i, [1.5, float(i)]) for i in range(5)], "vec_id long, embedding array<float>"
+    )
+    out = ann_ops.scalar_quantize(embs, dim=2).collect()
+    # constant dim 0: scale floored, every code 0, zero error contribution
+    assert all(r["codes"].split(",")[0] == "0" for r in out)
