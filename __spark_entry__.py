@@ -1857,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_anf": q_g17_anf,
         "ts_adaptive_filter": q_ts_adaptive_filter,
         "ann_sq8": q_ann_sq8,
+        "g17_effdiam": q_g17_effdiam,
     }
 
 
@@ -2040,6 +2041,25 @@ def q_g17_anf(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
 
     return anf_hyperball(_copurchase_edges(spark, sf_dir), max_hops=3, p=4)
+
+
+def q_g17_effdiam(spark, sf_dir):
+    """Effective diameter from the ANF hop plot (the classic ANF use): the
+    smallest hop whose neighborhood mass reaches 90% of the deepest hop's —
+    compared in INTEGers (10*anf_micro >= 9*amax), no float thresholds.
+    Oracle composes the g17_anf oracle text verbatim."""
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    anf = anf_hyperball(_copurchase_edges(spark, sf_dir), max_hops=3, p=4)
+    mx = anf.filter(F.col("hop") == 3).select(F.col("anf_micro").alias("amax"))
+    return (
+        anf.crossJoin(F.broadcast(mx))
+        .filter(F.lit(10) * F.col("anf_micro") >= F.lit(9) * F.col("amax"))
+        .agg(
+            F.min("hop").cast("int").alias("eff_diameter"),
+            F.first("amax").alias("amax"),
+        )
+    )
 
 
 def q_g16_node2vec(spark, sf_dir):
@@ -5016,6 +5036,16 @@ def oracle_sql() -> dict[str, str]:
                m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
         FROM base b LEFT JOIN mode m ON b.col = m.col
     """
+    # effective diameter = integer threshold over the composed ANF oracle
+    o["g17_effdiam"] = (
+        "WITH anf AS (SELECT * FROM (" + o["g17_anf"] + ")), "
+        + "mx AS (SELECT anf_micro AS amax FROM anf WHERE hop = 3) "
+        + """
+            SELECT CAST(min(hop) AS INTEGER) AS eff_diameter,
+                   CAST(min(amax) AS BIGINT) AS amax
+            FROM anf, mx WHERE 10 * anf_micro >= 9 * amax
+        """
+    )
     # streamed LSH index + probe must equal batch ann_lsh exactly (pure
     # per-row bucket function + idempotent replace-MERGE), so the oracle is
     # the ann_lsh replay verbatim — reuse, like dd_minhash_lsh/_JACCARD_09
