@@ -1339,6 +1339,36 @@ def q_sk_bloom(spark, sf_dir):
     )
 
 
+def q_stream_edges(spark, sf_dir):
+    """STREAMING incremental KG edge maintenance under the value-exact gate:
+    lineitem arrives as three ORDER-ALIGNED files (split on l_orderkey, so
+    no basket straddles a batch), each micro-batch's co-occurrence pair
+    counts land under a content-derived batch key via replace-MERGE
+    (streaming/ingest.py:run_edge_weights_available_now — the stream_cms
+    discipline for an additive fold), the whole input REPLAYS against a
+    fresh checkpoint (byte-identical state), and the summed live weights
+    (read_edge_weights) equal the batch co-purchase projection exactly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_edge_weights, run_edge_weights_available_now,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_edges_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = li.agg(F.max("l_orderkey")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (li.filter((F.col("l_orderkey") >= bounds[i]) & (F.col("l_orderkey") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_edge_weights_available_now(spark, f"{base}/in/*", f"{base}/edges", f"{base}/ck")
+    run_edge_weights_available_now(spark, f"{base}/in/*", f"{base}/edges", f"{base}/ck2")
+    return read_edge_weights(spark, f"{base}/edges")
+
+
 def q_stream_ann(spark, sf_dir):
     """STREAMING ANN-index maintenance under the value-exact gate: the
     embedding corpus arrives as three vec_id-range files, each micro-batch
@@ -1869,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_adaptive_filter": q_ts_adaptive_filter,
         "ann_sq8": q_ann_sq8,
         "g17_effdiam": q_g17_effdiam,
+        "stream_edges": q_stream_edges,
     }
 
 
@@ -5047,6 +5078,15 @@ def oracle_sql() -> dict[str, str]:
                m.top_value, CAST(coalesce(m.top_count, 0) AS BIGINT) AS top_count
         FROM base b LEFT JOIN mode m ON b.col = m.col
     """
+    # streamed edge weights under order-aligned batches == the batch
+    # weighted co-purchase projection; reuse the shared gi/kept CTEs
+    o["stream_edges"] = f"""
+            WITH {_COPURCHASE_CTES}
+            SELECT x.item AS src, y.item AS dst,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+        """
     # effective diameter = integer threshold over the composed ANF oracle
     o["g17_effdiam"] = (
         "WITH anf AS (SELECT * FROM (" + o["g17_anf"] + ")), "

@@ -468,3 +468,83 @@ def probe_lsh_index(
         .orderBy(F.desc("score"), F.col("id"))
         .limit(k)
     )
+
+
+def run_edge_weights_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    group_col: str = "l_orderkey", item_col: str = "l_partkey",
+    max_group_size: int = 50,
+    schema: str = "l_orderkey long, l_partkey long",
+) -> None:
+    """Streaming INCREMENTAL KG edge maintenance: each micro-batch of
+    (group, item) rows projects its own co-occurrence pair counts
+    (operators/graphstats.py:cooccurrence_edges) and lands them under a
+    CONTENT-derived batch key via replace-MERGE — the stream_cms discipline
+    for an ADDITIVE fold (pair counts sum across batches; addition is not
+    idempotent, so replays must overwrite, not re-add). read_edge_weights
+    sums the batch partials into the live edge weights.
+
+    REQUIREMENT (documented, checked by the gate): groups must not straddle
+    micro-batches — pairs are generated within a batch, so a basket split
+    across two files would lose its cross-file pairs. Real ingestion
+    satisfies this by partitioning the stream on the basket/group key
+    (Kafka key = order id); the gate feeds group-aligned files. Under that
+    alignment the summed stream state EQUALS the batch projection of the
+    full input, for any batch sizes, arrival order, or replays.
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.graphstats import cooccurrence_edges
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(group_col).alias("lo"),
+            F.max(group_col).alias("hi"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.concat_ws(
+                        "|",
+                        F.col(group_col).cast("string"),
+                        F.col(item_col).cast("string"),
+                    )),
+                    F.lit(1_000_000_007),
+                ).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        part = cooccurrence_edges(
+            batch_df, group_col, item_col, max_group_size=max_group_size
+        ).select(F.sha2(F.lit(bkey), 256).alias("bkey"), "src", "dst", "weight")
+        merge_upsert(batch_df.sparkSession, table_dir, part, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_edge_weights(spark: SparkSession, table_dir: str) -> "DataFrame":
+    """Fold the batch-keyed partial pair counts into live edge weights:
+    one map-side-combinable sum per (src, dst). Under group-aligned batches
+    this equals the batch co-occurrence projection exactly."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )

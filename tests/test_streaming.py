@@ -222,3 +222,27 @@ def test_stream_lsh_index_equals_batch_and_is_replay_idempotent(spark, tmp_path)
     got = sorted(map(tuple, probe_lsh_index(spark, f"{base}/idx", q, k=5).collect()))
     want = sorted(map(tuple, ann_ops.ann_lsh(embs, q, k=5, n_bits=4, n_tables=8).collect()))
     assert got == want and len(want) > 0
+
+
+def test_stream_edge_weights_equal_batch_projection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.graphstats import cooccurrence_edges
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_edge_weights, run_edge_weights_available_now,
+    )
+
+    rows = [(g, (g * 7 + i) % 25) for g in range(30) for i in range(1 + g % 4)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    base = str(tmp_path / "sedges")
+    # group-aligned split: every basket's rows share l_orderkey
+    for i, (lo, hi) in enumerate([(0, 10), (10, 20), (20, 31)]):
+        (li.filter((F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_edge_weights_available_now(spark, f"{base}/in/*", f"{base}/edges", f"{base}/ck")
+    got1 = sorted(map(tuple, read_edge_weights(spark, f"{base}/edges").collect()))
+    # full replay against a fresh checkpoint: byte-identical fold
+    run_edge_weights_available_now(spark, f"{base}/in/*", f"{base}/edges", f"{base}/ck2")
+    got2 = sorted(map(tuple, read_edge_weights(spark, f"{base}/edges").collect()))
+    want = sorted(map(tuple, cooccurrence_edges(li, "l_orderkey", "l_partkey").collect()))
+    assert got1 == got2 == want and len(want) > 0
