@@ -94,3 +94,33 @@ def test_retrieval_topk_is_bucket_filtered(spark):
     filter_lines = [ln for ln in plan.splitlines() if "CASE WHEN" in ln and "aggregate" in ln]
     assert filter_lines, plan
     assert "TakeOrderedAndProject" in plan  # top-k, not a global sort
+
+
+def test_round4_ops_have_scale_safe_plans(spark, sf_dir):
+    """The round-4 operator family: no row-at-a-time Python, no
+    non-broadcast nested-loop join, and the corpus-side plans stay free of
+    value-keyed shuffles where the design says 'broadcast back'."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    from knowledgegraphbuilder_spark.operators.ann import scalar_quantize
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter, substring_dedup_rewrite, temperature_sample,
+    )
+    from knowledgegraphbuilder_spark.operators.profile import profile_table
+
+    plans = {
+        "temperature": _plan(temperature_sample(docs)),
+        "adaptive": _plan(per_group_quantile_filter(docs)),
+        "profile": _plan(profile_table(docs, ["doc_id", "lang"])),
+        "rewrite": _plan(substring_dedup_rewrite(docs.select("doc_id", "text"))),
+        "sq8": _plan(scalar_quantize(embs)),
+    }
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
+        # BroadcastNestedLoopJoin is only legal for broadcast-scalar
+        # cross-joins (1-row stats frames); a non-broadcast cartesian is not
+        assert "CartesianProduct" not in p, name
+    # the broadcast-back designs: rates/thresholds/stats join via broadcast
+    for name in ("temperature", "adaptive", "sq8"):
+        assert "BroadcastExchange" in plans[name], name
