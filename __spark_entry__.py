@@ -439,6 +439,33 @@ def q_ts_profile(spark, sf_dir):
     )
 
 
+def q_dd_cdc(spark, sf_dir):
+    """Content-defined-chunking dedup (dedup.py:cdc_pairs, the rsync/LBFS
+    family): documents + planted SINGLE-TOKEN-INSERTION copies (every 40th
+    doc, one token spliced in at position 10, id+30M) — the edit class that
+    shifts every fixed k-token window downstream of the edit but moves only
+    the CDC boundaries around it. Pairs = docs sharing >= 2 piece hashes."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 10)),
+            F.lit("INSERTED"),
+            F.concat_ws(
+                " ",
+                F.expr("slice(split(text, ' '), 11, greatest(size(split(text, ' ')) - 10, 1))"),
+            ),
+        ).alias("text"),
+    )
+    # min_shared=3 / max_piece_df=20: the synthetic corpus is templated, so
+    # looser settings drown the planted edits in boilerplate-piece pairs
+    # (2 -> 12k pairs); these keep 12/13 planted pairs in a 38-pair result
+    return dd.cdc_pairs(d.unionByName(planted), min_shared=3, max_piece_df=20)
+
+
 def q_dd_calibration(spark, sf_dir):
     """Dedup-candidate calibration (dedup.py:pair_metrics): precision /
     recall / F1 of the Hamming<=3 SimHash pair set against the exact
@@ -1900,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_sq8": q_ann_sq8,
         "g17_effdiam": q_g17_effdiam,
         "stream_edges": q_stream_edges,
+        "dd_cdc": q_dd_cdc,
     }
 
 
@@ -3137,6 +3165,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.doc_id, s.g AS lang, s.v, t.threshold
             FROM src s JOIN thr t ON s.g = t.g
             WHERE s.v >= t.threshold
+        """,
+        # CDC dedup replay: lag-based 2-gram boundary flags, per-doc window
+        # cumsum piece index, piece hash of the position-ordered string_agg,
+        # hot-piece df guard, pair equi-join on the piece hash
+        "dd_cdc": """
+            WITH base AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+            ),
+            planted AS (
+              SELECT doc_id + 30000000 AS doc_id,
+                     array_to_string((string_split(text, ' '))[1:10], ' ')
+                       || ' INSERTED ' ||
+                     array_to_string(
+                       (string_split(text, ' '))[11:
+                         10 + greatest(len(string_split(text, ' ')) - 10, 1)],
+                       ' ') AS text
+              FROM base WHERE doc_id % 40 = 0
+            ),
+            allc AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+            tok AS (
+              SELECT doc_id, u.p AS pos, u.t AS tok FROM (
+                SELECT doc_id,
+                       UNNEST([{'p': i, 't': ws[i]}
+                               FOR i IN generate_series(1, len(ws))]) AS u
+                FROM (SELECT doc_id,
+                             string_split(coalesce(text, ''), ' ') AS ws
+                      FROM allc))
+            ),
+            flagged AS (
+              SELECT doc_id, pos, tok,
+                     lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+              FROM tok
+            ),
+            pieced AS (
+              SELECT doc_id, pos, tok,
+                     sum(CASE WHEN prev IS NOT NULL
+                              AND ('0x' || substr(sha256(prev || chr(31) || tok),
+                                                  1, 15))::BIGINT % 4 = 0
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS piece
+              FROM flagged
+            ),
+            ph AS (
+              SELECT DISTINCT doc_id,
+                     ('0x' || substr(sha256(
+                        string_agg(tok, ' ' ORDER BY pos)), 1, 15))::BIGINT
+                       AS phash
+              FROM pieced GROUP BY doc_id, piece
+            ),
+            rare AS (
+              SELECT phash FROM ph GROUP BY phash HAVING count(*) <= 20
+            ),
+            sig AS (SELECT ph.doc_id, ph.phash FROM ph JOIN rare USING (phash))
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM sig x JOIN sig y
+              ON x.phash = y.phash AND x.doc_id < y.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 3
         """,
         # exact-substring REWRITE replay: positional (not distinct) window
         # occurrences, canonical = min(doc_id*1e6 + pos) (same ordering as

@@ -613,3 +613,83 @@ def pair_metrics(
             ).alias("f1"),
         )
     )
+
+
+def cdc_pairs(
+    docs: DataFrame,
+    boundary_mod: int = 4,
+    min_shared: int = 2,
+    max_piece_df: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking dedup (the rsync/LBFS/ssdeep family): split
+    each document into variable-length pieces at CONTENT-derived boundaries
+    — after token j whenever sha256(tok[j-1] | tok[j]) % boundary_mod == 0 —
+    hash each piece, and pair documents sharing >= min_shared piece hashes.
+    Because boundaries depend only on local content, an insertion moves only
+    the boundaries around it: the other pieces (and their hashes) survive,
+    which is what fixed k-token windows lose when everything downstream of
+    an edit shifts by one. The complement to shingle Jaccard / MinHash in
+    the dedup family.
+
+    Scale shape: the boundary flag is a per-row expression; the piece index
+    is one per-doc window cumsum (keyed by doc_id — uniform); pieces
+    re-assemble with a per-(doc, piece) aggregate bounded by piece length;
+    candidate pairs come from an equi-join on the 60-bit piece hash. Pieces
+    appearing in more than ``max_piece_df`` docs are dropped before the
+    self-join (the hot-key guard of every similarity path here: viral
+    boilerplate pieces are not dedup evidence, and one such key would emit
+    df^2 pairs) — a deterministic, documented policy the oracle replays.
+
+    Output: (id_a, id_b, n_shared) with id_a < id_b.
+    """
+    from pyspark.sql import Window
+
+    h2 = ("cast(conv(substring(sha2(concat(prev, chr(31), tok), 256), 1, 15), "
+          "16, 10) as bigint)")
+    toks = (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("p0", "tok"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = toks.withColumn("prev", F.lag("tok").over(w)).withColumn(
+        "boundary",
+        F.when(
+            F.col("prev").isNotNull() & (F.expr(h2) % boundary_mod == 0), 1
+        ).otherwise(0),
+    )
+    pieced = flagged.withColumn(
+        "piece",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    phashes = (
+        pieced.groupBy("doc_id", "piece")
+        .agg(
+            F.expr(
+                "cast(conv(substring(sha2(concat_ws(' ', "
+                "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"
+                "), 256), 1, 15), 16, 10) as bigint)"
+            ).alias("phash")
+        )
+        .select("doc_id", "phash")
+        .distinct()
+    )
+    rare = phashes.groupBy("phash").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_piece_df
+    )
+    sig = phashes.join(rare.select("phash"), "phash")
+    pairs = (
+        sig.alias("x")
+        .join(sig.alias("y"), "phash")
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

@@ -463,3 +463,79 @@ def test_scalar_quantize_constant_dim_codes_zero(spark):
     out = ann_ops.scalar_quantize(embs, dim=2).collect()
     # constant dim 0: scale floored, every code 0, zero error contribution
     assert all(r["codes"].split(",")[0] == "0" for r in out)
+
+
+def _cdc_reference(docs, boundary_mod=4, min_shared=2, max_piece_df=100):
+    """Pure-Python replay of cdc_pairs."""
+    import hashlib
+
+    h60 = lambda s: int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+    sigs = {}
+    for doc_id, text in docs:
+        toks = (text or "").split(" ")
+        pieces, cur = [], [toks[0]]
+        for j in range(1, len(toks)):
+            if h60(toks[j - 1] + chr(31) + toks[j]) % boundary_mod == 0:
+                pieces.append(cur)
+                cur = []
+            cur.append(toks[j])
+        pieces.append(cur)
+        sigs[doc_id] = {h60(" ".join(p)) for p in pieces}
+    df = {}
+    for s in sigs.values():
+        for p in s:
+            df[p] = df.get(p, 0) + 1
+    keep = {p for p, c in df.items() if c <= max_piece_df}
+    ids = sorted(sigs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(sigs[a] & sigs[b] & keep)
+            if n >= min_shared:
+                out[(a, b)] = n
+    return out
+
+
+def test_cdc_pure_python_parity(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma INSERTED delta epsilon zeta eta theta iota kappa"),
+        (3, "completely different words nothing shared here at all ok"),
+        (4, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in dd.cdc_pairs(docs, min_shared=1).collect()}
+    want = _cdc_reference(rows, min_shared=1)
+    assert got == want
+    # exact duplicates (1, 4) share every piece; the edited copy (1, 2)
+    # still shares pieces on both sides of the insertion
+    assert (1, 4) in got and (1, 2) in got and (1, 3) not in got
+
+
+def test_cdc_insertion_robustness_beats_fixed_windows(spark):
+    base = " ".join(f"tok{i}" for i in range(60))
+    edited = " ".join(f"tok{i}" for i in range(30)) + " INS " + " ".join(
+        f"tok{i}" for i in range(30, 60)
+    )
+    docs = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    pairs = dd.cdc_pairs(docs, min_shared=2).collect()
+    assert len(pairs) == 1 and pairs[0]["n_shared"] >= 2
+
+
+def test_cdc_hot_piece_guard(spark):
+    # every doc shares one viral piece; with max_piece_df=2 it stops being
+    # pair evidence, so unrelated docs do not pair up
+    rows = [(i, f"unique{i} words{i} " + "viral boiler plate text") for i in range(10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    loose = dd.cdc_pairs(docs, min_shared=1, max_piece_df=100).count()
+    tight = dd.cdc_pairs(docs, min_shared=1, max_piece_df=2).count()
+    assert tight < loose
+
+
+def test_cdc_repartition_stable(spark):
+    rows = [(i, " ".join(f"w{(i * 5 + j) % 23}" for j in range(30))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, dd.cdc_pairs(docs).collect()))
+    b = sorted(map(tuple, dd.cdc_pairs(docs.repartition(9)).collect()))
+    assert a == b
