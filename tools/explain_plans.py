@@ -512,6 +512,44 @@ def main() -> None:
         modularity(lp_edges, label_propagation(lp_edges, rounds=2)),
     )
 
+    from knowledgegraphbuilder_spark.operators.ann import scalar_quantize
+    from knowledgegraphbuilder_spark.operators.curation import (
+        per_group_quantile_filter,
+    )
+    from knowledgegraphbuilder_spark.operators.dedup import cdc_pairs
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    add(
+        "Content-defined-chunking dedup: boundary flags + piece-hash equi-join",
+        "Boundary decisions are per-row (lag over the doc-keyed window); the "
+        "piece index is one per-doc cumsum; candidates come from an "
+        "equi-join on the 60-bit piece hash AFTER the hot-piece df guard — "
+        "a viral boilerplate piece never reaches the self-join.",
+        cdc_pairs(docs, min_shared=3, max_piece_df=20),
+    )
+    add(
+        "ANF/HyperBall hop fold: register max as a map-side aggregate",
+        "One hop = adjacency equi-join + (node, idx) max groupBy (partial "
+        "aggregation before the exchange); per-node estimates are BIGINT "
+        "micro-unit expressions — no float fold, no runtime ln(). Earlier "
+        "hops hide behind Scan ExistingRDD (eager localCheckpoint).",
+        anf_hyperball(lp_edges, max_hops=1),
+    )
+    add(
+        "SQ8 scalar quantization: broadcast stats, pure array expressions",
+        "Per-dim min/max reduce to ONE 2x64-scalar aggregate row that "
+        "broadcasts; coding and the reconstruction MSE are codegen array "
+        "expressions over it — the corpus is scanned once, never shuffled.",
+        scalar_quantize(spark.read.parquet(f"{args.sf}/embeddings.parquet")),
+    )
+    add(
+        "Per-group HDR quantile threshold: sketch groupBy + broadcast filter",
+        "The corpus contributes one map-side-combinable (group, bucket) "
+        "count; the cumulative walk windows over sketch rows only; the "
+        "KB-sized threshold table broadcasts back onto a pure filter.",
+        per_group_quantile_filter(docs),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
