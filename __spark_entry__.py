@@ -1783,6 +1783,97 @@ def q_ann_knn_cc(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_dd_normalize(spark, sf_dir):
+    """C4/RefinedWeb-style normalized exact dedup (lowercase, strip
+    non-alnum, collapse whitespace, sha256 groupBy) over the corpus plus
+    deterministically planted REFORMATTED duplicates — every 40th doc
+    re-inserted uppercased with injected punctuation, which byte-exact
+    dd_exact provably misses — so the catch-what-exact-misses claim is
+    exercised, not vacuous (dedup.py:normalized_exact_duplicates)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 20_000_000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+    )
+    return dd.normalized_exact_duplicates(
+        d.select("doc_id", "text").unionByName(planted)
+    )
+
+
+def q_sk_heavy(spark, sf_dir):
+    """EXACT heavy hitters over the corpus token stream: capacity-k
+    Misra-Gries candidate summaries per partition (one Arrow-batched
+    mapInPandas, no shuffle) + broadcast-semi-join exact recount — every
+    token with frequency > n/(k+1), exact count, partitioning-independent
+    (sketches.py:misra_gries_heavy_hitters). The long tail never leaves the
+    scan stage; contrast cms_topk, which keeps the whole vocabulary."""
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    return misra_gries_heavy_hitters(toks, "tok", k=30)
+
+
+def q_ts_reservoir(spark, sf_dir):
+    """Weighted reservoir sample, 5 docs per language, weight =
+    capped floor(n_chars/100): integer ticket-replication A-ES (min of w
+    sha256 ticket hashes as the sort key — float-free, so the DuckDB replay
+    is bit-exact), skew-safe two-phase per-group top-k
+    (curation.py:weighted_reservoir_sample)."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        weighted_reservoir_sample,
+    )
+
+    return weighted_reservoir_sample(_t(spark, sf_dir, "documents"), k=5)
+
+
+def q_sql_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local-supplier volume): the canonical multi-way star join —
+    two big fact-side tables (lineitem x orders x customer) against a
+    broadcast dimension chain (region -> nation -> supplier), with the
+    same-nation customer/supplier correlation folded into the broadcast join
+    condition. Dims broadcast explicitly; only the fact joins shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    nr = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    sn = s.join(
+        F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(sn),
+            (li.l_suppkey == sn.s_suppkey)
+            & (c.c_nationkey == sn.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.col("n_name"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1928,6 +2019,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_effdiam": q_g17_effdiam,
         "stream_edges": q_stream_edges,
         "dd_cdc": q_dd_cdc,
+        "dd_normalize": q_dd_normalize,
+        "sk_heavy": q_sk_heavy,
+        "ts_reservoir": q_ts_reservoir,
+        "sql_tpch_q5": q_sql_tpch_q5,
     }
 
 
@@ -5261,5 +5356,77 @@ def oracle_sql() -> dict[str, str]:
         + "the top-ranked document.' AS answer "
         + "FROM (SELECT count(*) AS n FROM base)"
     )
+    # normalized exact dedup: replay the normalization chain (lower ->
+    # strip non-[a-z0-9 ] -> collapse spaces -> trim -> sha256) on the same
+    # planted-reformat augmentation
+    o["dd_normalize"] = """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 20000000, upper(text) || ' !!'
+          FROM documents WHERE doc_id % 40 = 0
+        ),
+        n AS (
+          SELECT doc_id,
+                 sha256(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+          FROM aug
+        )
+        SELECT norm_hash, CAST(count(*) AS BIGINT) AS n_docs,
+               array_to_string(list_sort(list(CAST(doc_id AS VARCHAR))), ',')
+                 AS doc_ids_csv
+        FROM n GROUP BY norm_hash HAVING count(*) > 1
+    """
+    # Misra-Gries heavy hitters are EXACT by construction (candidate
+    # superset + exact recount), so the oracle is the brute-force exact
+    # count with the same integer threshold — any partitioning dependence
+    # in the candidate pass would surface here as a missing/extra row
+    o["sk_heavy"] = """
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS key FROM documents
+        ),
+        tk AS (SELECT key FROM tok WHERE key IS NOT NULL AND key <> ''),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM tk)
+        SELECT key, CAST(count(*) AS BIGINT) AS cnt, n_total
+        FROM tk, n GROUP BY key, n_total HAVING count(*) * 31 > n_total
+    """
+    # weighted reservoir: the ticket-replication key is pure integer/sha256
+    # arithmetic, so DuckDB replays it bit-exactly (no pow/log ULP risk)
+    o["ts_reservoir"] = """
+        WITH base AS (
+          SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(greatest(1, least(32, floor(n_chars / 100)))
+                      AS BIGINT) AS w
+          FROM documents
+        ),
+        keyed AS (
+          SELECT lang, doc_id, w,
+                 list_min(list_transform(generate_series(1, CAST(w AS INT)),
+                          t -> sha256(CAST(doc_id AS VARCHAR) || ':' ||
+                                      CAST(t AS VARCHAR)))) AS tkey
+          FROM base
+        ),
+        r AS (
+          SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY tkey, doc_id) AS rk
+          FROM keyed
+        )
+        SELECT lang, doc_id, w, tkey, CAST(rk AS BIGINT) AS rk
+        FROM r WHERE rk <= 5
+    """
+    o["sql_tpch_q5"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
+        GROUP BY n_name ORDER BY revenue DESC, n_name
+    """
     return o
 

@@ -724,3 +724,63 @@ def per_group_quantile_filter(
         .filter(F.col("v") >= F.col("threshold"))
         .select("doc_id", F.col("g").alias(group_col), "v", "threshold")
     )
+
+
+def weighted_reservoir_sample(
+    docs: DataFrame,
+    k: int = 5,
+    weight_sql: str = "greatest(1, least(32, floor(n_chars / 100)))",
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Deterministic weighted reservoir sampling without replacement, k per
+    group: each row gets ``w`` integer tickets (``weight_sql``, capped by the
+    caller), every ticket an independent sha256 draw, and the row's sort key
+    is its MINIMUM ticket hash — P(row i outranks row j) = w_i/(w_i+w_j),
+    the ticket-replication equivalent of Efraimidis-Spirakis A-ES weighted
+    sampling, with ZERO floating point (no -ln(u)/w key, so no pow/log ULP
+    divergence between engines; the same derandomization trick node2vec's
+    biased walks use, graphstats.py:biased_walks).
+
+    Scale shape: the min-over-tickets is a pure codegen array expression
+    (transform over sequence(1, w), w capped) — per-row O(w) JVM work, no
+    explode, no shuffle. The per-group top-k is TWO-PHASE to defuse hot
+    groups: a local top-k inside each of ``n_buckets`` deterministic
+    id-derived buckets (window over (group, bucket) — uniform partitions),
+    then the global top-k over the surviving <= n_buckets * k rows per
+    group. The global top-k set is provably a subset of the union of
+    bucket-local top-k sets, so the two-phase result is exact; a one-window
+    version would sort each group's entire corpus on one reducer.
+
+    Output: (group, doc_id, w, tkey, rk) for the k winners per group,
+    rk = 1-based rank by (tkey, doc_id).
+    """
+    w = F.expr(weight_sql).cast("long")
+    key = (
+        "array_min(transform(sequence(1, cast(w as int)), "
+        f"t -> sha2(concat(cast({id_col} as string), ':', "
+        "cast(t as string)), 256)))"
+    )
+    base = (
+        docs.select(
+            F.col(group_col),
+            F.col(id_col).cast("long").alias("doc_id"),
+            w.alias("w"),
+        )
+        .withColumn("tkey", F.expr(key))
+    )
+    from pyspark.sql import Window
+
+    wloc = Window.partitionBy(group_col, "bkt").orderBy("tkey", "doc_id")
+    wglob = Window.partitionBy(group_col).orderBy("tkey", "doc_id")
+    local = (
+        base.withColumn("bkt", F.col("doc_id") % n_buckets)
+        .withColumn("lrk", F.row_number().over(wloc))
+        .filter(F.col("lrk") <= k)
+    )
+    return (
+        local.withColumn("rk", F.row_number().over(wglob).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(group_col, "doc_id", "w", "tkey", "rk")
+    )

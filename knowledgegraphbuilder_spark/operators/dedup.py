@@ -693,3 +693,44 @@ def cdc_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def normalized_exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style normalized exact dedup (Raffel et al. 2020 use per-span
+    normalization before exact match; Penedo et al. 2023 / RefinedWeb do the
+    same at document level): lowercase, strip every non-[a-z0-9 space]
+    character, collapse whitespace runs, trim — then group by the sha256 of
+    the normalized form. Catches the trivially-reformatted duplicates
+    ("Hello, World!" vs "hello world") that byte-exact dedup misses and that
+    MinHash would spend banded shuffles on.
+
+    Reference analog: none (the reference dedups nothing; its loaders at
+    back/kgg/loaders.py re-ingest blindly) — this is a training-data-curation
+    surface. Scale shape: identical to exact_duplicates — the normalization
+    is a pure codegen expression chain on the scan, so the only shuffle is
+    the map-side-combinable hash groupBy; no candidate generation, no
+    self-join.
+
+    Output: (norm_hash, n_docs, doc_ids_csv) for groups with n_docs > 1.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                "[^a-z0-9 ]", ""),
+            " +", " "),
+    )
+    return (
+        docs.select(
+            F.sha2(norm, 256).alias("norm_hash"),
+            F.col(id_col).cast("string").alias("id"),
+        )
+        .groupBy("norm_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.concat_ws(",", F.array_sort(F.collect_list("id"))).alias("doc_ids_csv"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

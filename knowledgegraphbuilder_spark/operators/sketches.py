@@ -421,3 +421,62 @@ def hdr_quantiles(
         .agg(F.min_by(F.expr(lo), F.struct("b", "hi")).alias("est"))
         .select("q", F.col("est").cast("long").alias("est"))
     )
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame, value_expr: str, k: int = 20
+) -> DataFrame:
+    """EXACT heavy hitters via a two-pass Misra-Gries filter (Misra & Gries
+    1982; the distributed-merge guarantee is Agarwal et al., "Mergeable
+    Summaries", PODS'12): every key with global frequency strictly above
+    n/(k+1) is returned with its EXACT count, and nothing else.
+
+    Pass A runs a capacity-k Misra-Gries summary per partition inside ONE
+    Arrow-batched mapInPandas (a dict carried across the partition's record
+    batches — no per-row Python UDF, no shuffle at all): if a key's global
+    count exceeds n/(k+1), then by pigeonhole its count exceeds n_p/(k+1)
+    in at least one partition p, so it survives that partition's summary —
+    the union of per-partition candidates is a SUPERSET of the true heavy
+    hitters for every possible partitioning. Pass B broadcast-semi-joins the
+    corpus against that candidate set (<= k rows per partition) and recounts
+    exactly, so the FINAL output is partitioning-independent even though the
+    candidate set is not.
+
+    Why not just groupBy(key): at 10^12 tokens the full-vocabulary groupBy
+    shuffles every distinct key; here the only shuffle is the recount of
+    candidate rows that survive a broadcast hash semi-join — the long tail
+    never leaves the scan stage. (cms_topk keeps the whole vocab for its
+    probe; this is the complementary design point: tiny state, exact
+    answers, heavy-hitter-only output.)
+
+    Output: (key, cnt, n_total) for keys with cnt * (k+1) > n_total
+    (integer comparison — no float threshold).
+    """
+    import pandas as pd  # noqa: F811
+
+    keys = df.select(F.expr(value_expr).cast("string").alias("key")).filter(
+        F.col("key").isNotNull() & (F.col("key") != "")
+    )
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["key"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+                if len(counters) > k:
+                    dec = min(counters.values())
+                    counters = {
+                        x: c - dec for x, c in counters.items() if c > dec
+                    }
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    cand = keys.mapInPandas(mg_partition, "key string").distinct()
+    n_total = keys.groupBy().agg(F.count("*").cast("long").alias("n_total"))
+    return (
+        keys.join(F.broadcast(cand), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
+        .select("key", "cnt", "n_total")
+    )
