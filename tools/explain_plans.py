@@ -550,6 +550,53 @@ def main() -> None:
         per_group_quantile_filter(docs),
     )
 
+    from knowledgegraphbuilder_spark.operators.curation import (
+        weighted_reservoir_sample,
+    )
+    from knowledgegraphbuilder_spark.operators.dedup import (
+        normalized_exact_duplicates,
+    )
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+
+    add(
+        "Normalized exact dedup: codegen normalization chain, one shuffle",
+        "lower/regexp-strip/collapse/trim/sha256 all fuse into the scan's "
+        "WholeStageCodegen projection; the ONLY exchange is the hash "
+        "groupBy with partial_count before it — identical shape to byte-"
+        "exact dedup, so the reformatted-duplicate catch is free.",
+        normalized_exact_duplicates(docs),
+    )
+    add(
+        "Misra-Gries heavy hitters: MapInPandas candidates + semi-join recount",
+        "Pass A is one MapInPandas with NO exchange below it (per-partition "
+        "summaries, <= k+1 rows each); the recount is a BroadcastHashJoin "
+        "LeftSemi against the candidate set followed by a partial-agg "
+        "count — the vocabulary-sized groupBy a naive top-k would shuffle "
+        "never appears in the plan.",
+        misra_gries_heavy_hitters(
+            docs.selectExpr("explode(split(text, ' ')) AS tok"), "tok", k=30
+        ),
+    )
+    add(
+        "Weighted reservoir sample: array-expression ticket key, two-phase top-k",
+        "min-over-tickets is a codegen transform/array_min projection (no "
+        "explode — per-row O(w) work); the per-group top-k runs as a window "
+        "over (group, id-derived bucket) first, so the global window sorts "
+        "only the <= n_buckets*k local survivors per group, never the whole "
+        "group on one reducer.",
+        weighted_reservoir_sample(docs, k=5),
+    )
+    add(
+        "TPC-H Q5: broadcast dimension chain, facts shuffle once each",
+        "region->nation->supplier collapse into BroadcastExchanges (the "
+        "same-nation customer/supplier correlation rides the broadcast "
+        "join's condition); only lineitem x orders x customer use shuffle "
+        "joins; the date filter is a PushedFilter on the orders scan.",
+        entry.q_sql_tpch_q5(spark, args.sf),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
