@@ -1885,12 +1885,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
     # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
     # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: move the 16 round-4 additions (ts_temperature,
+    # ROUND-5 ROTATION TODO: move the 22 round-4 additions (ts_temperature,
     # ann_recall, dd_calibration, ts_profile, g15_modularity, dd_rewrite,
     # g16_node2vec, stream_ann, sql_tpch_q1, g17_anf, ts_adaptive_filter,
-    # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc) into the first 50
-    # so the union of driver-checked rows spans the full registry again;
-    # every one already passes tools/check_contract.py (116/116 locally).
+    # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc, stream_edges,
+    # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5) into the
+    # first 50 so the union of driver-checked rows spans the full registry
+    # again; every one already passes tools/check_contract.py (122/122
+    # locally).
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
