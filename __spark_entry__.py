@@ -1830,6 +1830,41 @@ def q_ts_reservoir(spark, sf_dir):
     return weighted_reservoir_sample(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_stream_heavy(spark, sf_dir):
+    """STREAMING exact heavy hitters: the documents stream folds per
+    micro-batch into per-partition Misra-Gries candidate summaries + the
+    batch token count, content-keyed and replace-MERGEd
+    (streaming/ingest.py:run_mg_available_now); the whole input then
+    REPLAYS against a fresh checkpoint to exercise idempotency. The union
+    of stored candidates is a superset of the true heavy hitters for ANY
+    batching (per-batch MG error <= n_b/(k+1) sums to n/(k+1)), so the
+    exact recount resolves to the SAME rows as the batch sk_heavy operator
+    — the oracle is the sk_heavy oracle verbatim."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        heavy_hitters_from_mg_state,
+        run_mg_available_now,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_mg_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = d.agg(F.max("doc_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (d.filter((F.col("doc_id") >= bounds[i]) & (F.col("doc_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_mg_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck", k=30)
+    run_mg_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2", k=30)
+    toks = d.select(F.explode(F.split("text", " ")).alias("key")).filter(
+        F.col("key") != ""
+    )
+    return heavy_hitters_from_mg_state(spark, f"{base}/st", toks, k=30)
+
+
 def q_sql_tpch_q5(spark, sf_dir):
     """TPC-H Q5 (local-supplier volume): the canonical multi-way star join —
     two big fact-side tables (lineitem x orders x customer) against a
@@ -1874,6 +1909,34 @@ def q_sql_tpch_q5(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): date-pruned lineitem x part with a
+    conditional aggregate ratio. The part side is column-pruned to
+    (p_partkey, is_promo) BEFORE the join — part scales with SF, so the
+    join strategy is left to AQE (broadcast at test scale, shuffle join at
+    100 TB) rather than pinned; the month filter reaches the lineitem scan
+    as a PushedFilter."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    )
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("is_promo"), rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1885,14 +1948,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
     # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
     # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: move the 22 round-4 additions (ts_temperature,
+    # ROUND-5 ROTATION TODO: move the 24 round-4 additions (ts_temperature,
     # ann_recall, dd_calibration, ts_profile, g15_modularity, dd_rewrite,
     # g16_node2vec, stream_ann, sql_tpch_q1, g17_anf, ts_adaptive_filter,
     # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc, stream_edges,
-    # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5) into the
-    # first 50 so the union of driver-checked rows spans the full registry
-    # again; every one already passes tools/check_contract.py (122/122
-    # locally).
+    # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5,
+    # stream_heavy, sql_tpch_q14) into the first 50 so the union of
+    # driver-checked rows spans the full registry again; every one already
+    # passes tools/check_contract.py (124/124 locally).
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
@@ -2025,6 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_heavy": q_sk_heavy,
         "ts_reservoir": q_ts_reservoir,
         "sql_tpch_q5": q_sql_tpch_q5,
+        "stream_heavy": q_stream_heavy,
+        "sql_tpch_q14": q_sql_tpch_q14,
     }
 
 
@@ -5416,6 +5481,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang, doc_id, w, tkey, CAST(rk AS BIGINT) AS rk
         FROM r WHERE rk <= 5
     """
+    # streamed MG candidates + exact recount must equal the batch heavy
+    # hitters exactly (candidate-superset + same integer threshold), so the
+    # oracle is the sk_heavy replay verbatim — the streamed-equals-batch
+    # contract stream_ann/dd_minhash_lsh also use
+    o["stream_heavy"] = o["sk_heavy"]
     o["sql_tpch_q5"] = """
         SELECT n_name,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -5429,6 +5499,14 @@ def oracle_sql() -> dict[str, str]:
         WHERE r_name = 'ASIA'
           AND o_orderdate >= '1997-01-01' AND o_orderdate < '1998-01-01'
         GROUP BY n_name ORDER BY revenue DESC, n_name
+    """
+    o["sql_tpch_q14"] = """
+        SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
     """
     return o
 

@@ -423,6 +423,39 @@ def hdr_quantiles(
     )
 
 
+def mg_partition_summaries(keys: DataFrame, k: int) -> DataFrame:
+    """Capacity-k Misra-Gries summary of each partition of a single-column
+    ``key`` DataFrame: (key, cnt) rows, at most k+1 per partition, where
+    ``cnt`` is the MG counter — a LOWER bound on the partition's true count,
+    short by at most n_p/(k+1) (each decrement of 1 retires >= k+1 stream
+    items). Runs as ONE Arrow-batched mapInPandas with a dict carried across
+    the partition's record batches — no shuffle, no per-row Python.
+
+    The summaries are mergeable (Agarwal et al., "Mergeable Summaries",
+    PODS'12): summing counters across partitions/batches keeps the
+    lower-bound property, and a key missing from EVERY summary has true
+    count <= sum(n_p)/(k+1) — the superset guarantee both the batch
+    heavy-hitter operator and the streaming fold build on."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for key, cnt in pdf["key"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(cnt)
+                if len(counters) > k:
+                    dec = min(counters.values())
+                    counters = {
+                        x: c - dec for x, c in counters.items() if c > dec
+                    }
+        yield pd.DataFrame(
+            {"key": list(counters.keys()),
+             "cnt": [counters[x] for x in counters]}
+        )
+
+    return keys.mapInPandas(mg, "key string, cnt long")
+
+
 def misra_gries_heavy_hitters(
     df: DataFrame, value_expr: str, k: int = 20
 ) -> DataFrame:
@@ -452,25 +485,10 @@ def misra_gries_heavy_hitters(
     Output: (key, cnt, n_total) for keys with cnt * (k+1) > n_total
     (integer comparison — no float threshold).
     """
-    import pandas as pd  # noqa: F811
-
     keys = df.select(F.expr(value_expr).cast("string").alias("key")).filter(
         F.col("key").isNotNull() & (F.col("key") != "")
     )
-
-    def mg_partition(batches):
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for key, cnt in pdf["key"].value_counts().items():
-                counters[key] = counters.get(key, 0) + int(cnt)
-                if len(counters) > k:
-                    dec = min(counters.values())
-                    counters = {
-                        x: c - dec for x, c in counters.items() if c > dec
-                    }
-        yield pd.DataFrame({"key": list(counters.keys())})
-
-    cand = keys.mapInPandas(mg_partition, "key string").distinct()
+    cand = mg_partition_summaries(keys, k).select("key").distinct()
     n_total = keys.groupBy().agg(F.count("*").cast("long").alias("n_total"))
     return (
         keys.join(F.broadcast(cand), "key", "left_semi")

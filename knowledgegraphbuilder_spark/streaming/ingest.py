@@ -548,3 +548,119 @@ def read_edge_weights(spark: SparkSession, table_dir: str) -> "DataFrame":
         .groupBy("src", "dst")
         .agg(F.sum("weight").cast("long").alias("weight"))
     )
+
+
+def run_mg_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    k: int = 30,
+    explode_expr: str = "explode(split(text, ' '))",
+    schema: str = "doc_id long, text string, lang string, source string, n_chars long",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming EXACT-heavy-hitter state maintenance: each micro-batch
+    reduces to its per-partition Misra-Gries candidate summaries
+    (operators/sketches.py:mg_partition_summaries — mergeable, Agarwal et
+    al. PODS'12) plus the batch's token count, landed under a CONTENT-
+    derived batch key via replace-by-key MERGE — the same idempotent fold
+    contract as run_cms_available_now (replay or fresh-checkpoint re-run
+    over the same files leaves state byte-identical).
+
+    The stored state per batch is <= partitions * (k+1) candidate rows —
+    bounded by parallelism * k, INDEPENDENT of batch row count (we keep the
+    per-partition summaries un-compressed rather than re-merging to k, which
+    keeps the per-batch MG error at n_b/(k+1) with no second compression
+    term, so the cross-batch superset guarantee needs no capacity
+    inflation): a key missing from every batch's summary has true count
+    <= sum_b n_b/(k+1) = n/(k+1), hence the union of stored candidate keys
+    is a superset of the true global heavy hitters for ANY batching of the
+    corpus. The final answer (see the stream_heavy gate query) recounts
+    candidates exactly against the corpus, so it is batching- AND
+    partitioning-independent — byte-equal to the batch operator.
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        mg_partition_summaries,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        # content digest, not batch_id / min(id): same bijection argument
+        # as run_cms_available_now — replay of identical content must land
+        # on the identical key, distinct content must never collide
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.concat_ws(
+                        "|",
+                        F.col(id_col).cast("string"),
+                        F.coalesce(F.col(text_col), F.lit("")),
+                    )),
+                    F.lit(1_000_000_007),
+                ).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        keys = batch_df.selectExpr(f"{explode_expr} AS key").filter(
+            "key IS NOT NULL AND key <> ''"
+        )
+        n_batch = keys.count()
+        summ = mg_partition_summaries(keys, k).groupBy("key").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        rows = summ.select(
+            F.sha2(F.lit(bkey), 256).alias("bkey"),
+            "key",
+            "cnt",
+            F.lit(n_batch).cast("long").alias("n_batch"),
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, rows, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def heavy_hitters_from_mg_state(
+    spark: SparkSession, table_dir: str, corpus_keys: "DataFrame", k: int = 30
+) -> "DataFrame":
+    """Resolve the streamed MG state into the EXACT heavy-hitter answer:
+    union the stored candidate keys (superset of the true heavy hitters, see
+    run_mg_available_now), take n_total = sum of per-batch token counts
+    (batches partition the corpus), recount candidates exactly against the
+    corpus, threshold with the same integer comparison as the batch
+    operator — the result is byte-equal to misra_gries_heavy_hitters on the
+    full corpus."""
+    from pyspark.sql import functions as F
+
+    state = spark.read.parquet(table_dir)
+    n_total = (
+        state.select("bkey", "n_batch").distinct()
+        .agg(F.sum("n_batch").cast("long").alias("n_total"))
+    )
+    cand = state.select("key").distinct()
+    return (
+        corpus_keys.join(F.broadcast(cand), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").cast("long").alias("cnt"))
+        .crossJoin(F.broadcast(n_total))
+        .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
+        .select("key", "cnt", "n_total")
+    )

@@ -246,3 +246,61 @@ def test_stream_edge_weights_equal_batch_projection(spark, tmp_path):
     got2 = sorted(map(tuple, read_edge_weights(spark, f"{base}/edges").collect()))
     want = sorted(map(tuple, cooccurrence_edges(li, "l_orderkey", "l_partkey").collect()))
     assert got1 == got2 == want and len(want) > 0
+
+
+def test_stream_mg_heavy_hitters_equals_batch_any_batching(spark, tmp_path):
+    """Streamed MG candidate state resolves to EXACTLY the batch heavy
+    hitters for two different batchings of the same corpus, and a full
+    replay over a fresh checkpoint leaves the state byte-identical
+    (content-keyed replace-MERGE idempotency)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        misra_gries_heavy_hitters,
+    )
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        heavy_hitters_from_mg_state,
+        run_mg_available_now,
+    )
+
+    rows = [
+        (i, ("hot " * 20 + f"cold{i} mid " + ("mid " if i % 2 else "")).strip(),
+         "en", "s", 1)
+        for i in range(60)
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    docs = spark.createDataFrame(rows, schema)
+    toks = docs.select(F.explode(F.split("text", " ")).alias("key")).filter(
+        F.col("key") != ""
+    )
+    k = 4
+    expected = {
+        (r["key"], r["cnt"], r["n_total"])
+        for r in misra_gries_heavy_hitters(
+            docs.select(F.explode(F.split("text", " ")).alias("tok")), "tok", k=k
+        ).collect()
+    }
+    assert expected, "fixture must produce at least one heavy hitter"
+
+    for name, cuts in (("even", [0, 20, 40, 60]), ("skewed", [0, 5, 50, 60])):
+        base = str(tmp_path / name)
+        for i in range(3):
+            (docs.filter((F.col("doc_id") >= cuts[i]) & (F.col("doc_id") < cuts[i + 1]))
+             .coalesce(1).write.parquet(f"{base}/in/b{i}"))
+        run_mg_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck", k=k)
+        state1 = sorted(
+            tuple(r) for r in spark.read.parquet(f"{base}/st").collect()
+        )
+        # replay: fresh checkpoint, same files -> byte-identical state
+        run_mg_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2", k=k)
+        state2 = sorted(
+            tuple(r) for r in spark.read.parquet(f"{base}/st").collect()
+        )
+        assert state1 == state2, f"replay changed state under {name} batching"
+        got = {
+            (r["key"], r["cnt"], r["n_total"])
+            for r in heavy_hitters_from_mg_state(
+                spark, f"{base}/st", toks, k=k
+            ).collect()
+        }
+        assert got == expected, f"stream != batch under {name} batching"
