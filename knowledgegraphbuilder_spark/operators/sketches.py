@@ -399,7 +399,15 @@ def hdr_quantiles(
     partition by design — same fixed-state argument as the CMS probe), not
     over the data: the corpus contributes only the groupBy."""
     qs = qs or [0.25, 0.5, 0.75, 0.9, 0.99]
-    sk = hdr_histogram(df, value_expr)
+    return hdr_quantiles_from_sketch(hdr_histogram(df, value_expr), qs)
+
+
+def hdr_quantiles_from_sketch(sk: DataFrame, qs: list[float]) -> DataFrame:
+    """The quantile walk of hdr_quantiles, starting from an already-built
+    (b, hi, cnt) sketch — counts are additive, so any union of partial
+    sketches re-aggregated by (b, hi) (e.g. the streaming per-batch fold in
+    streaming/ingest.py:run_hdr_available_now) yields byte-identical answers
+    to the batch path."""
     cum = sk.withColumn(
         "cum",
         F.sum("cnt").over(

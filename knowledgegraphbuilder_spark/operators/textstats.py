@@ -276,3 +276,55 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()).limit(k)
+
+
+def mad_outliers(
+    docs: DataFrame,
+    value_expr: str = "cast(n_chars as double)",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    cutoff: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier flagging via Median Absolute Deviation
+    (Hampel identifier; Leys et al. 2013 is the standard 'use MAD, not
+    stdev' reference for data cleaning): a doc is an outlier in its group
+    when |x - median(group)| > cutoff * MAD(group). Mean/stdev z-scores are
+    themselves dragged by the outliers they are supposed to catch; the
+    median/MAD pair has a 50% breakdown point, which is why curation
+    pipelines threshold document lengths this way.
+
+    Determinism/portability: both medians use EXACT linear-interpolation
+    percentile (Spark ``percentile`` == DuckDB ``quantile_cont``, the same
+    (n-1)p definition); inputs are integer-valued, so every interpolated
+    midpoint is an exact binary fraction and the oracle comparison is
+    bit-exact, not ULP-lucky.
+
+    Scale shape: two grouped EXACT percentiles (each one shuffle keyed by
+    group — with few large groups the reducers hold whole groups, which is
+    the honest cost of exact order statistics) + two broadcast joins of the
+    tiny per-group stats back onto the corpus. At 100 TB, swap the exact
+    percentile for the grouped HDR sketch (curation.per_group_quantile_filter
+    is exactly that operator) and keep this as the small-sample calibrator
+    that validates the sketch's thresholds.
+
+    Output: (doc_id, grp, x, med, mad, is_outlier 0/1).
+    """
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.expr(value_expr).cast("double").alias("x"),
+    )
+    med = d.groupBy("grp").agg(F.expr("percentile(x, 0.5)").alias("med"))
+    dm = d.join(F.broadcast(med), "grp")
+    mad = dm.groupBy("grp").agg(
+        F.expr("percentile(abs(x - med), 0.5)").alias("mad")
+    )
+    return (
+        dm.join(F.broadcast(mad), "grp")
+        .select(
+            "doc_id", "grp", "x", "med", "mad",
+            (F.abs(F.col("x") - F.col("med")) > F.lit(cutoff) * F.col("mad"))
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )

@@ -664,3 +664,92 @@ def heavy_hitters_from_mg_state(
         .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
         .select("key", "cnt", "n_total")
     )
+
+
+def run_hdr_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    value_expr: str = "v",
+    schema: str = "id long, v long",
+    id_col: str = "id",
+) -> None:
+    """Streaming quantile-sketch maintenance: each micro-batch reduces to
+    its HDR histogram rows (operators/sketches.py:hdr_histogram — counts
+    are ADDITIVE, the same mergeable-summary contract as the CMS/HLL/MG
+    folds), landed under a CONTENT-derived batch key via replace-by-key
+    MERGE. Replaying the same files (or re-running against a fresh
+    checkpoint) lands identical (bkey, b, hi, cnt) rows, so the fold is
+    idempotent; summing stored counts by (b, hi) across batches equals the
+    batch sketch of the full corpus EXACTLY — so the resolved quantiles
+    (quantiles_from_hdr_state) are byte-equal to the batch sk_quantile
+    answer for ANY batching of the input.
+
+    State per batch is <= ~64 * 2^HDR_SUB_BITS rows, independent of batch
+    size — the fixed-state property that lets this run forever."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import hdr_histogram
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        # content digest (count/min/max/hash-sum), not batch_id: replay of
+        # identical content lands on the identical key — the bijection
+        # argument shared by every fold in this module
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.concat_ws(
+                        "|",
+                        F.col(id_col).cast("string"),
+                        F.expr(value_expr).cast("string"),
+                    )),
+                    F.lit(1_000_000_007),
+                ).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        rows = hdr_histogram(batch_df, value_expr).select(
+            F.sha2(F.lit(bkey), 256).alias("bkey"), "b", "hi", "cnt"
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, rows, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def quantiles_from_hdr_state(
+    spark: SparkSession, table_dir: str, qs: list[float] | None = None
+) -> "DataFrame":
+    """Resolve the streamed HDR state into quantile estimates: sum stored
+    counts by (b, hi) — additivity makes this the exact batch sketch of the
+    union of all batches — then run the same cumulative walk as the batch
+    operator (sketches.py:hdr_quantiles_from_sketch). Byte-equal to
+    hdr_quantiles on the full corpus for any batching."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        hdr_quantiles_from_sketch,
+    )
+
+    sk = (
+        spark.read.parquet(table_dir)
+        .groupBy("b", "hi")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    return hdr_quantiles_from_sketch(sk, qs or [0.25, 0.5, 0.75, 0.9, 0.99])

@@ -597,6 +597,53 @@ def main() -> None:
         entry.q_sql_tpch_q5(spark, args.sf),
     )
 
+    from knowledgegraphbuilder_spark.operators.dedup import winnow_pairs
+    from knowledgegraphbuilder_spark.operators.textstats import mad_outliers
+
+    add(
+        "Winnowing fingerprints: codegen gram/window chain + capped fp join",
+        "The entire SIGMOD'03 select chain (k-gram sha256, window min, "
+        "position unpack) is ONE WholeStageCodegen projection per doc — no "
+        "explode until the final (doc, fp) rows; the self-join is an "
+        "equi-join on fingerprint AFTER the hot-fingerprint semi-join "
+        "guard, so boilerplate never fans out quadratically.",
+        winnow_pairs(docs),
+    )
+    add(
+        "MAD outliers: two exact grouped percentiles + broadcast stats",
+        "Exact order statistics genuinely need the group on one reducer — "
+        "the plan shows exactly two ObjectHashAggregate exchanges keyed by "
+        "group and two BroadcastHashJoins gluing the KB-sized stats back; "
+        "at 100 TB the grouped-HDR per_group_quantile_filter replaces the "
+        "exact percentile, with this as its calibrator.",
+        mad_outliers(docs),
+    )
+    add(
+        "TPC-H Q4 adaptation: semi join, no fan-out",
+        "The EXISTS becomes a BroadcastHashJoin LeftSemi (shuffle-free at "
+        "this scale; a shuffled LeftSemi at 100 TB) — orders rows are "
+        "tested, never multiplied, and the priority aggregate sees each "
+        "order once; the quarter filter is a PushedFilter on the orders "
+        "scan.",
+        entry.q_sql_tpch_q4(spark, args.sf),
+    )
+    add(
+        "TPC-H Q19 adaptation: disjunction factored to both scans",
+        "Catalyst distributes the OR-of-ANDs: the brand/size disjunction "
+        "lands in the part scan's PushedFilters, the quantity disjunction "
+        "in the lineitem scan's, and only the residual mixed predicate "
+        "rides the join — both scans shrink before any shuffle.",
+        entry.q_sql_tpch_q19(spark, args.sf),
+    )
+    add(
+        "CUBE: Expand before ONE map-side-combinable aggregate",
+        "All four grouping sets run in one pass — Expand multiplies rows "
+        "4x map-side, then a single partial_count/partial_sum hash "
+        "aggregate combines before the only exchange; integer-cents sums "
+        "keep the replay exact.",
+        entry.q_sql_cube(spark, args.sf),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
