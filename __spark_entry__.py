@@ -2065,6 +2065,280 @@ def q_sql_cube(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): lineitem x orders x customer fact chain
+    against TWO roles of the broadcast nation dim (supplier nation,
+    customer nation) with the symmetric nation-pair predicate folded into
+    the broadcast join output — the classic role-playing-dimension plan.
+    Only the fact-side joins shuffle; the date filter reaches the lineitem
+    scan pushed down."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = c.join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cn, o.o_custkey == cn.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                       " as bigint)")
+            ).alias("revenue_cents")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_sql_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): conditional-share aggregate over a
+    five-way join — promo-part lineitems sold to EUROPE-region customers,
+    share of the orders supplied from NATION_3, per order year. Part is
+    pre-filtered and column-pruned to its key before the join (semi-join
+    shape); both nation roles and region ride broadcast. Revenue in
+    integer cents so the share ratio is a ratio of exact integers."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100) as bigint)"
+               ).alias("volume_cents"),
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur_nations = n.join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("eur_nationkey"))
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(eur_nations), F.col("c_nationkey") == F.col("eur_nationkey")
+    ).select("c_custkey")
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume_cents")).otherwise(F.lit(0)))
+                / F.sum("volume_cents"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_sql_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by lost
+    revenue from returned lineitems in one quarter. The aggregate runs on
+    (custkey) BEFORE the customer attributes join — the wide customer row
+    never rides the big shuffle — and the top-20 is a TakeOrderedAndProject
+    with a deterministic (revenue desc, custkey) tie-break, never a global
+    sort."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                         " as bigint)")).alias("revenue_cents")
+        )
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        rev.join(c, rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == F.col("n_nationkey"))
+        .select(
+            "c_custkey", "c_name", "revenue_cents",
+            F.round("c_acctbal", 2).alias("acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue_cents"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_sql_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, then the
+    argmax suppliers — the max is computed once on the aggregate (a
+    broadcast single-row join), revenue kept in exact integer cents so the
+    max-equality never compares re-associated doubles."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.expr("cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                     " as bigint)")).alias("total_cents")
+    )
+    mx = rev.agg(F.max("total_cents").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_cents") == F.col("mx"))
+        .join(s, rev.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_sql_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customer): orders whose total quantity
+    exceeds 300 — a HAVING on the fact aggregate, joined back to orders and
+    customer only for the qualifying keys (the aggregate acts as its own
+    semi-join filter; at 100 TB the attribute joins see only the few
+    qualifying orders). Quantities are integral in this corpus, summed as
+    exact longs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("long").alias("q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("q").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+
+
+def q_sql_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase) over the event
+    stream: the classic product-analytics query. Each stage is one
+    filtered min-aggregate keyed by user plus one equi-join back on
+    user_id — stage N's table only shrinks, so at 100 TB the funnel is
+    three ever-smaller shuffles on the same key (AQE can keep the later
+    joins broadcast), never a self-cross of the event log. Strictly
+    increasing timestamps between stages (microsecond precision)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    one = lambda df, n, s: df.agg(  # noqa: E731
+        F.lit(s).alias("stage"), F.count("*").cast("long").alias("users")
+    ).select(F.lit(n).alias("step"), "stage", "users")
+    return (
+        one(s1, 1, "view")
+        .unionByName(one(s2, 2, "view>click"))
+        .unionByName(one(s3, 3, "view>click>purchase"))
+    )
+
+
+def q_sql_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = ISO week of a user's first
+    event, cell (cohort, k) = distinct users from that cohort active k
+    weeks later. Two aggregates over one scan (first-event week per user,
+    distinct activity weeks per user) joined on user_id; the matrix is
+    cohort-count x week-count sized, so the only data-scale shuffle is the
+    per-user aggregate — map-side combinable."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = e.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    act = e.distinct()
+    return (
+        act.join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("wk"), F.col("cw")) / 7).cast("int").alias("woffset"),
+        )
+        .groupBy("cohort", "woffset")
+        .agg(F.countDistinct("user_id").cast("long").alias("users"))
+    )
+
+
+def q_ts_moving(spark, sf_dir):
+    """Trailing 1-hour moving aggregate per user over the event stream — a
+    RANGE window frame on integer microseconds (unix_micros), so the frame
+    boundary is exact integer arithmetic on both engines, never a float
+    epoch. Partitioned by user_id: the window sort is per-user, the hot
+    path is one shuffle on the partition key, and no global sort exists
+    anywhere in the plan."""
+    from pyspark.sql import Window as W
+
+    # unix_micros needs TIMESTAMP (not NTZ); pin the session tz so the
+    # NTZ->LTZ cast is the identity DuckDB's epoch_us applies
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"), "value",
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full KG construction on sf0.001 -> (subj, pred, obj, doc_id)."""
     return q_kg_triples(spark, "/root/testdata/sf0.001")
@@ -2082,9 +2356,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc, stream_edges,
     # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5,
     # stream_heavy, sql_tpch_q14, dd_winnow, ts_mad, stream_quantile,
-    # sql_tpch_q4, sql_tpch_q19, sql_cube) into the first 50 so the union
-    # of driver-checked rows spans the full registry again; every one
-    # already passes tools/check_contract.py (130/130 locally).
+    # sql_tpch_q4, sql_tpch_q19, sql_cube, sql_funnel, sql_retention,
+    # ts_moving, sql_tpch_q7/q8/q10/q15/q18, and the rest of the round-4
+    # extension tranche below) into the first 50 so the union of
+    # driver-checked rows spans the full registry again; every one
+    # already passes tools/check_contract.py.
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
@@ -2225,6 +2501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q4": q_sql_tpch_q4,
         "sql_tpch_q19": q_sql_tpch_q19,
         "sql_cube": q_sql_cube,
+        "sql_funnel": q_sql_funnel,
+        "sql_retention": q_sql_retention,
+        "ts_moving": q_ts_moving,
+        "sql_tpch_q7": q_sql_tpch_q7,
+        "sql_tpch_q8": q_sql_tpch_q8,
+        "sql_tpch_q10": q_sql_tpch_q10,
+        "sql_tpch_q15": q_sql_tpch_q15,
+        "sql_tpch_q18": q_sql_tpch_q18,
     }
 
 
@@ -5739,6 +6023,141 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, m, CAST(count(*) AS BIGINT) AS n,
                CAST(sum(c) AS BIGINT) AS cents
         FROM e GROUP BY CUBE (event_type, m)
+    """
+    # funnel stages replay as chained min-aggregates; strict > between
+    # stages on microsecond timestamps matches Spark exactly
+    o["sql_funnel"] = """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND e.ts > s1.t1
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+          GROUP BY e.user_id
+        )
+        SELECT 1 AS step, 'view' AS stage,
+               CAST(count(*) AS BIGINT) AS users FROM s1
+        UNION ALL
+        SELECT 2, 'view>click', CAST(count(*) AS BIGINT) FROM s2
+        UNION ALL
+        SELECT 3, 'view>click>purchase', CAST(count(*) AS BIGINT) FROM s3
+    """
+    # date_trunc('week', ts) is Monday-based in both engines; the week
+    # offset is exact integer day arithmetic
+    o["sql_retention"] = """
+        WITH e AS (
+          SELECT user_id, date_trunc('week', ts) AS wk FROM events
+        ),
+        first AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, wk FROM e)
+        SELECT strftime(cw, '%Y-%m-%d') AS cohort,
+               CAST(date_diff('day', cw, wk) / 7 AS INT) AS woffset,
+               CAST(count(DISTINCT act.user_id) AS BIGINT) AS users
+        FROM act JOIN first ON act.user_id = first.user_id
+        GROUP BY 1, 2
+    """
+    # RANGE frame over integer epoch-microseconds: identical peer/frame
+    # semantics in both engines, no float epoch anywhere
+    o["ts_moving"] = """
+        SELECT event_id, user_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(avg(value) OVER w, 6) AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+    # all TPC-H revenue sums below are exact integer cents:
+    # floor(extendedprice * (1 - discount) * 100) is the same IEEE double
+    # product floored on both engines, then summed as BIGINT
+    o["sql_tpch_q7"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    o["sql_tpch_q8"] = """
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                      AS BIGINT) AS volume_cents,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+            AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+        )
+        SELECT o_year,
+               round(sum(CASE WHEN supp_nation = 'NATION_3'
+                              THEN volume_cents ELSE 0 END)
+                     / sum(volume_cents), 6) AS mkt_share
+        FROM vol GROUP BY o_year ORDER BY o_year
+    """
+    o["sql_tpch_q10"] = """
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS revenue_cents,
+               round(any_value(c_acctbal), 2) AS acctbal,
+               any_value(n_name) AS n_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= '1997-01-01' AND o_orderdate < '1997-04-01'
+        GROUP BY c_custkey, c_name
+        ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+    """
+    o["sql_tpch_q15"] = """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                               AS BIGINT)) AS BIGINT) AS total_cents
+          FROM lineitem
+          WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_cents
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_cents = (SELECT max(total_cents) FROM rev)
+        ORDER BY s_suppkey
+    """
+    o["sql_tpch_q18"] = """
+        WITH big AS (
+          SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                   AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+        )
+        SELECT c_name, c_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """
     return o
 

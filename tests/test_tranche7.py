@@ -1,0 +1,151 @@
+"""Round-4 extension tranche 7: funnel / retention / moving-window
+analytics and the TPC-H Q7/Q8/Q10/Q15/Q18 adaptations.
+
+The driver-gate oracles pin sf0.01 value-exactness against DuckDB; these
+tests pin the SEMANTIC contracts on crafted inputs the gate corpus can't
+isolate: funnel stage ordering (a click BEFORE the first view must not
+convert), retention's cohort-week arithmetic, the RANGE frame's exact
+1-hour boundary (row at t-3600s inclusive, t-3600.000001s exclusive),
+and Q15's argmax-tie behavior."""
+
+import datetime as dt
+import importlib.util
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+_spec = importlib.util.spec_from_file_location(
+    "spark_entry", os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "__spark_entry__.py")
+)
+_entry = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(_entry)
+
+
+def _write_events(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "events.parquet")
+    )
+    return str(tmp_path)
+
+
+TS0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _t(sec):
+    return TS0 + dt.timedelta(seconds=sec)
+
+
+class TestFunnel:
+    def test_stage_order_enforced(self, spark, tmp_path):
+        rows = [
+            # user 1: full ordered funnel view -> click -> purchase
+            (1, _t(0), 1, "view", 1.0, ""),
+            (2, _t(10), 1, "click", 1.0, ""),
+            (3, _t(20), 1, "purchase", 1.0, ""),
+            # user 2: click BEFORE first view -> stops at stage 1
+            (4, _t(0), 2, "click", 1.0, ""),
+            (5, _t(10), 2, "view", 1.0, ""),
+            # user 3: view+click, purchase before click -> stops at stage 2
+            (6, _t(0), 3, "view", 1.0, ""),
+            (7, _t(5), 3, "purchase", 1.0, ""),
+            (8, _t(10), 3, "click", 1.0, ""),
+            # user 4: never views -> not even stage 1
+            (9, _t(0), 4, "purchase", 1.0, ""),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["stage"]: r["users"] for r in
+               _entry.q_sql_funnel(spark, sf).collect()}
+        assert got == {"view": 3, "view>click": 2, "view>click>purchase": 1}
+
+    def test_strict_inequality_between_stages(self, spark, tmp_path):
+        # click at EXACTLY the first-view timestamp does not count
+        rows = [
+            (1, _t(0), 1, "view", 1.0, ""),
+            (2, _t(0), 1, "click", 1.0, ""),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["stage"]: r["users"] for r in
+               _entry.q_sql_funnel(spark, sf).collect()}
+        assert got["view>click"] == 0
+
+
+class TestRetention:
+    def test_cohort_offsets(self, spark, tmp_path):
+        # 2024-01-01 is a Monday: cohort week starts that day
+        rows = [
+            (1, _t(0), 1, "view", 1.0, ""),                      # week 0
+            (2, _t(7 * 86400 + 5), 1, "view", 1.0, ""),          # week 1
+            (3, _t(21 * 86400), 1, "view", 1.0, ""),             # week 3
+            (4, _t(7 * 86400), 2, "view", 1.0, ""),              # joins week 1
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {(r["cohort"], r["woffset"]): r["users"] for r in
+               _entry.q_sql_retention(spark, sf).collect()}
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 3): 1,
+            ("2024-01-08", 0): 1,
+        }
+
+
+class TestMovingWindow:
+    def test_exact_hour_boundary(self, spark, tmp_path):
+        rows = [
+            (1, _t(0), 1, "view", 10.0, ""),
+            # 3600s later: row 1 still inside the RANGE frame (inclusive)
+            (2, _t(3600), 1, "view", 20.0, ""),
+            # 3600.000001s after row 2: row 2 falls out (microsecond edge)
+            (3, _t(3600) + dt.timedelta(seconds=3600, microseconds=1),
+             1, "view", 30.0, ""),
+            # other user: frames never mix across partition keys
+            (4, _t(3600), 2, "view", 99.0, ""),
+        ]
+        sf = _write_events(spark, tmp_path, rows)
+        got = {r["event_id"]: (r["n_1h"], r["avg_1h"]) for r in
+               _entry.q_ts_moving(spark, sf).collect()}
+        assert got[1] == (1, 10.0)
+        assert got[2] == (2, 15.0)
+        assert got[3] == (1, 30.0)
+        assert got[4] == (1, 99.0)
+
+
+@pytest.mark.parametrize("name", [
+    "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q10", "sql_tpch_q15",
+    "sql_tpch_q18",
+])
+def test_tpch_smoke_schema(spark, sf_dir, name):
+    """Each adapted TPC-H query runs on the driver corpus and keeps its
+    aliased output schema (the gate hashes columns by name)."""
+    df = _entry.queries()[name](spark, sf_dir)
+    rows = df.collect()
+    expected_cols = {
+        "sql_tpch_q7": ["supp_nation", "cust_nation", "l_year",
+                        "revenue_cents"],
+        "sql_tpch_q8": ["o_year", "mkt_share"],
+        "sql_tpch_q10": ["c_custkey", "c_name", "revenue_cents", "acctbal",
+                         "n_name"],
+        "sql_tpch_q15": ["s_suppkey", "s_name", "total_cents"],
+        "sql_tpch_q18": ["c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                         "o_totalprice", "total_qty"],
+    }[name]
+    assert df.columns == expected_cols
+    assert len(rows) >= 0
+
+
+def test_q15_argmax_ties_all_returned(spark, sf_dir):
+    """Q15 returns EVERY supplier at the max, not an arbitrary first."""
+    df = _entry.q_sql_tpch_q15(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert len({r["total_cents"] for r in rows}) == 1
