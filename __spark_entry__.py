@@ -2065,6 +2065,55 @@ def q_sql_cube(spark, sf_dir):
     )
 
 
+def q_ts_entropy(spark, sf_dir):
+    """Per-source Shannon entropy of the language distribution — the
+    corpus-diversity diagnostic behind temperature rebalancing
+    (textstats.py:shannon_entropy). Two map-side-combinable grouped
+    counts; the only floats are final ln/divide over exact integers."""
+    return ts.shannon_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_ts_winsorize(spark, sf_dir):
+    """Per-source winsorization of document length at exact interpolated
+    [p05, p95] percentiles (textstats.py:winsorize) — the clamping
+    complement of ts_mad's flagging, same bit-exact percentile contract."""
+    return ts.winsorize(_t(spark, sf_dir, "documents"))
+
+
+def q_ml_ols(spark, sf_dir):
+    """Grouped simple OLS (extendedprice-cents on quantity per returnflag)
+    from INTEGER sufficient statistics carried in decimal(38) — both
+    engines divide identical exact integers, so the slope/intercept/r2
+    replay is deterministic, never a float-association race
+    (mlstats.py:grouped_ols). One map-side-combinable aggregate pass."""
+    from knowledgegraphbuilder_spark.operators.mlstats import grouped_ols
+
+    return grouped_ols(
+        _t(spark, sf_dir, "lineitem"),
+        x_expr="cast(l_quantity as bigint)",
+        y_expr="cast(floor(l_extendedprice * 100) as bigint)",
+        group_col="l_returnflag",
+    ).orderBy("grp")
+
+
+def q_ml_corr(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of four lineitem measures in one
+    aggregate pass (mlstats.py:corr_matrix): integer-scaled inputs, exact
+    decimal sufficient statistics, every pair projected from the single
+    stats row — one fact-table scan for the whole matrix."""
+    from knowledgegraphbuilder_spark.operators.mlstats import corr_matrix
+
+    return corr_matrix(
+        _t(spark, sf_dir, "lineitem"),
+        {
+            "qty": "cast(l_quantity as bigint)",
+            "price_c": "cast(floor(l_extendedprice * 100) as bigint)",
+            "disc_bp": "cast(floor(l_discount * 10000) as bigint)",
+            "tax_bp": "cast(floor(l_tax * 10000) as bigint)",
+        },
+    ).orderBy("col_a", "col_b")
+
+
 def q_sql_tpch_q7(spark, sf_dir):
     """TPC-H Q7 (volume shipping): lineitem x orders x customer fact chain
     against TWO roles of the broadcast nation dim (supplier nation,
@@ -2509,6 +2558,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q10": q_sql_tpch_q10,
         "sql_tpch_q15": q_sql_tpch_q15,
         "sql_tpch_q18": q_sql_tpch_q18,
+        "ts_entropy": q_ts_entropy,
+        "ts_winsorize": q_ts_winsorize,
+        "ml_ols": q_ml_ols,
+        "ml_corr": q_ml_corr,
     }
 
 
@@ -3332,6 +3385,36 @@ _LANG_CASES = {
 def _hits(lang: str) -> str:
     lst = ", ".join(f"'{w}'" for w in _LANG_CASES[lang])
     return f"len(list_filter(ws, w -> list_contains([{lst}], w)))"
+
+
+def _corr_oracle_sql(cols: dict[str, str], table: str) -> str:
+    """DuckDB replay of mlstats.corr_matrix: the same sorted-name pair
+    loop over the same HUGEINT sufficient statistics, one stats row, six
+    projected correlations (pair order restored by the gate's sort)."""
+    names = sorted(cols)
+    sel = ", ".join(f"{cols[c]} AS {c}" for c in names)
+    aggs = ["CAST(count(*) AS HUGEINT) AS n"]
+    for i, a in enumerate(names):
+        aggs.append(f"sum({a}) AS s_{a}")
+        for b in names[i:]:
+            aggs.append(f"sum({a} * {b}) AS s_{a}_{b}")
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = f"CAST(n * s_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+            va = f"CAST(n * s_{a}_{a} - s_{a} * s_{a} AS DOUBLE)"
+            vb = f"CAST(n * s_{b}_{b} - s_{b} * s_{b} AS DOUBLE)"
+            outs.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round(CASE WHEN {va} > 0 AND {vb} > 0 THEN "
+                f"{num} / (sqrt({va}) * sqrt({vb})) ELSE 0.0 END, 6) "
+                f"AS corr FROM s"
+            )
+    return (
+        f"WITH d AS (SELECT {sel} FROM {table}), "
+        f"s AS (SELECT {', '.join(aggs)} FROM d) "
+        + " UNION ALL ".join(outs)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6074,6 +6157,83 @@ def oracle_sql() -> dict[str, str]:
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """
+    # exact integer class counts; the only floats are final ln/divide,
+    # identical double ops on identical integers (round 6 absorbs the
+    # cross-engine sum-order difference in sum(c*ln(c)))
+    o["ts_entropy"] = """
+        WITH cc AS (
+          SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT source AS grp, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 sum(c * ln(c)) AS clogc
+          FROM cc GROUP BY 1
+        )
+        SELECT grp, n, n_classes,
+               round(ln(n) - clogc / n, 6) AS entropy,
+               round(CASE WHEN n_classes > 1
+                          THEN (ln(n) - clogc / n) / ln(n_classes)
+                          ELSE 0.0 END, 6) AS norm_entropy
+        FROM g
+    """
+    # same exact-interpolated-percentile contract as ts_mad
+    o["ts_winsorize"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS grp,
+                 CAST(n_chars AS DOUBLE) AS x
+          FROM documents
+        ),
+        b AS (
+          SELECT grp, quantile_cont(x, 0.05) AS lo,
+                 quantile_cont(x, 0.95) AS hi
+          FROM d GROUP BY grp
+        )
+        SELECT d.doc_id, d.grp, d.x, b.lo, b.hi,
+               least(greatest(d.x, b.lo), b.hi) AS x_wins,
+               CAST(d.x < b.lo OR d.x > b.hi AS INT) AS clipped
+        FROM d JOIN b USING (grp)
+    """
+    # Spark decimal(38) == DuckDB HUGEINT: both sides carry the integer
+    # sufficient statistics exactly; the divides see identical integers
+    o["ml_ols"] = """
+        WITH d AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS HUGEINT) AS x,
+                 CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM d GROUP BY grp
+        )
+        SELECT grp, CAST(n AS BIGINT) AS n,
+               round(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE), 6) AS intercept,
+               round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                           AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                          THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                               * CAST(n * sxy - sx * sy AS DOUBLE)
+                               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                  * CAST(n * syy - sy * sy AS DOUBLE))
+                          ELSE 0.0 END, 6) AS r2
+        FROM s ORDER BY grp
+    """
+    o["ml_corr"] = _corr_oracle_sql(
+        {
+            "qty": "CAST(l_quantity AS HUGEINT)",
+            "price_c": "CAST(floor(l_extendedprice * 100) AS HUGEINT)",
+            "disc_bp": "CAST(floor(l_discount * 10000) AS HUGEINT)",
+            "tax_bp": "CAST(floor(l_tax * 10000) AS HUGEINT)",
+        },
+        "lineitem",
+    )
     # all TPC-H revenue sums below are exact integer cents:
     # floor(extendedprice * (1 - discount) * 100) is the same IEEE double
     # product floored on both engines, then summed as BIGINT

@@ -1,0 +1,131 @@
+"""Exact-sufficient-statistics regression and correlation.
+
+Grouped OLS and pairwise Pearson correlation computed from INTEGER
+sufficient statistics (n, Sx, Sy, Sxx, Syy, Sxy) carried in Spark
+DECIMAL / DuckDB HUGEINT, so both engines divide the *identical* exact
+integers and the only floats are the final divide/sqrt — no re-associated
+double sums, no Welford-vs-naive drift between engines.
+
+Scale shape: one map-side-combinable aggregate over the fact table (the
+sufficient statistics are sums — partial aggregation applies), output is
+group-cardinality-sized. No joins, no windows, no second pass. This is
+the textbook "regression as an aggregate" pattern every SQL warehouse
+uses; at ~1e12 rows the decimal(38) headroom for n*Syy starts to bind —
+at that scale pre-center/pre-scale the inputs (the statistics stay exact
+integers after any affine integer rescale).
+
+Decimal precisions are chosen so every product stays <= decimal(38,0)
+and Spark's decimal multiplication therefore stays EXACT (no precision
+loss truncation): n as decimal(12), linear sums decimal(20), quadratic
+sums decimal(26) -> products max 12+26+1 = 39 - 1 spare < 38 via the
+split sqrt (each variance factor is converted to double separately).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_N = "cast(count(*) as decimal(12,0))"
+
+
+def _sums(x: str, y: str) -> list:
+    """Exact integer sufficient statistics for one (x, y) pair."""
+    return [
+        F.expr(_N).alias("n"),
+        F.expr(f"cast(sum({x}) as decimal(20,0))").alias("sx"),
+        F.expr(f"cast(sum({y}) as decimal(20,0))").alias("sy"),
+        F.expr(f"cast(sum({x} * {x}) as decimal(26,0))").alias("sxx"),
+        F.expr(f"cast(sum({y} * {y}) as decimal(26,0))").alias("syy"),
+        F.expr(f"cast(sum({x} * {y}) as decimal(26,0))").alias("sxy"),
+    ]
+
+
+_COV_NUM = "cast(n * sxy - sx * sy as double)"
+_VAR_X = "cast(n * sxx - sx * sx as double)"
+_VAR_Y = "cast(n * syy - sy * sy as double)"
+
+
+def grouped_ols(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Per-group simple linear regression y = slope * x + intercept.
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the means —
+    both ratios of exact decimal integers, rounded to 6dp. r2 is the
+    squared Pearson correlation (0.0 when either variance is 0, matching
+    the regr_* NULL-avoidance convention the oracle replays).
+
+    Output: (grp, n, slope, intercept, r2).
+    """
+    g = df.selectExpr(
+        f"{group_col} as grp",
+        f"cast({x_expr} as bigint) as x",
+        f"cast({y_expr} as bigint) as y",
+    ).groupBy("grp").agg(*_sums("x", "y"))
+    slope = F.expr(f"{_COV_NUM} / {_VAR_X}")
+    return g.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            (F.expr("cast(sy as double)") - slope * F.expr("cast(sx as double)"))
+            / F.expr("cast(n as double)"),
+            6,
+        ).alias("intercept"),
+        F.round(
+            F.when(
+                (F.expr(_VAR_X) > 0) & (F.expr(_VAR_Y) > 0),
+                F.expr(_COV_NUM) * F.expr(_COV_NUM)
+                / (F.expr(_VAR_X) * F.expr(_VAR_Y)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("r2"),
+    )
+
+
+def corr_matrix(df: DataFrame, cols: dict[str, str]) -> DataFrame:
+    """Pairwise Pearson correlation of named integer-valued expressions —
+    one aggregate pass computes every pair's sufficient statistics, then
+    the (k choose 2) correlations are projected from the single stats row
+    (broadcast by construction: the aggregate output is ONE row).
+
+    corr = (n*Sxy - Sx*Sy) / (sqrt(n*Sxx - Sx^2) * sqrt(n*Syy - Sy^2)) —
+    numerator and both variance factors are exact decimal integers; each
+    factor converts to double separately before sqrt so nothing exceeds
+    decimal(38). Output: (col_a, col_b, corr) for every a < b pair.
+    """
+    names = sorted(cols)
+    proj = [F.expr(f"cast({cols[c]} as bigint)").alias(c) for c in names]
+    aggs = [F.expr(_N).alias("n")]
+    for i, a in enumerate(names):
+        aggs.append(F.expr(f"cast(sum({a}) as decimal(20,0))").alias(f"s_{a}"))
+        for b in names[i:]:
+            aggs.append(
+                F.expr(f"cast(sum({a} * {b}) as decimal(26,0))").alias(f"s_{a}_{b}")
+            )
+    stats = df.select(*proj).agg(*aggs)
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            num = f"cast(n * s_{a}_{b} - s_{a} * s_{b} as double)"
+            va = f"cast(n * s_{a}_{a} - s_{a} * s_{a} as double)"
+            vb = f"cast(n * s_{b}_{b} - s_{b} * s_{b} as double)"
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.round(
+                        F.expr(f"case when {va} > 0 and {vb} > 0 then "
+                               f"{num} / (sqrt({va}) * sqrt({vb})) "
+                               f"else 0.0 end"),
+                        6,
+                    ).alias("corr"),
+                )
+            )
+    # all pairs project from the ONE aggregated stats row — a single scan
+    # of the fact table, never one aggregate per pair
+    return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")

@@ -328,3 +328,82 @@ def mad_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def shannon_entropy(
+    df: DataFrame,
+    group_col: str = "source",
+    class_col: str = "lang",
+) -> DataFrame:
+    """Per-group Shannon entropy of a categorical distribution — the
+    standard corpus-diversity diagnostic (is a source dominated by one
+    language / one domain?) and the quantity temperature-based mixture
+    rebalancing (ts_temperature) tries to raise.
+
+    H = ln(n) - (1/n) * sum_c(cnt_c * ln(cnt_c)), computed from exact
+    integer counts so the only floats are final ln/divide — the DuckDB
+    replay sees the identical integers and the identical double ops.
+    norm_entropy divides by ln(n_classes) (0.0 for a single class).
+
+    Scale shape: two map-side-combinable grouped counts ((group, class)
+    then group) — the classic two-level aggregate; no joins, no windows,
+    output is group-cardinality-sized.
+    """
+    cc = df.groupBy(group_col, class_col).agg(F.count("*").alias("c"))
+    return (
+        cc.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "grp", "n", "n_classes",
+            F.round(F.log("n") - F.col("clogc") / F.col("n"), 6).alias("entropy"),
+            F.round(
+                F.when(F.col("n_classes") > 1,
+                       (F.log("n") - F.col("clogc") / F.col("n"))
+                       / F.log("n_classes")).otherwise(F.lit(0.0)),
+                6,
+            ).alias("norm_entropy"),
+        )
+    )
+
+
+def winsorize(
+    docs: DataFrame,
+    value_expr: str = "cast(n_chars as double)",
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clamp a value to its group's exact
+    [p_lo, p_hi] interpolated percentiles — the robust-statistics
+    complement to mad_outliers (flagging) that training-data pipelines use
+    to cap length/score features instead of dropping rows.
+
+    Same exactness argument as mad_outliers: Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the (n-1)p definition, and integer
+    inputs make every midpoint an exact binary fraction. Same scale shape:
+    one grouped exact percentile pass + a broadcast of the tiny per-group
+    bounds; at 100 TB swap the exact percentile for the grouped HDR sketch
+    and keep this as its calibrator.
+
+    Output: (doc_id, grp, x, lo, hi, x_wins, clipped 0/1).
+    """
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.expr(value_expr).cast("double").alias("x"),
+    )
+    bounds = d.groupBy("grp").agg(
+        F.expr(f"percentile(x, {p_lo!r})").alias("lo"),
+        F.expr(f"percentile(x, {p_hi!r})").alias("hi"),
+    )
+    return d.join(F.broadcast(bounds), "grp").select(
+        "doc_id", "grp", "x", "lo", "hi",
+        F.least(F.greatest(F.col("x"), F.col("lo")), F.col("hi")).alias("x_wins"),
+        ((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")))
+        .cast("int").alias("clipped"),
+    )

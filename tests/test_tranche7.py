@@ -149,3 +149,59 @@ def test_q15_argmax_ties_all_returned(spark, sf_dir):
     rows = df.collect()
     assert len(rows) >= 1
     assert len({r["total_cents"] for r in rows}) == 1
+
+
+from knowledgegraphbuilder_spark.operators.mlstats import (  # noqa: E402
+    corr_matrix,
+    grouped_ols,
+)
+from knowledgegraphbuilder_spark.operators.textstats import (  # noqa: E402
+    shannon_entropy,
+    winsorize,
+)
+
+
+class TestEntropy:
+    def test_uniform_and_degenerate(self, spark):
+        rows = [("a", "en")] * 4 + [("a", "de")] * 4 + [("b", "en")] * 5
+        df = spark.createDataFrame(rows, "source string, lang string")
+        got = {r["grp"]: r for r in shannon_entropy(df).collect()}
+        # uniform 2-class: H = ln(2), normalized 1.0
+        assert got["a"]["norm_entropy"] == 1.0
+        assert abs(got["a"]["entropy"] - 0.693147) < 1e-6
+        # single class: zero entropy, normalized 0 by convention
+        assert got["b"]["entropy"] == 0.0
+        assert got["b"]["norm_entropy"] == 0.0
+
+
+class TestWinsorize:
+    def test_clamps_at_exact_percentiles(self, spark):
+        # group of 11 values 0..1000: p05 = 0.5, p95 = 950 under the
+        # (n-1)p interpolation both engines share
+        rows = [(i, "g", float(v)) for i, v in enumerate(
+            [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+        out = {r["doc_id"]: r for r in winsorize(
+            df, value_expr="n_chars").collect()}
+        assert out["0"]["x_wins"] == 0.5 and out["0"]["clipped"] == 1
+        assert out["10"]["x_wins"] == pytest.approx(9 + 0.5 * 991)
+        assert out["10"]["clipped"] == 1
+        assert out["5"]["x_wins"] == 5.0 and out["5"]["clipped"] == 0
+
+
+class TestOlsCorr:
+    def test_exact_line(self, spark):
+        rows = [("g", x, 3 * x + 2) for x in range(1, 20)]
+        df = spark.createDataFrame(rows, "grp string, x long, y long")
+        r = grouped_ols(df, "x", "y").collect()[0]
+        assert (r["slope"], r["intercept"], r["r2"]) == (3.0, 2.0, 1.0)
+
+    def test_corr_signs(self, spark):
+        rows = [(x, 2 * x, -3 * x, 7) for x in range(1, 30)]
+        df = spark.createDataFrame(rows, "a long, b long, c long, d long")
+        got = {(r["col_a"], r["col_b"]): r["corr"] for r in corr_matrix(
+            df, {"a": "a", "b": "b", "c": "c", "d": "d"}).collect()}
+        assert got[("a", "b")] == 1.0
+        assert got[("a", "c")] == -1.0
+        assert got[("a", "d")] == 0.0   # zero-variance column -> 0 by convention
+        assert len(got) == 6
