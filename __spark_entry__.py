@@ -25,6 +25,7 @@ from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
 from knowledgegraphbuilder_spark.operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
+from knowledgegraphbuilder_spark.functions.hashing import duckdb_word_shingles
 from knowledgegraphbuilder_spark.operators.sketches import _bloom_positions
 from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
@@ -2065,6 +2066,60 @@ def q_sql_cube(spark, sf_dir):
     )
 
 
+def q_g18_adamicadar(spark, sf_dir):
+    """Adamic-Adar link prediction on the weight>=2 co-purchase graph
+    (graphstats.py:adamic_adar): top-100 missing edges by the 1/ln(deg)
+    common-neighbor score, in quantized-ln integer units so the BIGINT sum
+    replays bit-exactly (the float-sum and raw-floor ULP traps are
+    documented at the operator). Same max_hub_degree=10 wedge-center cap
+    as g12_linkpred, so the two rankings are directly comparable."""
+    from knowledgegraphbuilder_spark.operators.graphstats import adamic_adar
+
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    return adamic_adar(edges, max_hub_degree=10, top_n=100)
+
+
+def q_dd_bloomjoin(spark, sf_dir):
+    """Bloom-prefiltered EXACT incremental dedup (dedup.py:bloom_anti_join):
+    new docs vs the every-7th-doc 'seen' set, routed 'bloom' (definitely
+    new, map-side) or 'verify' (cleared by the exact anti-join). The
+    filter, the routing and the membership all replay in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 7 == 0)
+    return dd.bloom_anti_join(docs, seen)
+
+
+def q_stream_minhash(spark, sf_dir):
+    """STREAMING per-source MinHash signature maintenance: documents split
+    into 3 files, folded per micro-batch by elementwise-min MERGE
+    (streaming/ingest.py:run_minhash_available_now), then REPLAYED against
+    a fresh checkpoint for idempotency. min is associative/commutative/
+    idempotent, so the state equals the batch signature of the full corpus
+    and the oracle replays it from scratch in DuckDB."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_minhash_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_minhash_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = docs.agg(F.max("doc_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (docs.filter((F.col("doc_id") >= bounds[i])
+                     & (F.col("doc_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_minhash_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_minhash_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    return spark.read.parquet(f"{base}/st").select(
+        "g", F.col("perm").cast("int").alias("perm"), "minv"
+    )
+
+
 def q_ts_entropy(spark, sf_dir):
     """Per-source Shannon entropy of the language distribution — the
     corpus-diversity diagnostic behind temperature rebalancing
@@ -2562,6 +2617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_winsorize": q_ts_winsorize,
         "ml_ols": q_ml_ols,
         "ml_corr": q_ml_corr,
+        "g18_adamicadar": q_g18_adamicadar,
+        "dd_bloomjoin": q_dd_bloomjoin,
+        "stream_minhash": q_stream_minhash,
     }
 
 
@@ -6156,6 +6214,107 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+    # Adamic-Adar: same CTE chain as g12_linkpred, with the per-center unit
+    # 1e12 // round(ln(deg)*1e6) — ln quantized BEFORE the division so the
+    # integer replay is bit-exact (rationale at graphstats.adamic_adar)
+    o["g18_adamicadar"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT a, b FROM (
+            SELECT x.item AS a, y.item AS b, count(*) AS w
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+          ) WHERE w >= 2
+        ),
+        adj AS (SELECT a AS z, b AS n FROM e
+                UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+                FROM adj GROUP BY z),
+        center AS (
+          SELECT adj.z, adj.n,
+                 CASE WHEN deg >= 2 THEN
+                   1000000000000 // CAST(round(ln(deg) * 1000000) AS BIGINT)
+                 ELSE 0 END AS aa1
+          FROM adj JOIN deg USING (z) WHERE deg <= 10
+        ),
+        w AS (
+          SELECT x.n AS src, y.n AS dst, x.aa1
+          FROM center x JOIN center y ON x.z = y.z AND x.n < y.n
+        ),
+        cand AS (
+          SELECT src, dst, CAST(count(*) AS BIGINT) AS cn,
+                 CAST(sum(aa1) AS BIGINT) AS aa_units
+          FROM w GROUP BY 1, 2
+        )
+        SELECT cand.* FROM cand
+        LEFT JOIN e ON cand.src = e.a AND cand.dst = e.b
+        WHERE e.a IS NULL
+        ORDER BY aa_units DESC, src, dst LIMIT 100
+    """
+    # same bloom replay as sk_bloom (positions, words, hit counts), plus
+    # the exact anti-join and the bloom/verify routing CASE
+    o["dd_bloomjoin"] = f"""
+        WITH docs AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, text AS t FROM documents
+        ),
+        sn AS (
+          SELECT DISTINCT text AS t FROM documents
+          WHERE CAST(doc_id AS BIGINT) % 7 = 0
+        ),
+        bpos AS (
+          SELECT UNNEST([{', '.join(_bloom_positions('t', 'duck'))}]) AS pos
+          FROM sn
+        ),
+        bloom AS (
+          SELECT pos // 63 AS word,
+                 bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+          FROM bpos GROUP BY 1
+        ),
+        probes AS (
+          SELECT id, t,
+                 UNNEST([{', '.join(_bloom_positions('t', 'duck'))}]) AS pos
+          FROM docs
+        ),
+        hits AS (
+          SELECT id, t,
+                 CAST(sum(CASE WHEN b.bits IS NOT NULL
+                                AND (b.bits & (1::BIGINT << CAST(p.pos % 63 AS INTEGER)))
+                                    = (1::BIGINT << CAST(p.pos % 63 AS INTEGER))
+                               THEN 1 ELSE 0 END) AS INTEGER) AS hits
+          FROM probes p LEFT JOIN bloom b ON b.word = p.pos // 63
+          GROUP BY id, t
+        )
+        SELECT h.id AS doc_id,
+               CASE WHEN h.hits < 4 THEN 'bloom' ELSE 'verify' END AS path
+        FROM hits h
+        WHERE h.t NOT IN (SELECT t FROM sn)
+    """
+    # streamed elementwise-min fold == batch signature of the full corpus
+    # (min is idempotent/commutative/associative); hashes are the portable
+    # sha256-prefix bigints, shingles the shared k=3 word shingles
+    o["stream_minhash"] = f"""
+        WITH t AS (
+          SELECT source AS g, {duckdb_word_shingles('text', 3)} AS sh
+          FROM documents
+        ),
+        e AS (SELECT g, UNNEST(sh) AS s FROM t WHERE len(sh) > 0),
+        p AS (
+          SELECT g, s, UNNEST(generate_series(0, 15)) AS perm FROM e
+        )
+        SELECT g, CAST(perm AS INT) AS perm,
+               CAST(min(('0x' || substr(sha256(CAST(perm AS VARCHAR) || ',' || s),
+                                        1, 15))::BIGINT) AS BIGINT) AS minv
+        FROM p GROUP BY 1, 2
     """
     # exact integer class counts; the only floats are final ln/divide,
     # identical double ops on identical integers (round 6 absorbs the

@@ -820,3 +820,53 @@ def winnow_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("id_b"))
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+def bloom_anti_join(
+    incoming: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental corpus dedup against an already-ingested 'seen' set,
+    Bloom-prefiltered but EXACT: the output is precisely the incoming docs
+    whose text is not in the seen set — Bloom false positives cost a
+    verification join probe, never a wrong answer.
+
+    The scale argument is the point of the operator: at 100 TB the seen-key
+    set is too big to broadcast raw, but its Bloom filter (m/63 longs,
+    sketches.py:bloom_build) always broadcasts. Bloom's one-sided guarantee
+    (no false negatives) means any doc missing a probe bit is DEFINITELY
+    new and skips the join entirely; only the 'maybe-seen' minority — true
+    dups plus the ~(1-e^-kn/m)^k false-positive sliver — reaches the exact
+    anti-join, so the shuffle is sized by the dup rate, not the corpus.
+
+    Output: (doc_id, path) for every new doc, path = 'bloom' (cleared by a
+    missing bit, map-side only) | 'verify' (cleared by the exact
+    anti-join). Both the filter and the routing are sha256 arithmetic the
+    DuckDB oracle replays bit-for-bit.
+    """
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        BLOOM_K,
+        bloom_build,
+        bloom_probe,
+    )
+
+    inc = incoming.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("t")
+    )
+    sn = seen.select(F.col(text_col).alias("t")).distinct()
+    bloom = bloom_build(sn, "t")
+    hits = bloom_probe(inc, bloom, "t", id_col="id")
+    fast_new = hits.filter(F.col("hits") < BLOOM_K).select(
+        "id", F.lit("bloom").alias("path")
+    )
+    verified_new = (
+        hits.filter(F.col("hits") == BLOOM_K)
+        .join(inc, "id")
+        .join(sn, "t", "left_anti")
+        .select("id", F.lit("verify").alias("path"))
+    )
+    return fast_new.unionByName(verified_new).select(
+        F.col("id").alias("doc_id"), "path"
+    )

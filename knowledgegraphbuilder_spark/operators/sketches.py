@@ -506,3 +506,62 @@ def misra_gries_heavy_hitters(
         .filter(F.col("cnt") * (k + 1) > F.col("n_total"))
         .select("key", "cnt", "n_total")
     )
+
+
+MINHASH_GROUP_PERMS = 16     # permutations per group signature
+
+
+def minhash_group_signatures(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_perm: int = MINHASH_GROUP_PERMS,
+    k: int = 3,
+) -> DataFrame:
+    """Per-GROUP MinHash signature of the union of the group's documents'
+    k-word shingle sets — the mergeable set-resemblance sketch (Broder
+    1997): sig(A ∪ B) = elementwise-min(sig(A), sig(B)), so signatures
+    fold across partitions, micro-batches, and corpus shards with a plain
+    MIN aggregate, and the resemblance of two SOURCES is estimated from
+    2 * n_perm longs however many billions of docs each side holds.
+
+    Hashes are sha256-derived (functions/hashing.py contract: anything the
+    oracle must reproduce is sha256 or integer arithmetic), unlike the
+    per-DOC LSH signatures in dedup.py which use xxhash64 and are checked
+    against exact Jaccard instead.
+
+    Scale shape: one pass — per-doc signature via a single running-minimum
+    aggregate expression over the shingle array (no per-permutation
+    rescan), then posexplode to (g, perm, minv) rows (n_perm per doc) and
+    a map-side-combinable grouped MIN. State: n_perm rows per group.
+    Output: (g, perm, minv).
+    """
+    from knowledgegraphbuilder_spark.functions.hashing import spark_word_shingles
+
+    long_max = (1 << 63) - 1
+    h = ("cast(conv(substring(sha2(concat(cast(i as string), ',', s), 256), "
+         "1, 15), 16, 10) as bigint)")
+    sig = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.expr(spark_word_shingles(text_col, k)).alias("shingles"),
+        )
+        .filter(F.size("shingles") > 0)
+        .select(
+            "g",
+            F.expr(
+                f"""
+                aggregate(
+                  shingles,
+                  array_repeat(cast({long_max} as bigint), {n_perm}),
+                  (acc, s) -> zip_with(acc, sequence(0, {n_perm - 1}),
+                                       (m, i) -> least(m, {h})))
+                """
+            ).alias("sig"),
+        )
+    )
+    return (
+        sig.select("g", F.posexplode("sig").alias("perm", "minv"))
+        .groupBy("g", "perm")
+        .agg(F.min("minv").alias("minv"))
+    )

@@ -245,3 +245,26 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             old.exceptAll(new).select(F.lit("removed").alias("op"), "*")
         )
     )
+
+
+def merge_min(spark: SparkSession, table_dir: str, updates: DataFrame,
+              keys: list[str], val: str) -> None:
+    """Min-combine MERGE: per key, keep the smallest ``val`` of the current
+    table and the updates — merge_max's dual, for running-minimum sketch
+    state (MinHash signatures fold by elementwise min exactly as HLL
+    registers fold by max). Same idempotent/commutative replay contract,
+    same union + re-aggregate implementation (least() skips NULLs — the
+    silent-floor trap — so a join-based form is avoided here too)."""
+    from pyspark.sql import functions as F
+
+    _recover_table(table_dir)
+    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        current = spark.read.parquet(table_dir)
+        merged = (
+            current.unionByName(updates)
+            .groupBy(*keys)
+            .agg(F.min(val).alias(val))
+        )
+    else:
+        merged = updates
+    _commit_table(merged, table_dir)

@@ -753,3 +753,47 @@ def quantiles_from_hdr_state(
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     return hdr_quantiles_from_sketch(sk, qs or [0.25, 0.5, 0.75, 0.9, 0.99])
+
+
+def run_minhash_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    group_col: str = "source", text_col: str = "text",
+    schema: str = "doc_id long, text string, lang string, source string, "
+                  "n_chars long",
+) -> None:
+    """Streaming per-source MinHash signature maintenance: each micro-batch
+    reduces to its (g, perm, minv) group-signature rows
+    (operators/sketches.py:minhash_group_signatures) and min-MERGEs into
+    the persistent signature state. Elementwise min is idempotent,
+    commutative and associative — the same replay algebra as the HLL
+    register max-fold — so the final state is EXACTLY the batch signature
+    of the full corpus regardless of batch boundaries, arrival order, or
+    replays, and the value-exact gate holds the streamed signature to the
+    batch oracle.
+
+    At scale: state is n_perm rows per source (a few hundred bytes), never
+    per-doc; a day of new documents folds into the same fixed rows, and
+    source-vs-source resemblance stays answerable from state alone."""
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        minhash_group_signatures,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_min
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        sig = minhash_group_signatures(batch_df, group_col, text_col)
+        merge_min(batch_df.sparkSession, table_dir, sig, ["g", "perm"], "minv")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -205,3 +205,70 @@ class TestOlsCorr:
         assert got[("a", "c")] == -1.0
         assert got[("a", "d")] == 0.0   # zero-variance column -> 0 by convention
         assert len(got) == 6
+
+
+from knowledgegraphbuilder_spark.operators.dedup import bloom_anti_join  # noqa: E402
+from knowledgegraphbuilder_spark.operators.graphstats import adamic_adar  # noqa: E402
+from knowledgegraphbuilder_spark.operators.sketches import (  # noqa: E402
+    minhash_group_signatures,
+)
+
+
+class TestAdamicAdar:
+    def test_path_graph_score(self, spark):
+        # a-b-c path: the one candidate is (a,c) via center b, deg(b)=2,
+        # aa_units = 1e12 // round(ln(2)*1e6) = 1e12 // 693147
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "src string, dst string")
+        rows = adamic_adar(edges).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["src"], r["dst"], r["cn"]) == ("a", "c", 1)
+        assert r["aa_units"] == 10 ** 12 // 693147
+
+    def test_existing_edges_excluded_and_hub_capped(self, spark):
+        # star hub h with 5 leaves: every leaf pair is a candidate via h;
+        # capping max_hub_degree=4 drops h as a center -> no candidates
+        edges = spark.createDataFrame(
+            [("h", f"l{i}") for i in range(5)], "src string, dst string")
+        assert adamic_adar(edges, max_hub_degree=4).count() == 0
+        out = adamic_adar(edges, max_hub_degree=5)
+        pairs = {(r["src"], r["dst"]) for r in out.collect()}
+        assert len(pairs) == 10 and all(s < d for s, d in pairs)
+
+
+class TestBloomAntiJoin:
+    def test_exact_result_any_routing(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"unique text number {i} with words") for i in range(40)]
+            + [(100, "unique text number 3 with words")],  # dup of doc 3
+            "doc_id long, text string",
+        )
+        seen = docs.filter(F.col("doc_id") % 4 == 0)  # 0,4,...,36,100
+        out = bloom_anti_join(docs, seen).collect()
+        got = {r["doc_id"] for r in out}
+        # new = not multiple-of-4 and not textually equal to a seen doc;
+        # doc 3's text was seen via doc 100
+        expect = {str(i) for i in range(40) if i % 4 != 0 and i != 3}
+        assert got == expect
+        assert all(r["path"] in ("bloom", "verify") for r in out)
+
+
+class TestMinhashGroupSignatures:
+    def test_union_equals_elementwise_min(self, spark):
+        docs = spark.createDataFrame(
+            [("s", f"alpha beta gamma delta token{i} epsilon zeta") 
+             for i in range(10)],
+            "source string, text string",
+        )
+        a, b = docs.filter("text like '%token1%'"), docs.filter(
+            "text not like '%token1%'")
+        whole = {(r["g"], r["perm"]): r["minv"] for r in
+                 minhash_group_signatures(docs).collect()}
+        pa = {(r["g"], r["perm"]): r["minv"] for r in
+              minhash_group_signatures(a).collect()}
+        pb = {(r["g"], r["perm"]): r["minv"] for r in
+              minhash_group_signatures(b).collect()}
+        merged = {k: min(pa.get(k, 1 << 62), pb.get(k, 1 << 62))
+                  for k in set(pa) | set(pb)}
+        assert whole == merged
