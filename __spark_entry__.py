@@ -2066,6 +2066,136 @@ def q_sql_cube(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 (customer order-count distribution), adapted (the comment
+    NOT-LIKE becomes o_orderpriority <> '1-URGENT'): LEFT OUTER join so
+    zero-order customers keep their c_count = 0 bucket, then a second
+    aggregate over the first — the double-aggregate histogram plan. The
+    orders filter applies BEFORE the join (pushed into the scan), never a
+    post-join WHERE that would silently turn the outer join inner."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_sql_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 (small-quantity-order revenue), adapted to Brand#11 and an
+    EXACT integer predicate: l_quantity < 0.2 * avg(part) is rewritten
+    5 * qty * n_part < sum_qty_part (quantities are integral here), so the
+    correlated-average semi-filter never compares a float average. The
+    per-part aggregate joins back to the part's lineitems — at 100 TB both
+    sides shuffle on l_partkey once; the brand filter prunes part first."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "l_partkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.expr("cast(floor(l_extendedprice * 100) as bigint)").alias("price_c"),
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    return (
+        li.join(stats, li.l_partkey == stats.pk)
+        .filter(F.lit(5) * F.col("qty") * F.col("n") < F.col("sum_qty"))
+        .agg(
+            F.count("*").cast("long").alias("n_small"),
+            F.coalesce(F.sum("price_c"), F.lit(0)).cast("long")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+def q_sql_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 (global sales opportunity), adapted: customers whose
+    account balance exceeds the positive-balance average (EXACT integer
+    predicate: bal_c * n > sum_c in cents — no float average) and who have
+    placed no order since 2001-01-01 (left anti join), grouped by
+    nationkey. The average is a single-row broadcast; the anti join
+    shuffles only (custkey) pairs."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.expr("cast(floor(c_acctbal * 100) as bigint)").alias("bal_c"),
+    )
+    pos = c.filter(F.col("bal_c") > 0).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("bal_c").cast("long").alias("sum_c"),
+    )
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01")
+    ).select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n") > F.col("sum_c"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("nationkey"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+def q_g19_trusssupport(spark, sf_dir):
+    """Per-edge triangle support (the k-truss building block: an edge's
+    support = |common neighbors of its endpoints|) over the weight>=2
+    co-purchase graph (graphstats.py:edge_support). Wedge enumeration uses
+    the same adjacency self-join discipline as g5/g12; support rides each
+    edge, so a truss peel is a filter + recompute loop on this operator."""
+    from knowledgegraphbuilder_spark.operators.graphstats import edge_support
+
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    return edge_support(edges)
+
+
+def q_stream_bloom(spark, sf_dir):
+    """STREAMING Bloom-filter maintenance: documents split into 3 files,
+    each micro-batch's text-key bloom words bit_or-MERGEd into state
+    (streaming/ingest.py:run_bloom_available_now), then REPLAYED against a
+    fresh checkpoint. bit_or is idempotent/commutative/associative — the
+    same replay algebra as the HLL max-fold and minhash min-fold — so the
+    state equals the batch filter of the full corpus, which the oracle
+    rebuilds from scratch in DuckDB."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_bloom_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_bloom_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = docs.agg(F.max("doc_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (docs.filter((F.col("doc_id") >= bounds[i])
+                     & (F.col("doc_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_bloom_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_bloom_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    return spark.read.parquet(f"{base}/st").select("word", "bits")
+
+
 def q_g18_adamicadar(spark, sf_dir):
     """Adamic-Adar link prediction on the weight>=2 co-purchase graph
     (graphstats.py:adamic_adar): top-100 missing edges by the 1/ln(deg)
@@ -2461,10 +2591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5,
     # stream_heavy, sql_tpch_q14, dd_winnow, ts_mad, stream_quantile,
     # sql_tpch_q4, sql_tpch_q19, sql_cube, sql_funnel, sql_retention,
-    # ts_moving, sql_tpch_q7/q8/q10/q15/q18, and the rest of the round-4
-    # extension tranche below) into the first 50 so the union of
-    # driver-checked rows spans the full registry again; every one
-    # already passes tools/check_contract.py.
+    # ts_moving, sql_tpch_q7/q8/q10/q15/q18, ts_entropy, ts_winsorize,
+    # ml_ols, ml_corr, g18_adamicadar, dd_bloomjoin, stream_minhash,
+    # sql_tpch_q13/q17/q22, g19_trusssupport, stream_bloom) into the
+    # first 50 so the union of driver-checked rows spans the full
+    # registry again — the list is EXACTLY 50 entries, a full window;
+    # every one already passes tools/check_contract.py.
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
@@ -2620,6 +2752,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_adamicadar": q_g18_adamicadar,
         "dd_bloomjoin": q_dd_bloomjoin,
         "stream_minhash": q_stream_minhash,
+        "sql_tpch_q13": q_sql_tpch_q13,
+        "sql_tpch_q17": q_sql_tpch_q17,
+        "sql_tpch_q22": q_sql_tpch_q22,
+        "g19_trusssupport": q_g19_trusssupport,
+        "stream_bloom": q_stream_bloom,
     }
 
 
@@ -6214,6 +6351,101 @@ def oracle_sql() -> dict[str, str]:
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """
+    o["sql_tpch_q13"] = """
+        WITH o AS (
+          SELECT o_orderkey, o_custkey FROM orders
+          WHERE o_orderpriority <> '1-URGENT'
+        ),
+        pc AS (
+          SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          FROM customer LEFT JOIN o ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        )
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM pc GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """
+    # 5*qty*n < sum_qty is the integer-exact rewrite of qty < 0.2*avg
+    o["sql_tpch_q17"] = """
+        WITH li AS (
+          SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#11'
+        ),
+        st AS (
+          SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(qty) AS BIGINT) AS sum_qty
+          FROM li GROUP BY 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_small,
+               CAST(coalesce(sum(price_c), 0) AS BIGINT) AS revenue_cents
+        FROM li JOIN st ON li.l_partkey = st.pk
+        WHERE 5 * qty * n < sum_qty
+    """
+    # bal_c*n > sum_c is the integer-exact rewrite of bal > avg(bal)
+    o["sql_tpch_q22"] = """
+        WITH c AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+          FROM customer
+        ),
+        pos AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(bal_c) AS BIGINT) AS sum_c
+          FROM c WHERE bal_c > 0
+        )
+        SELECT CAST(c_nationkey AS INT) AS nationkey,
+               CAST(count(*) AS BIGINT) AS numcust,
+               CAST(sum(bal_c) AS BIGINT) AS totacctbal_cents
+        FROM c, pos
+        WHERE bal_c * n > sum_c
+          AND c_custkey NOT IN (
+            SELECT o_custkey FROM orders WHERE o_orderdate >= '2001-01-01')
+        GROUP BY 1 ORDER BY 1
+    """
+    # wedge + closure-edge equi-join, support 0 kept via the left join
+    o["g19_trusssupport"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT a, b FROM (
+            SELECT x.item AS a, y.item AS b, count(*) AS w
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+          ) WHERE w >= 2
+        ),
+        adj AS (SELECT a AS z, b AS n FROM e
+                UNION ALL SELECT b, a FROM e),
+        w AS (
+          SELECT x.n AS a, y.n AS b
+          FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+        ),
+        sup AS (
+          SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS s
+          FROM w JOIN e ON w.a = e.a AND w.b = e.b GROUP BY 1, 2
+        )
+        SELECT e.a AS src, e.b AS dst,
+               CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+        FROM e LEFT JOIN sup ON e.a = sup.a AND e.b = sup.b
+    """
+    # streamed bit_or fold == batch bloom of the full corpus
+    o["stream_bloom"] = f"""
+        WITH bpos AS (
+          SELECT UNNEST([{', '.join(_bloom_positions('text', 'duck'))}]) AS pos
+          FROM documents
+        )
+        SELECT pos // 63 AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INTEGER)) AS bits
+        FROM bpos GROUP BY 1
     """
     # Adamic-Adar: same CTE chain as g12_linkpred, with the per-center unit
     # 1e12 // round(ln(deg)*1e6) — ln quantized BEFORE the division so the

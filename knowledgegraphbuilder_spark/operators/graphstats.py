@@ -1075,3 +1075,51 @@ def adamic_adar(
         .orderBy(F.desc("aa_units"), "src", "dst")
         .limit(int(top_n))
     )
+
+
+def edge_support(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-edge triangle support — |common neighbors of the endpoints| —
+    the quantity k-truss decomposition peels on (an edge is in the k-truss
+    iff support >= k-2 after iterated deletion; one peel round is a filter
+    over this output followed by a recompute).
+
+    Plan: a triangle is an edge (a,b) plus a wedge a-z-b; enumerating
+    wedges from the adjacency self-join on the center z and equi-joining
+    the (a,b) closure edge keeps everything an equi-join — no pairwise
+    neighbor-set intersection, no array comparisons. Support counts then
+    aggregate per closing edge. Edges with no triangle get support 0 via
+    the left join back onto the edge list. Hub cost is wedge cost — at
+    100 TB apply the same degree-ordering/cap discipline as
+    triangle_counts before this (the input here is the already-capped
+    co-purchase projection).
+
+    Output: (src, dst, support) for every input edge, src < dst.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("a"),
+        F.col(dst_col).cast("string").alias("b"),
+    ).filter(F.col("a") < F.col("b")).distinct()
+    adj = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))) \
+        .select(F.col("a").alias("z"), F.col("b").alias("n"))
+    wedges = (
+        adj.alias("x")
+        .join(adj.alias("y"), "z")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(F.col("x.n").alias("a"), F.col("y.n").alias("b"))
+    )
+    sup = (
+        wedges.join(e, ["a", "b"])
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("s"))
+    )
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("support"),
+        )
+    )

@@ -268,3 +268,25 @@ def merge_min(spark: SparkSession, table_dir: str, updates: DataFrame,
     else:
         merged = updates
     _commit_table(merged, table_dir)
+
+
+def merge_bitor(spark: SparkSession, table_dir: str, updates: DataFrame,
+                keys: list[str], val: str) -> None:
+    """Bit-OR-combine MERGE: per key, OR ``val`` across the current table
+    and the updates — the fold a Bloom filter's word table needs (setting
+    a bit twice is setting it once: idempotent, commutative, associative,
+    so any replay or re-batching leaves the state byte-identical). Same
+    union + re-aggregate shape as merge_max/merge_min."""
+    from pyspark.sql import functions as F
+
+    _recover_table(table_dir)
+    if os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        current = spark.read.parquet(table_dir)
+        merged = (
+            current.unionByName(updates)
+            .groupBy(*keys)
+            .agg(F.expr(f"bit_or({val})").alias(val))
+        )
+    else:
+        merged = updates
+    _commit_table(merged, table_dir)

@@ -797,3 +797,44 @@ def run_minhash_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_bloom_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    value_expr: str = "text",
+    schema: str = "doc_id long, text string, lang string, source string, "
+                  "n_chars long",
+) -> None:
+    """Streaming Bloom-filter maintenance: each micro-batch reduces to its
+    own bloom word table (operators/sketches.py:bloom_build) and
+    bit_or-MERGEs into the persistent filter. OR is idempotent/commutative/
+    associative, so the state is EXACTLY the batch filter of the full
+    input under any batching, ordering, or replay — the third instance of
+    the mergeable-fold contract (HLL max, MinHash min, Bloom or).
+
+    At scale this is how a dedup/membership gate stays current against an
+    unbounded firehose: the state is m/63 longs TOTAL (not per key), every
+    batch's contribution is a map-side aggregate, and the filter is
+    broadcastable to any consumer (dedup.bloom_anti_join) at every point
+    in time."""
+    from knowledgegraphbuilder_spark.operators.sketches import bloom_build
+    from knowledgegraphbuilder_spark.sources.sinks import merge_bitor
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        words = bloom_build(batch_df, value_expr)
+        merge_bitor(batch_df.sparkSession, table_dir, words, ["word"], "bits")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

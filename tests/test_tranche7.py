@@ -272,3 +272,40 @@ class TestMinhashGroupSignatures:
         merged = {k: min(pa.get(k, 1 << 62), pb.get(k, 1 << 62))
                   for k in set(pa) | set(pb)}
         assert whole == merged
+
+
+from knowledgegraphbuilder_spark.operators.graphstats import edge_support  # noqa: E402
+
+
+class TestEdgeSupport:
+    def test_triangle_plus_tail(self, spark):
+        # triangle a-b-c plus tail c-d: triangle edges have support 1,
+        # the tail edge 0
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+            "src string, dst string",
+        )
+        got = {(r["src"], r["dst"]): r["support"] for r in
+               edge_support(edges).collect()}
+        assert got == {("a", "b"): 1, ("b", "c"): 1, ("a", "c"): 1,
+                       ("c", "d"): 0}
+
+    def test_k4_support(self, spark):
+        # K4: every edge closes with both remaining vertices -> support 2
+        vs = ["a", "b", "c", "d"]
+        edges = spark.createDataFrame(
+            [(x, y) for i, x in enumerate(vs) for y in vs[i + 1:]],
+            "src string, dst string",
+        )
+        sups = [r["support"] for r in edge_support(edges).collect()]
+        assert sups == [2] * 6
+
+
+def test_q13_zero_order_bucket(spark, sf_dir):
+    """The LEFT join keeps customers with no qualifying orders: the
+    c_count=0 bucket must exist and the custdist sum must equal the
+    customer count."""
+    df = _entry.q_sql_tpch_q13(spark, sf_dir)
+    rows = {r["c_count"]: r["custdist"] for r in df.collect()}
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(rows.values()) == n_cust
