@@ -237,6 +237,12 @@ def main() -> None:
         "dd_normalize", "sk_heavy", "ts_reservoir", "sql_tpch_q5",
         "sql_tpch_q14",
         "dd_winnow", "ts_mad", "sql_tpch_q4", "sql_tpch_q19", "sql_cube",
+        "sql_funnel", "sql_retention", "ts_moving",
+        "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q10", "sql_tpch_q13",
+        "sql_tpch_q15", "sql_tpch_q17", "sql_tpch_q18", "sql_tpch_q22",
+        "ts_entropy", "ts_winsorize", "ml_ols", "ml_corr",
+        "g18_adamicadar", "dd_bloomjoin", "g19_trusssupport",
+        "stream_minhash", "stream_bloom",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

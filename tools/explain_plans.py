@@ -644,6 +644,101 @@ def main() -> None:
         entry.q_sql_cube(spark, args.sf),
     )
 
+    from knowledgegraphbuilder_spark.operators.dedup import bloom_anti_join
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        adamic_adar,
+        edge_support,
+    )
+    from knowledgegraphbuilder_spark.operators.mlstats import corr_matrix
+
+    add(
+        "Conversion funnel: ever-shrinking per-stage aggregates",
+        "Each stage is one filtered min-aggregate plus one equi-join on "
+        "user_id against the PREVIOUS stage's (strictly smaller) user set "
+        "— three shuffles on the same key over shrinking data, never a "
+        "self-join of the event log; AQE broadcasts the later stages once "
+        "they fit.",
+        entry.q_sql_funnel(spark, args.sf),
+    )
+    add(
+        "Trailing 1h RANGE window: one shuffle on the partition key",
+        "The window sort is per-user (Exchange hashpartitioning(user_id) + "
+        "per-partition Sort) — no global sort anywhere; the frame bound is "
+        "integer microseconds, evaluated inside the Window operator in one "
+        "pass.",
+        entry.q_ts_moving(spark, args.sf),
+    )
+    add(
+        "TPC-H Q7 adaptation: role-playing broadcast dimension",
+        "nation joins twice under two roles (supp_nation / cust_nation) — "
+        "both rides are BroadcastHashJoins; the symmetric nation-pair "
+        "disjunction filters after the broadcasts, and only the "
+        "lineitem x orders x customer fact chain shuffles.",
+        entry.q_sql_tpch_q7(spark, args.sf),
+    )
+    add(
+        "TPC-H Q10 adaptation: aggregate BEFORE the attribute join",
+        "Revenue aggregates on bare custkeys first; the wide customer row "
+        "and the nation name join onto the aggregate's output (25x fewer "
+        "rows than lineitem), and the top-20 is TakeOrderedAndProject — "
+        "no global sort of customers.",
+        entry.q_sql_tpch_q10(spark, args.sf),
+    )
+    add(
+        "TPC-H Q13 adaptation: outer join survives the pushed filter",
+        "The priority filter applies inside the orders scan "
+        "(PushedFilters), NOT as a post-join predicate — so the LEFT OUTER "
+        "join still emits zero-order customers and the double aggregate "
+        "(per-customer count, then histogram) is two map-side-combinable "
+        "exchanges.",
+        entry.q_sql_tpch_q13(spark, args.sf),
+    )
+    add(
+        "Pearson matrix: whole matrix from ONE aggregate pass",
+        "All 4 sums, 4 squares and 6 cross-products are partial-aggregated "
+        "in a single HashAggregate over one lineitem scan; the 6 "
+        "correlations explode from the ONE stats row — no per-pair rescans, "
+        "no joins.",
+        corr_matrix(
+            spark.read.parquet(f"{args.sf}/lineitem.parquet"),
+            {"qty": "cast(l_quantity as bigint)",
+             "price_c": "cast(floor(l_extendedprice * 100) as bigint)"},
+        ),
+    )
+    add(
+        "Adamic-Adar: capped wedge self-join + anti join + TakeOrdered",
+        "Same discipline as link_prediction: the adjacency self-joins on "
+        "the center AFTER the hub cap drops high-degree centers, existing "
+        "edges anti-join out, and the top-100 is TakeOrderedAndProject. "
+        "The AA unit is an exact BIGINT (quantized-ln), so the aggregate "
+        "is a plain partial_sum.",
+        adamic_adar(
+            spark.read.parquet(f"{args.sf}/lineitem.parquet")
+            .selectExpr("cast(l_orderkey as string) as src",
+                        "cast(l_partkey as string) as dst").limit(2000),
+            max_hub_degree=10,
+        ),
+    )
+    add(
+        "Bloom anti-join dedup: broadcast filter, shuffle sized by dup rate",
+        "The seen-set bloom words (<= m/63 rows) broadcast; every probe is "
+        "map-side. Only hits==K rows reach the exact LeftAnti join — the "
+        "corpus-sized leg never shuffles on text, and the definitely-new "
+        "majority short-circuits through the hits<K branch.",
+        bloom_anti_join(docs, docs.filter(F.col("doc_id") % 7 == 0)),
+    )
+    add(
+        "Edge triangle support: wedge + closure equi-join, no set ops",
+        "A triangle is wedge(a-z-b) JOIN edge(a,b) — everything is an "
+        "equi-join (SortMergeJoin at scale), no neighbor-array "
+        "intersections; support-0 edges survive via the left join back "
+        "onto the edge list.",
+        edge_support(
+            spark.read.parquet(f"{args.sf}/lineitem.parquet")
+            .selectExpr("cast(l_orderkey as string) as src",
+                        "cast(l_partkey as string) as dst").limit(2000)),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
