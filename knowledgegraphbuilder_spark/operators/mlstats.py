@@ -66,7 +66,9 @@ def grouped_ols(
         f"cast({x_expr} as bigint) as x",
         f"cast({y_expr} as bigint) as y",
     ).groupBy("grp").agg(*_sums("x", "y"))
-    slope = F.expr(f"{_COV_NUM} / {_VAR_X}")
+    # nullif guards the constant-x group: ANSI Spark would throw
+    # DIVIDE_BY_ZERO where DuckDB yields NULL — nullif makes both NULL
+    slope = F.expr(f"{_COV_NUM} / nullif({_VAR_X}, 0.0d)")
     return g.select(
         "grp",
         F.col("n").cast("long").alias("n"),

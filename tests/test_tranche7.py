@@ -309,3 +309,61 @@ def test_q13_zero_order_bucket(spark, sf_dir):
     rows = {r["c_count"]: r["custdist"] for r in df.collect()}
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
     assert sum(rows.values()) == n_cust
+
+
+class TestDegenerateInputs7:
+    """Degenerate-input hardening for the tranche-7 operators — the same
+    discipline as test_degenerate_inputs.py: empty frames, single rows,
+    nulls, and constant columns must not crash or emit wrong shapes
+    (ANSI mode turns silent index/overflow bugs into errors)."""
+
+    def test_entropy_null_class_and_empty(self, spark):
+        df = spark.createDataFrame(
+            [("a", None), ("a", "en"), ("a", None)],
+            "source string, lang string",
+        )
+        got = {r["grp"]: r for r in shannon_entropy(df).collect()}
+        # NULL is its own class: 2 classes, n=3
+        assert got["a"]["n_classes"] == 2 and got["a"]["n"] == 3
+        empty = spark.createDataFrame([], "source string, lang string")
+        assert shannon_entropy(empty).count() == 0
+
+    def test_winsorize_single_row_group(self, spark):
+        df = spark.createDataFrame(
+            [(1, "g", 42.0)], "doc_id long, source string, n_chars double")
+        r = winsorize(df, value_expr="n_chars").collect()[0]
+        # p05 == p95 == the value: clamp is the identity, nothing clipped
+        assert r["x_wins"] == 42.0 and r["clipped"] == 0
+
+    def test_ols_degenerate_variance(self, spark):
+        # constant x: denominator 0 -> slope/intercept NULL-safe, r2 0
+        df = spark.createDataFrame(
+            [("g", 5, y) for y in (1, 2, 3)], "grp string, x long, y long")
+        r = grouped_ols(df, "x", "y").collect()[0]
+        assert r["r2"] == 0.0 and r["slope"] is None
+
+    def test_single_node_graph_ops(self, spark):
+        one = spark.createDataFrame([("a", "b")], "src string, dst string")
+        assert adamic_adar(one).count() == 0
+        sup = edge_support(one).collect()
+        assert [(r["src"], r["dst"], r["support"]) for r in sup] == [
+            ("a", "b", 0)]
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert adamic_adar(empty).count() == 0
+        assert edge_support(empty).count() == 0
+
+    def test_bloom_anti_join_empty_seen(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "x y z"), (2, "p q r")], "doc_id long, text string")
+        empty_seen = docs.filter("doc_id < 0")
+        out = bloom_anti_join(docs, empty_seen).collect()
+        # empty filter: zero words broadcast, every probe misses -> all new
+        assert {r["doc_id"] for r in out} == {"1", "2"}
+        assert all(r["path"] == "bloom" for r in out)
+
+    def test_minhash_group_signatures_empty_and_short(self, spark):
+        df = spark.createDataFrame(
+            [("s", "one"), ("s", "")], "source string, text string")
+        rows = minhash_group_signatures(df).collect()
+        # short texts still shingle (whole-text gram); 16 perms, one group
+        assert len(rows) == 16
