@@ -2154,6 +2154,291 @@ def q_sql_tpch_q22(spark, sf_dir):
     )
 
 
+def q_sql_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted to the star schema at hand:
+    no partsupp table, so the part-supplier cost relation is observed unit
+    price in lineitem — unit_c = floor(l_extendedprice * 100 / l_quantity),
+    the same IEEE double expression floored on both engines. For each
+    LARGE part sized 10-14 supplied from EUROPE, pick the minimum unit
+    price and the lowest-keyed supplier achieving it (deterministic
+    argmin). The correlated-min subquery becomes a groupBy on partkey
+    joined back — one shuffle on l_partkey; part and the supplier→nation→
+    region dim chain are broadcast."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 14))
+        .select("p_partkey", "p_name")
+    )
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name",
+            F.expr(
+                "cast(floor(l_extendedprice * 100 / l_quantity) as bigint)"
+            ).alias("unit_c"),
+        )
+    )
+    best = li.groupBy(F.col("p_partkey").alias("pk")).agg(
+        F.min("unit_c").alias("min_unit_c")
+    )
+    return (
+        li.join(
+            best,
+            (li.p_partkey == best.pk) & (li.unit_c == best.min_unit_c),
+        )
+        .groupBy("p_partkey", "p_name", "min_unit_c")
+        .agg(F.min("s_suppkey").alias("s_suppkey"))
+        .orderBy("min_unit_c", "p_partkey")
+    )
+
+
+def q_sql_tpch_q9(spark, sf_dir):
+    """TPC-H Q9 (product-type profit by nation and year), adapted: no
+    partsupp supply cost, so profit = revenue on '%gear%' parts, grouped
+    by the SUPPLIER's nation and order year. The classic 5-way join:
+    lineitem shuffles once on l_orderkey (orders side); part and the
+    supplier→nation chain broadcast; amount is exact integer cents
+    (floor(extendedprice * (1-discount) * 100), identical IEEE product
+    on both engines)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name").alias("nation"), "o_year")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(floor(l_extendedprice * (1 - l_discount) * 100)"
+                    " as bigint)"
+                )
+            ).cast("long").alias("profit_cents")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+def q_sql_tpch_q11(spark, sf_dir):
+    """TPC-H Q11 (important stock), adapted: part 'value' held by NATION_3's
+    suppliers = summed lineitem cents, keep parts whose value exceeds
+    1/1000 of the nation total (EXACT integer predicate val * 1000 >
+    total — no float fraction). The total is a single-row broadcast
+    cross join, exactly the Q22 average pattern; the per-part aggregate
+    is one shuffle on l_partkey."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.expr("cast(floor(l_extendedprice * 100) as bigint)"))
+            .cast("long").alias("value_cents")
+        )
+    )
+    total = v.agg(F.sum("value_cents").cast("long").alias("total_c"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * F.lit(1000) > F.col("total_c"))
+        .select("partkey", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "partkey")
+    )
+
+
+def q_sql_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 (shipping-mode priority pivot), adapted: no l_shipmode /
+    commit / receipt dates, so the pivot key is l_linestatus and 'late'
+    means shipped >= 60 days after the order date, restricted to 1997
+    shipments. The CASE-sum pivot is a map-side-combinable aggregate; the
+    lineitem⋈orders join shuffles on the order key once."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1997
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.expr("datediff(cast(l_shipdate as date),"
+                       " cast(o_orderdate as date)) >= 60"))
+        .groupBy(F.col("l_linestatus").alias("linestatus"))
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {hi} THEN 1 ELSE 0 END"))
+            .cast("long").alias("high_line_count"),
+            F.sum(F.expr(f"CASE WHEN {hi} THEN 0 ELSE 1 END"))
+            .cast("long").alias("low_line_count"),
+        )
+        .orderBy("linestatus")
+    )
+
+
+def q_sql_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 (part/supplier relationship counts), adapted: the
+    part-supplier relation comes from DISTINCT lineitem (partkey, suppkey)
+    pairs (no partsupp), 'customer complaints' becomes s_acctbal < 0
+    (excluded via broadcast anti join). count(DISTINCT suppkey) per
+    (brand, type, size) — the distinct pre-aggregation dedups pairs
+    map-side before the final count shuffle."""
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 15, 25, 35, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    return (
+        pairs.groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").cast("int").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "type", "size")
+    )
+
+
+def q_sql_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (part promotion candidates), adapted: no ps_availqty, so
+    'excess stock' becomes shipping dominance — suppliers who shipped MORE
+    THAN HALF of a '%bolt%' part's total 1998 volume (EXACT integer
+    predicate 2 * qty_sp > qty_p on BIGINT quantities). Two aggregates
+    over the same filtered scan share the l_partkey shuffle; the dominant
+    (supplier, part) pairs reduce to DISTINCT suppliers joined back to
+    the broadcast supplier dim."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "part")
+                .filter(F.col("p_name").like("%bolt%"))
+                .select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(F.year("l_shipdate") == 1998)
+        .select(
+            "l_suppkey", "l_partkey",
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+    )
+    sp = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("qty").cast("long").alias("qty_sp")
+    )
+    pt = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").cast("long").alias("qty_p")
+    )
+    dominant = (
+        sp.join(pt, sp.l_partkey == pt.pk)
+        .filter(F.lit(2) * F.col("qty_sp") > F.col("qty_p"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        dominant.join(
+            F.broadcast(_t(spark, sf_dir, "supplier")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").cast("long").alias("suppkey"),
+            F.col("s_name").alias("name"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+def q_sql_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: 'late' =
+    shipped > 90 days after the order date on finished ('F') orders; the
+    EXISTS(other supplier) / NOT EXISTS(other late supplier) pair is
+    re-expressed as per-order distinct counts — ns > 1 AND exactly ONE
+    distinct late supplier — computed in a single groupBy on the order
+    key and joined back, replacing the reference pattern's two extra
+    self-joins of the fact table with one aggregate (same result,
+    provably: the sole late supplier of a multi-supplier order is
+    exactly the row Q21's l1 keeps). numwait counts per supplier."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .join(
+            _t(spark, sf_dir, "orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey", "l_suppkey",
+            F.expr("datediff(cast(l_shipdate as date),"
+                   " cast(o_orderdate as date)) > 90").alias("late"),
+        )
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.countDistinct("l_suppkey").alias("ns"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("nl"),
+    )
+    return (
+        li.filter(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .filter((F.col("ns") > 1) & (F.col("nl") == 1))
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(F.countDistinct("l_orderkey").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "suppkey")
+    )
+
+
 def q_g19_trusssupport(spark, sf_dir):
     """Per-edge triangle support (the k-truss building block: an edge's
     support = |common neighbors of its endpoints|) over the weight>=2
@@ -2757,6 +3042,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q22": q_sql_tpch_q22,
         "g19_trusssupport": q_g19_trusssupport,
         "stream_bloom": q_stream_bloom,
+        # full TPC-H sweep completion (adapted to the partsupp-less star
+        # schema — see each docstring); appended PAST the gate window,
+        # round-5 rotation candidates
+        "sql_tpch_q2": q_sql_tpch_q2,
+        "sql_tpch_q9": q_sql_tpch_q9,
+        "sql_tpch_q11": q_sql_tpch_q11,
+        "sql_tpch_q12": q_sql_tpch_q12,
+        "sql_tpch_q16": q_sql_tpch_q16,
+        "sql_tpch_q20": q_sql_tpch_q20,
+        "sql_tpch_q21": q_sql_tpch_q21,
     }
 
 
@@ -6403,6 +6698,130 @@ def oracle_sql() -> dict[str, str]:
           AND c_custkey NOT IN (
             SELECT o_custkey FROM orders WHERE o_orderdate >= '2001-01-01')
         GROUP BY 1 ORDER BY 1
+    """
+    # adapted Q2: unit_c replays the identical IEEE double expression
+    o["sql_tpch_q2"] = """
+        WITH li AS (
+          SELECT p_partkey, p_name, s_suppkey,
+                 CAST(floor(l_extendedprice * 100 / l_quantity) AS BIGINT)
+                   AS unit_c
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 14
+            AND r_name = 'EUROPE'
+        ),
+        best AS (
+          SELECT p_partkey AS pk, min(unit_c) AS min_unit_c
+          FROM li GROUP BY 1
+        )
+        SELECT p_partkey, p_name, min_unit_c,
+               CAST(min(s_suppkey) AS BIGINT) AS s_suppkey
+        FROM li JOIN best ON p_partkey = pk AND unit_c = min_unit_c
+        GROUP BY 1, 2, 3
+        ORDER BY min_unit_c, p_partkey
+    """
+    o["sql_tpch_q9"] = """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS profit_cents
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2 ORDER BY 1, 2 DESC
+    """
+    o["sql_tpch_q11"] = """
+        WITH v AS (
+          SELECT l_partkey AS partkey,
+                 CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                      AS BIGINT) AS value_cents
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          WHERE n_name = 'NATION_3'
+          GROUP BY 1
+        ),
+        t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_c FROM v)
+        SELECT partkey, value_cents
+        FROM v, t
+        WHERE value_cents * 1000 > total_c
+        ORDER BY value_cents DESC, partkey
+    """
+    o["sql_tpch_q12"] = """
+        SELECT l_linestatus AS linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                 AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                 AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(l_shipdate) = 1997
+          AND datediff('day', CAST(o_orderdate AS DATE),
+                       CAST(l_shipdate AS DATE)) >= 60
+        GROUP BY 1 ORDER BY 1
+    """
+    o["sql_tpch_q16"] = """
+        WITH pairs AS (
+          SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        )
+        SELECT p_brand AS brand, p_type AS type,
+               CAST(p_size AS INT) AS size,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM pairs
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 15, 25, 35, 45)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, 1, 2, 3
+    """
+    o["sql_tpch_q20"] = """
+        WITH li AS (
+          SELECT l_suppkey, l_partkey, CAST(l_quantity AS BIGINT) AS qty
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE '%bolt%' AND year(l_shipdate) = 1998
+        ),
+        sp AS (
+          SELECT l_suppkey, l_partkey, CAST(sum(qty) AS BIGINT) AS qty_sp
+          FROM li GROUP BY 1, 2
+        ),
+        pt AS (
+          SELECT l_partkey AS pk, CAST(sum(qty) AS BIGINT) AS qty_p
+          FROM li GROUP BY 1
+        )
+        SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS suppkey,
+               s_name AS name
+        FROM sp JOIN pt ON l_partkey = pk
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE 2 * qty_sp > qty_p
+        ORDER BY suppkey
+    """
+    o["sql_tpch_q21"] = """
+        WITH li AS (
+          SELECT l_orderkey, l_suppkey,
+                 datediff('day', CAST(o_orderdate AS DATE),
+                          CAST(l_shipdate AS DATE)) > 90 AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_order AS (
+          SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS ns,
+                 count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl
+          FROM li GROUP BY 1
+        )
+        SELECT l_suppkey AS suppkey,
+               CAST(count(DISTINCT l_orderkey) AS BIGINT) AS numwait
+        FROM li JOIN per_order ON l_orderkey = ok
+        WHERE late AND ns > 1 AND nl = 1
+        GROUP BY 1 ORDER BY numwait DESC, suppkey
     """
     # wedge + closure-edge equi-join, support 0 kept via the left join
     o["g19_trusssupport"] = """

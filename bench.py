@@ -243,6 +243,8 @@ def main() -> None:
         "ts_entropy", "ts_winsorize", "ml_ols", "ml_corr",
         "g18_adamicadar", "dd_bloomjoin", "g19_trusssupport",
         "stream_minhash", "stream_bloom",
+        "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12",
+        "sql_tpch_q16", "sql_tpch_q20", "sql_tpch_q21",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

@@ -694,6 +694,64 @@ def main() -> None:
         entry.q_sql_tpch_q13(spark, args.sf),
     )
     add(
+        "TPC-H Q2 adaptation: correlated-min as groupBy + join-back",
+        "The part filter and the supplier->nation->region chain are "
+        "BroadcastHashJoins into one lineitem scan; the per-part min is a "
+        "map-side-combinable aggregate whose (tiny) output AQE broadcasts "
+        "back onto the same scan's rows — the argmin never sorts or "
+        "windows the fact table.",
+        entry.q_sql_tpch_q2(spark, args.sf),
+    )
+    add(
+        "TPC-H Q9 adaptation: 5-way join, one fact shuffle",
+        "part and supplier+nation ride as broadcasts; the only exchange "
+        "on fact data is lineitem x orders on the order key, and the "
+        "nation x year profit aggregate partial-aggregates before it.",
+        entry.q_sql_tpch_q9(spark, args.sf),
+    )
+    add(
+        "TPC-H Q11 adaptation: broadcast scalar threshold",
+        "Per-part value aggregates once on l_partkey; the nation total is "
+        "a single-row BroadcastNestedLoopJoin (the Q22 average pattern) "
+        "and the keep-predicate is exact BIGINT — no float fraction, no "
+        "second scan of the per-part aggregate.",
+        entry.q_sql_tpch_q11(spark, args.sf),
+    )
+    add(
+        "TPC-H Q12 adaptation: CASE-sum pivot, single join",
+        "Both priority counts come from one CASE-sum HashAggregate over "
+        "the lineitem x orders join — never two filtered passes; the "
+        "1997 filter pushes into the lineitem scan.",
+        entry.q_sql_tpch_q12(spark, args.sf),
+    )
+    add(
+        "TPC-H Q16 adaptation: distinct pre-agg before count-distinct",
+        "The (partkey, suppkey) relation dedups map-side BEFORE the "
+        "count(DISTINCT) shuffle; the negative-balance exclusion is a "
+        "broadcast LeftAnti and the part attribute filter a broadcast "
+        "hash join — the fact table shuffles exactly once, already "
+        "deduplicated.",
+        entry.q_sql_tpch_q16(spark, args.sf),
+    )
+    add(
+        "TPC-H Q20 adaptation: two aggregates share one filtered scan",
+        "Supplier-part and part totals both reduce the SAME "
+        "brand-filtered, year-filtered lineitem leg (shuffle keyed by "
+        "l_partkey); dominance is an exact 2*qty_sp > qty_p BIGINT "
+        "filter and the supplier dim joins broadcast onto the distinct "
+        "winner keys.",
+        entry.q_sql_tpch_q20(spark, args.sf),
+    )
+    add(
+        "TPC-H Q21 adaptation: EXISTS pair folded into ONE aggregate",
+        "The reference pattern's two extra self-joins of the fact table "
+        "(EXISTS / NOT EXISTS) are one per-order countDistinct aggregate "
+        "joined back — late rows qualify via ns>1 AND nl==1, so the fact "
+        "table is scanned once and shuffled twice (order key, then "
+        "supplier), never four times.",
+        entry.q_sql_tpch_q21(spark, args.sf),
+    )
+    add(
         "Pearson matrix: whole matrix from ONE aggregate pass",
         "All 4 sums, 4 squares and 6 cross-products are partial-aggregated "
         "in a single HashAggregate over one lineitem scan; the 6 "
