@@ -2439,6 +2439,62 @@ def q_sql_tpch_q21(spark, sf_dir):
     )
 
 
+def q_g20_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph
+    (graphstats.py:assortativity): Pearson r of the degrees at each edge's
+    two ends over both orientations, from EXACT decimal integer sufficient
+    statistics — the mlstats discipline applied to graph structure. One
+    degree aggregate, two equi-joins, one single-row aggregate."""
+    from knowledgegraphbuilder_spark.operators.graphstats import assortativity
+
+    return assortativity(_copurchase_edges(spark, sf_dir))
+
+
+def q_g21_edgejaccard(spark, sf_dir):
+    """Per-edge neighborhood Jaccard (graphstats.py:edge_jaccard) on the
+    weight>=2 co-purchase graph: support from the g19 wedge+closure
+    equi-joins, union size from pure integer degree arithmetic; low-Jaccard
+    edges are the local bridges. Exact BIGINT numerator/denominator, one
+    rounded divide."""
+    from knowledgegraphbuilder_spark.operators.graphstats import edge_jaccard
+
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    return edge_jaccard(edges).orderBy("src", "dst")
+
+
+def q_ml_histogram(spark, sf_dir):
+    """Per-returnflag equi-width histogram of l_extendedprice
+    (mlstats.py:equi_width_histogram): data-driven group bounds from one
+    min/max aggregate, bucket index from the shared IEEE floor expression,
+    empty buckets emitted via a bins-sized sequence explode (never
+    data-sized). 12 buckets x 3 groups, always exactly 36 rows."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        equi_width_histogram,
+    )
+
+    return equi_width_histogram(
+        _t(spark, sf_dir, "lineitem"),
+        value_expr="l_extendedprice",
+        bins=12,
+        group_col="l_returnflag",
+    )
+
+
+def q_ts_infer_batches(spark, sf_dir):
+    """Length-bucketed inference batch assembly over documents
+    (curation.py:inference_batches): 16-token buckets, 512-token next-fit
+    batches, per-batch padding-waste accounting — the batching stage in
+    front of every Arrow-batched model UDF in the KG pipeline. One window
+    shuffle keyed by bucket, one map-side rollup."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        inference_batches,
+    )
+
+    return inference_batches(
+        _t(spark, sf_dir, "documents"), max_tokens=512, bucket_width=16
+    )
+
+
 def q_g19_trusssupport(spark, sf_dir):
     """Per-edge triangle support (the k-truss building block: an edge's
     support = |common neighbors of its endpoints|) over the weight>=2
@@ -3052,6 +3108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_tpch_q16": q_sql_tpch_q16,
         "sql_tpch_q20": q_sql_tpch_q20,
         "sql_tpch_q21": q_sql_tpch_q21,
+        "g20_assortativity": q_g20_assortativity,
+        "g21_edgejaccard": q_g21_edgejaccard,
+        "ml_histogram": q_ml_histogram,
+        "ts_infer_batches": q_ts_infer_batches,
     }
 
 
@@ -6822,6 +6882,144 @@ def oracle_sql() -> dict[str, str]:
         FROM li JOIN per_order ON l_orderkey = ok
         WHERE late AND ns > 1 AND nl = 1
         GROUP BY 1 ORDER BY numwait DESC, suppkey
+    """
+    # assortativity: exact HUGEINT sufficient stats over both edge ends
+    o["g20_assortativity"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+          GROUP BY 1, 2
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS HUGEINT) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY 1
+        ),
+        ends AS (
+          SELECT da.d AS x, db.d AS y
+          FROM e JOIN deg da ON e.a = da.node JOIN deg db ON e.b = db.node
+        ),
+        pairs AS (
+          SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends
+        ),
+        s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                 sum(x * x) AS sxx, sum(x * y) AS sxy
+          FROM pairs
+        )
+        SELECT CAST(n AS BIGINT) AS n_ends,
+               round(CAST(n * sxy - sx * sx AS DOUBLE)
+                     / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0),
+                     6) AS assortativity
+        FROM s
+    """
+    # edge Jaccard: g19's support CTEs + integer degree arithmetic
+    o["g21_edgejaccard"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT a, b FROM (
+            SELECT x.item AS a, y.item AS b, count(*) AS w
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+          ) WHERE w >= 2
+        ),
+        adj AS (SELECT a AS z, b AS n FROM e
+                UNION ALL SELECT b, a FROM e),
+        w AS (
+          SELECT x.n AS a, y.n AS b
+          FROM adj x JOIN adj y ON x.z = y.z AND x.n < y.n
+        ),
+        sup AS (
+          SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS s
+          FROM w JOIN e ON w.a = e.a AND w.b = e.b GROUP BY 1, 2
+        ),
+        se AS (
+          SELECT e.a, e.b, CAST(coalesce(sup.s, 0) AS BIGINT) AS support
+          FROM e LEFT JOIN sup ON e.a = sup.a AND e.b = sup.b
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+            SELECT a AS node FROM se UNION ALL SELECT b FROM se
+          ) GROUP BY 1
+        )
+        SELECT se.a AS src, se.b AS dst, support,
+               CAST(da.d + db.d - 2 - support AS BIGINT) AS union_size,
+               round(CAST(support AS DOUBLE)
+                     / nullif(CAST(da.d + db.d - 2 - support AS DOUBLE), 0),
+                     6) AS jaccard
+        FROM se JOIN deg da ON se.a = da.node JOIN deg db ON se.b = db.node
+        ORDER BY 1, 2
+    """
+    # histogram: the bucket index is the SAME IEEE floor expression
+    o["ml_histogram"] = """
+        WITH v AS (
+          SELECT l_returnflag AS grp, CAST(l_extendedprice AS DOUBLE) AS v
+          FROM lineitem WHERE l_extendedprice IS NOT NULL
+        ),
+        b AS (SELECT grp, min(v) AS lo, max(v) AS hi FROM v GROUP BY 1),
+        c AS (
+          SELECT v.grp,
+                 CASE WHEN hi = lo THEN 0
+                      ELSE least(11, CAST(floor((v - lo) * 12 / (hi - lo))
+                                          AS INT)) END AS bucket,
+                 count(*) AS cnt
+          FROM v JOIN b ON v.grp = b.grp GROUP BY 1, 2
+        ),
+        shell AS (
+          SELECT grp, lo, hi, CAST(UNNEST(range(12)) AS INT) AS bucket
+          FROM b
+        )
+        SELECT shell.grp AS l_returnflag, shell.bucket,
+               round(lo + shell.bucket * (hi - lo) / 12, 6) AS bucket_lo,
+               CAST(coalesce(cnt, 0) AS BIGINT) AS n
+        FROM shell LEFT JOIN c ON shell.grp = c.grp
+                               AND shell.bucket = c.bucket
+        ORDER BY 1, 2
+    """
+    # next-fit by running token sum, replayed with a window cumsum
+    o["ts_infer_batches"] = """
+        WITH base AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 CAST(floor(CAST(len(string_split(text, ' ')) AS BIGINT)
+                            / 16) AS INT) AS bucket
+          FROM documents
+        ),
+        assigned AS (
+          SELECT bucket, n_tokens,
+                 CAST(floor((sum(n_tokens) OVER (
+                        PARTITION BY bucket ORDER BY n_tokens, doc_id
+                        ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                      AS BIGINT) AS batch
+          FROM base
+        )
+        SELECT bucket, batch, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tokens,
+               CAST(count(*) * max(n_tokens) AS BIGINT) AS padded_tokens,
+               round((count(*) * max(n_tokens) - sum(n_tokens))
+                     * 10000.0
+                     / nullif(CAST(count(*) * max(n_tokens) AS DOUBLE), 0)
+                     / 100.0, 4) AS waste_pct
+        FROM assigned GROUP BY 1, 2 ORDER BY 1, 2
     """
     # wedge + closure-edge equi-join, support 0 kept via the left join
     o["g19_trusssupport"] = """

@@ -784,3 +784,78 @@ def weighted_reservoir_sample(
         .filter(F.col("rk") <= k)
         .select(group_col, "doc_id", "w", "tkey", "rk")
     )
+
+
+def inference_batches(
+    docs: DataFrame,
+    max_tokens: int = 2048,
+    bucket_width: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cost_expr: str | None = None,
+) -> DataFrame:
+    """Length-bucketed batch assembly for model inference — the batching
+    stage in front of any Arrow-batched NER / relation-extraction /
+    embedding UDF (the north-star pipeline's hot path). Padding a batch
+    to its longest member costs (batch_size * max_len − sum_len) wasted
+    tokens; grouping near-equal-length documents into the same batch is
+    the standard fix (every serving stack's "length bucketing").
+
+    Docs land in buckets of ``bucket_width`` tokens; within a bucket the
+    next-fit rule packs by running token sum: batch = floor(cum_before /
+    max_tokens) — deterministic (ordered by token count then doc id),
+    replayable in plain SQL, and each batch's token payload is bounded by
+    max_tokens + one document.
+
+    Plan: the running sum is a per-bucket window — ONE shuffle keyed by
+    bucket; buckets are the parallelism unit, so thousands of buckets
+    spread a 10^12-doc corpus evenly (the skewed-bucket worst case is the
+    modal length, bounded by bucket granularity). The per-batch rollup is
+    a map-side-combinable aggregate on (bucket, batch).
+
+    Output per batch: (bucket, batch, n_docs, tokens, padded_tokens,
+    waste_pct) where padded_tokens = n_docs * max token count in batch
+    (every member pads to the longest) and waste_pct is rounded to 4dp.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(cost_expr or f"size(split({text_col}, ' '))")
+        .cast("long").alias("n_tokens"),
+    ).withColumn(
+        "bucket", F.floor(F.col("n_tokens") / bucket_width).cast("int")
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("n_tokens", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = base.select(
+        "bucket",
+        "doc_id",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / max_tokens
+        ).cast("long").alias("batch"),
+    )
+    return (
+        assigned.groupBy("bucket", "batch")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("tokens"),
+            (F.count("*") * F.max("n_tokens")).cast("long")
+            .alias("padded_tokens"),
+        )
+        .withColumn(
+            "waste_pct",
+            F.round(
+                (F.col("padded_tokens") - F.col("tokens"))
+                * F.lit(10000.0)
+                / F.expr("nullif(cast(padded_tokens as double), 0.0d)")
+                / 100.0,
+                4,
+            ),
+        )
+        .orderBy("bucket", "batch")
+    )

@@ -1123,3 +1123,121 @@ def edge_support(
             F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("support"),
         )
     )
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of the degrees at the two ends of every edge, computed
+    over BOTH orientations of each undirected edge (the standard
+    symmetric formulation, so Sx == Sy and Sxx == Syy by construction).
+
+    The sufficient statistics are EXACT decimal integers, the mlstats.py
+    discipline: degrees are BIGINT, the one aggregate carries n, S, Sxx,
+    Sxy in decimal(38)-safe precisions, and the only float is the final
+    divide — both engines divide identical integers, so the oracle replay
+    is deterministic. Constant-degree graphs have zero variance; the
+    nullif denominator yields NULL on Spark exactly where DuckDB's
+    divide-by-zero does.
+
+    Plan: canonicalize (one shuffle), degree aggregate (one shuffle),
+    two equi-joins of the edge list onto the (node, degree) table —
+    at 10^9+ edges the degree table is the small side and broadcasts —
+    then ONE map-side-combinable aggregate to a single row. No windows,
+    no self-joins.
+
+    Output: a single row (n_ends, assortativity)."""
+    e = (
+        edges.select(
+            F.least(
+                F.col(src_col).cast("string"), F.col(dst_col).cast("string")
+            ).alias("a"),
+            F.greatest(
+                F.col(src_col).cast("string"), F.col(dst_col).cast("string")
+            ).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    ends = (
+        e.join(deg.select(F.col("node").alias("a"),
+                          F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"),
+                         F.col("degree").alias("db")), "b")
+    )
+    # both orientations: (da, db) and (db, da)
+    pairs = ends.select(
+        F.col("da").alias("x"), F.col("db").alias("y")
+    ).unionAll(ends.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    s = pairs.agg(
+        F.expr("cast(count(*) as decimal(12,0))").alias("n"),
+        F.expr("cast(sum(x) as decimal(20,0))").alias("sx"),
+        F.expr("cast(sum(x * x) as decimal(26,0))").alias("sxx"),
+        F.expr("cast(sum(x * y) as decimal(26,0))").alias("sxy"),
+    )
+    # symmetric pairs: Sy == Sx, Syy == Sxx, so r reduces to
+    # (n*Sxy - Sx^2) / (n*Sxx - Sx^2)
+    return s.select(
+        F.col("n").cast("long").alias("n_ends"),
+        F.round(
+            F.expr(
+                "cast(n * sxy - sx * sx as double)"
+                " / nullif(cast(n * sxx - sx * sx as double), 0.0d)"
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+def edge_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-edge Jaccard similarity of the endpoints' neighborhoods
+    (endpoints themselves excluded): |N(a) ∩ N(b)| / |N(a) ∪ N(b) − {a,b}|
+    — the classic tie-strength / local-bridge signal (a low-Jaccard edge
+    is a bridge between communities).
+
+    Intersection = the edge's triangle support (edge_support — wedge +
+    closure equi-joins, no neighbor-array intersections); union =
+    (deg(a)−1) + (deg(b)−1) − support, pure integer arithmetic off the
+    degree table. Isolated edges (both endpoints degree 1) have an empty
+    union; nullif keeps them NULL on both engines.
+
+    Output: (src, dst, support, union_size, jaccard) with src < dst;
+    support and union_size are exact BIGINTs so the oracle replays the
+    identical integers and the only float is the final rounded divide."""
+    sup = edge_support(edges, src_col=src_col, dst_col=dst_col)
+    deg = (
+        sup.select(F.col("src").alias("node"))
+        .unionAll(sup.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    return (
+        sup.join(deg.select(F.col("node").alias("src"),
+                            F.col("degree").alias("d_src")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("degree").alias("d_dst")), "dst")
+        .select(
+            "src", "dst", "support",
+            (F.col("d_src") + F.col("d_dst") - F.lit(2) - F.col("support"))
+            .cast("long").alias("union_size"),
+            F.round(
+                F.col("support").cast("double")
+                / F.expr("nullif(cast(d_src + d_dst - 2 - support as double),"
+                         " 0.0d)"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -131,3 +131,68 @@ def corr_matrix(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     # all pairs project from the ONE aggregated stats row — a single scan
     # of the fact table, never one aggregate per pair
     return stats.select(F.explode(F.array(*pairs)).alias("p")).select("p.*")
+
+
+def equi_width_histogram(
+    df: DataFrame,
+    value_expr: str,
+    bins: int = 20,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram with data-driven bounds: bucket i covers
+    [lo + i*w, lo + (i+1)*w) with w = (hi − lo)/bins, the top bucket
+    closed at hi. Empty buckets are emitted with n = 0 so the output is
+    always exactly ``bins`` rows (per group) — a histogram with silent
+    holes misleads downstream plotting.
+
+    The bucket index floor((v − lo) * bins / (hi − lo)) is one IEEE
+    double expression both engines evaluate identically (the established
+    floor(expr) parity discipline), clamped to bins−1 for v == hi.
+
+    Plan: one min/max aggregate (single broadcast row — the Q22 scalar
+    pattern), one map-side-combinable count per bucket, then a
+    sequence() explode of the bins-sized bucket list left-joins the
+    counts in: the explode is O(bins * groups), never data-sized.
+    Degenerate lo == hi puts every value in bucket 0."""
+    gcols = [group_col] if group_col else []
+    v = df.selectExpr(*gcols, f"cast({value_expr} as double) as v").filter(
+        "v is not null"
+    )
+    bounds = v.groupBy(*gcols).agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    if group_col:
+        vb = v.join(bounds, group_col)
+    else:
+        vb = v.crossJoin(F.broadcast(bounds))
+    counts = (
+        vb.select(
+            *gcols,
+            F.expr(
+                f"case when hi = lo then 0 else "
+                f"least({bins - 1}, cast(floor((v - lo) * {bins} / (hi - lo))"
+                f" as int)) end"
+            ).alias("bucket"),
+        )
+        .groupBy(*gcols, "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    shell = bounds.select(
+        *gcols,
+        "lo",
+        "hi",
+        F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bucket"),
+    )
+    join_keys = gcols + ["bucket"]
+    return (
+        shell.join(counts, join_keys, "left")
+        .select(
+            *gcols,
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(
+                F.expr(f"lo + bucket * (hi - lo) / {bins}"), 6
+            ).alias("bucket_lo"),
+            F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("n"),
+        )
+        .orderBy(*join_keys)
+    )

@@ -752,6 +752,38 @@ def main() -> None:
         entry.q_sql_tpch_q21(spark, args.sf),
     )
     add(
+        "Degree assortativity: graph scalar from exact integer stats",
+        "Degrees broadcast back onto the edge list (two "
+        "BroadcastHashJoins at this scale, SMJ on node keys beyond), "
+        "then ONE map-side-combinable decimal aggregate to a single row "
+        "— no windows, no collect, the only float is the final divide.",
+        entry.q_g20_assortativity(spark, args.sf),
+    )
+    add(
+        "Per-edge Jaccard: support equi-joins + integer degree math",
+        "Reuses the g19 wedge+closure equi-join chain for the "
+        "intersection; the union size is arithmetic on the broadcast "
+        "degree table — no neighbor-array intersections anywhere.",
+        entry.q_g21_edgejaccard(spark, args.sf),
+    )
+    add(
+        "Equi-width histogram: bounds broadcast, bins-sized explode",
+        "Per-group min/max is one aggregate whose tiny output joins "
+        "back; counts partial-aggregate per bucket; the empty-bucket "
+        "shell explodes sequence(0,bins-1) — O(groups*bins) rows, never "
+        "data-sized.",
+        entry.q_ml_histogram(spark, args.sf),
+    )
+    add(
+        "Inference batching: one window shuffle keyed by length bucket",
+        "Bucket assignment is a pure projection; the next-fit running "
+        "sum is a per-bucket window (Exchange on bucket + per-partition "
+        "Sort, no global sort) and the per-batch rollup "
+        "partial-aggregates. Thousands of buckets = the parallelism "
+        "unit at corpus scale.",
+        entry.q_ts_infer_batches(spark, args.sf),
+    )
+    add(
         "Pearson matrix: whole matrix from ONE aggregate pass",
         "All 4 sums, 4 squares and 6 cross-products are partial-aggregated "
         "in a single HashAggregate over one lineitem scan; the 6 "
