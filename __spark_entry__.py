@@ -2439,6 +2439,18 @@ def q_sql_tpch_q21(spark, sf_dir):
     )
 
 
+def q_g22_ktruss(spark, sf_dir):
+    """3-truss of the weight>=2 co-purchase graph
+    (graphstats.py:k_truss): iterative support peel to the fixed point,
+    surviving edges with their within-truss support. The oracle unrolls 3
+    peel rounds (converges in 1 on sf0.01, fixed-point margin the k-core
+    way)."""
+    from knowledgegraphbuilder_spark.operators.graphstats import k_truss
+
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    return k_truss(edges, k=3).orderBy("src", "dst")
+
+
 def q_g20_assortativity(spark, sf_dir):
     """Degree assortativity of the co-purchase graph
     (graphstats.py:assortativity): Pearson r of the degrees at each edge's
@@ -3112,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_edgejaccard": q_g21_edgejaccard,
         "ml_histogram": q_ml_histogram,
         "ts_infer_batches": q_ts_infer_batches,
+        "g22_ktruss": q_g22_ktruss,
     }
 
 
@@ -3121,6 +3134,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _GAZ_VALUES = ("('spark','technology'),('vector','technology'),"
                "('customer','organization'),('stream','system'),('table','resource')")
+
+
+def _ktruss_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel (the _kcore_oracle discipline): each round
+    recomputes per-edge triangle support via the wedge + closure-edge
+    equi-join CTEs and keeps support >= k-2. Valid for the same fixed-point
+    reason as k-core — any unroll >= the convergence round count (1 on
+    sf0.01 at k=3, checked; 3 rounds of margin here) replays the iterative
+    operator exactly. Final projection recomputes support WITHIN the
+    converged truss."""
+    ctes = ["""e0 AS MATERIALIZED (
+              SELECT a, b FROM (
+                SELECT x.item AS a, y.item AS b, count(*) AS w
+                FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+                GROUP BY 1, 2
+              ) WHERE w >= 2
+            )"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""adj{r} AS MATERIALIZED (
+              SELECT a AS z, b AS n FROM e{p}
+              UNION ALL SELECT b, a FROM e{p}
+            )""")
+        ctes.append(f"""sup{r} AS MATERIALIZED (
+              SELECT w.a, w.b, count(*) AS s FROM (
+                SELECT x.n AS a, y.n AS b
+                FROM adj{r} x JOIN adj{r} y ON x.z = y.z AND x.n < y.n
+              ) w JOIN e{p} e ON w.a = e.a AND w.b = e.b
+              GROUP BY 1, 2
+            )""")
+        ctes.append(f"""e{r} AS MATERIALIZED (
+              SELECT a, b FROM sup{r} WHERE s >= {k - 2}
+            )""")
+    rr = rounds + 1
+    ctes.append(f"""adj{rr} AS MATERIALIZED (
+              SELECT a AS z, b AS n FROM e{rounds}
+              UNION ALL SELECT b, a FROM e{rounds}
+            )""")
+    ctes.append(f"""sup{rr} AS MATERIALIZED (
+              SELECT w.a, w.b, CAST(count(*) AS BIGINT) AS s FROM (
+                SELECT x.n AS a, y.n AS b
+                FROM adj{rr} x JOIN adj{rr} y ON x.z = y.z AND x.n < y.n
+              ) w JOIN e{rounds} e ON w.a = e.a AND w.b = e.b
+              GROUP BY 1, 2
+            )""")
+    return f"""
+            WITH gi AS (
+              SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                              CAST(l_partkey AS VARCHAR) AS item
+              FROM lineitem
+            ),
+            kept AS (
+              SELECT g, item FROM (
+                SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+              ) WHERE sz <= 50
+            ),
+            {', '.join(ctes)}
+            SELECT e.a AS src, e.b AS dst,
+                   CAST(coalesce(s, 0) AS BIGINT) AS support
+            FROM e{rounds} e LEFT JOIN sup{rr} su
+              ON e.a = su.a AND e.b = su.b
+        """
 
 
 def _kcore_oracle(k: int, rounds: int) -> str:
@@ -6883,6 +6958,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE late AND ns > 1 AND nl = 1
         GROUP BY 1 ORDER BY numwait DESC, suppkey
     """
+    # unrolled truss peel — fixed-point margin, the _kcore_oracle way
+    o["g22_ktruss"] = _ktruss_oracle(k=3, rounds=3)
     # assortativity: exact HUGEINT sufficient stats over both edge ends
     o["g20_assortativity"] = """
         WITH gi AS (

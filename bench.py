@@ -246,7 +246,7 @@ def main() -> None:
         "sql_tpch_q2", "sql_tpch_q9", "sql_tpch_q11", "sql_tpch_q12",
         "sql_tpch_q16", "sql_tpch_q20", "sql_tpch_q21",
         "g20_assortativity", "g21_edgejaccard", "ml_histogram",
-        "ts_infer_batches",
+        "ts_infer_batches", "g22_ktruss",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

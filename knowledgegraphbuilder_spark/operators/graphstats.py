@@ -1241,3 +1241,58 @@ def edge_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """k-truss decomposition by iterative peeling: repeatedly drop edges
+    whose triangle support is below k-2 until the edge set is stable. The
+    k-truss is the edge-analog of the k-core and a strictly stronger
+    cohesion signal (every edge in a k-truss sits in >= k-2 triangles of
+    the truss itself) — the standard community-backbone extractor.
+
+    Each round is one edge_support pass (wedge + closure equi-joins — see
+    edge_support for why this never intersects neighbor arrays) plus an
+    edge filter; the edge set only shrinks. Convergence is a fixed point,
+    so a bounded driver loop with an unrolled-SQL oracle replays exactly,
+    the k_core discipline. Eager localCheckpoint per round truncates
+    lineage.
+
+    Output: (src, dst, support) for surviving edges with their support
+    WITHIN the truss (>= k-2 by construction), src < dst."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col).cast("string"),
+                    F.col(dst_col).cast("string")).alias("a"),
+            F.greatest(F.col(src_col).cast("string"),
+                       F.col(dst_col).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+    sup = None
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+        sup = edge_support(e, src_col="a", dst_col="b").select(
+            F.col("src").alias("a"), F.col("dst").alias("b"), "support"
+        )
+        ne = (
+            sup.filter(F.col("support") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_new = ne.count()
+        e = ne
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    # final support is recomputed WITHIN the converged truss
+    return edge_support(e, src_col="a", dst_col="b")

@@ -132,3 +132,35 @@ class TestInferenceBatches:
         total = inference_batches(docs).agg(
             F.sum("n_docs")).collect()[0][0]
         assert total == docs.count()
+
+
+class TestKTruss:
+    def test_k4_complete_graph_is_4truss(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import k_truss
+        vs = ["a", "b", "c", "d"]
+        edges = spark.createDataFrame(
+            [(x, y) for i, x in enumerate(vs) for y in vs[i + 1:]],
+            "src string, dst string")
+        rows = k_truss(edges, k=4).collect()
+        # every edge of K4 has support 2 within the truss
+        assert len(rows) == 6 and all(r["support"] == 2 for r in rows)
+        assert k_truss(edges, k=5).count() == 0
+
+    def test_triangle_survives_tail_drops(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import k_truss
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")],
+            "src string, dst string")
+        got = {(r["src"], r["dst"]) for r in k_truss(edges, k=3).collect()}
+        assert got == {("a", "b"), ("a", "c"), ("b", "c")}
+
+    def test_peel_cascades(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import k_truss
+        # diamond: bc sits in 2 triangles, every other edge in 1.
+        # k=4 keeps bc after round 1, but bc alone has no triangle ->
+        # round 2 empties the graph. Catches a one-round (non-iterated)
+        # implementation, which would return {bc}.
+        edges = spark.createDataFrame(
+            [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+            "src string, dst string")
+        assert k_truss(edges, k=4).count() == 0

@@ -784,6 +784,15 @@ def main() -> None:
         entry.q_ts_infer_batches(spark, args.sf),
     )
     add(
+        "k-truss peel: bounded fixed-point loop of support equi-joins",
+        "Each round is the g19 wedge+closure support pass plus an edge "
+        "filter, lineage truncated by an eager localCheckpoint per round "
+        "(the shown plan is the final within-truss support pass over the "
+        "converged, checkpointed edge set — upstream rounds are already "
+        "materialized).",
+        entry.q_g22_ktruss(spark, args.sf),
+    )
+    add(
         "Pearson matrix: whole matrix from ONE aggregate pass",
         "All 4 sums, 4 squares and 6 cross-products are partial-aggregated "
         "in a single HashAggregate over one lineitem scan; the 6 "
