@@ -1178,11 +1178,18 @@ def assortativity(
     pairs = ends.select(
         F.col("da").alias("x"), F.col("db").alias("y")
     ).unionAll(ends.select(F.col("db").alias("x"), F.col("da").alias("y")))
+    # decimal-domain sums (mlstats._d18 discipline): sum(x * x) over BIGINT
+    # degrees multiplies AND accumulates in LONG — with hub degrees ~1e6 and
+    # 1e9+ edge-ends the quadratic sum passes 2^63 and ANSI mode throws.
+    # decimal(18)*decimal(18) -> decimal(38,0) exact; decimal sums never
+    # overflow below 1e38.
+    _dx = "cast(x as decimal(18,0))"
+    _dy = "cast(y as decimal(18,0))"
     s = pairs.agg(
         F.expr("cast(count(*) as decimal(12,0))").alias("n"),
-        F.expr("cast(sum(x) as decimal(20,0))").alias("sx"),
-        F.expr("cast(sum(x * x) as decimal(26,0))").alias("sxx"),
-        F.expr("cast(sum(x * y) as decimal(26,0))").alias("sxy"),
+        F.expr(f"cast(sum({_dx}) as decimal(20,0))").alias("sx"),
+        F.expr(f"cast(sum({_dx} * {_dx}) as decimal(26,0))").alias("sxx"),
+        F.expr(f"cast(sum({_dx} * {_dy}) as decimal(26,0))").alias("sxy"),
     )
     # symmetric pairs: Sy == Sx, Syy == Sxx, so r reduces to
     # (n*Sxy - Sx^2) / (n*Sxx - Sx^2)

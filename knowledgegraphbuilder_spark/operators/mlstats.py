@@ -29,15 +29,29 @@ from pyspark.sql import functions as F
 _N = "cast(count(*) as decimal(12,0))"
 
 
+def _d18(e: str) -> str:
+    """Widen an integer expression to decimal BEFORE any product/sum so the
+    arithmetic runs in Spark's decimal domain end to end. ``sum(x * x)``
+    over BIGINT columns multiplies AND accumulates in LONG — a cast applied
+    to the finished sum is too late, and ANSI mode turns the silent wrap
+    into ARITHMETIC_OVERFLOW at scale (observed: the sf0.1 lineitem price
+    column, price_c^2 ~ 1e14 x 6e5 rows ~ 6e19 > 2^63). decimal(18,0) x
+    decimal(18,0) -> decimal(38,0) exactly (18+18+1 <= 38, no precision
+    loss), and decimal sums saturate at decimal(38,0) — overflow-safe to
+    1e38, i.e. ~1e12 rows of 1e14-sized products with 12 digits to spare."""
+    return f"cast({e} as decimal(18,0))"
+
+
 def _sums(x: str, y: str) -> list:
     """Exact integer sufficient statistics for one (x, y) pair."""
+    dx, dy = _d18(x), _d18(y)
     return [
         F.expr(_N).alias("n"),
-        F.expr(f"cast(sum({x}) as decimal(20,0))").alias("sx"),
-        F.expr(f"cast(sum({y}) as decimal(20,0))").alias("sy"),
-        F.expr(f"cast(sum({x} * {x}) as decimal(26,0))").alias("sxx"),
-        F.expr(f"cast(sum({y} * {y}) as decimal(26,0))").alias("syy"),
-        F.expr(f"cast(sum({x} * {y}) as decimal(26,0))").alias("sxy"),
+        F.expr(f"cast(sum({dx}) as decimal(20,0))").alias("sx"),
+        F.expr(f"cast(sum({dy}) as decimal(20,0))").alias("sy"),
+        F.expr(f"cast(sum({dx} * {dx}) as decimal(26,0))").alias("sxx"),
+        F.expr(f"cast(sum({dy} * {dy}) as decimal(26,0))").alias("syy"),
+        F.expr(f"cast(sum({dx} * {dy}) as decimal(26,0))").alias("sxy"),
     ]
 
 
@@ -104,10 +118,16 @@ def corr_matrix(df: DataFrame, cols: dict[str, str]) -> DataFrame:
     proj = [F.expr(f"cast({cols[c]} as bigint)").alias(c) for c in names]
     aggs = [F.expr(_N).alias("n")]
     for i, a in enumerate(names):
-        aggs.append(F.expr(f"cast(sum({a}) as decimal(20,0))").alias(f"s_{a}"))
+        aggs.append(
+            F.expr(f"cast(sum({_d18(a)}) as decimal(20,0))").alias(f"s_{a}")
+        )
         for b in names[i:]:
+            # decimal-domain product BEFORE the sum (see _d18) — sum(a*b)
+            # over BIGINT accumulates in LONG and overflows at sf>=0.1
             aggs.append(
-                F.expr(f"cast(sum({a} * {b}) as decimal(26,0))").alias(f"s_{a}_{b}")
+                F.expr(
+                    f"cast(sum({_d18(a)} * {_d18(b)}) as decimal(26,0))"
+                ).alias(f"s_{a}_{b}")
             )
     stats = df.select(*proj).agg(*aggs)
     pairs = []

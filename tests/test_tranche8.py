@@ -164,3 +164,43 @@ class TestKTruss:
             [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
             "src string, dst string")
         assert k_truss(edges, k=4).count() == 0
+
+
+class TestDecimalDomainSums:
+    """Regression pins for the sufficient-statistics overflow fix: sum(x*x)
+    over BIGINT both multiplies and accumulates in LONG, so values whose
+    square exceeds 2^63 threw ARITHMETIC_OVERFLOW under ANSI mode before the
+    operands were widened to decimal(18,0) pre-product (first observed as a
+    bench crash: ml_corr at sf0.1, price_c^2 ~ 1e14 x 6e5 rows)."""
+
+    def test_corr_matrix_survives_huge_values(self, spark):
+        from knowledgegraphbuilder_spark.operators.mlstats import corr_matrix
+
+        # 4e9^2 = 1.6e19 > 2^63: a SINGLE product overflows long
+        big = 4_000_000_000
+        df = spark.createDataFrame(
+            [(big + i, 2 * (big + i)) for i in range(4)], "x long, y long")
+        rows = corr_matrix(df, {"x": "x", "y": "y"}).collect()
+        assert rows[0]["corr"] == 1.0  # y = 2x exactly
+
+    def test_grouped_ols_survives_huge_values(self, spark):
+        from knowledgegraphbuilder_spark.operators.mlstats import grouped_ols
+
+        big = 4_000_000_000
+        df = spark.createDataFrame(
+            [("g", big + i, 3 * (big + i) + 7) for i in range(4)],
+            "grp string, x long, y long")
+        r = grouped_ols(df, "x", "y").collect()[0]
+        assert r["slope"] == 3.0 and r["r2"] == 1.0
+
+    def test_assortativity_survives_huge_degrees(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            assortativity,
+        )
+
+        # degrees here are small; the overflow guard is the decimal-domain
+        # sum itself — exercised indirectly. Pin the algebra still holds
+        # after the rewrite: star K1,3 -> r = -1 exactly.
+        edges = spark.createDataFrame(
+            [("hub", f"l{i}") for i in range(3)], "src string, dst string")
+        assert assortativity(edges).collect()[0]["assortativity"] == -1.0
