@@ -2276,7 +2276,13 @@ def q_sql_tpch_q11(spark, sf_dir):
             .cast("long").alias("value_cents")
         )
     )
-    total = v.agg(F.sum("value_cents").cast("long").alias("total_c"))
+    # global total accumulates in decimal, not LONG: sum(cents) over the
+    # whole table is ~1e7 x rowcount and passes 2^63 near 1e12 rows (the
+    # per-key sums above are key-bounded and stay in long territory)
+    total = v.agg(
+        F.sum(F.col("value_cents").cast("decimal(28,0)"))
+        .cast("decimal(28,0)").alias("total_c")
+    )
     return (
         v.crossJoin(F.broadcast(total))
         .filter(F.col("value_cents") * F.lit(1000) > F.col("total_c"))
@@ -2937,19 +2943,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
     # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
     # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: move the 30 round-4 additions (ts_temperature,
-    # ann_recall, dd_calibration, ts_profile, g15_modularity, dd_rewrite,
-    # g16_node2vec, stream_ann, sql_tpch_q1, g17_anf, ts_adaptive_filter,
-    # ann_sq8, g17_effdiam, ts_dsir, ann_knn, ann_knn_cc, stream_edges,
-    # dd_cdc, dd_normalize, sk_heavy, ts_reservoir, sql_tpch_q5,
-    # stream_heavy, sql_tpch_q14, dd_winnow, ts_mad, stream_quantile,
-    # sql_tpch_q4, sql_tpch_q19, sql_cube, sql_funnel, sql_retention,
-    # ts_moving, sql_tpch_q7/q8/q10/q15/q18, ts_entropy, ts_winsorize,
-    # ml_ols, ml_corr, g18_adamicadar, dd_bloomjoin, stream_minhash,
-    # sql_tpch_q13/q17/q22, g19_trusssupport, stream_bloom) into the
-    # first 50 so the union of driver-checked rows spans the full
-    # registry again — the list is EXACTLY 50 entries, a full window;
-    # every one already passes tools/check_contract.py.
+    # ROUND-5 ROTATION TODO: the round-4 additions now number 62
+    # (ts_temperature, ann_recall, dd_calibration, ts_profile,
+    # g15_modularity, dd_rewrite, g16_node2vec, stream_ann, sql_tpch_q1,
+    # g17_anf, ts_adaptive_filter, ann_sq8, g17_effdiam, ts_dsir, ann_knn,
+    # ann_knn_cc, stream_edges, dd_cdc, dd_normalize, sk_heavy,
+    # ts_reservoir, sql_tpch_q5, stream_heavy, sql_tpch_q14, dd_winnow,
+    # ts_mad, stream_quantile, sql_tpch_q4, sql_tpch_q19, sql_cube,
+    # sql_funnel, sql_retention, ts_moving, sql_tpch_q7/q8/q10/q15/q18,
+    # ts_entropy, ts_winsorize, ml_ols, ml_corr, g18_adamicadar,
+    # dd_bloomjoin, stream_minhash, sql_tpch_q13/q17/q22,
+    # g19_trusssupport, stream_bloom, sql_tpch_q2/q9/q11/q12/q16/q20/q21,
+    # g20_assortativity, g21_edgejaccard, ml_histogram, ts_infer_batches,
+    # g22_ktruss) — the window is 50, so rotate in the 50 that cover the
+    # NOVEL operator families first (every ml_*, g15-g22, stream_*, dd_*,
+    # ts_*, ann_* addition — none of these families have a driver row yet
+    # for these members) and leave out 12 of the TPC-H adaptations whose
+    # plan/oracle shape is already driver-covered by checked TPC-H rows
+    # (q1/q4/q5/q6-style pure aggregates); every one already passes
+    # tools/check_contract.py.
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
