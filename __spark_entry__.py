@@ -3137,6 +3137,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_histogram": q_ml_histogram,
         "ts_infer_batches": q_ts_infer_batches,
         "g22_ktruss": q_g22_ktruss,
+        # tranche 9 (defs at end of file): supervised text models +
+        # directed-graph analytics + grouping-sets lattice slice
+        "ml_naivebayes": q_ml_naivebayes,
+        "ml_chi2": q_ml_chi2,
+        "g23_scc": q_g23_scc,
+        "g24_katz": q_g24_katz,
+        "sql_groupingsets": q_sql_groupingsets,
     }
 
 
@@ -7416,5 +7423,303 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
     """
+    # --- tranche 9 oracles ---
+    # directed co-purchase graph: w>=2 one way (low->high), w>=3 both ways
+    _DIRECTED_CTES = """gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        eu AS MATERIALIZED (
+          SELECT a, b, w FROM (
+            SELECT x.item AS a, y.item AS b, count(*) AS w
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+          ) WHERE w >= 2
+        )"""
+    o["g24_katz"] = f"""
+        WITH {_DIRECTED_CTES},
+        de AS MATERIALIZED (
+          SELECT a AS s, b AS d FROM eu
+          UNION ALL SELECT b, a FROM eu WHERE w >= 3
+        ),
+        nodes AS (SELECT s AS n FROM de UNION SELECT d FROM de),
+        w1 AS MATERIALIZED (
+          SELECT d AS node, CAST(count(*) AS HUGEINT) AS cnt FROM de GROUP BY d
+        ),
+        w2 AS MATERIALIZED (
+          SELECT de.d AS node, CAST(sum(w1.cnt) AS HUGEINT) AS cnt
+          FROM de JOIN w1 ON de.s = w1.node GROUP BY de.d
+        ),
+        w3 AS MATERIALIZED (
+          SELECT de.d AS node, CAST(sum(w2.cnt) AS HUGEINT) AS cnt
+          FROM de JOIN w2 ON de.s = w2.node GROUP BY de.d
+        ),
+        u AS (
+          SELECT node, cnt * 64 AS u FROM w1
+          UNION ALL SELECT node, cnt * 8 FROM w2
+          UNION ALL SELECT node, cnt FROM w3
+        )
+        SELECT n.n AS node,
+               CAST(coalesce(sum(u.u), 0) AS BIGINT) AS katz_units
+        FROM nodes n LEFT JOIN u ON u.node = n.n GROUP BY n.n
+    """
+    # mutual reachability over the recursive closure of the cycle-bearing
+    # core — exact, quadratic in component size, test-scale-only (the
+    # operator never materializes a closure)
+    o["g23_scc"] = f"""
+        WITH RECURSIVE {_DIRECTED_CTES},
+        core AS (
+          SELECT a AS n FROM eu WHERE w >= 3
+          UNION SELECT b FROM eu WHERE w >= 3
+        ),
+        ec AS MATERIALIZED (
+          SELECT a, b, w FROM eu
+          WHERE a IN (SELECT n FROM core) AND b IN (SELECT n FROM core)
+        ),
+        de AS MATERIALIZED (
+          SELECT a AS s, b AS d FROM ec
+          UNION ALL SELECT b, a FROM ec WHERE w >= 3
+        ),
+        reach AS (
+          SELECT s, d FROM de
+          UNION SELECT r.s, de.d FROM reach r JOIN de ON r.d = de.s
+        ),
+        nodes AS (SELECT s AS n FROM de UNION SELECT d FROM de)
+        SELECT n.n AS node,
+               least(
+                 n.n,
+                 coalesce(
+                   min(r1.d) FILTER (WHERE r2.s IS NOT NULL), n.n
+                 )
+               ) AS scc_id
+        FROM nodes n
+        LEFT JOIN reach r1 ON r1.s = n.n
+        LEFT JOIN reach r2 ON r2.s = r1.d AND r2.d = n.n
+        GROUP BY n.n
+    """
+    # quantized-ln Naive Bayes replay: same split hash, same add-one
+    # smoothing, same integer micro-unit log-probs, ties to the larger
+    # label (row_number ORDER BY score DESC, l DESC = Spark max(struct))
+    o["ml_naivebayes"] = """
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, lang AS label,
+                 string_split(text, ' ') AS toks,
+                 (('0x' || substr(sha256('nb-v1' || ',' ||
+                     CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100) < 80
+                   AS is_train
+          FROM documents
+        ),
+        tr AS (SELECT label, UNNEST(toks) AS tok FROM base WHERE is_train),
+        model AS MATERIALIZED (
+          SELECT label, tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM tr GROUP BY 1, 2
+        ),
+        voc AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM tr),
+        lst AS (
+          SELECT label,
+                 CAST(round(ln(sum(cnt) + (SELECT v FROM voc)) * 1000000)
+                      AS BIGINT) AS lnq_denom
+          FROM model GROUP BY label
+        ),
+        dp AS (SELECT label, count(*) AS d_l FROM base WHERE is_train
+               GROUP BY label),
+        dt AS (SELECT count(*) AS d FROM base WHERE is_train),
+        pri AS (
+          SELECT label,
+                 CAST(round(ln(d_l) * 1000000) AS BIGINT)
+                 - CAST(round(ln((SELECT d FROM dt)) * 1000000) AS BIGINT)
+                   AS prior_units
+          FROM dp
+        ),
+        tt AS (
+          SELECT id, label, tok, CAST(count(*) AS BIGINT) AS k
+          FROM (SELECT id, label, UNNEST(toks) AS tok
+                FROM base WHERE NOT is_train)
+          GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT tt.id, tt.label, l.label AS l,
+                 p.prior_units
+                 + sum(tt.k * (CAST(round(ln(coalesce(m.cnt, 0) + 1)
+                                          * 1000000) AS BIGINT)
+                               - l.lnq_denom)) AS score_units
+          FROM tt
+          CROSS JOIN lst l
+          LEFT JOIN model m ON m.label = l.label AND m.tok = tt.tok
+          JOIN pri p ON p.label = l.label
+          GROUP BY tt.id, tt.label, l.label, l.lnq_denom, p.prior_units
+        )
+        SELECT id AS doc_id, label, l AS pred,
+               CAST(score_units AS BIGINT) AS score_units,
+               (l = label) AS correct
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY id ORDER BY score_units DESC, l DESC
+          ) AS rn
+          FROM sc
+        ) WHERE rn = 1
+    """
+    # exact-integer contingency cells, final divide in double (the
+    # grouped_ols / ml_ols parity discipline)
+    o["ml_chi2"] = """
+        WITH pres AS MATERIALIZED (
+          SELECT DISTINCT CAST(doc_id AS VARCHAR) AS id, lang AS label,
+                 UNNEST(string_split(text, ' ')) AS tok
+          FROM documents
+        ),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        tl AS (SELECT tok, label, CAST(count(*) AS BIGINT) AS a
+               FROM pres GROUP BY 1, 2),
+        tm AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_t
+               FROM pres GROUP BY tok HAVING count(*) >= 5),
+        lm AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_l
+               FROM documents GROUP BY 1),
+        cells AS (
+          SELECT tl.tok, tl.label, a, df_t, n_l, (SELECT n FROM nt) AS n
+          FROM tl JOIN tm USING (tok) JOIN lm USING (label)
+        )
+        SELECT tok, label, a,
+               CASE WHEN df_t > 0 AND (n - df_t) > 0
+                     AND n_l > 0 AND (n - n_l) > 0 THEN
+                 round(
+                   CAST(CAST(n AS HUGEINT)
+                        * CAST(a*(n - df_t - (n_l - a))
+                               - (df_t - a)*(n_l - a) AS HUGEINT)
+                        * CAST(a*(n - df_t - (n_l - a))
+                               - (df_t - a)*(n_l - a) AS HUGEINT) AS DOUBLE)
+                 / CAST(CAST(df_t AS HUGEINT) * CAST(n - df_t AS HUGEINT)
+                        * CAST(n_l AS HUGEINT) * CAST(n - n_l AS HUGEINT)
+                     AS DOUBLE), 6)
+               ELSE 0.0 END AS chi2
+        FROM cells
+        ORDER BY chi2 DESC, tok, label LIMIT 50
+    """
+    o["sql_groupingsets"] = """
+        SELECT o_orderstatus AS status, l_returnflag AS flag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY GROUPING SETS ((o_orderstatus, l_returnflag),
+                                (o_orderstatus), (l_returnflag))
+    """
     return o
 
+
+
+# ---------------------------------------------------------------------------
+# Tranche 9: supervised text-model ops + directed-graph analytics
+# ---------------------------------------------------------------------------
+
+
+def _directed_copurchase(spark, sf_dir, core_only: bool = False):
+    """Directed view of the co-purchase projection: every weight>=2 edge
+    points low->high id; weight>=3 edges (strong ties) additionally point
+    back, so cycles exist exactly where the tie is strong. With
+    ``core_only`` the graph is restricted to nodes incident to a
+    weight>=3 edge plus the induced weight>=2 edges among them — the
+    cycle-bearing core (119 nodes / 148 directed edges at sf0.01), which
+    is where SCC structure lives; the acyclic fringe is singleton SCCs by
+    construction and exercising the operator on it only burns trim
+    rounds."""
+    eu = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    if core_only:
+        core = (
+            eu.filter(F.col("weight") >= 3)
+            .select(F.col("src").alias("node"))
+            .unionAll(
+                eu.filter(F.col("weight") >= 3).select(F.col("dst").alias("node"))
+            )
+            .distinct()
+        )
+        eu = (
+            eu.join(core.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
+        )
+    fwd = eu.select(F.col("src").alias("s"), F.col("dst").alias("d"))
+    back = eu.filter(F.col("weight") >= 3).select(
+        F.col("dst").alias("s"), F.col("src").alias("d")
+    )
+    return fwd.unionAll(back)
+
+
+def q_g24_katz(spark, sf_dir):
+    """Truncated Katz centrality (3 hops, alpha = 1/8) of the directed
+    co-purchase graph (graphstats.py:katz_centrality): exact integer
+    walk counts scaled by integer powers of inv_alpha, so katz_units is a
+    BIGINT the oracle's 3 unrolled sparse-matvec joins replay exactly."""
+    from knowledgegraphbuilder_spark.operators.graphstats import katz_centrality
+
+    return katz_centrality(
+        _directed_copurchase(spark, sf_dir), hops=3, inv_alpha=8,
+        src_col="s", dst_col="d",
+    )
+
+
+def q_g23_scc(spark, sf_dir):
+    """Strongly connected components of the cycle-bearing co-purchase core
+    (graphstats.py:strongly_connected_components — TRIM + forward-backward
+    coloring, the distributed SCC recipe). The oracle computes mutual
+    reachability from a recursive-CTE closure — quadratic in component
+    size and therefore test-scale-only; the operator itself never
+    materializes a closure."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(
+        _directed_copurchase(spark, sf_dir, core_only=True),
+        src_col="s", dst_col="d",
+    )
+
+
+def q_ml_naivebayes(spark, sf_dir):
+    """Multinomial Naive Bayes language classifier trained on the
+    content-addressed 80% split and scored on the 20% holdout
+    (mlstats.py:naive_bayes_classify) — the fastText-style linear
+    quality/language classifier of LLM data pipelines, with every ln
+    quantized to integer micro-units so the per-doc argmax is exact."""
+    from knowledgegraphbuilder_spark.operators.mlstats import naive_bayes_classify
+
+    return naive_bayes_classify(_t(spark, sf_dir, "documents"))
+
+
+def q_ml_chi2(spark, sf_dir):
+    """Top-50 (token, lang) chi-squared associations over doc-level
+    presence (mlstats.py:chi2_features): supervised feature selection from
+    three count aggregates, exact-integer contingency cells, final divide
+    in double (the grouped_ols discipline)."""
+    from knowledgegraphbuilder_spark.operators.mlstats import chi2_features
+
+    return chi2_features(_t(spark, sf_dir, "documents"), min_df=5, top_n=50)
+
+
+def q_sql_groupingsets(spark, sf_dir):
+    """Custom GROUPING SETS aggregate ((status, flag), (status), (flag)) —
+    the non-hierarchical multi-granularity shape ROLLUP/CUBE can't express
+    (rollup = prefixes, cube = powerset; this is a hand-picked lattice
+    slice). One shuffle, expanded map-side like rollup/cube."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderstatus").alias("status"),
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    return (
+        j.groupingSets(
+            [["status", "flag"], ["status"], ["flag"]],
+            "status", "flag",
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum("qty").cast("long").alias("total_qty"),
+        )
+    )

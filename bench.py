@@ -247,6 +247,8 @@ def main() -> None:
         "sql_tpch_q16", "sql_tpch_q20", "sql_tpch_q21",
         "g20_assortativity", "g21_edgejaccard", "ml_histogram",
         "ts_infer_batches", "g22_ktruss",
+        "ml_naivebayes", "ml_chi2", "g23_scc", "g24_katz",
+        "sql_groupingsets",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

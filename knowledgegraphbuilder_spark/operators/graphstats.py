@@ -1303,3 +1303,234 @@ def k_truss(
         n_edges = n_new
     # final support is recomputed WITHIN the converged truss
     return edge_support(e, src_col="a", dst_col="b")
+
+
+def katz_centrality(
+    edges: DataFrame,
+    hops: int = 3,
+    inv_alpha: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Truncated Katz centrality: c(v) = sum_{k=1..hops} alpha^k * walks_k(v),
+    walks_k(v) = number of directed length-k walks ending at v, with
+    alpha = 1/inv_alpha. Reported in exact integer units
+
+        katz_units(v) = sum_k walks_k(v) * inv_alpha^(hops - k)
+
+    i.e. c(v) * inv_alpha^hops — walk counts are integers and the scaling
+    is a power of the integer inv_alpha, so the whole statistic stays in
+    the exact decimal domain and the oracle replays it bit-for-bit (no
+    float damping drift). The truncation at ``hops`` is the documented
+    contract (full Katz is the fixed point; bounded-hop is what a bounded
+    driver loop + unrolled SQL oracle can both express EXACTLY — the
+    harmonic_centrality discipline).
+
+    Each hop is one equi-join of the walk-count vector with the edge list
+    plus a map-side-combinable sum — the standard distributed
+    sparse-matrix-vector product. walks_k grows like deg^k; sums are
+    decimal(38,0) (exact to 1e38, ~deg 1e12 at 3 hops) and the output cast
+    to BIGINT is checked by ANSI, not wrapped.
+
+    Output: (node, katz_units) for every node incident to an edge.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("s"),
+        F.col(dst_col).cast("string").alias("d"),
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    w = nodes.select("node", F.expr("cast(1 as decimal(38,0))").alias("cnt"))
+    contribs = []
+    for k in range(1, hops + 1):
+        w = (
+            e.join(w.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.expr("cast(sum(cnt) as decimal(38,0))").alias("cnt"))
+        )
+        scale = inv_alpha ** (hops - k)
+        contribs.append(
+            w.select(
+                "node",
+                F.expr(f"cast(cnt * {scale} as decimal(38,0))").alias("u"),
+            )
+        )
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionAll(c)
+    return (
+        nodes.join(
+            allc.groupBy("node").agg(
+                F.expr("cast(sum(u) as decimal(38,0))").alias("units")
+            ),
+            "node",
+            "left",
+        )
+        .select(
+            "node",
+            F.expr("cast(coalesce(units, 0) as bigint)").alias("katz_units"),
+        )
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Strongly connected components of a directed graph: TRIM +
+    forward-backward coloring (the Slota/Rajamanickam/Madduri 2014 /
+    Orzan 2004 distributed SCC shape; GraphX's SCC is the same recipe).
+
+    1. TRIM: nodes with live in-degree 0 or out-degree 0 are singleton
+       SCCs by definition — peel them iteratively (the k_core discipline:
+       each round is two degree aggregates + an anti-join, the node set
+       only shrinks). On web-shaped graphs trimming removes the giant
+       acyclic fringe before any propagation runs.
+    2. COLOR (forward): propagate min node id along edges to the fixed
+       point — F(v) = min id that reaches v. The SCC containing a color's
+       root r (F(r) = r) is wholly inside color r (any label reaching a
+       member reaches r too), so:
+    3. MARK (backward): from each root, walk REVERSE edges restricted to
+       same-color endpoints; every path from an SCC(r) member back to r
+       stays inside SCC(r), hence inside the color, so the restriction is
+       exact (proof sketch: w on a v->r path with v in SCC(r) has r ->* w
+       and w ->* r, so w in SCC(r)). Marked nodes of color r ARE SCC(r):
+       assign scc_id = r, remove, re-trim, repeat — each outer round
+       peels one DAG layer of SCCs per color.
+
+    Every step is an equi-join / aggregate on node keys (no closure
+    materialization — mutual-reachability pairs are quadratic in component
+    size and exist only in the ORACLE, which replays a recursive-CTE
+    closure at test scale). Fixed points are detected by count deltas;
+    eager localCheckpoint truncates lineage per round. Raises RuntimeError
+    if max_rounds is hit — an honest failure beats a silently partial
+    decomposition.
+
+    Output: (node, scc_id) for every node incident to an edge, scc_id =
+    min member id.
+    """
+    e0 = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s"),
+            F.col(dst_col).cast("string").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        e0.select(F.col("s").alias("node"))
+        .unionAll(e0.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    assigned = spark.createDataFrame([], "node string, scc_id string")
+    live = all_nodes.localCheckpoint(eager=True)
+    e = e0
+    n_live = live.count()
+
+    def _trim(live, e, n_live):
+        """Peel in/out-degree-0 nodes as singleton SCCs until stable."""
+        sing_parts = []
+        while n_live > 0:
+            indeg = e.select(F.col("d").alias("node")).distinct()
+            outdeg = e.select(F.col("s").alias("node")).distinct()
+            keep = live.join(indeg, "node", "left_semi").join(
+                outdeg, "node", "left_semi"
+            ).localCheckpoint(eager=True)
+            n_keep = keep.count()
+            if n_keep == n_live:
+                return live, e, n_live, sing_parts
+            sing_parts.append(
+                live.join(keep, "node", "left_anti")
+                .select("node", F.col("node").alias("scc_id"))
+            )
+            live = keep
+            e = (
+                e.join(keep.select(F.col("node").alias("s")), "s", "left_semi")
+                .join(keep.select(F.col("node").alias("d")), "d", "left_semi")
+                .select("s", "d")
+                .localCheckpoint(eager=True)
+            )
+            n_live = n_keep
+        return live, e, n_live, sing_parts
+
+    for _outer in range(max_rounds):
+        live, e, n_live, sing_parts = _trim(live, e, n_live)
+        for sp in sing_parts:
+            assigned = assigned.unionAll(sp)
+        if n_live == 0:
+            break
+        # forward min-label to fixed point
+        lab = live.select("node", F.col("node").alias("f")).localCheckpoint(
+            eager=True
+        )
+        for _ in range(max_rounds):
+            nxt = (
+                e.join(lab.select(F.col("node").alias("s"), "f"), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.min("f").alias("nf"))
+            )
+            new_lab = (
+                lab.join(nxt, "node", "left")
+                .select("node", F.least("f", F.coalesce("nf", "f")).alias("f"))
+                .localCheckpoint(eager=True)
+            )
+            n_changed = (
+                new_lab.join(lab.withColumnRenamed("f", "of"), "node")
+                .filter(F.col("f") != F.col("of"))
+                .count()
+            )
+            lab = new_lab
+            if n_changed == 0:
+                break
+        else:
+            raise RuntimeError("SCC forward pass did not converge")
+        # backward mark within color, seeded at the color roots
+        ce = (
+            e.join(lab.select(F.col("node").alias("s"), F.col("f").alias("fs")), "s")
+            .join(lab.select(F.col("node").alias("d"), F.col("f").alias("fd")), "d")
+            .filter(F.col("fs") == F.col("fd"))
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+        marked = lab.filter(F.col("node") == F.col("f")).select("node") \
+            .localCheckpoint(eager=True)
+        n_marked = marked.count()
+        for _ in range(max_rounds):
+            grown = (
+                marked.unionAll(
+                    ce.join(marked.withColumnRenamed("node", "d"), "d",
+                            "left_semi").select(F.col("s").alias("node"))
+                )
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            n_new = grown.count()
+            if n_new == n_marked:
+                break
+            marked, n_marked = grown, n_new
+        else:
+            raise RuntimeError("SCC backward pass did not converge")
+        scc = lab.join(marked, "node", "left_semi").select(
+            "node", F.col("f").alias("scc_id")
+        )
+        assigned = assigned.unionAll(scc).localCheckpoint(eager=True)
+        live = live.join(marked, "node", "left_anti").localCheckpoint(eager=True)
+        n_live = live.count()
+        if n_live == 0:
+            break
+        e = (
+            e.join(live.select(F.col("node").alias("s")), "s", "left_semi")
+            .join(live.select(F.col("node").alias("d")), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError("SCC outer loop did not converge")
+    return assigned

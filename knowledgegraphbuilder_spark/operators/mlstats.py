@@ -216,3 +216,205 @@ def equi_width_histogram(
         )
         .orderBy(*join_keys)
     )
+
+
+_H60 = "cast(conv(substring(sha2({s}, 256), 1, 15), 16, 10) as bigint)"
+
+_LNQ = "cast(round(ln({x}) * 1000000) as bigint)"
+# ln quantized FIRST (the adamic_adar discipline, graphstats.py): a 1-ulp
+# libm difference between the JVM and DuckDB flips round() only within
+# ~2e-9 of a half-integer, so the downstream BIGINT sums are replayed
+# bit-exactly by the oracle while a float log-prob sum would be
+# partition-order dependent in its low bits.
+
+
+def naive_bayes_classify(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "nb-v1",
+    train_pct: int = 80,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained and scored in one
+    plan — the fastText-style quality/language classifier every LLM data
+    pipeline runs (GPT-3's quality filter, CCNet's language buckets are
+    this exact shape: linear scorer over token counts).
+
+    Split is content-addressed (sha256(salt, id) % 100 < train_pct, the
+    stratified_split discipline — stable under repartitioning and corpus
+    growth). Training is ONE map-side-combinable aggregate: per
+    (label, token) multiplicity counts, plus per-label token totals and
+    doc priors. Scoring is add-one (Laplace) smoothed:
+
+        score(d, l) = lnq(D_l) - lnq(D)
+                    + sum_t k_t * (lnq(cnt(t,l) + 1) - lnq(T_l + V))
+
+    with every ln quantized to integer micro-units BEFORE summation
+    (see _LNQ), so per-(doc, label) scores are exact BIGINTs: the argmax
+    is fully deterministic and the DuckDB oracle replays it bit-exactly.
+
+    Scale shape: the model (labels x vocab counts) is vocabulary-sized —
+    ~1e6 rows for a real tokenizer — and broadcasts; scoring is then one
+    explode of the test corpus + a broadcast-hash join + one aggregate.
+    Nothing shuffles on the corpus except the per-doc groupBy. The
+    labels-per-token fan-out is |labels| (here 5), applied map-side.
+
+    Output: (doc_id, label, pred, score_units, correct) for test docs,
+    pred ties broken toward the lexicographically larger label (max of
+    (score, label) struct — deterministic, documented).
+    """
+    b = F.expr(_H60.format(s=f"concat('{salt}', ',', cast({id_col} as string))")) % 100
+    base = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(label_col).cast("string").alias("label"),
+        F.split(F.col(text_col), " ").alias("toks"),
+        (b < train_pct).alias("is_train"),
+    )
+    train_toks = (
+        base.filter("is_train")
+        .select("label", F.explode("toks").alias("tok"))
+    )
+    model = train_toks.groupBy("label", "tok").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # per-label totals + vocabulary size: two tiny aggregates, broadcast
+    vocab = train_toks.select("tok").distinct().agg(
+        F.count("*").cast("long").alias("v")
+    )
+    lstats = (
+        model.groupBy("label").agg(F.sum("cnt").cast("long").alias("t_l"))
+        .crossJoin(F.broadcast(vocab))
+    )
+    dprior = base.filter("is_train").groupBy("label").agg(
+        F.count("*").cast("long").alias("d_l")
+    )
+    dtot = base.filter("is_train").agg(F.count("*").cast("long").alias("d"))
+    lstats = (
+        lstats.join(dprior, "label")
+        .crossJoin(F.broadcast(dtot))
+        .select(
+            "label",
+            F.expr(_LNQ.format(x="t_l + v")).alias("lnq_denom"),
+            (F.expr(_LNQ.format(x="d_l")) - F.expr(_LNQ.format(x="d"))).alias(
+                "prior_units"
+            ),
+        )
+    )
+    test_toks = (
+        base.filter(~F.col("is_train"))
+        .select("id", "label", F.explode("toks").alias("tok"))
+        .groupBy("id", "label", "tok")
+        .agg(F.count("*").cast("long").alias("k"))
+    )
+    scored = (
+        test_toks.crossJoin(F.broadcast(lstats.select(F.col("label").alias("l"),
+                                                      "lnq_denom", "prior_units")))
+        .join(
+            F.broadcast(model.select(F.col("label").alias("l"),
+                                     "tok", "cnt")),
+            ["l", "tok"],
+            "left",
+        )
+        .groupBy("id", "label", "l", "prior_units")
+        .agg(
+            F.sum(
+                F.col("k")
+                * (
+                    F.expr(_LNQ.format(x="coalesce(cnt, 0) + 1"))
+                    - F.col("lnq_denom")
+                )
+            ).cast("long").alias("ll_units")
+        )
+        .select(
+            "id", "label", "l",
+            (F.col("prior_units") + F.col("ll_units")).alias("score_units"),
+        )
+    )
+    best = scored.groupBy("id", "label").agg(
+        F.max(F.struct("score_units", "l")).alias("b")
+    )
+    return best.select(
+        F.col("id").alias("doc_id"),
+        "label",
+        F.col("b.l").alias("pred"),
+        F.col("b.score_units").cast("long").alias("score_units"),
+        (F.col("b.l") == F.col("label")).alias("correct"),
+    )
+
+
+def chi2_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    min_df: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Chi-squared (token, label) association — the classic supervised
+    feature-selection statistic over the doc-level 2x2 contingency table
+    (a = docs with token & label, b = with token not label, c = label
+    without token, d = neither):
+
+        chi2 = N * (a*d - b*c)^2 / ((a+b) * (c+d) * (a+c) * (b+d))
+
+    a, b, c, d are derived from THREE count aggregates (per (token,label),
+    per token, per label) — never a per-cell pass — and the statistic is a
+    ratio of exact decimal integers with the final divide in double
+    rounded to 6dp (the grouped_ols discipline; both engines divide the
+    identical integers). Tokens present in every doc (c+d = 0) or every
+    doc of the pair structure degenerate the denominator; the CASE guard
+    yields 0.0 like the r2 convention above.
+
+    Scale shape: presence is a distinct over (doc, token) — one shuffle of
+    the exploded corpus; the per-token and per-label marginals are
+    vocabulary- and label-sized and broadcast back onto the (token, label)
+    table. min_df prunes the hapax tail BEFORE the join (at web scale the
+    hapax tail IS most of the vocabulary). Output: top_n rows
+    (token, label, a, chi2) by chi2 desc — a TakeOrderedAndProject.
+    """
+    pres = (
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(label_col).cast("string").alias("label"),
+            F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    n_tot = docs.agg(F.count("*").cast("long").alias("n"))
+    tl = pres.groupBy("tok", "label").agg(F.count("*").cast("long").alias("a"))
+    tmarg = pres.groupBy("tok").agg(F.count("*").cast("long").alias("df_t")) \
+        .filter(F.col("df_t") >= min_df)
+    lmarg = (
+        docs.select(F.col(label_col).cast("string").alias("label"))
+        .groupBy("label").agg(F.count("*").cast("long").alias("n_l"))
+    )
+    cells = (
+        tl.join(tmarg, "tok")  # inner: drops sub-min_df tokens before widening
+        .join(F.broadcast(lmarg), "label")
+        .crossJoin(F.broadcast(n_tot))
+        .selectExpr(
+            "tok", "label", "a", "df_t", "n_l", "n",
+            "df_t - a as b", "n_l - a as c", "n - df_t - (n_l - a) as d",
+        )
+    )
+    # exact decimal integers, final divide in double (grouped_ols pattern);
+    # widen BEFORE the products — see _d18
+    # headroom: a*d - b*c computes in BIGINT (|ad - bc| <= N^2, safe to
+    # N ~ 3e9 docs) and the decimal(14) cast holds to N = 1e7; past that,
+    # pre-aggregate per shard or widen — ANSI throws rather than wraps,
+    # so the bound is enforced, not silent (the _d18 discipline).
+    num = ("cast(n as decimal(12,0)) * cast(a*d - b*c as decimal(14,0)) "
+           "* cast(a*d - b*c as decimal(14,0))")
+    den = ("cast((a+b) as decimal(9,0)) * cast((c+d) as decimal(9,0)) "
+           "* cast((a+c) as decimal(9,0)) * cast((b+d) as decimal(9,0))")
+    return (
+        cells.selectExpr(
+            "tok", "label", "a",
+            f"case when (a+b) > 0 and (c+d) > 0 and (a+c) > 0 and (b+d) > 0 "
+            f"then round(cast({num} as double) / cast({den} as double), 6) "
+            f"else 0.0d end as chi2",
+        )
+        .orderBy(F.desc("chi2"), "tok", "label")
+        .limit(int(top_n))
+    )

@@ -838,6 +838,40 @@ def main() -> None:
                         "cast(l_partkey as string) as dst").limit(2000)),
     )
 
+    add(
+        "Naive Bayes: broadcast model, one corpus explode, exact argmax",
+        "The (label x token) count model and the per-label stats broadcast "
+        "(BroadcastHashJoin); the test corpus explodes once, every "
+        "per-(doc,label) score is a partial-aggregated BIGINT sum of "
+        "quantized-ln units, and the argmax is a max(struct) aggregate — "
+        "no window sort, no per-label rescans, no Python.",
+        entry.q_ml_naivebayes(spark, args.sf),
+    )
+    add(
+        "Chi-squared features: three count aggregates + broadcast marginals",
+        "Doc-level presence is ONE distinct over the exploded corpus; the "
+        "token and label marginals join back (label marginal broadcast, "
+        "min_df prunes the hapax tail before the join) and the statistic "
+        "is a ratio of exact decimal integers — the top-50 is "
+        "TakeOrderedAndProject.",
+        entry.q_ml_chi2(spark, args.sf),
+    )
+    add(
+        "Katz centrality: hops-many sparse matvec equi-joins, decimal-exact",
+        "Each hop is edges JOIN walk-vector + partial-aggregated decimal "
+        "sum (the distributed SpMV); contributions union and aggregate "
+        "once. Walk counts never leave the exact decimal domain, so the "
+        "output BIGINT is replayable.",
+        entry.q_g24_katz(spark, args.sf),
+    )
+    add(
+        "GROUPING SETS: hand-picked lattice slice, one Expand + aggregate",
+        "The three granularities expand map-side (Expand) into ONE "
+        "shuffle/aggregate — the rollup/cube machinery applied to a "
+        "non-hierarchical set selection.",
+        entry.q_sql_groupingsets(spark, args.sf),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
