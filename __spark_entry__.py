@@ -3144,6 +3144,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g23_scc": q_g23_scc,
         "g24_katz": q_g24_katz,
         "sql_groupingsets": q_sql_groupingsets,
+        # tranche 10 (defs at end of file): line-level dedup, corpus
+        # frequency-profile + diversity diagnostics, time-series
+        # resampling, depth-1 CART, pivot matrix
+        "dd_lines": q_dd_lines,
+        "ts_zipf": q_ts_zipf,
+        "ts_gini": q_ts_gini,
+        "ts_resample": q_ts_resample,
+        "ml_stump": q_ml_stump,
+        "sql_pivot": q_sql_pivot,
     }
 
 
@@ -7608,6 +7617,154 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY GROUPING SETS ((o_orderstatus, l_returnflag),
                                 (o_orderstatus), (l_returnflag))
     """
+    # same 8-word slice arithmetic as line_dedup_stats; winner = first
+    # (doc_id, line_no) occurrence of each distinct line
+    o["dd_lines"] = """
+        WITH ws AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        lines AS (
+          SELECT doc_id, CAST(i AS INT) AS line_no,
+                 array_to_string(list_slice(w, i*8+1, i*8+8), ' ') AS line
+          FROM ws, UNNEST(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS t(i)
+        ),
+        rn AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, line_no) AS rn
+          FROM lines
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_removed
+        FROM rn GROUP BY doc_id
+    """
+    # exact integer counts; deterministic (c DESC, w) rank; identical
+    # ln/divide formula both engines, 6-dp round (the ts_entropy contract)
+    o["ts_zipf"] = """
+        WITH wc AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c FROM (
+            SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+          ) WHERE w <> '' GROUP BY w
+          ORDER BY c DESC, w LIMIT 100
+        ),
+        r AS (
+          SELECT ln(row_number() OVER (ORDER BY c DESC, w)) AS x,
+                 ln(c) AS y
+          FROM wc
+        ),
+        s AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+          FROM r
+        )
+        SELECT n AS n_points,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+                     / n, 6) AS intercept,
+               round(pow(n * sxy - sx * sy, 2)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        FROM s
+    """
+    # exact integer squares in HUGEINT (the decimal-widening discipline),
+    # one final double divide
+    o["ts_gini"] = """
+        WITH cc AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        )
+        SELECT source AS grp, CAST(sum(c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               round(1.0 - CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE)
+                     / (CAST(sum(c) AS DOUBLE) * sum(c)), 6) AS simpson,
+               round(CAST(sum(c) AS DOUBLE) * sum(c)
+                     / CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE), 6)
+                 AS inv_simpson
+        FROM cc GROUP BY source
+    """
+    # integer-microsecond buckets (epoch_us // width == unix_micros div),
+    # exact-cents sums, IGNORE NULLS forward fill — prototype-verified
+    o["ts_resample"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bkt,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(cents) AS BIGINT) AS sum_cents
+          FROM e GROUP BY 1, 2
+        ),
+        b AS (SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY 1),
+        grid AS (SELECT key, UNNEST(generate_series(lo, hi)) AS bkt FROM b),
+        dense AS (
+          SELECT g.key, g.bkt,
+                 COALESCE(a.n_events, 0) AS n_events,
+                 COALESCE(a.sum_cents, 0) AS sum_cents,
+                 CASE WHEN a.n_events IS NOT NULL
+                      THEN round(a.sum_cents / (a.n_events * 100.0), 6)
+                 END AS avg_obs,
+                 CAST(a.n_events IS NULL AS INT) AS filled
+          FROM grid g LEFT JOIN agg a USING (key, bkt)
+        )
+        SELECT key, bkt, n_events, sum_cents,
+               last_value(avg_obs IGNORE NULLS)
+                 OVER (PARTITION BY key ORDER BY bkt) AS avg_value,
+               filled
+        FROM dense
+    """
+    # cumulative window over the DISTINCT-value histogram; identical
+    # left-to-right double formula both engines, 6-dp round
+    o["ml_stump"] = """
+        WITH hist AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+          FROM (
+            SELECT CAST(n_chars AS BIGINT) AS x,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+          ) GROUP BY x
+        ),
+        cum AS (
+          SELECT x AS threshold,
+                 CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS n_left,
+                 CAST(sum(p) OVER (ORDER BY x) AS BIGINT) AS pos_left,
+                 CAST(sum(c) OVER () AS BIGINT) AS n_tot,
+                 CAST(sum(p) OVER () AS BIGINT) AS pos_tot
+          FROM hist
+        )
+        SELECT threshold, n_left, pos_left,
+               n_tot - n_left AS n_right,
+               pos_tot - pos_left AS pos_right,
+               round(
+                 (2.0 * pos_tot / n_tot * (1.0 - CAST(pos_tot AS DOUBLE) / n_tot))
+                 - (CAST(n_left AS DOUBLE) / n_tot)
+                   * (2.0 * pos_left / n_left
+                      * (1.0 - CAST(pos_left AS DOUBLE) / n_left))
+                 - (CAST(n_tot - n_left AS DOUBLE) / n_tot)
+                   * (2.0 * (pos_tot - pos_left) / (n_tot - n_left)
+                      * (1.0 - CAST(pos_tot - pos_left AS DOUBLE)
+                         / (n_tot - n_left)))
+               , 6) AS gini_gain
+        FROM cum WHERE n_left < n_tot
+        ORDER BY gini_gain DESC, threshold LIMIT 1
+    """
+    o["sql_pivot"] = """
+        SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """
     return o
 
 
@@ -7722,4 +7879,77 @@ def q_sql_groupingsets(spark, sf_dir):
             F.count("*").cast("long").alias("n_rows"),
             F.sum("qty").cast("long").alias("total_qty"),
         )
+    )
+
+
+def q_dd_lines(spark, sf_dir):
+    """C4/RefinedWeb-style line-level dedup over the delimiter-reformatted
+    corpus (dedup.py:line_dedup_stats): each distinct 8-word pseudo-line
+    survives only at its first (doc_id, line_no) occurrence; per-doc kept/
+    removed stats. One posexplode + one hash-keyed window + one map-side
+    rollup — linear in total lines, sorts only inside duplicate groups."""
+    from knowledgegraphbuilder_spark.operators.dedup import line_dedup_stats
+
+    return line_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_ts_zipf(spark, sf_dir):
+    """Zipf's-law OLS fit (ln freq on ln rank, top-100 words) over the
+    corpus unigram distribution (textstats.py:zipf_fit) — the natural-text
+    frequency-profile diagnostic; exact integer counts, deterministic
+    (count DESC, word) rank, 6-dp outputs."""
+    from knowledgegraphbuilder_spark.operators.textstats import zipf_fit
+
+    return zipf_fit(_t(spark, sf_dir, "documents"))
+
+
+def q_ts_gini(spark, sf_dir):
+    """Per-source Simpson diversity + inverse-Simpson effective class
+    count of the language mix (textstats.py:simpson_diversity) — the
+    companion diagnostic to ts_entropy; exact integer squares widened to
+    decimal before summation, one final double divide."""
+    from knowledgegraphbuilder_spark.operators.textstats import simpson_diversity
+
+    return simpson_diversity(_t(spark, sf_dir, "documents"))
+
+
+def q_ts_resample(spark, sf_dir):
+    """15-minute resample of the event stream per event_type with a dense
+    executor-generated grid, zero-filled counts, exact-cents sums and
+    forward-filled average (timeseries.py:resample_events). Buckets are
+    integer microsecond arithmetic (never float epochs); the grid comes
+    from explode(sequence(lo, hi)) on per-key bounds, no driver loop."""
+    from knowledgegraphbuilder_spark.operators.timeseries import resample_events
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return resample_events(_t(spark, sf_dir, "events"))
+
+
+def q_ml_stump(spark, sf_dir):
+    """Best depth-1 CART split of doc length against lang='en' by exact
+    Gini gain (mlstats.py:decision_stump): per-value histogram aggregate,
+    cumulative window over the DISTINCT-value histogram (never the
+    corpus), argmax with a (gain DESC, threshold) tie-break."""
+    from knowledgegraphbuilder_spark.operators.mlstats import decision_stump
+
+    return decision_stump(_t(spark, sf_dir, "documents"))
+
+
+def q_sql_pivot(spark, sf_dir):
+    """PIVOT: per user-decile event-type count matrix — Spark's
+    groupBy().pivot() with an EXPLICIT value list (so the schema is static
+    and no extra distinct-scan job runs; at 100 TB an implicit pivot
+    first scans the corpus just to learn the columns). Map-side
+    combinable: pivot compiles to conditional counts in one aggregate."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    e = _t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).cast("long").alias("bucket"), "event_type"
+    )
+    p = e.groupBy("bucket").pivot("event_type", types).agg(F.count(F.lit(1)))
+    return p.select(
+        "bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in types
+        ],
     )

@@ -870,3 +870,60 @@ def bloom_anti_join(
     return fast_new.unionByName(verified_new).select(
         F.col("id").alias("doc_id"), "path"
     )
+
+
+def line_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """C4-style LINE-level dedup (Raffel et al. 2020 §2.2 drop repeated
+    three-sentence spans; Penedo et al. 2023 RefinedWeb dedups exact
+    lines): across the whole corpus each distinct line survives only at
+    its FIRST occurrence — ordered by (doc_id, line_no) — and every later
+    copy is removed. The corpus has no newlines, so the canonical
+    reformatted view is fixed-width pseudo-lines of ``words_per_line``
+    whitespace tokens, which the DuckDB oracle re-derives with the same
+    slice arithmetic (boilerplate headers/footers in web text become
+    exactly these repeated lines).
+
+    Plan shape: split + one posexplode (rows = total lines, linear in
+    corpus), then first-occurrence selection as a window keyed by
+    sha256(line) — equality on the hash is equality on the line, and the
+    64-hex key bounds shuffle width no matter how long lines get. The
+    per-line winner needs a total order, so it is row_number over
+    (doc_id, line_no) INSIDE each hash partition — sort cost is per
+    duplicate-group, never global. Final per-doc rollup is a map-side
+    combinable groupBy on doc_id.
+
+    Output: (doc_id, n_lines, n_kept, n_removed) — all exact BIGINTs.
+    """
+    from pyspark.sql import Window as W
+
+    wpl = int(words_per_line)
+    lines = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        # sequence(0, n-1) DESCENDS when n < 1 (null text under ANSI), the
+        # same trap pmi_collocations guards — gate on size >= 1 explicitly
+        F.posexplode(
+            F.expr(
+                f"case when {text_col} is null "
+                f"  or size(split({text_col}, ' ')) < 1 then array() else "
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                f"/ {wpl}.0) as int) - 1), "
+                f"i -> array_join(slice(split({text_col}, ' '), "
+                f"i * {wpl} + 1, {wpl}), ' ')) end"
+            )
+        ).alias("line_no", "line"),
+    )
+    w = W.partitionBy(F.sha2(F.col("line"), 256)).orderBy("doc_id", "line_no")
+    flagged = lines.select(
+        "doc_id",
+        (F.row_number().over(w) == 1).cast("int").alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).cast("long").alias("n_removed"),
+    )

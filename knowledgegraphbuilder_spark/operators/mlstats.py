@@ -418,3 +418,69 @@ def chi2_features(
         .orderBy(F.desc("chi2"), "tok", "label")
         .limit(int(top_n))
     )
+
+
+def decision_stump(
+    df: DataFrame,
+    x_expr: str = "cast(n_chars as bigint)",
+    label_expr: str = "cast(lang = 'en' as int)",
+) -> DataFrame:
+    """Best single-threshold decision stump (depth-1 CART split) on a
+    numeric feature against a binary label, by exact Gini impurity
+    reduction — the one-pass, all-aggregate baseline every distributed
+    tree learner (XGBoost's approx split finding, Spark MLlib's own
+    binning) reduces to per candidate split.
+
+    Exactness: candidate thresholds are the DISTINCT feature values;
+    per-value (count, positives) are exact integers from one map-side
+    combinable groupBy; the cumulative (left-split) counts are a window
+    over the distinct-value histogram ORDERED BY the value — histogram-
+    sized, never corpus-sized. The Gini gain for split x <= t is then a
+    fixed rational formula over those integers evaluated in double on
+    both engines, rounded to 6 dp; the winner is argmax with a total
+    (gain DESC, threshold ASC) tie-break.
+
+    Scale shape: corpus-sized work is the per-value groupBy; everything
+    after runs over the value histogram (bounded by feature cardinality
+    — bin the feature first if it is continuous). No corpus-wide sort,
+    no driver loop.
+
+    Output: one row (threshold, n_left, pos_left, n_right, pos_right,
+    gini_gain).
+    """
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.selectExpr(f"{x_expr} as x", f"{label_expr} as y")
+        .groupBy("x")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select(
+        F.col("x").alias("threshold"),
+        F.sum("c").over(w).cast("long").alias("n_left"),
+        F.sum("p").over(w).cast("long").alias("pos_left"),
+        F.sum("c").over(W.orderBy(F.lit(1))).cast("long").alias("n_tot"),
+        F.sum("p").over(W.orderBy(F.lit(1))).cast("long").alias("pos_tot"),
+    ).filter(F.col("n_left") < F.col("n_tot"))
+    gini = cum.selectExpr(
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_tot - n_left as n_right",
+        "pos_tot - pos_left as pos_right",
+        # parent impurity minus weighted child impurity; every ratio is
+        # exact-int / exact-int in double, same formula both engines
+        "round("
+        " (2.0d * pos_tot / n_tot * (1.0d - cast(pos_tot as double) / n_tot))"
+        " - (cast(n_left as double) / n_tot)"
+        "   * (2.0d * pos_left / n_left * (1.0d - cast(pos_left as double) / n_left))"
+        " - (cast(n_tot - n_left as double) / n_tot)"
+        "   * (2.0d * (pos_tot - pos_left) / (n_tot - n_left)"
+        "      * (1.0d - cast(pos_tot - pos_left as double) / (n_tot - n_left)))"
+        ", 6) as gini_gain",
+    )
+    return gini.orderBy(F.desc("gini_gain"), "threshold").limit(1)

@@ -407,3 +407,97 @@ def winsorize(
         ((F.col("x") < F.col("lo")) | (F.col("x") > F.col("hi")))
         .cast("int").alias("clipped"),
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_r: int = 100,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS of
+    ln(freq) on ln(rank) across the ``top_r`` most frequent words — the
+    standard sanity check that scraped/generated text has a natural
+    frequency profile (slope near -1); a flat or cliffed slope flags
+    boilerplate floods or template spam. Works on whitespace word-soup
+    (no sentence structure needed), which is why it replaces a
+    readability score here.
+
+    Exactness: word counts are exact integers from one map-side
+    combinable groupBy; the rank is a total order by (count DESC, word)
+    so ties are deterministic on both engines; ln/multiply/divide happen
+    over those identical integers in the identical formula, and the
+    outputs are rounded to 6 dp — the ts_entropy contract.
+
+    Scale shape: the corpus-sized work is the word count groupBy; top-R
+    selection is a distributed orderBy.limit (per-partition top-R then a
+    tiny reduce), and the regression runs over R rows. No global sort of
+    the vocabulary, no window over the corpus.
+
+    Output: single row (n_points, slope, intercept, r2), 6-dp doubles.
+    """
+    wc = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(int(top_r))
+    )
+    from pyspark.sql import Window as W
+
+    ranked = wc.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), "w"))
+    ).select(
+        F.log("r").alias("x"), F.log("c").alias("y")
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.selectExpr(
+        "n as n_points",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) as slope",
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)"
+        " as intercept",
+        "round(pow(n * sxy - sx * sy, 2) / "
+        "((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) as r2",
+    )
+
+
+def simpson_diversity(
+    df: DataFrame,
+    group_col: str = "source",
+    class_col: str = "lang",
+) -> DataFrame:
+    """Per-group Simpson diversity of a categorical distribution: the
+    probability two random docs differ in class, D = 1 - sum(c^2)/n^2,
+    plus the inverse-Simpson 'effective number of classes' n^2/sum(c^2)
+    — the companion diagnostic to shannon_entropy (ts_entropy) that
+    mixture rebalancing reads.
+
+    Exact integer counts and integer squares (widened to decimal(38)
+    before the square so BIGINT never overflows — the _d18 discipline),
+    one final double divide rounded to 6 dp. Two map-side combinable
+    grouped counts, no joins, group-cardinality-sized output.
+    """
+    cc = df.groupBy(group_col, class_col).agg(F.count("*").alias("c"))
+    return (
+        cc.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_classes"),
+            F.sum(F.expr("cast(c as decimal(19,0)) * cast(c as decimal(19,0))"))
+            .alias("sq"),
+        )
+        .selectExpr(
+            "grp", "n", "n_classes",
+            "round(1.0 - cast(sq as double) / (cast(n as double) * n), 6)"
+            " as simpson",
+            "round(cast(n as double) * n / cast(sq as double), 6)"
+            " as inv_simpson",
+        )
+    )

@@ -1,0 +1,85 @@
+"""Time-series resampling over the event stream.
+
+The reference pipeline has no time-series surface; this is a
+BASELINE.json training-data-pipeline operator: regularizing an event
+log onto a fixed grid (counts + gap-filled rolling value) is the first
+step of every downstream rate/anomaly job, and doing it wrong (a
+driver-side loop over gaps, or a float epoch) is a classic scale
+killer.
+
+Design notes
+------------
+- Buckets are exact integer arithmetic on microseconds
+  (``unix_micros(ts) div bucket_us``) — never float epochs, so the
+  DuckDB replay (``epoch_us // bucket_us``) is bit-identical.
+- Values become exact integer cents (``floor(value * 100)``) before
+  any sum — the layout.py/zorder contract — so per-bucket sums are
+  order-independent exact integers and only the final avg divides.
+- The dense grid is generated DISTRIBUTED: per-key (min, max) bounds
+  (a tiny aggregate) then ``explode(sequence(lo, hi))`` — rows are
+  produced on executors, proportional to the grid, with no driver
+  loop and no join against a driver-collected range.
+- Forward fill is ``last(x, ignorenulls=True)`` over
+  (key, bucket-order) — one shuffle on the grouping key, per-key
+  sort, O(1) state per row. Leading buckets can't be null because
+  each key's grid starts at its own first observed bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def resample_events(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 900_000_000,
+) -> DataFrame:
+    """Resample an event log onto a fixed ``bucket_us``-wide grid per
+    key, densified over each key's [first, last] bucket with zero-filled
+    counts and forward-filled average value.
+
+    Output: (key, bkt, n_events, sum_cents, avg_value, filled) where
+    bkt = floor(epoch_us / bucket_us) (exact BIGINT), avg_value is the
+    bucket's exact-cents mean (6 dp) carried forward across gaps, and
+    filled = 1 marks synthesized gap rows.
+    """
+    bus = int(bucket_us)
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bus}").alias("bkt"),
+        F.expr(f"cast(floor({value_col} * 100) as bigint)").alias("cents"),
+    )
+    agg = e.groupBy("key", "bkt").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("cents").cast("long").alias("sum_cents"),
+    )
+    bounds = agg.groupBy("key").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.expr("sequence(lo, hi)")).alias("bkt")
+    )
+    dense = grid.join(agg, ["key", "bkt"], "left").select(
+        "key",
+        "bkt",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.coalesce("sum_cents", F.lit(0)).cast("long").alias("sum_cents"),
+        F.when(
+            F.col("n_events").isNotNull(),
+            F.round(F.col("sum_cents") / (F.col("n_events") * 100.0), 6),
+        ).alias("avg_obs"),
+        F.col("n_events").isNull().cast("int").alias("filled"),
+    )
+    w = W.partitionBy("key").orderBy("bkt")
+    return dense.select(
+        "key",
+        "bkt",
+        "n_events",
+        "sum_cents",
+        F.last("avg_obs", ignorenulls=True).over(w).alias("avg_value"),
+        "filled",
+    )
