@@ -3153,6 +3153,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_resample": q_ts_resample,
         "ml_stump": q_ml_stump,
         "sql_pivot": q_sql_pivot,
+        # tranche 11 (defs at end of file): exact AUC, association rules,
+        # KL drift, burst detection, unpivot
+        "ml_auc": q_ml_auc,
+        "ml_assoc": q_ml_assoc,
+        "ts_kl": q_ts_kl,
+        "ts_burst": q_ts_burst,
+        "sql_unpivot": q_sql_unpivot,
     }
 
 
@@ -7765,6 +7772,149 @@ def oracle_sql() -> dict[str, str]:
                  AS BIGINT) AS n_view
         FROM events GROUP BY 1
     """
+    # doubled midranks keep the Mann-Whitney statistic integer until the
+    # one final divide (the decision_stump histogram-window discipline)
+    o["ml_auc"] = """
+        WITH hist AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+          FROM (
+            SELECT CAST(n_chars AS BIGINT) AS s,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+          ) GROUP BY s
+        ),
+        r AS (
+          SELECT c, p,
+                 CAST(COALESCE(sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+          FROM hist
+        )
+        SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+               CAST(sum(c) - sum(p) AS BIGINT) AS n_neg,
+               round(CAST(sum(p * (2 * cb + c + 1))
+                          - sum(p) * (sum(p) + 1) AS DOUBLE)
+                     / (2.0 * sum(p) * (sum(c) - sum(p))), 6) AS auc
+        FROM r
+    """
+    # same capped-basket projection as the graph oracles; integer
+    # supports, rounded rule metrics, total (lift DESC, a, b) order
+    o["ml_assoc"] = """
+        WITH bset AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM bset
+          ) WHERE sz <= 50
+        ),
+        nb AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n FROM kept),
+        supp AS (SELECT item, CAST(count(*) AS BIGINT) AS s
+                 FROM kept GROUP BY 1),
+        pairs AS (
+          SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS s_ab
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item <> y.item
+          GROUP BY 1, 2 HAVING count(*) >= 3
+        )
+        SELECT a, b, s_ab, sa.s AS s_a, sb.s AS s_b,
+               round(CAST(s_ab AS DOUBLE) / sa.s, 6) AS confidence,
+               round(CAST((SELECT n FROM nb) AS DOUBLE) * s_ab
+                     / (CAST(sa.s AS DOUBLE) * sb.s), 6) AS lift
+        FROM pairs JOIN supp sa ON pairs.a = sa.item
+                   JOIN supp sb ON pairs.b = sb.item
+        ORDER BY lift DESC, a, b LIMIT 50
+    """
+    # vocabulary-sized float sum over exact integer counts (ts_entropy
+    # contract); every group word is corpus-supported, no smoothing
+    o["ts_kl"] = """
+        WITH toks AS (
+          SELECT grp, w FROM (
+            SELECT source AS grp, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w <> ''
+        ),
+        gw AS (SELECT grp, w, CAST(count(*) AS BIGINT) AS cgw
+               FROM toks GROUP BY 1, 2),
+        cw AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+               FROM toks GROUP BY 1),
+        ng AS (SELECT grp, CAST(sum(cgw) AS BIGINT) AS ng
+               FROM gw GROUP BY 1),
+        nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks)
+        SELECT grp, CAST(max(ng) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_words,
+               round(sum((CAST(cgw AS DOUBLE) / ng)
+                     * ln(CAST(cgw AS DOUBLE) * (SELECT n FROM nt)
+                          / (CAST(ng AS DOUBLE) * cw))), 6) AS kl
+        FROM gw JOIN cw USING (w) JOIN ng USING (grp)
+        GROUP BY grp
+    """
+    # resample grid (prototype-verified) + trailing integer sum/sumsq
+    # window excluding the current row; identical double z formula
+    o["ts_burst"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n_events
+          FROM e GROUP BY 1, 2
+        ),
+        b AS (SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY 1),
+        grid AS (SELECT key, UNNEST(generate_series(lo, hi)) AS bkt FROM b),
+        dense AS (
+          SELECT g.key, g.bkt, COALESCE(a.n_events, 0) AS n_events
+          FROM grid g LEFT JOIN agg a USING (key, bkt)
+        ),
+        stats AS (
+          SELECT key, bkt, n_events,
+                 CAST(count(*) OVER wt AS BIGINT) AS trail_n,
+                 CAST(COALESCE(sum(n_events) OVER wt, 0) AS BIGINT)
+                   AS trail_sum,
+                 CAST(COALESCE(sum(n_events * n_events) OVER wt, 0)
+                   AS BIGINT) AS trail_sumsq
+          FROM dense
+          WINDOW wt AS (PARTITION BY key ORDER BY bkt
+                        ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)
+        ),
+        withz AS (
+          SELECT key, bkt, n_events, trail_n, trail_sum,
+                 CASE WHEN trail_n >= 8 THEN
+                   CASE WHEN
+                     (CAST(trail_sumsq AS DOUBLE) / trail_n
+                      - (CAST(trail_sum AS DOUBLE) / trail_n)
+                        * (CAST(trail_sum AS DOUBLE) / trail_n)) > 0.0
+                   THEN round(
+                     (n_events - CAST(trail_sum AS DOUBLE) / trail_n)
+                     / sqrt(CAST(trail_sumsq AS DOUBLE) / trail_n
+                        - (CAST(trail_sum AS DOUBLE) / trail_n)
+                          * (CAST(trail_sum AS DOUBLE) / trail_n)), 6)
+                   END
+                 END AS z
+          FROM stats
+        )
+        SELECT *, COALESCE(CAST(z > 3.0 AS INT), 0) AS is_burst FROM withz
+    """
+    # melt of the pivot matrix, zero cells preserved (bucket x type grid)
+    o["sql_unpivot"] = """
+        WITH b AS (
+          SELECT DISTINCT CAST(user_id % 10 AS BIGINT) AS bucket FROM events
+        ),
+        t AS (
+          SELECT UNNEST(['click', 'error', 'purchase', 'signup', 'view'])
+            AS event_type
+        ),
+        c AS (
+          SELECT CAST(user_id % 10 AS BIGINT) AS bucket, event_type,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT b.bucket, t.event_type, COALESCE(c.n, 0) AS n
+        FROM b CROSS JOIN t
+        LEFT JOIN c ON c.bucket = b.bucket AND c.event_type = t.event_type
+    """
     return o
 
 
@@ -7952,4 +8102,63 @@ def q_sql_pivot(spark, sf_dir):
             F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
             for t in types
         ],
+    )
+
+
+def q_ml_auc(spark, sf_dir):
+    """Exact ROC AUC of doc length as a lang='en' classifier score via
+    the midrank Mann-Whitney statistic (mlstats.py:roc_auc): the whole
+    statistic stays integer (doubled midranks over the distinct-score
+    histogram) until one final divide, so both engines produce the
+    identical 6-dp value with zero float accumulation."""
+    from knowledgegraphbuilder_spark.operators.mlstats import roc_auc
+
+    return roc_auc(_t(spark, sf_dir, "documents"))
+
+
+def q_ml_assoc(spark, sf_dir):
+    """Top-50 market-basket association rules (confidence + lift) over
+    order->part baskets (mlstats.py:association_rules) — basket-size cap
+    BEFORE the quadratic pair expansion, integer supports, broadcast
+    support re-join, total (lift DESC, a, b) order."""
+    from knowledgegraphbuilder_spark.operators.mlstats import association_rules
+
+    b = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("g"),
+        F.col("l_partkey").cast("string").alias("item"),
+    )
+    return association_rules(b)
+
+
+def q_ts_kl(spark, sf_dir):
+    """Per-source KL divergence from the corpus unigram distribution
+    (textstats.py:kl_by_group) — the drift/contamination diagnostic;
+    exact integer counts, vocabulary-sized float sum, 6-dp round (the
+    ts_entropy contract)."""
+    from knowledgegraphbuilder_spark.operators.textstats import kl_by_group
+
+    return kl_by_group(_t(spark, sf_dir, "documents"))
+
+
+def q_ts_burst(spark, sf_dir):
+    """Rate-burst detection on the dense 15-min resampled event grid
+    (timeseries.py:burst_detect): trailing-8-bucket integer sum/sumsq
+    window (excluding the current row), z-score in one fixed double
+    formula, warmup rows unflagged. Needs resample_events' zero-filled
+    gaps to make the trailing statistics honest."""
+    from knowledgegraphbuilder_spark.operators.timeseries import burst_detect
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return burst_detect(_t(spark, sf_dir, "events"))
+
+
+def q_sql_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) of the per-decile event-type count matrix back to
+    long form via stack() — the inverse of sql_pivot, preserving explicit
+    zero cells (a bare groupBy would silently drop empty combinations)."""
+    p = q_sql_pivot(spark, sf_dir)
+    return p.selectExpr(
+        "bucket",
+        "stack(5, 'click', n_click, 'error', n_error, 'purchase', "
+        "n_purchase, 'signup', n_signup, 'view', n_view) as (event_type, n)",
     )

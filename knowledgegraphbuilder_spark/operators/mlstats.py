@@ -484,3 +484,117 @@ def decision_stump(
         ", 6) as gini_gain",
     )
     return gini.orderBy(F.desc("gini_gain"), "threshold").limit(1)
+
+
+def roc_auc(
+    df: DataFrame,
+    score_expr: str = "cast(n_chars as bigint)",
+    label_expr: str = "cast(lang = 'en' as int)",
+) -> DataFrame:
+    """EXACT ROC AUC of a numeric score against a binary label via the
+    Mann-Whitney rank statistic — the classifier-quality metric every
+    data-quality model (fastText filters, CCNet perplexity gates) is
+    tuned by, computed without materializing a single threshold sweep.
+
+    Ties are handled by midrank, and the whole statistic stays INTEGER
+    until the final divide: per distinct score s with c docs (p of them
+    positive), the doubled midrank is (2*cum_before + c + 1), so
+    2*R1 = sum_s p_s * (2*cum_before_s + c_s + 1) is an exact BIGINT and
+    AUC = (2*R1 - n1*(n1+1)) / (2*n1*n0) is one exact-int ratio rounded
+    to 6 dp — bit-identical on both engines, no float accumulation.
+
+    Scale shape: one map-side combinable groupBy(score) histogram, a
+    cumulative window over the DISTINCT-score histogram (decision_stump
+    discipline — histogram-sized, never corpus-sized), one final
+    aggregate. Output: single row (n_pos, n_neg, auc).
+    """
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.selectExpr(f"{score_expr} as s", f"{label_expr} as y")
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("y").cast("long").alias("p"),
+        )
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = hist.select(
+        "c",
+        "p",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    return (
+        ranked.agg(
+            F.sum("p").cast("long").alias("n_pos"),
+            (F.sum("c") - F.sum("p")).cast("long").alias("n_neg"),
+            F.sum(F.expr("p * (2 * cb + c + 1)")).cast("long").alias("r1x2"),
+        )
+        .selectExpr(
+            "n_pos",
+            "n_neg",
+            "round(cast(r1x2 - n_pos * (n_pos + 1) as double)"
+            " / (2.0d * n_pos * n_neg), 6) as auc",
+        )
+    )
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "g",
+    item_col: str = "item",
+    min_support: int = 3,
+    max_basket: int = 50,
+    top_n: int = 50,
+) -> DataFrame:
+    """Market-basket association rules over (basket, item) pairs: for
+    each ordered item pair a -> b with pair support >= ``min_support``,
+    exact confidence supp(ab)/supp(a) and lift n*supp(ab)/(supp(a)*
+    supp(b)) — the co-occurrence analytics surface (recommendation
+    candidates, query expansion) on the same capped bipartite projection
+    the graph suite uses.
+
+    Exactness: supports are integer counts; confidence/lift are single
+    exact-int ratios in double rounded to 6 dp; the top-N order is total
+    (lift DESC, a, b).
+
+    Scale shape: basket-size cap BEFORE the quadratic per-basket pair
+    expansion (the graphstats projection discipline), pair counting as
+    one map-side combinable groupBy, item supports broadcast back onto
+    the pair table.
+    """
+    from pyspark.sql import Window as W
+
+    b = baskets.select(
+        F.col(basket_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    kept = (
+        b.withColumn("sz", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("sz") <= int(max_basket))
+        .drop("sz")
+    )
+    n_baskets = kept.select("g").distinct().count()
+    supp = kept.groupBy("item").agg(F.count("*").cast("long").alias("s"))
+    x = kept.alias("x")
+    y = kept.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.g") == F.col("y.g"))
+               & (F.col("x.item") != F.col("y.item")))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count("*").cast("long").alias("s_ab"))
+        .filter(F.col("s_ab") >= int(min_support))
+    )
+    sa = supp.select(F.col("item").alias("a"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("item").alias("b"), F.col("s").alias("s_b"))
+    return (
+        pairs.join(F.broadcast(sa), "a")
+        .join(F.broadcast(sb), "b")
+        .selectExpr(
+            "a", "b", "s_ab", "s_a", "s_b",
+            "round(cast(s_ab as double) / s_a, 6) as confidence",
+            f"round({int(n_baskets)}.0d * s_ab / (cast(s_a as double) * s_b),"
+            " 6) as lift",
+        )
+        .orderBy(F.desc("lift"), "a", "b")
+        .limit(int(top_n))
+    )

@@ -501,3 +501,52 @@ def simpson_diversity(
             " as inv_simpson",
         )
     )
+
+
+def kl_by_group(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group KL divergence of the group's unigram distribution from
+    the full-corpus distribution, KL(P_g || Q) = sum_w p_w ln(p_w/q_w) —
+    the drift/contamination diagnostic that flags a source whose word
+    mix departs from the corpus (template spam, wrong-language shard,
+    generator mode collapse). Every group word is corpus-supported by
+    construction, so no smoothing term is needed.
+
+    Exactness: both distributions come from exact integer counts; the
+    summand is written as a single identical formula over those integers
+    ((c_gw / n_g) * ln((c_gw * n) / (n_g * c_w))) evaluated in double
+    and rounded to 6 dp after the vocabulary-sized sum — the ts_entropy
+    contract (vocab-sized float sums, corpus-sized integer work).
+
+    Scale shape: two map-side combinable grouped counts ((group, word)
+    and (word)) plus one broadcast of the corpus word table; output is
+    group-cardinality-sized.
+    """
+    toks = docs.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    gw = toks.groupBy("grp", "w").agg(F.count("*").cast("long").alias("cgw"))
+    cw = toks.groupBy("w").agg(F.count("*").cast("long").alias("cw"))
+    ng = gw.groupBy("grp").agg(F.sum("cgw").cast("long").alias("ng"))
+    n = toks.count()
+    return (
+        gw.join(F.broadcast(cw), "w")
+        .join(F.broadcast(ng), "grp")
+        .groupBy("grp")
+        .agg(
+            F.max("ng").cast("long").alias("n_tokens"),
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(
+                F.expr(
+                    f"(cast(cgw as double) / ng)"
+                    f" * ln(cast(cgw as double) * {int(n)}"
+                    f" / (cast(ng as double) * cw))"
+                )
+            ).alias("klsum"),
+        )
+        .selectExpr("grp", "n_tokens", "n_words", "round(klsum, 6) as kl")
+    )

@@ -83,3 +83,74 @@ def resample_events(
         F.last("avg_obs", ignorenulls=True).over(w).alias("avg_value"),
         "filled",
     )
+
+
+def burst_detect(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 900_000_000,
+    trail: int = 8,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Burst detection over the gap-filled resampled grid: flag buckets
+    whose count exceeds the trailing ``trail``-bucket mean by more than
+    ``z_thresh`` standard deviations — the rate-anomaly primitive
+    (error spikes, crawl floods) that only works on a DENSE grid, which
+    is exactly why resample_events zero-fills gaps first.
+
+    Exactness: the trailing window sums counts and squared counts as
+    exact integers (ROWS BETWEEN trail PRECEDING AND 1 PRECEDING —
+    never the current row, so a burst can't suppress itself); mean and
+    variance are then one fixed formula over those integers in double,
+    and the flag compares (n - mean)^2 against z^2 * var in that same
+    exact-derived arithmetic. Warmup rows (fewer than ``trail``
+    predecessors) report is_burst = 0 with null z.
+
+    Scale shape: inherits resample_events' one shuffle on the grouping
+    key; the window is per-key ROWS-framed O(1)-state. Output: (key,
+    bkt, n_events, trail_n, trail_sum, z, is_burst).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    grid = resample_events(
+        events, key_col=key_col, ts_col=ts_col,
+        value_col=value_col, bucket_us=bucket_us,
+    ).select("key", "bkt", "n_events")
+    w = W.partitionBy("key").orderBy("bkt").rowsBetween(-int(trail), -1)
+    stats = grid.select(
+        "key",
+        "bkt",
+        "n_events",
+        F.count("*").over(w).cast("long").alias("trail_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long").alias("trail_sum"),
+        F.coalesce(F.sum(F.expr("n_events * n_events")).over(w), F.lit(0))
+        .cast("long").alias("trail_sumsq"),
+    )
+    zt = float(z_thresh)
+    # NESTED case (not AND): ANSI Spark evaluates both conjuncts of a
+    # vectorized AND, so `trail_n >= k AND x / trail_n ...` still divides
+    # by zero on warmup rows — the outer branch must remove them first
+    var = (
+        "(cast(trail_sumsq as double) / trail_n"
+        " - (cast(trail_sum as double) / trail_n)"
+        "   * (cast(trail_sum as double) / trail_n))"
+    )
+    zexpr = (
+        f"(n_events - cast(trail_sum as double) / trail_n) / sqrt({var})"
+    )
+    withz = stats.selectExpr(
+        "key", "bkt", "n_events", "trail_n", "trail_sum",
+        # var = E[x^2] - E[x]^2 over the trailing window, exact-int inputs
+        f"case when trail_n >= {int(trail)} then"
+        f" case when {var} > 0.0d then round({zexpr}, 6) end"
+        f" end as z",
+    )
+    # the flag derives from the ROUNDED z so both engines compare the
+    # identical 6-dp value; null z (warmup / zero variance) -> 0
+    return withz.selectExpr(
+        "*", f"coalesce(cast(z > {zt!r}d as int), 0) as is_burst"
+    )
