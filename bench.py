@@ -249,6 +249,9 @@ def main() -> None:
         "ts_infer_batches", "g22_ktruss",
         "ml_naivebayes", "ml_chi2", "g23_scc", "g24_katz",
         "sql_groupingsets",
+        "dd_lines", "ts_zipf", "ts_gini", "ts_resample", "ml_stump",
+        "sql_pivot", "ml_auc", "ml_assoc", "ts_kl", "ts_burst",
+        "sql_unpivot",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

@@ -871,6 +871,49 @@ def main() -> None:
         "non-hierarchical set selection.",
         entry.q_sql_groupingsets(spark, args.sf),
     )
+    add(
+        "Line-level dedup: one explode, sorts only inside duplicate groups",
+        "The pseudo-line explode is linear in total lines; the "
+        "first-occurrence window partitions by sha256(line) — a 64-hex "
+        "shuffle key regardless of line width — so the row_number sort is "
+        "per-duplicate-group, never global; the rollup is a partial-"
+        "aggregated groupBy(doc_id). No Python anywhere.",
+        entry.q_dd_lines(spark, args.sf),
+    )
+    add(
+        "Resample + ffill: executor-generated grid, one shuffle on the key",
+        "The dense grid comes from explode(sequence(lo, hi)) over per-key "
+        "bounds — generated ON EXECUTORS, proportional to the grid, no "
+        "driver loop. The left join back to the bucket aggregate and the "
+        "IGNORE NULLS last() window share the (key) partitioning; buckets "
+        "are integer microsecond arithmetic end to end.",
+        entry.q_ts_resample(spark, args.sf),
+    )
+    add(
+        "Exact AUC: histogram window, corpus never sorted",
+        "The corpus-sized work is ONE partial-aggregated groupBy(score); "
+        "the midrank cumulative window runs over the distinct-score "
+        "histogram, and the Mann-Whitney statistic stays BIGINT until a "
+        "single final divide (decision_stump shares this exact shape).",
+        entry.q_ml_auc(spark, args.sf),
+    )
+    add(
+        "Association rules: capped baskets, broadcast supports",
+        "The basket-size cap applies BEFORE the per-basket quadratic pair "
+        "self-join (the graphstats projection discipline); pair counting "
+        "partial-aggregates map-side and the item supports re-join as "
+        "BroadcastHashJoins; top-50 is TakeOrderedAndProject, never a "
+        "global sort.",
+        entry.q_ml_assoc(spark, args.sf),
+    )
+    add(
+        "Burst detection: dense grid + per-key ROWS window, exact integers",
+        "Inherits the resample grid; the trailing sum/sumsq window is "
+        "ROWS-framed O(1)-state per key, excludes the current row, and "
+        "feeds one fixed double z formula — no self-join of the grid "
+        "against its own history.",
+        entry.q_ts_burst(spark, args.sf),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
