@@ -3160,6 +3160,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_kl": q_ts_kl,
         "ts_burst": q_ts_burst,
         "sql_unpivot": q_sql_unpivot,
+        # tranche 12 (defs at end of file): churn flows, Lorenz curve,
+        # closed-form PCA, streamed resample fold
+        "ts_churn": q_ts_churn,
+        "ts_lorenz": q_ts_lorenz,
+        "ml_pca": q_ml_pca,
+        "stream_resample": q_stream_resample,
     }
 
 
@@ -7915,6 +7921,88 @@ def oracle_sql() -> dict[str, str]:
         FROM b CROSS JOIN t
         LEFT JOIN c ON c.bucket = b.bucket AND c.event_type = t.event_type
     """
+    # ISO-Monday weeks on both engines; lead(wk) = wk + 7 days in date
+    # arithmetic; null lead (last active week) counts as churned
+    o["ts_churn"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id AS u,
+                 CAST(date_trunc('week', ts) AS DATE) AS wk
+          FROM events
+        ),
+        flags AS (
+          SELECT wk,
+                 CAST(row_number() OVER (PARTITION BY u ORDER BY wk) = 1
+                   AS INT) AS is_new,
+                 CAST(lead(wk) OVER (PARTITION BY u ORDER BY wk)
+                   = wk + INTERVAL 7 DAY AS INT) AS is_retained_next
+          FROM uw
+        )
+        SELECT strftime(wk, '%Y-%m-%d') AS week,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(is_new) AS BIGINT) AS n_new,
+               CAST(sum(COALESCE(is_retained_next, 0)) AS BIGINT)
+                 AS n_retained_next,
+               CAST(count(*) - sum(COALESCE(is_retained_next, 0)) AS BIGINT)
+                 AS n_churned_next
+        FROM flags GROUP BY 1
+    """
+    # deterministic (value, id) ntile; exact BIGINT decile masses; one
+    # final double divide per row
+    o["ts_lorenz"] = """
+        WITH d AS (
+          SELECT CAST(n_chars AS BIGINT) AS x, CAST(doc_id AS BIGINT) AS id
+          FROM documents
+        ),
+        t AS (SELECT x, ntile(10) OVER (ORDER BY x, id) AS decile FROM d),
+        per AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(x) AS BIGINT) AS sum_x
+          FROM t GROUP BY 1
+        )
+        SELECT decile, n_docs, sum_x,
+               CAST(sum(sum_x) OVER wcum AS BIGINT) AS cum_x,
+               round(CAST(sum(sum_x) OVER wcum AS DOUBLE)
+                     / CAST(sum(sum_x) OVER () AS DOUBLE), 6) AS cum_share
+        FROM per
+        WINDOW wcum AS (ORDER BY decile
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    # grouped exact HUGEINT sufficient stats (the ml_ols discipline) ->
+    # population covariance entries -> closed-form 2x2 eigenstructure
+    o["ml_pca"] = """
+        WITH d AS (
+          SELECT l_returnflag AS grp, CAST(l_quantity AS HUGEINT) AS x,
+                 CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx,
+                 sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy,
+                 sum(x * y) AS sxy
+          FROM d GROUP BY grp
+        ),
+        cov AS (
+          SELECT grp, CAST(n AS BIGINT) AS n,
+                 (CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS a,
+                 (CAST(n * syy - sy * sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS c,
+                 (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS b
+          FROM s
+        )
+        SELECT grp, n, round(a, 6) AS var_x, round(c, 6) AS var_y,
+               round(b, 6) AS cov_xy,
+               round(atan2(2.0 * b, a - c) / 2.0, 6) AS theta,
+               CASE WHEN (a + c) > 0.0 THEN
+                 round(((a + c) + sqrt((a - c) * (a - c) + 4.0 * b * b))
+                       / (2.0 * (a + c)), 6)
+               ELSE 1.0 END AS explained
+        FROM cov
+    """
+    # the streamed fold densifies through the SAME plan as batch
+    # resample_events, so the batch oracle checks it directly
+    o["stream_resample"] = o["ts_resample"]
     return o
 
 
@@ -8162,3 +8250,74 @@ def q_sql_unpivot(spark, sf_dir):
         "stack(5, 'click', n_click, 'error', n_error, 'purchase', "
         "n_purchase, 'signup', n_signup, 'view', n_view) as (event_type, n)",
     )
+
+
+def q_ts_churn(spark, sf_dir):
+    """Weekly active/new/retained/churned user flows
+    (timeseries.py:weekly_churn): one (user, week) distinct, one per-user
+    lead window, one weekly rollup — the lag/lead complement to the
+    cohort matrix, never a self-join of activity against next week."""
+    from knowledgegraphbuilder_spark.operators.timeseries import weekly_churn
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return weekly_churn(_t(spark, sf_dir, "events"))
+
+
+def q_ts_lorenz(spark, sf_dir):
+    """Decile Lorenz curve of document length (mlstats.py:lorenz_deciles):
+    deterministic (value, id) ntile rank — the one intrinsic global sort,
+    done by Spark's range-partitioned exchange — then exact BIGINT decile
+    masses and a 6-dp cumulative share."""
+    from knowledgegraphbuilder_spark.operators.mlstats import lorenz_deciles
+
+    return lorenz_deciles(_t(spark, sf_dir, "documents"))
+
+
+def q_ml_pca(spark, sf_dir):
+    """Closed-form 2-feature PCA per returnflag group over (quantity,
+    price-cents) (mlstats.py:pca2): grouped exact decimal sufficient
+    statistics -> 2x2 covariance -> eigenstructure in closed form; no
+    iteration, no driver-side linear algebra, identical double formula
+    on both engines."""
+    from knowledgegraphbuilder_spark.operators.mlstats import pca2
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pca2(
+        li,
+        x_expr="cast(l_quantity as bigint)",
+        y_expr="cast(floor(l_extendedprice * 100) as bigint)",
+        group_col="l_returnflag",
+    )
+
+
+def q_stream_resample(spark, sf_dir):
+    """STREAMING resample-state maintenance under the value-exact gate:
+    events arrive as three event_id-range files, each micro-batch's
+    per-(key, bucket) exact partials land under a content-derived batch
+    key via replace-MERGE (streaming/ingest.py:run_resample_available_now
+    — additive fold, NO alignment requirement since (count, cents-sum)
+    is a commutative monoid per bucket), the whole input REPLAYS against
+    a fresh checkpoint, and the folded grid (read_resampled) runs the
+    identical densify + ffill plan as batch resample_events — so the
+    ts_resample SQL oracle checks it directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_resampled, run_resample_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_resample_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = ev.agg(F.max("event_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (ev.filter((F.col("event_id") >= bounds[i])
+                   & (F.col("event_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_resample_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_resample_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    return read_resampled(spark, f"{base}/st")

@@ -598,3 +598,91 @@ def association_rules(
         .orderBy(F.desc("lift"), "a", "b")
         .limit(int(top_n))
     )
+
+
+def pca2(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Closed-form PCA of a 2-feature covariance matrix per group — the
+    degenerate-but-exact case of distributed PCA: the grouped sufficient
+    statistics (the only corpus-sized work, one map-side combinable
+    aggregate of exact decimal integers — the grouped_ols discipline)
+    determine the 2x2 covariance matrix, whose eigenstructure has a
+    closed form: lambda± = ((a+c) ± sqrt((a-c)^2 + 4 b^2)) / 2 and
+    principal angle theta = atan2(2b, a-c) / 2. No iteration, no
+    driver-side linear algebra, and every double derives from the same
+    exact integers through the same formula on both engines (6 dp).
+
+    At higher dimension d the same shape holds: the d x d Gram matrix is
+    one aggregate (d^2 sums), tiny against the corpus; only the eigen
+    step changes. Output: (grp, n, var_x, var_y, cov_xy, theta,
+    explained) with explained = lambda1 / (lambda1 + lambda2), 1.0 when
+    the trace is 0 (both features constant).
+    """
+    stats = df.groupBy(F.expr(group_col).alias("grp")).agg(
+        *_sums(x_expr, y_expr)
+    )
+    # population (divide-by-n) covariance entries from exact stats
+    a = f"({_VAR_X} / n / n)"
+    c = f"({_VAR_Y} / n / n)"
+    b = f"({_COV_NUM} / n / n)"
+    lam_gap = f"sqrt(({a} - {c}) * ({a} - {c}) + 4.0d * {b} * {b})"
+    return stats.selectExpr(
+        "grp",
+        "cast(n as bigint) as n",
+        f"round({a}, 6) as var_x",
+        f"round({c}, 6) as var_y",
+        f"round({b}, 6) as cov_xy",
+        f"round(atan2(2.0d * {b}, {a} - {c}) / 2.0d, 6) as theta",
+        f"case when ({a} + {c}) > 0.0d then "
+        f"round((({a} + {c}) + {lam_gap}) / (2.0d * ({a} + {c})), 6) "
+        f"else 1.0d end as explained",
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_expr: str = "cast(n_chars as bigint)",
+    id_expr: str = "cast(doc_id as bigint)",
+) -> DataFrame:
+    """Lorenz curve at decile resolution over a non-negative value — the
+    inequality profile (is 10% of the corpus carrying 90% of the bytes?)
+    that decides mixture reweighting and shard budgeting. Docs are
+    ranked by (value, id) — a TOTAL order, so ntile is deterministic —
+    and each decile reports its exact integer mass plus the cumulative
+    share of the total.
+
+    Exactness: per-decile sums and the running cumulative are exact
+    BIGINTs; only the final share divides (6 dp). Scale shape: the rank
+    is one global sort of (value, id) pairs — the one operation here
+    that is intrinsically a sort; Spark's range-partitioned exchange IS
+    the distributed algorithm for it (sample boundaries, scatter,
+    per-partition sort). Everything after is decile-cardinality-sized.
+    """
+    from pyspark.sql import Window as W
+
+    d = df.selectExpr(f"{value_expr} as x", f"{id_expr} as id")
+    t = d.select(
+        "x", F.ntile(10).over(W.orderBy("x", "id")).alias("decile")
+    )
+    per = t.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("x").cast("long").alias("sum_x"),
+    )
+    w = W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return per.select(
+        "decile",
+        "n_docs",
+        "sum_x",
+        F.sum("sum_x").over(w).cast("long").alias("cum_x"),
+        F.round(
+            F.sum("sum_x").over(w) / F.sum("sum_x").over(tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )

@@ -57,6 +57,15 @@ def resample_events(
         F.count("*").cast("long").alias("n_events"),
         F.sum("cents").cast("long").alias("sum_cents"),
     )
+    return densify_ffill(agg)
+
+
+def densify_ffill(agg: DataFrame) -> DataFrame:
+    """Densify a (key, bkt, n_events, sum_cents) bucket aggregate over each
+    key's [first, last] bucket and forward-fill the average — the shared
+    back half of batch resample_events and the streaming fold
+    (streaming/ingest.py:read_resampled), so stream state and batch output
+    go through literally the same plan."""
     bounds = agg.groupBy("key").agg(
         F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
     )
@@ -153,4 +162,52 @@ def burst_detect(
     # identical 6-dp value; null z (warmup / zero variance) -> 0
     return withz.selectExpr(
         "*", f"coalesce(cast(z > {zt!r}d as int), 0) as is_burst"
+    )
+
+
+def weekly_churn(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly active/new/retained/churned user flows — the engagement
+    ledger behind every growth dashboard, and the lag/lead-window
+    complement to the cohort matrix (sql_retention). A user is NEW in
+    their first active week, RETAINED-NEXT if also active the
+    immediately following week, CHURNED-NEXT otherwise (the trailing
+    calendar week of the data therefore reports everyone as churned —
+    the consumer clips the boundary week).
+
+    Exactness: weeks are date_trunc('week') dates (ISO Monday on both
+    engines), the next-activity test is lead(wk) == wk + 7 days in date
+    arithmetic, and every output is an integer count.
+
+    Scale shape: one distinct on (user, week), one per-user lead window
+    (shuffle on user_id, tiny per-user partitions), one weekly rollup —
+    no self-join of the activity table against next week.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    uw = events.select(
+        F.col(user_col).alias("u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("wk"),
+    ).distinct()
+    w = W.partitionBy("u").orderBy("wk")
+    flags = uw.select(
+        "wk",
+        (F.row_number().over(w) == 1).cast("int").alias("is_new"),
+        (F.lead("wk").over(w) == F.date_add(F.col("wk"), 7))
+        .cast("int").alias("is_retained_next"),
+    )
+    return (
+        flags.groupBy(F.date_format("wk", "yyyy-MM-dd").alias("week"))
+        .agg(
+            F.count("*").cast("long").alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum(F.coalesce("is_retained_next", F.lit(0)))
+            .cast("long").alias("n_retained_next"),
+            (F.count("*") - F.sum(F.coalesce("is_retained_next", F.lit(0))))
+            .cast("long").alias("n_churned_next"),
+        )
     )

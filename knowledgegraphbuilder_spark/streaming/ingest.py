@@ -838,3 +838,106 @@ def run_bloom_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def run_resample_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    key_col: str = "event_type", ts_col: str = "ts",
+    value_col: str = "value", id_col: str = "event_id",
+    bucket_us: int = 900_000_000,
+    schema: str = ("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"),
+) -> None:
+    """Streaming resample-state maintenance: each micro-batch reduces to
+    its per-(key, bucket) EXACT partial aggregates — integer event count
+    and integer cents sum, the same bucket arithmetic as
+    operators/timeseries.py:resample_events — and lands them under a
+    CONTENT-derived batch key via replace-MERGE (the
+    run_edge_weights_available_now additive-fold discipline: partials sum
+    across batches, addition is not idempotent, so replays overwrite).
+
+    Unlike the edge fold there is NO batch-alignment requirement: bucket
+    partials are additive under ANY split of the event rows across
+    micro-batches, arrival order, or replay — (count, sum) is a
+    commutative monoid per (key, bucket). read_resampled folds the
+    partials and runs the identical densify + forward-fill plan as the
+    batch operator, so streamed state == batch output byte-for-byte.
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    bus = int(bucket_us)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+            F.sum(
+                F.pmod(
+                    F.xxhash64(F.concat_ws(
+                        "|",
+                        F.col(id_col).cast("string"),
+                        F.col(ts_col).cast("string"),
+                    )),
+                    F.lit(1_000_000_007),
+                ).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        part = (
+            batch_df.select(
+                F.col(key_col).alias("key"),
+                F.expr(
+                    f"unix_micros(cast({ts_col} as timestamp)) div {bus}"
+                ).alias("bkt"),
+                F.expr(
+                    f"cast(floor({value_col} * 100) as bigint)"
+                ).alias("cents"),
+            )
+            .groupBy("key", "bkt")
+            .agg(
+                F.count("*").cast("long").alias("n_events"),
+                F.sum("cents").cast("long").alias("sum_cents"),
+            )
+            .select(F.sha2(F.lit(bkey), 256).alias("bkey"),
+                    "key", "bkt", "n_events", "sum_cents")
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, part, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_resampled(spark: SparkSession, table_dir: str) -> "DataFrame":
+    """Fold the batch-keyed bucket partials into live totals (one
+    map-side-combinable sum per (key, bucket)) and run the SAME densify +
+    forward-fill plan as batch resample_events — the streamed grid equals
+    the batch grid for any batching of the input."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.timeseries import densify_ffill
+
+    agg = (
+        spark.read.parquet(table_dir)
+        .groupBy("key", "bkt")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+    )
+    return densify_ffill(agg)
