@@ -3166,6 +3166,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_lorenz": q_ts_lorenz,
         "ml_pca": q_ml_pca,
         "stream_resample": q_stream_resample,
+        # tranche 13 (defs at end of file): classifier metrics, lag-1
+        # autocorrelation, last-touch attribution, time-to-convert
+        "ml_f1": q_ml_f1,
+        "ts_autocorr": q_ts_autocorr,
+        "sql_attribution": q_sql_attribution,
+        "sql_ttc": q_sql_ttc,
     }
 
 
@@ -8003,6 +8009,128 @@ def oracle_sql() -> dict[str, str]:
     # the streamed fold densifies through the SAME plan as batch
     # resample_events, so the batch oracle checks it directly
     o["stream_resample"] = o["ts_resample"]
+    # confusion cells over the NB oracle's holdout predictions (wrapped
+    # as a subquery so the split/model/argmax replay stays single-source)
+    o["ml_f1"] = f"""
+        WITH nb AS ({o["ml_naivebayes"]}),
+        cells AS (
+          SELECT label, pred AS p, CAST(count(*) AS BIGINT) AS n
+          FROM nb GROUP BY 1, 2
+        ),
+        by_true AS (
+          SELECT label AS cls, CAST(sum(n) AS BIGINT) AS n_true,
+                 CAST(sum(CASE WHEN p = label THEN n ELSE 0 END) AS BIGINT)
+                   AS tp
+          FROM cells GROUP BY 1
+        ),
+        by_pred AS (
+          SELECT p AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+          FROM cells GROUP BY 1
+        ),
+        j AS (
+          SELECT COALESCE(t.cls, q.cls) AS cls,
+                 COALESCE(tp, 0) AS tp,
+                 COALESCE(n_true, 0) AS n_true,
+                 COALESCE(n_pred, 0) AS n_pred
+          FROM by_true t FULL OUTER JOIN by_pred q ON t.cls = q.cls
+        )
+        SELECT cls, tp, n_true, n_pred,
+               CASE WHEN n_pred > 0
+                    THEN round(CAST(tp AS DOUBLE) / n_pred, 6)
+                    ELSE 0.0 END AS precision,
+               CASE WHEN n_true > 0
+                    THEN round(CAST(tp AS DOUBLE) / n_true, 6)
+                    ELSE 0.0 END AS recall,
+               CASE WHEN (n_pred + n_true) > 0
+                    THEN round(2.0 * tp / (n_pred + n_true), 6)
+                    ELSE 0.0 END AS f1
+        FROM j
+    """
+    # dense grid (ts_resample CTEs) -> per-key lag pairs -> exact BIGINT
+    # Pearson sums, one fixed double formula
+    o["ts_autocorr"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n_events
+          FROM e GROUP BY 1, 2
+        ),
+        b AS (SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY 1),
+        grid AS (SELECT key, UNNEST(generate_series(lo, hi)) AS bkt FROM b),
+        dense AS (
+          SELECT g.key, g.bkt, COALESCE(a.n_events, 0) AS x
+          FROM grid g LEFT JOIN agg a USING (key, bkt)
+        ),
+        pairs AS (
+          SELECT key, x,
+                 lag(x) OVER (PARTITION BY key ORDER BY bkt) AS y
+          FROM dense
+        ),
+        s AS (
+          SELECT key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy
+          FROM pairs WHERE y IS NOT NULL GROUP BY key
+        )
+        SELECT key, n,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+               THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+               END AS r1
+        FROM s
+    """
+    # IGNORE NULLS last() over (user, time) excluding the current row —
+    # the one-window shape; revenue in exact integer cents
+    o["sql_attribution"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(floor(value * 100) AS BIGINT) AS cents,
+                 regexp_extract(props, '"k":\\s*(\\d+)', 1) AS kstr
+          FROM events
+        ),
+        att AS (
+          SELECT event_type, cents,
+                 last_value(CASE WHEN event_type = 'click' THEN kstr END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS campaign
+          FROM e
+        )
+        SELECT COALESCE(campaign, 'none') AS campaign,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM att WHERE event_type = 'purchase'
+        GROUP BY 1
+    """
+    # exact interpolated percentiles over integer microsecond latencies
+    # (quantile_cont == Spark percentile, the ts_mad contract)
+    o["sql_ttc"] = """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events
+        ),
+        v AS (SELECT user_id, min(us) AS t1 FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+        p AS (
+          SELECT e.user_id, min(us) AS t3
+          FROM e JOIN v ON e.user_id = v.user_id
+          WHERE event_type = 'purchase' AND us > t1
+          GROUP BY 1
+        ),
+        d AS (SELECT t3 - t1 AS d FROM p JOIN v ON p.user_id = v.user_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               quantile_cont(d, 0.5) AS p50_us,
+               quantile_cont(d, 0.9) AS p90_us,
+               quantile_cont(d, 0.99) AS p99_us
+        FROM d
+    """
     return o
 
 
@@ -8321,3 +8449,96 @@ def q_stream_resample(spark, sf_dir):
     run_resample_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
     run_resample_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
     return read_resampled(spark, f"{base}/st")
+
+
+def q_ml_f1(spark, sf_dir):
+    """Per-class precision/recall/F1 of the Naive Bayes holdout
+    predictions (mlstats.py:classifier_metrics over naive_bayes_classify):
+    exact integer confusion cells from one groupBy, class-sized rollups,
+    zero-denominator-guarded 6-dp ratios — the evaluation half of the
+    classifier loop."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        classifier_metrics, naive_bayes_classify,
+    )
+
+    return classifier_metrics(
+        naive_bayes_classify(_t(spark, sf_dir, "documents"))
+    )
+
+
+def q_ts_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation of the per-type bucket-count series over the
+    DENSE 15-min grid (timeseries.py:lag1_autocorr) — computed on the
+    zero-filled grid because skipping empty buckets deletes every zero
+    from the series and biases the estimate; exact BIGINT pair sums,
+    Pearson r in one fixed double formula."""
+    from knowledgegraphbuilder_spark.operators.timeseries import lag1_autocorr
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return lag1_autocorr(_t(spark, sf_dir, "events"))
+
+
+def q_sql_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each purchase credits the user's
+    most recent PRECEDING click's campaign (props k, regexp-extracted so
+    neither engine needs a JSON reader) via an IGNORE NULLS last() over
+    (user, time) — one window, no self-join of purchases against the
+    click history; revenue in exact integer cents."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type",
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+        F.regexp_extract("props", '"k":\\s*(\\d+)', 1).alias("kstr"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    attributed = e.select(
+        "event_type", "cents",
+        F.last(
+            F.expr("case when event_type = 'click' then kstr end"),
+            ignorenulls=True,
+        ).over(w).alias("campaign"),
+    )
+    return (
+        attributed.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("campaign", F.lit("none")).alias("campaign"))
+        .agg(
+            F.count("*").cast("long").alias("n_purchases"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
+def q_sql_ttc(spark, sf_dir):
+    """Time-to-convert distribution: per user, first view -> first
+    subsequent purchase latency in exact integer microseconds, then the
+    exact interpolated p50/p90/p99 (the ts_mad/winsorize percentile
+    contract) — the funnel's latency companion."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("us"),
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+        .join(v, "user_id")
+        .select((F.col("t3") - F.col("t1")).alias("d"))
+    )
+    return p.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.expr("percentile(d, 0.5)").alias("p50_us"),
+        F.expr("percentile(d, 0.9)").alias("p90_us"),
+        F.expr("percentile(d, 0.99)").alias("p99_us"),
+    )

@@ -686,3 +686,52 @@ def lorenz_deciles(
             6,
         ).alias("cum_share"),
     )
+
+
+def classifier_metrics(
+    pred: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Per-class precision / recall / F1 from a (label, pred) table — the
+    evaluation half of every quality/language classifier loop
+    (naive_bayes_classify's holdout feeds this directly).
+
+    Exactness: the confusion cells are exact integer counts from ONE
+    map-side combinable groupBy(label, pred); tp / n_true / n_pred per
+    class come from two class-sized rollups of those cells, and the
+    metrics are fixed integer ratios in double rounded to 6 dp with
+    zero-denominator guards (a class never predicted has precision 0).
+
+    Scale shape: corpus-sized work is the single cell count; everything
+    downstream is class-cardinality-sized. Classes = the union of true
+    and predicted labels (full outer), so a hallucinated class still
+    surfaces with recall 0 rather than vanishing.
+    """
+    cells = pred.groupBy(
+        F.col(label_col).alias("label"), F.col(pred_col).alias("p")
+    ).agg(F.count("*").cast("long").alias("n"))
+    by_true = cells.groupBy(F.col("label").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_true"),
+        F.sum(F.expr("case when p = label then n else 0 end"))
+        .cast("long").alias("tp"),
+    )
+    by_pred = cells.groupBy(F.col("p").alias("cls")).agg(
+        F.sum("n").cast("long").alias("n_pred")
+    )
+    j = by_true.join(by_pred, "cls", "full_outer").selectExpr(
+        "cls",
+        "coalesce(tp, 0L) as tp",
+        "coalesce(n_true, 0L) as n_true",
+        "coalesce(n_pred, 0L) as n_pred",
+    )
+    return j.selectExpr(
+        "cls", "tp", "n_true", "n_pred",
+        "case when n_pred > 0 then round(cast(tp as double) / n_pred, 6)"
+        " else 0.0d end as precision",
+        "case when n_true > 0 then round(cast(tp as double) / n_true, 6)"
+        " else 0.0d end as recall",
+        "case when (n_pred + n_true) > 0 then"
+        " round(2.0d * tp / (n_pred + n_true), 6)"
+        " else 0.0d end as f1",
+    )

@@ -211,3 +211,54 @@ def weekly_churn(
             .cast("long").alias("n_churned_next"),
         )
     )
+
+
+def lag1_autocorr(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_us: int = 900_000_000,
+) -> DataFrame:
+    """Lag-1 autocorrelation of the per-key bucket-count series over the
+    DENSE resampled grid — the is-this-series-bursty-or-white-noise
+    diagnostic (near 0: Poisson-ish arrivals; near 1: strong clumping;
+    negative: alternation). Computing it on the densified grid matters:
+    skipping empty buckets silently deletes every zero from the series
+    and biases the estimate upward.
+
+    Exactness: the (x_t, x_{t-1}) pair sums (n, sx, sy, sxy, sxx, syy)
+    are exact BIGINTs — counts are small integers, so products stay far
+    inside long range — and Pearson r is one fixed integer formula in
+    double, 6 dp, with a zero-variance guard (constant series -> null).
+
+    Scale shape: inherits the resample grid's one shuffle on key; the
+    lag is a per-key ROWS window; the final aggregate is key-sized.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    grid = resample_events(
+        events, key_col=key_col, ts_col=ts_col,
+        value_col=value_col, bucket_us=bucket_us,
+    ).select("key", "bkt", F.col("n_events").alias("x"))
+    w = W.partitionBy("key").orderBy("bkt")
+    pairs = grid.select(
+        "key", "x", F.lag("x").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.expr("x * y")).cast("long").alias("sxy"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("long").alias("syy"),
+    )
+    return s.selectExpr(
+        "key", "n",
+        "case when (n * sxx - sx * sx) > 0 and (n * syy - sy * sy) > 0 then"
+        " round(cast(n * sxy - sx * sy as double)"
+        "  / sqrt(cast(n * sxx - sx * sx as double)"
+        "         * cast(n * syy - sy * sy as double)), 6)"
+        " end as r1",
+    )
