@@ -252,6 +252,8 @@ def main() -> None:
         "dd_lines", "ts_zipf", "ts_gini", "ts_resample", "ml_stump",
         "sql_pivot", "ml_auc", "ml_assoc", "ts_kl", "ts_burst",
         "sql_unpivot",
+        "ts_churn", "ts_lorenz", "ml_pca", "stream_resample",
+        "ml_f1", "ts_autocorr", "sql_attribution", "sql_ttc",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

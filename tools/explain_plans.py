@@ -914,6 +914,38 @@ def main() -> None:
         "against its own history.",
         entry.q_ts_burst(spark, args.sf),
     )
+    add(
+        "Weekly churn: one distinct + per-user lead window, no self-join",
+        "Activity dedups to (user, week) once; new/retained flags come "
+        "from row_number and lead over the per-user week sequence — the "
+        "naive formulation (activity LEFT JOIN activity ON user AND "
+        "wk+7) would shuffle the table twice for the same answer.",
+        entry.q_ts_churn(spark, args.sf),
+    )
+    add(
+        "Lorenz deciles: the one intrinsic global sort, then decile-sized",
+        "The (value, id) rank is a range-partitioned exchange (Spark's "
+        "distributed sort: sample boundaries, scatter, per-partition "
+        "sort) — the only operation here that is inherently a sort; "
+        "everything after runs over 10 rows.",
+        entry.q_ts_lorenz(spark, args.sf),
+    )
+    add(
+        "Closed-form PCA: one aggregate, no iteration",
+        "The 2x2 covariance comes from one map-side-combinable pass of "
+        "exact decimal sufficient statistics (grouped_ols discipline); "
+        "the eigenstructure is a closed-form projection of the stats "
+        "row. At dimension d this stays one aggregate of d^2 sums.",
+        entry.q_ml_pca(spark, args.sf),
+    )
+    add(
+        "Last-touch attribution: one IGNORE NULLS window, no self-join",
+        "Each purchase reads the most recent preceding click from a "
+        "last() IGNORE NULLS window over (user, time) excluding the "
+        "current row — the standard formulation as a purchases-to-"
+        "click-history range join would shuffle the event log twice.",
+        entry.q_sql_attribution(spark, args.sf),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
