@@ -3172,6 +3172,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_autocorr": q_ts_autocorr,
         "sql_attribution": q_sql_attribution,
         "sql_ttc": q_sql_ttc,
+        # tranche 14 (defs at end of file): rolling distinct actives,
+        # gaps-and-islands streaks, PSI drift, global transitivity
+        "sql_dau_wau": q_sql_dau_wau,
+        "sql_streaks": q_sql_streaks,
+        "ml_psi": q_ml_psi,
+        "g26_gcc": q_g26_gcc,
     }
 
 
@@ -8131,6 +8137,125 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(d, 0.99) AS p99_us
         FROM d
     """
+    # exact rolling distinct via explode-to-target-days; reported only
+    # for observed days (the dau join)
+    o["sql_dau_wau"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events
+        ),
+        dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+                FROM uw GROUP BY d),
+        tgt AS (
+          SELECT DISTINCT u, d + off * INTERVAL 1 DAY AS td
+          FROM uw, UNNEST(generate_series(0, 6)) AS t(off)
+        ),
+        wau AS (SELECT CAST(td AS DATE) AS d, CAST(count(*) AS BIGINT) AS wau
+                FROM tgt GROUP BY 1)
+        SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau
+        FROM dau JOIN wau USING (d)
+    """
+    # island key = epoch-day minus per-user row_number: pure integer
+    o["sql_streaks"] = """
+        WITH uw AS (
+          SELECT DISTINCT user_id AS u,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+          FROM events
+        ),
+        isl AS (
+          SELECT u, ed - row_number() OVER (PARTITION BY u ORDER BY ed)
+                 AS grp
+          FROM uw
+        ),
+        per AS (SELECT u, grp, count(*) AS len FROM isl GROUP BY 1, 2),
+        best AS (SELECT u, CAST(max(len) AS BIGINT) AS streak_len
+                 FROM per GROUP BY u)
+        SELECT streak_len, CAST(count(*) AS BIGINT) AS n_users
+        FROM best GROUP BY 1
+    """
+    # shared global equi-width bins (the ml_histogram floor discipline),
+    # content-addressed halves (the ts_split sha256 replay)
+    o["ml_psi"] = """
+        WITH d AS (
+          SELECT CAST(CAST(n_chars AS BIGINT) AS DOUBLE) AS v,
+                 CASE WHEN ('0x' || substr(sha256('psi-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 50
+                      THEN 'a' ELSE 'b' END AS side
+          FROM documents
+        ),
+        mm AS (SELECT min(v) AS lo, max(v) AS hi FROM d),
+        binned AS (
+          SELECT side,
+                 CASE WHEN hi > lo
+                      THEN least(CAST(floor((v - lo) * 10 / (hi - lo))
+                                 AS INT), 9)
+                      ELSE 0 END AS bin
+          FROM d CROSS JOIN mm
+        ),
+        cells AS (
+          SELECT bin,
+                 CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+          FROM binned GROUP BY bin
+        ),
+        tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                       CAST(sum(cb) AS BIGINT) AS n_b FROM cells)
+        SELECT n_a, n_b,
+               CAST(sum(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bins_both,
+               CAST(sum(CASE WHEN ca > 0 AND cb = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bins_a_only,
+               CAST(sum(CASE WHEN ca = 0 AND cb > 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_bins_b_only,
+               round(sum(CASE WHEN ca > 0 AND cb > 0 THEN
+                 (CAST(ca AS DOUBLE) / n_a - CAST(cb AS DOUBLE) / n_b)
+                 * ln((CAST(ca AS DOUBLE) / n_a)
+                      / (CAST(cb AS DOUBLE) / n_b))
+                 ELSE 0.0 END), 6) AS psi
+        FROM cells CROSS JOIN tot
+        GROUP BY n_a, n_b
+    """
+    # one-row rollup over the SAME wedge enumeration as g5's oracle
+    o["g26_gcc"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        ),
+        tris AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT 1 FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+            JOIN e z ON z.a = x.b AND z.b = y.b
+          )
+        ),
+        wed AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(degree) AS BIGINT) AS deg2,
+                 CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges
+          FROM deg
+        )
+        SELECT n_nodes, deg2 // 2 AS n_edges, n_triangles, n_wedges,
+               CASE WHEN n_wedges > 0 THEN
+                 round(3.0 * n_triangles / n_wedges, 6)
+               END AS gcc
+        FROM wed CROSS JOIN tris
+    """
     return o
 
 
@@ -8542,3 +8667,81 @@ def q_sql_ttc(spark, sf_dir):
         F.expr("percentile(d, 0.9)").alias("p90_us"),
         F.expr("percentile(d, 0.99)").alias("p99_us"),
     )
+
+
+def q_sql_dau_wau(spark, sf_dir):
+    """DAU + trailing-7-day WAU per observed day: exact rolling DISTINCT
+    via the explode-to-target-days trick — each (user, day) activity row
+    projects onto the 7 window-ending days it supports, then one distinct
+    + count per day. Linear x7, never a per-day rescan of history, and no
+    approximate sketch needed."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    uw = (
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("u"), F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    dau = uw.groupBy("d").agg(F.count("*").cast("long").alias("dau"))
+    tgt = (
+        uw.select("u", F.explode(F.expr("sequence(0, 6)")).alias("off"), "d")
+        .select("u", F.expr("date_add(d, off)").alias("td"))
+        .distinct()
+    )
+    wau = tgt.groupBy(F.col("td").alias("d")).agg(
+        F.count("*").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"), "dau", "wau"
+        )
+    )
+
+
+def q_sql_streaks(spark, sf_dir):
+    """Gaps-and-islands: longest consecutive-day activity streak per user,
+    reported as a distribution (streak_len -> n_users). The island key is
+    pure integer arithmetic (epoch-day minus per-user row_number), so
+    both engines group identically; one window + two rollups."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    uw = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("user_id").alias("u"),
+            F.expr("datediff(to_date(ts), date'1970-01-01')").alias("ed"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("u").orderBy("ed")
+    isl = uw.select(
+        "u", (F.col("ed") - F.row_number().over(w)).alias("grp")
+    )
+    per = isl.groupBy("u", "grp").agg(F.count("*").alias("len"))
+    best = per.groupBy("u").agg(F.max("len").cast("long").alias("streak_len"))
+    return best.groupBy("streak_len").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def q_ml_psi(spark, sf_dir):
+    """Population Stability Index of doc length between two
+    content-addressed halves (mlstats.py:psi_drift): shared global
+    equi-width bins, exact integer cell counts, one-sided bins counted
+    out rather than epsilon-fudged — the feature-drift monitor."""
+    from knowledgegraphbuilder_spark.operators.mlstats import psi_drift
+
+    return psi_drift(_t(spark, sf_dir, "documents"))
+
+
+def q_g26_gcc(spark, sf_dir):
+    """Global clustering coefficient (transitivity) of the co-purchase
+    graph (graphstats.py:global_clustering): one-row rollup over the same
+    degree-ordered wedge plan as g5 — 3T/W as an exact-integer ratio."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        global_clustering,
+    )
+
+    return global_clustering(_copurchase_edges(spark, sf_dir),
+                             assume_canonical=True)

@@ -1534,3 +1534,44 @@ def strongly_connected_components(
     else:
         raise RuntimeError("SCC outer loop did not converge")
     return assigned
+
+
+def global_clustering(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    assume_canonical: bool = False,
+) -> DataFrame:
+    """Global (transitivity) clustering coefficient: 3 * triangles /
+    wedges — the one-number density-of-closure summary that complements
+    the per-node local coefficients (triangle_clustering). Reuses the
+    degree-ordered wedge enumeration, so the corpus-sized cost is the
+    SAME plan as the per-node query; this is a one-row rollup on top.
+
+    Exactness: sum(per-node triangles) counts each triangle exactly 3
+    times and wedges = sum(d * (d - 1) / 2) is exact integer arithmetic
+    (d * (d-1) is always even), so gcc = tri3 / wedges is one
+    exact-integer ratio in double, 6 dp, null when the graph has no
+    wedge.
+
+    Output: one row (n_nodes, n_edges, n_triangles, n_wedges, gcc).
+    """
+    tc = triangle_clustering(
+        edges, src_col=src_col, dst_col=dst_col,
+        assume_canonical=assume_canonical,
+    )
+    s = tc.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum("degree").cast("long").alias("deg2"),
+        F.sum(F.coalesce("triangles", F.lit(0))).cast("long").alias("tri3"),
+        F.sum(F.expr("degree * (degree - 1) div 2")).cast("long")
+        .alias("n_wedges"),
+    )
+    return s.selectExpr(
+        "n_nodes",
+        "deg2 div 2 as n_edges",
+        "tri3 div 3 as n_triangles",
+        "n_wedges",
+        "case when n_wedges > 0 then"
+        " round(cast(tri3 as double) / n_wedges, 6) end as gcc",
+    )

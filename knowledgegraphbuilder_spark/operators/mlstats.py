@@ -735,3 +735,87 @@ def classifier_metrics(
         " round(2.0d * tp / (n_pred + n_true), 6)"
         " else 0.0d end as f1",
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    value_expr: str = "cast(n_chars as bigint)",
+    id_col: str = "doc_id",
+    salt: str = "psi-v1",
+    bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two content-addressed halves of
+    a corpus — the standard feature-drift monitor (PSI < 0.1 stable,
+    > 0.25 action): did the distribution of a feature shift between two
+    snapshots/shards? Here the halves come from the deterministic
+    sha256(salt, id) % 100 draw (the stratified_split discipline), so the
+    check replays exactly; in production the two sides are yesterday's
+    and today's shard.
+
+    Exactness: shared equi-width bins from the GLOBAL min/max (the
+    equi_width_histogram floor-expression discipline), exact integer bin
+    counts per side, and PSI = sum((p-q) * ln(p/q)) over bins populated
+    on BOTH sides — one-sided bins are reported as counts instead of
+    being epsilon-fudged into the sum (the usual silent hack), so the
+    statistic stays exactly replayable.
+
+    Scale shape: one min/max broadcast row, one map-side combinable
+    (side, bin) count, bin-sized everything after.
+
+    Output: one row (n_a, n_b, n_bins_both, n_bins_a_only,
+    n_bins_b_only, psi).
+    """
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    b = int(bins)
+    side = (
+        F.expr(_H60.format(
+            s=f"concat('{salt}', ',', cast({id_col} as string))"
+        )) % 100 < 50
+    )
+    d = df.select(
+        F.expr(value_expr).cast("double").alias("v"),
+        F.when(side, "a").otherwise("b").alias("side"),
+    )
+    mm = d.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    binned = d.crossJoin(F.broadcast(mm)).selectExpr(
+        "side",
+        f"case when hi > lo then least(cast(floor((v - lo) * {b}"
+        f" / (hi - lo)) as int), {b - 1}) else 0 end as bin",
+    )
+    cells = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum(F.expr("case when side = 'a' then 1 else 0 end"))
+            .cast("long").alias("ca"),
+            F.sum(F.expr("case when side = 'b' then 1 else 0 end"))
+            .cast("long").alias("cb"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    # broadcast the one-row totals back onto the bin table; the summand
+    # is one fixed formula over exact integers (bin-sized float sum)
+    term = (
+        "case when ca > 0 and cb > 0 then"
+        " (cast(ca as double) / n_a - cast(cb as double) / n_b)"
+        " * ln((cast(ca as double) / n_a) / (cast(cb as double) / n_b))"
+        " else 0.0d end"
+    )
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.sum(F.expr("case when ca > 0 and cb > 0 then 1 else 0 end"))
+            .cast("long").alias("n_bins_both"),
+            F.sum(F.expr("case when ca > 0 and cb = 0 then 1 else 0 end"))
+            .cast("long").alias("n_bins_a_only"),
+            F.sum(F.expr("case when ca = 0 and cb > 0 then 1 else 0 end"))
+            .cast("long").alias("n_bins_b_only"),
+            F.round(F.sum(F.expr(term)), 6).alias("psi"),
+        )
+        .select("n_a", "n_b", "n_bins_both", "n_bins_a_only",
+                "n_bins_b_only", "psi")
+    )
