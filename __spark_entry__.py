@@ -3178,6 +3178,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_streaks": q_sql_streaks,
         "ml_psi": q_ml_psi,
         "g26_gcc": q_g26_gcc,
+        # tranche 15 (defs at end of file): RFM census, shingle novelty,
+        # hour-of-day seasonality
+        "sql_rfm": q_sql_rfm,
+        "ts_novelty": q_ts_novelty,
+        "sql_seasonality": q_sql_seasonality,
     }
 
 
@@ -8256,6 +8261,72 @@ def oracle_sql() -> dict[str, str]:
                END AS gcc
         FROM wed CROSS JOIN tris
     """
+    # deterministic quintiles: every ntile ordered by (metric, user)
+    o["sql_rfm"] = """
+        WITH e AS (
+          SELECT user_id AS u, CAST(ts AS DATE) AS d,
+                 CAST(floor(value * 100) AS BIGINT) AS cents
+          FROM events
+        ),
+        per AS (
+          SELECT u, max(d) AS last_d, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(cents) AS BIGINT) AS mon
+          FROM e GROUP BY u
+        ),
+        mx AS (SELECT max(last_d) AS mx FROM per),
+        rfm AS (
+          SELECT u, freq, mon,
+                 CAST(date_diff('day', last_d, mx) AS BIGINT) AS rec
+          FROM per CROSS JOIN mx
+        ),
+        scored AS (
+          SELECT ntile(5) OVER (ORDER BY rec DESC, u) AS r,
+                 ntile(5) OVER (ORDER BY freq ASC, u) AS f,
+                 ntile(5) OVER (ORDER BY mon ASC, u) AS m
+          FROM rfm
+        )
+        SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_users
+        FROM scored GROUP BY 1, 2, 3
+    """
+    # same shingle expression family as the dedup oracles; first
+    # occurrence = lexicographic min of (source | zero-padded doc_id)
+    o["ts_novelty"] = f"""
+        WITH sh AS (
+          SELECT source,
+                 source || '|' || lpad(CAST(doc_id AS VARCHAR), 10, '0')
+                   AS ord,
+                 UNNEST({duckdb_word_shingles("text", 3)}) AS sg
+          FROM documents
+        ),
+        shf AS (SELECT * FROM sh WHERE sg <> ''),
+        firsts AS (
+          SELECT sg, min(ord) AS first_ord FROM shf GROUP BY sg
+        ),
+        novel AS (
+          SELECT split_part(first_ord, '|', 1) AS source,
+                 CAST(count(*) AS BIGINT) AS n_novel
+          FROM firsts GROUP BY 1
+        ),
+        per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+                 CAST(count(DISTINCT sg) AS BIGINT) AS n_distinct
+          FROM shf GROUP BY source
+        )
+        SELECT p.source, n_occurrences, n_distinct,
+               COALESCE(n_novel, 0) AS n_novel
+        FROM per_src p LEFT JOIN novel USING (source)
+    """
+    o["sql_seasonality"] = """
+        WITH prof AS (
+          SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, hour, n,
+               CAST(n = max(n) OVER (PARTITION BY event_type) AS INT)
+                 AS is_peak
+        FROM prof
+    """
     return o
 
 
@@ -8745,3 +8816,95 @@ def q_g26_gcc(spark, sf_dir):
 
     return global_clustering(_copurchase_edges(spark, sf_dir),
                              assume_canonical=True)
+
+
+def q_sql_rfm(spark, sf_dir):
+    """RFM segmentation: per-user recency (days since last event, vs the
+    corpus max day), frequency (events), monetary (exact cents), each
+    ntile(5)-scored over a TOTAL (metric, user) order so the quintiles
+    are deterministic; output is the 125-cell segment census. One scan,
+    one per-user aggregate, three windows over the user table (small
+    relative to events), one rollup."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("u"),
+        F.to_date("ts").alias("d"),
+        F.expr("cast(floor(value * 100) as bigint)").alias("cents"),
+    )
+    per = e.groupBy("u").agg(
+        F.max("d").alias("last_d"),
+        F.count("*").cast("long").alias("freq"),
+        F.sum("cents").cast("long").alias("mon"),
+    )
+    mx = per.agg(F.max("last_d").alias("mx"))
+    per = per.crossJoin(F.broadcast(mx)).select(
+        "u", "freq", "mon",
+        F.expr("datediff(mx, last_d)").cast("long").alias("rec"),
+    )
+    scored = per.select(
+        F.ntile(5).over(W.orderBy(F.desc("rec"), "u")).alias("r"),
+        F.ntile(5).over(W.orderBy(F.asc("freq"), "u")).alias("f"),
+        F.ntile(5).over(W.orderBy(F.asc("mon"), "u")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").cast("long").alias("n_users")
+    )
+
+
+def q_ts_novelty(spark, sf_dir):
+    """Per-source shingle novelty: how many of a source's distinct 3-word
+    shingles occur FIRST (lexicographic (source, zero-padded doc_id)
+    order) in that source — the dedup-ROI / crawl-freshness curve. One
+    shingle explode (linear), one argmin-by-string groupBy (map-side
+    combinable min), one source-sized rollup; no self-join of sources
+    against each other."""
+    from knowledgegraphbuilder_spark.functions.hashing import (
+        spark_word_shingles,
+    )
+
+    sh = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "concat(source, '|', lpad(cast(doc_id as string), 10, '0'))"
+        ).alias("ord"),
+        F.explode(F.expr(spark_word_shingles("text", 3))).alias("sg"),
+    ).filter(F.col("sg") != "")
+    firsts = sh.groupBy("sg").agg(F.min("ord").alias("first_ord"))
+    novel = (
+        firsts.select(
+            F.expr("substring_index(first_ord, '|', 1)").alias("source")
+        )
+        .groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_novel"))
+    )
+    per_src = sh.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_occurrences"),
+        F.countDistinct("sg").cast("long").alias("n_distinct"),
+    )
+    return per_src.join(novel, "source", "left").select(
+        "source", "n_occurrences", "n_distinct",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+
+
+def q_sql_seasonality(spark, sf_dir):
+    """Hour-of-day activity profile per event type with a deterministic
+    peak flag (n == per-type max; ties all flagged) — one grouped count
+    plus a type-partitioned max window over the 24-row-per-type profile,
+    never over the event log."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    prof = (
+        _t(spark, sf_dir, "events")
+        .select("event_type", F.hour("ts").alias("hour"))
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("event_type")
+    return prof.select(
+        "event_type", "hour", "n",
+        (F.col("n") == F.max("n").over(w)).cast("int").alias("is_peak"),
+    )

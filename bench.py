@@ -254,6 +254,8 @@ def main() -> None:
         "sql_unpivot",
         "ts_churn", "ts_lorenz", "ml_pca", "stream_resample",
         "ml_f1", "ts_autocorr", "sql_attribution", "sql_ttc",
+        "sql_dau_wau", "sql_streaks", "ml_psi", "g26_gcc",
+        "sql_rfm", "ts_novelty", "sql_seasonality",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries
