@@ -3183,6 +3183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_rfm": q_sql_rfm,
         "ts_novelty": q_ts_novelty,
         "sql_seasonality": q_sql_seasonality,
+        # tranche 16 (defs at end of file): full coreness decomposition
+        "g27_coreness": q_g27_coreness,
     }
 
 
@@ -8327,6 +8329,17 @@ def oracle_sql() -> dict[str, str]:
                  AS is_peak
         FROM prof
     """
+    # coreness = ann_knn replay as the edge substrate (the ann_knn_cc
+    # composition trick) + the fixed-point peel unroll; kmax/rounds are
+    # asserted against the operator's observed degeneracy/convergence
+    o["g27_coreness"] = (
+        "WITH knn AS (" + o["ann_knn"] + """),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+          FROM knn
+        ), """
+        + _coreness_unroll(kmax=16, rounds=12)
+    )
     return o
 
 
@@ -8908,3 +8921,60 @@ def q_sql_seasonality(spark, sf_dir):
         "event_type", "hour", "n",
         (F.col("n") == F.max("n").over(w)).cast("int").alias("is_peak"),
     )
+
+
+def _coreness_unroll(kmax: int, rounds: int) -> str:
+    """Unrolled full-coreness peel over an ``e0(a, b)`` CTE (canonical
+    undirected edges): chain kmax levels of the _kcore_oracle peel, each
+    level starting from the previous level's surviving subgraph; a node's
+    coreness is the max level whose survivor set still contains it.
+    Valid for the same fixed-point reason as _kcore_oracle — any unroll
+    >= the observed per-level convergence rounds replays the iterative
+    operator exactly (the operator asserts degeneracy < kmax)."""
+    ctes = []
+    prev = "e0"
+    survivors = []
+    for k in range(1, kmax + 1):
+        for r in range(1, rounds + 1):
+            n, e = f"n_{k}_{r}", f"e_{k}_{r}"
+            ctes.append(f"""{n} AS MATERIALIZED (
+              SELECT node FROM (
+                SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+              ) GROUP BY node HAVING count(*) >= {k}
+            )""")
+            ctes.append(f"""{e} AS MATERIALIZED (
+              SELECT a, b FROM {prev}
+              WHERE a IN (SELECT node FROM {n})
+                AND b IN (SELECT node FROM {n})
+            )""")
+            prev = e
+        survivors.append((k, prev))
+    parts = ["SELECT a AS node, 0 AS k FROM e0"
+             " UNION ALL SELECT b, 0 FROM e0"]
+    for k, cte in survivors:
+        parts.append(
+            f"SELECT a AS node, {k} AS k FROM {cte}"
+            f" UNION ALL SELECT b, {k} FROM {cte}"
+        )
+    union = " UNION ALL ".join(parts)
+    return (
+        ", ".join(ctes)
+        + f""" SELECT node, CAST(max(k) AS BIGINT) AS coreness
+               FROM ({union}) GROUP BY node"""
+    )
+
+
+def q_g27_coreness(spark, sf_dir):
+    """Full coreness (shell index) decomposition of the symmetrized 5-NN
+    embedding graph (graphstats.py:coreness): the textbook peel by
+    increasing k, each level one degree count + two semi-joins per round
+    over an only-shrinking edge set; the kNN substrate keeps the
+    degeneracy single-digit so the oracle's fixed-point unroll stays
+    bounded. Oracle = the ann_knn replay + _coreness_unroll."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+    from knowledgegraphbuilder_spark.operators.graphstats import coreness
+
+    knn = ann_ops.knn_graph(
+        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
+    )
+    return coreness(knn, src_col="src", dst_col="dst", max_k=16)

@@ -255,7 +255,7 @@ def main() -> None:
         "ts_churn", "ts_lorenz", "ml_pca", "stream_resample",
         "ml_f1", "ts_autocorr", "sql_attribution", "sql_ttc",
         "sql_dau_wau", "sql_streaks", "ml_psi", "g26_gcc",
-        "sql_rfm", "ts_novelty", "sql_seasonality",
+        "sql_rfm", "ts_novelty", "sql_seasonality", "g27_coreness",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries
@@ -308,6 +308,11 @@ def main() -> None:
     # e2e metric below.
     timings: dict[str, float] = {}
     t_total0 = time.time()
+    # SPARK_GRAFT_SKIP_QUERIES=1: e2e + scaling only — for re-measuring the
+    # contention-fragile scaling legs on an idle box without paying the
+    # ~20-min query loop (the per-query numbers of a full run stay valid)
+    if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
+        bench_queries = []
     for name in bench_queries:
         best = None
         for _rep in range(2):

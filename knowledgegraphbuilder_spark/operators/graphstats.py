@@ -1575,3 +1575,102 @@ def global_clustering(
         "case when n_wedges > 0 then"
         " round(cast(tri3 as double) / n_wedges, 6) end as gcc",
     )
+
+
+def coreness(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_k: int = 32,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """Full coreness (shell index) decomposition: every node's maximum k
+    such that it survives the k-core peel — the standard graph-triage
+    scalar (k_core answers "who is in the dense backbone at level k";
+    coreness answers "how deep does EACH node sit"). Degeneracy ordering,
+    densest-subgraph approximation, and influence ranking all read this
+    number.
+
+    Algorithm: the textbook distributed peel by increasing k — at each k,
+    repeatedly drop nodes of degree < k (one map-side-combinable degree
+    count + two semi-joins per round, the k_core shape); nodes dropped
+    while peeling at level k have coreness k-1. Each level starts from
+    the previous level's surviving subgraph, so total work is bounded by
+    (degeneracy x peel rounds) shrinking passes, with localCheckpoint
+    truncating lineage per level. At 100 TB the known optimization is
+    bin-batched peeling (process all k in a degree bin per sweep,
+    ParlayLib/Galois style) — same dataflow, fewer passes; documented,
+    not needed at gate scale where degeneracy is single-digit.
+
+    The driver loop inspects only per-round edge COUNTS (scalars), never
+    edge data. Fixed-point margin: extra inner rounds are no-ops, which
+    is what lets the SQL oracle replay a fixed unroll (the k_core
+    discipline). ``max_k`` bounds the unroll for the oracle contract —
+    the loop asserts the graph's degeneracy stays below it.
+
+    Output: (node, coreness) for every node with at least one edge.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col).cast("string"),
+                    F.col(dst_col).cast("string")).alias("a"),
+            F.greatest(F.col(src_col).cast("string"),
+                       F.col(dst_col).cast("string")).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _nodes(df):
+        return (
+            df.select(F.col("a").alias("node"))
+            .unionAll(df.select(F.col("b").alias("node")))
+            .distinct()
+        )
+
+    shells = []
+    prev_nodes = _nodes(e).localCheckpoint(eager=True)
+    n_edges = e.count()
+    k = 1
+    while n_edges > 0:
+        assert k <= int(max_k), (
+            f"graph degeneracy exceeds max_k={max_k}; raise the bound "
+            f"(and the oracle unroll) together"
+        )
+        # peel at level k to a fixed point
+        for _ in range(int(max_rounds)):
+            deg = (
+                e.select(F.col("a").alias("node"))
+                .unionAll(e.select(F.col("b").alias("node")))
+                .groupBy("node")
+                .agg(F.count("*").alias("deg"))
+            )
+            keep = deg.filter(F.col("deg") >= k).select("node")
+            ne = (
+                e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+                .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+                .select("a", "b")
+                .localCheckpoint(eager=True)
+            )
+            n_new = ne.count()
+            if n_new == n_edges:
+                e = ne
+                break
+            e, n_edges = ne, n_new
+            if n_edges == 0:
+                break
+        cur_nodes = _nodes(e).localCheckpoint(eager=True)
+        dropped = prev_nodes.join(cur_nodes, "node", "left_anti")
+        shells.append(dropped.select(
+            "node", F.lit(k - 1).cast("long").alias("coreness")
+        ))
+        prev_nodes = cur_nodes
+        k += 1
+    # nodes that survive every peel end when edges hit 0: they were
+    # dropped (all nodes leave when the edge set empties), so every node
+    # is in exactly one shell
+    out = shells[0]
+    for s in shells[1:]:
+        out = out.unionByName(s)
+    return out
