@@ -3185,6 +3185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_seasonality": q_sql_seasonality,
         # tranche 16 (defs at end of file): full coreness decomposition
         "g27_coreness": q_g27_coreness,
+        # tranche 17 (defs at end of file): kNN classifier, rank windows
+        "ml_knnclass": q_ml_knnclass,
+        "sql_percentrank": q_sql_percentrank,
     }
 
 
@@ -8340,6 +8343,42 @@ def oracle_sql() -> dict[str, str]:
         ), """
         + _coreness_unroll(kmax=16, rounds=12)
     )
+    # majority vote as arg-max over (count, -label) — the NB argmax trick;
+    # composes the ann_knn replay so the substrates can't drift
+    o["ml_knnclass"] = (
+        "WITH knn AS (" + o["ann_knn"] + """),
+        lab AS (
+          SELECT CAST(vec_id AS VARCHAR) AS dst, label AS nlabel
+          FROM embeddings
+        ),
+        votes AS (
+          SELECT knn.src AS id, nlabel, CAST(count(*) AS BIGINT) AS c
+          FROM knn JOIN lab USING (dst) GROUP BY 1, 2
+        ),
+        pred AS (
+          SELECT id, CAST(nlabel AS INT) AS pred FROM (
+            SELECT id, nlabel,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY c DESC, nlabel ASC) AS rn
+            FROM votes
+          ) WHERE rn = 1
+        )
+        SELECT id, CAST(label AS INT) AS label, pred,
+               CAST(pred = label AS INT) AS correct
+        FROM pred JOIN (
+          SELECT CAST(vec_id AS VARCHAR) AS id, label FROM embeddings
+        ) t USING (id)
+    """
+    )
+    # total (n_chars, doc_id) order -> tie-free, identical rank semantics
+    o["sql_percentrank"] = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM documents
+        WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
+    """
     return o
 
 
@@ -8978,3 +9017,55 @@ def q_g27_coreness(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
     )
     return coreness(knn, src_col="src", dst_col="dst", max_k=16)
+
+
+def q_ml_knnclass(spark, sf_dir):
+    """kNN majority-vote label classification over the 5-NN embedding
+    graph: each vector takes the modal label of its neighbors
+    (deterministic (count DESC, label ASC) tie-break as a max(struct)
+    aggregate — never a sorted window over the corpus), scored against
+    the true label. The kNN substrate is the same LSH-bucketed
+    knn_graph as ann_knn, so the oracle composes its replay."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+
+    emb = _t(spark, sf_dir, "embeddings")
+    knn = ann_ops.knn_graph(emb, k=5, n_bits=4, n_tables=8)
+    lab = emb.select(
+        F.col("vec_id").cast("string").alias("dst"),
+        F.col("label").alias("nlabel"),
+    )
+    votes = (
+        knn.join(F.broadcast(lab), "dst")
+        .groupBy(F.col("src").alias("id"), "nlabel")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    pred = votes.groupBy("id").agg(
+        F.max(F.struct(F.col("c"), (-F.col("nlabel")).alias("nl"))).alias("b")
+    ).select("id", (-F.col("b.nl")).cast("int").alias("pred"))
+    truth = emb.select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.col("label").cast("int").alias("label"),
+    )
+    return pred.join(truth, "id").select(
+        "id", "label", "pred",
+        (F.col("pred") == F.col("label")).cast("int").alias("correct"),
+    )
+
+
+def q_sql_percentrank(spark, sf_dir):
+    """percent_rank + cume_dist of document length within each source
+    over a TOTAL (n_chars, doc_id) order — tie-free by construction, so
+    both engines' rank semantics coincide exactly; 6-dp doubles."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+    w = W.partitionBy("source").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "source", "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
