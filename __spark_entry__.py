@@ -3188,6 +3188,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 17 (defs at end of file): kNN classifier, rank windows
         "ml_knnclass": q_ml_knnclass,
         "sql_percentrank": q_sql_percentrank,
+        # tranche 18 (defs at end of file): streamed line dedup, 2-feature
+        # closed-form regression
+        "stream_lines": q_stream_lines,
+        "ml_mlr": q_ml_mlr,
     }
 
 
@@ -8379,6 +8383,51 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         WINDOW w AS (PARTITION BY source ORDER BY n_chars, doc_id)
     """
+    # the streamed winner fold resolves through the SAME per-doc stats as
+    # batch line dedup, so the batch oracle checks it directly
+    o["stream_lines"] = o["dd_lines"]
+    # exact HUGEINT sufficient stats; centered 2x2 Cramer solve with each
+    # factor cast to double separately (the corr_matrix split discipline)
+    o["ml_mlr"] = """
+        WITH d AS (
+          SELECT l_returnflag AS grp,
+                 CAST(l_quantity AS HUGEINT) AS x1,
+                 CAST(floor(l_discount * 100) AS HUGEINT) AS x2,
+                 CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y
+          FROM lineitem
+        ),
+        s AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+                 sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+                 sum(x1 * x1) AS s11, sum(x2 * x2) AS s22,
+                 sum(x1 * x2) AS s12, sum(x1 * y) AS s1y,
+                 sum(x2 * y) AS s2y
+          FROM d GROUP BY grp
+        ),
+        c AS (
+          SELECT grp, CAST(n AS BIGINT) AS n,
+                 CAST(n * s11 - s1 * s1 AS DOUBLE) AS a11,
+                 CAST(n * s22 - s2 * s2 AS DOUBLE) AS a22,
+                 CAST(n * s12 - s1 * s2 AS DOUBLE) AS a12,
+                 CAST(n * s1y - s1 * sy AS DOUBLE) AS b1v,
+                 CAST(n * s2y - s2 * sy AS DOUBLE) AS b2v,
+                 CAST(sy AS DOUBLE) AS syd, CAST(s1 AS DOUBLE) AS s1d,
+                 CAST(s2 AS DOUBLE) AS s2d, CAST(n AS DOUBLE) AS nd
+          FROM s
+        )
+        SELECT grp, n,
+               round((b1v * a22 - b2v * a12)
+                     / nullif(a11 * a22 - a12 * a12, 0.0), 6) AS b1,
+               round((b2v * a11 - b1v * a12)
+                     / nullif(a11 * a22 - a12 * a12, 0.0), 6) AS b2,
+               round((syd
+                      - ((b1v * a22 - b2v * a12)
+                         / nullif(a11 * a22 - a12 * a12, 0.0)) * s1d
+                      - ((b2v * a11 - b1v * a12)
+                         / nullif(a11 * a22 - a12 * a12, 0.0)) * s2d)
+                     / nd, 6) AS intercept
+        FROM c
+    """
     return o
 
 
@@ -9068,4 +9117,57 @@ def q_sql_percentrank(spark, sf_dir):
         "doc_id", "source", "n_chars",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+def q_stream_lines(spark, sf_dir):
+    """STREAMING line-level first-wins dedup under the value-exact gate:
+    documents arrive as three doc_id-range files (time-ordered ingestion
+    — the documented alignment requirement), each micro-batch explodes
+    through the SAME dedup.line_explode expression as batch and
+    first-wins-MERGEs its per-line winner into the keyed state table
+    (streaming/ingest.py:run_line_dedup_available_now); the whole input
+    REPLAYS against a fresh checkpoint (no-op), and the resolved per-doc
+    stats (line_dedup_stats_from_state) equal batch dd_lines — so the
+    dd_lines SQL oracle checks it directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        line_dedup_stats_from_state, run_line_dedup_available_now,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_lines_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = docs.agg(F.max("doc_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (docs.filter((F.col("doc_id") >= bounds[i])
+                     & (F.col("doc_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_line_dedup_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                 f"{base}/ck")
+    run_line_dedup_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                 f"{base}/ck2")
+    return line_dedup_stats_from_state(
+        spark, f"{base}/st", _t(spark, sf_dir, "documents")
+    )
+
+
+def q_ml_mlr(spark, sf_dir):
+    """Two-feature closed-form regression per returnflag — price-cents on
+    (quantity, discount-points) by Cramer normal equations
+    (mlstats.py:grouped_ols2): one aggregate of exact decimal sufficient
+    statistics, centered 2x2 solve in identical double formulas, no
+    iteration."""
+    from knowledgegraphbuilder_spark.operators.mlstats import grouped_ols2
+
+    return grouped_ols2(
+        _t(spark, sf_dir, "lineitem"),
+        x1_expr="cast(l_quantity as bigint)",
+        x2_expr="cast(floor(l_discount * 100) as bigint)",
+        y_expr="cast(floor(l_extendedprice * 100) as bigint)",
+        group_col="l_returnflag",
     )

@@ -256,7 +256,7 @@ def main() -> None:
         "ml_f1", "ts_autocorr", "sql_attribution", "sql_ttc",
         "sql_dau_wau", "sql_streaks", "ml_psi", "g26_gcc",
         "sql_rfm", "ts_novelty", "sql_seasonality", "g27_coreness",
-        "ml_knnclass", "sql_percentrank",
+        "ml_knnclass", "sql_percentrank", "stream_lines", "ml_mlr",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

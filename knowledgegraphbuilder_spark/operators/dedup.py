@@ -872,6 +872,34 @@ def bloom_anti_join(
     )
 
 
+def line_explode(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> DataFrame:
+    """Shared pseudo-line reformatter: (doc_id, line_no, line) rows of
+    fixed-width ``words_per_line`` whitespace tokens — used by both the
+    batch line dedup and the streaming first-wins fold so the two can
+    never disagree on line boundaries."""
+    wpl = int(words_per_line)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        # sequence(0, n-1) DESCENDS when n < 1 (null text under ANSI), the
+        # same trap pmi_collocations guards — gate on size >= 1 explicitly
+        F.posexplode(
+            F.expr(
+                f"case when {text_col} is null "
+                f"  or size(split({text_col}, ' ')) < 1 then array() else "
+                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
+                f"/ {wpl}.0) as int) - 1), "
+                f"i -> array_join(slice(split({text_col}, ' '), "
+                f"i * {wpl} + 1, {wpl}), ' ')) end"
+            )
+        ).alias("line_no", "line"),
+    )
+
+
 def line_dedup_stats(
     docs: DataFrame,
     text_col: str = "text",
@@ -901,22 +929,7 @@ def line_dedup_stats(
     """
     from pyspark.sql import Window as W
 
-    wpl = int(words_per_line)
-    lines = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        # sequence(0, n-1) DESCENDS when n < 1 (null text under ANSI), the
-        # same trap pmi_collocations guards — gate on size >= 1 explicitly
-        F.posexplode(
-            F.expr(
-                f"case when {text_col} is null "
-                f"  or size(split({text_col}, ' ')) < 1 then array() else "
-                f"transform(sequence(0, cast(ceil(size(split({text_col}, ' ')) "
-                f"/ {wpl}.0) as int) - 1), "
-                f"i -> array_join(slice(split({text_col}, ' '), "
-                f"i * {wpl} + 1, {wpl}), ' ')) end"
-            )
-        ).alias("line_no", "line"),
-    )
+    lines = line_explode(docs, text_col, id_col, words_per_line)
     w = W.partitionBy(F.sha2(F.col("line"), 256)).orderBy("doc_id", "line_no")
     flagged = lines.select(
         "doc_id",

@@ -819,3 +819,62 @@ def psi_drift(
         .select("n_a", "n_b", "n_bins_both", "n_bins_a_only",
                 "n_bins_b_only", "psi")
     )
+
+
+def grouped_ols2(
+    df: DataFrame,
+    x1_expr: str,
+    x2_expr: str,
+    y_expr: str,
+    group_col: str = "grp",
+) -> DataFrame:
+    """Per-group TWO-feature linear regression y = b1*x1 + b2*x2 + c by
+    closed-form normal equations (Cramer's rule on the centered 2x2
+    system) — the multivariate step past grouped_ols, still ONE
+    map-side-combinable aggregate of exact decimal sufficient statistics
+    and zero iteration.
+
+    The centered matrix entries (n*S11 - S1^2, ...) are exact decimal
+    integers; each converts to double SEPARATELY before the Cramer
+    combination (the corr_matrix split discipline — products of two
+    38-digit decimals would overflow the decimal domain), and both
+    engines evaluate the identical double formula, 6 dp. det == 0
+    (collinear or constant features) yields null coefficients via
+    nullif, matching DuckDB's null-division convention.
+
+    Output: (grp, n, b1, b2, intercept).
+    """
+    dx1, dx2, dy = _d18("x1"), _d18("x2"), _d18("y")
+    g = df.selectExpr(
+        f"{group_col} as grp",
+        f"cast({x1_expr} as bigint) as x1",
+        f"cast({x2_expr} as bigint) as x2",
+        f"cast({y_expr} as bigint) as y",
+    ).groupBy("grp").agg(
+        F.expr(_N).alias("n"),
+        F.expr(f"cast(sum({dx1}) as decimal(20,0))").alias("s1"),
+        F.expr(f"cast(sum({dx2}) as decimal(20,0))").alias("s2"),
+        F.expr(f"cast(sum({dy}) as decimal(20,0))").alias("sy"),
+        F.expr(f"cast(sum({dx1} * {dx1}) as decimal(26,0))").alias("s11"),
+        F.expr(f"cast(sum({dx2} * {dx2}) as decimal(26,0))").alias("s22"),
+        F.expr(f"cast(sum({dx1} * {dx2}) as decimal(26,0))").alias("s12"),
+        F.expr(f"cast(sum({dx1} * {dy}) as decimal(26,0))").alias("s1y"),
+        F.expr(f"cast(sum({dx2} * {dy}) as decimal(26,0))").alias("s2y"),
+    )
+    a11 = "cast(n * s11 - s1 * s1 as double)"
+    a22 = "cast(n * s22 - s2 * s2 as double)"
+    a12 = "cast(n * s12 - s1 * s2 as double)"
+    b1v = "cast(n * s1y - s1 * sy as double)"
+    b2v = "cast(n * s2y - s2 * sy as double)"
+    det = f"({a11} * {a22} - {a12} * {a12})"
+    beta1 = f"(({b1v} * {a22} - {b2v} * {a12}) / nullif({det}, 0.0d))"
+    beta2 = f"(({b2v} * {a11} - {b1v} * {a12}) / nullif({det}, 0.0d))"
+    return g.selectExpr(
+        "grp",
+        "cast(n as bigint) as n",
+        f"round({beta1}, 6) as b1",
+        f"round({beta2}, 6) as b2",
+        f"round((cast(sy as double) - {beta1} * cast(s1 as double)"
+        f" - {beta2} * cast(s2 as double)) / cast(n as double), 6)"
+        f" as intercept",
+    )

@@ -941,3 +941,92 @@ def read_resampled(spark: SparkSession, table_dir: str) -> "DataFrame":
         )
     )
     return densify_ffill(agg)
+
+
+def run_line_dedup_available_now(
+    spark: SparkSession, input_dir: str, output_dir: str, checkpoint_dir: str,
+    text_col: str = "text", id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> None:
+    """Streaming LINE-level first-wins dedup: each micro-batch reformats
+    its docs into pseudo-lines (the SAME dedup.line_explode expression as
+    the batch operator), keeps the min (doc_id, line_no) occurrence per
+    line hash WITHIN the batch, and first-wins-MERGEs into the winner
+    table keyed by the line hash (run_dedup_available_now's
+    merge_insert_missing discipline — an arriving duplicate of an
+    already-claimed line never replaces the original winner, and any
+    replay is a no-op).
+
+    REQUIREMENT (documented, same as run_edge_weights_available_now):
+    batches must arrive doc_id-ascending (time-ordered ingestion) for the
+    streamed winner set to equal the batch operator's global
+    first-occurrence choice; the gate feeds doc_id-range files. State
+    lives entirely in the keyed winner table — zero executor memory.
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.dedup import line_explode
+    from knowledgegraphbuilder_spark.sources.sinks import merge_insert_missing
+
+    stream = (
+        spark.readStream.schema(f"{id_col} long, {text_col} string")
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        lines = line_explode(batch_df, text_col, id_col, words_per_line)
+        winners = (
+            lines.select(
+                F.sha2(F.col("line"), 256).alias("line_hash"),
+                F.struct("doc_id", "line_no").alias("occ"),
+            )
+            .groupBy("line_hash")
+            .agg(F.min("occ").alias("occ"))
+            .select("line_hash", "occ.doc_id", "occ.line_no")
+        )
+        merge_insert_missing(
+            batch_df.sparkSession, output_dir, winners, "line_hash"
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def line_dedup_stats_from_state(
+    spark: SparkSession, winners_dir: str, docs: "DataFrame",
+    text_col: str = "text", id_col: str = "doc_id",
+    words_per_line: int = 8,
+) -> "DataFrame":
+    """Resolve the streamed winner table into the batch operator's per-doc
+    stats: re-explode the corpus through the shared line_explode and mark
+    each occurrence kept iff it IS the stored winner — under doc_id-
+    ascending batches this equals dedup.line_dedup_stats exactly, which
+    is what the dd_lines SQL oracle checks."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.dedup import line_explode
+
+    w = spark.read.parquet(winners_dir).select(
+        "line_hash",
+        F.col("doc_id").alias("w_doc"), F.col("line_no").alias("w_line"),
+    )
+    lines = line_explode(docs, text_col, id_col, words_per_line).select(
+        "doc_id", "line_no", F.sha2(F.col("line"), 256).alias("line_hash")
+    )
+    flagged = lines.join(w, "line_hash").select(
+        "doc_id",
+        ((F.col("doc_id") == F.col("w_doc"))
+         & (F.col("line_no") == F.col("w_line"))).cast("int").alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        (F.count("*") - F.sum("kept")).cast("long").alias("n_removed"),
+    )
