@@ -3192,6 +3192,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # closed-form regression
         "stream_lines": q_stream_lines,
         "ml_mlr": q_ml_mlr,
+        # tranche 19 (defs at end of file): SoftDeDup weights, rich club,
+        # 2-D histogram
+        "dd_soft": q_dd_soft,
+        "g29_richclub": q_g29_richclub,
+        "ml_histogram2d": q_ml_histogram2d,
     }
 
 
@@ -8428,6 +8433,83 @@ def oracle_sql() -> dict[str, str]:
                      / nd, 6) AS intercept
         FROM c
     """
+    o["dd_soft"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS h
+          FROM documents
+        ),
+        g AS (SELECT h, CAST(count(*) AS BIGINT) AS n_copies
+              FROM d GROUP BY h)
+        SELECT doc_id, n_copies, round(1.0 / n_copies, 6) AS weight
+        FROM d JOIN g USING (h)
+    """
+    # same co-purchase projection; per-cutoff semi-filtered edge count
+    o["g29_richclub"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS MATERIALIZED (
+          SELECT DISTINCT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        ),
+        ks AS (SELECT UNNEST([4, 8, 16, 32]) AS k),
+        stats AS (
+          SELECT k,
+                 (SELECT CAST(count(*) AS BIGINT) FROM deg
+                  WHERE deg > k) AS n_nodes,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e
+                  WHERE a IN (SELECT node FROM deg WHERE deg > k)
+                    AND b IN (SELECT node FROM deg WHERE deg > k))
+                   AS n_edges
+          FROM ks
+        )
+        SELECT CAST(k AS INT) AS k, n_nodes, n_edges,
+               CASE WHEN n_nodes > 1 THEN
+                 round(2.0 * n_edges / (CAST(n_nodes AS DOUBLE)
+                       * (n_nodes - 1)), 6)
+               END AS phi
+        FROM stats
+    """
+    # joint equi-width binning, dense 8x8 shell (the ml_histogram
+    # floor-expression discipline applied per axis)
+    o["ml_histogram2d"] = """
+        WITH d AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CAST(floor(l_discount * 100) AS DOUBLE) AS y
+          FROM lineitem
+        ),
+        mm AS (SELECT min(x) AS xlo, max(x) AS xhi,
+                      min(y) AS ylo, max(y) AS yhi FROM d),
+        cells AS (
+          SELECT CASE WHEN xhi > xlo
+                      THEN least(CAST(floor((x - xlo) * 8 / (xhi - xlo))
+                                 AS INT), 7) ELSE 0 END AS bx,
+                 CASE WHEN yhi > ylo
+                      THEN least(CAST(floor((y - ylo) * 8 / (yhi - ylo))
+                                 AS INT), 7) ELSE 0 END AS by,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM d CROSS JOIN mm GROUP BY 1, 2
+        ),
+        shell AS (
+          SELECT CAST(bx AS INT) AS bx, CAST(by AS INT) AS by
+          FROM UNNEST(generate_series(0, 7)) tx(bx),
+               UNNEST(generate_series(0, 7)) ty(by)
+        )
+        SELECT s.bx, s.by, COALESCE(c.n, 0) AS n
+        FROM shell s LEFT JOIN cells c USING (bx, by)
+    """
     return o
 
 
@@ -9170,4 +9252,92 @@ def q_ml_mlr(spark, sf_dir):
         x2_expr="cast(floor(l_discount * 100) as bigint)",
         y_expr="cast(floor(l_extendedprice * 100) as bigint)",
         group_col="l_returnflag",
+    )
+
+
+def q_dd_soft(spark, sf_dir):
+    """SoftDeDup-style duplication weights (the reweight-don't-remove
+    alternative, DataComp-LM style): every doc gets weight 1/n_copies of
+    its exact content group — repeated content contributes one unit of
+    total mass instead of being dropped. One sha256 groupBy (map-side
+    combinable count) broadcast-joined back; zero information loss."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.sha2("text", 256).alias("h"),
+    )
+    grp = d.groupBy("h").agg(F.count("*").cast("long").alias("n_copies"))
+    return d.join(grp, "h").select(
+        "doc_id", "n_copies",
+        F.round(F.lit(1.0) / F.col("n_copies"), 6).alias("weight"),
+    )
+
+
+def q_g29_richclub(spark, sf_dir):
+    """Rich-club coefficient of the co-purchase graph at degree cutoffs
+    k in {4, 8, 16, 32}: the density among nodes of degree > k —
+    phi(k) = 2*E_k / (N_k * (N_k - 1)) — the do-the-hubs-club-together
+    diagnostic. One degree count, then per-cutoff two semi-joins + a
+    count; every quantity an exact integer until the final divide."""
+    e = _copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    )
+    out = None
+    for k in (4, 8, 16, 32):
+        rich = deg.filter(F.col("deg") > k).select("node")
+        nk = rich.count()
+        ek = (
+            e.join(rich.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("node", "b"), "b", "left_semi")
+            .count()
+        )
+        row = spark.createDataFrame(
+            [(k, nk, ek)], "k int, n_nodes long, n_edges long"
+        ).selectExpr(
+            "k", "n_nodes", "n_edges",
+            "case when n_nodes > 1 then"
+            " round(2.0d * n_edges / (cast(n_nodes as double)"
+            " * (n_nodes - 1)), 6) end as phi",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def q_ml_histogram2d(spark, sf_dir):
+    """2-D equi-width histogram over (quantity, discount-points) with
+    data-driven bounds and a dense bins x bins shell (empty cells kept,
+    the ml_histogram discipline applied jointly): one min/max broadcast
+    row, one map-side-combinable cell count, one executor-side
+    sequence() x sequence() shell explode."""
+    b = 8
+    d = _t(spark, sf_dir, "lineitem").selectExpr(
+        "cast(l_quantity as double) as x",
+        "cast(floor(l_discount * 100) as double) as y",
+    )
+    mm = d.agg(
+        F.min("x").alias("xlo"), F.max("x").alias("xhi"),
+        F.min("y").alias("ylo"), F.max("y").alias("yhi"),
+    )
+    cells = (
+        d.crossJoin(F.broadcast(mm))
+        .selectExpr(
+            f"case when xhi > xlo then least(cast(floor((x - xlo) * {b}"
+            f" / (xhi - xlo)) as int), {b - 1}) else 0 end as bx",
+            f"case when yhi > ylo then least(cast(floor((y - ylo) * {b}"
+            f" / (yhi - ylo)) as int), {b - 1}) else 0 end as by",
+        )
+        .groupBy("bx", "by")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    shell = spark.range(1).select(
+        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("bx")
+    ).select(
+        "bx", F.explode(F.expr(f"sequence(0, {b - 1})")).alias("by")
+    )
+    return shell.join(cells, ["bx", "by"], "left").select(
+        "bx", "by", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
