@@ -3197,6 +3197,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_soft": q_dd_soft,
         "g29_richclub": q_g29_richclub,
         "ml_histogram2d": q_ml_histogram2d,
+        # tranche 20 (defs at end of file): ROC curve points, log-binned
+        # degree distribution
+        "ml_roc": q_ml_roc,
+        "g30_degdist": q_g30_degdist,
     }
 
 
@@ -8510,6 +8514,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT s.bx, s.by, COALESCE(c.n, 0) AS n
         FROM shell s LEFT JOIN cells c USING (bx, by)
     """
+    # cumulative TP/FP over the distinct-score histogram (the ml_auc
+    # window), sampled at the lowest threshold of each score decile
+    o["ml_roc"] = """
+        WITH hist AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS c, CAST(sum(y) AS BIGINT) AS p
+          FROM (
+            SELECT CAST(n_chars AS BIGINT) AS s,
+                   CAST(lang = 'en' AS INT) AS y
+            FROM documents
+          ) GROUP BY s
+        ),
+        cum AS (
+          SELECT s AS threshold,
+                 CAST(sum(p) OVER wc AS BIGINT) AS tp,
+                 CAST(sum(c) OVER wc - sum(p) OVER wc AS BIGINT) AS fp,
+                 CAST(sum(p) OVER () AS BIGINT) AS n_pos,
+                 CAST(sum(c) OVER () - sum(p) OVER () AS BIGINT) AS n_neg,
+                 ntile(10) OVER (ORDER BY s DESC) AS dec
+          FROM hist
+          WINDOW wc AS (ORDER BY s DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT dec, threshold, tp, fp,
+               round(CAST(tp AS DOUBLE) / n_pos, 6) AS tpr,
+               round(CAST(fp AS DOUBLE) / n_neg, 6) AS fpr
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY dec
+                                       ORDER BY threshold ASC) AS rn
+          FROM cum
+        ) WHERE rn = 1
+    """
+    # exact integer log2 bin: floor(log2(d)) = len(bin(d)) - 1 (float
+    # log misbins at exact powers of two)
+    o["g30_degdist"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT DISTINCT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+          ) GROUP BY node
+        )
+        SELECT CAST(length(bin(deg)) - 1 AS INT) AS log2_bin,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY 1
+    """
     return o
 
 
@@ -9340,4 +9401,70 @@ def q_ml_histogram2d(spark, sf_dir):
     )
     return shell.join(cells, ["bx", "by"], "left").select(
         "bx", "by", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+
+
+def q_ml_roc(spark, sf_dir):
+    """ROC curve points at decile thresholds of the score distribution —
+    the curve behind ml_auc's scalar: cumulative TP/FP from the SAME
+    distinct-score histogram window, sampled at ntile(10) boundaries so
+    the output is 10 exact (threshold, tpr, fpr) rows regardless of
+    corpus size. Integer counts until the final two divides."""
+    from pyspark.sql import Window as W
+
+    hist = (
+        _t(spark, sf_dir, "documents")
+        .selectExpr("cast(n_chars as bigint) as s",
+                    "cast(lang = 'en' as int) as y")
+        .groupBy("s")
+        .agg(F.count("*").cast("long").alias("c"),
+             F.sum("y").cast("long").alias("p"))
+    )
+    wc = W.orderBy(F.desc("s")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        F.col("s").alias("threshold"),
+        F.sum("p").over(wc).cast("long").alias("tp"),
+        (F.sum("c").over(wc) - F.sum("p").over(wc)).cast("long").alias("fp"),
+        F.sum("p").over(tot).cast("long").alias("n_pos"),
+        (F.sum("c").over(tot) - F.sum("p").over(tot)).cast("long")
+        .alias("n_neg"),
+        F.ntile(10).over(W.orderBy(F.desc("s"))).alias("dec"),
+    )
+    # last row of each decile = the decile's threshold point
+    wd = W.partitionBy("dec").orderBy(F.asc("threshold"))
+    return (
+        cum.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .selectExpr(
+            "dec", "threshold", "tp", "fp",
+            "round(cast(tp as double) / n_pos, 6) as tpr",
+            "round(cast(fp as double) / n_neg, 6) as fpr",
+        )
+    )
+
+
+def q_g30_degdist(spark, sf_dir):
+    """Log2-binned degree distribution of the co-purchase graph — the
+    heavy-tail diagnostic (is this graph scale-free enough to need skew
+    handling?): one degree count, one integer log2 bucket (floor of the
+    bit length), one map-side rollup."""
+    e = _copurchase_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node").agg(F.count("*").cast("long").alias("deg"))
+    )
+    # log2 bin via EXACT integer arithmetic: floor(log2(d)) = len(bin(d))-1
+    # (floor(ln(d)/ln(2)) misbins at exact powers of two — ln(8)/ln(2)
+    # evaluates to 2.999... in IEEE double)
+    binned = deg.selectExpr(
+        "cast(length(bin(deg)) - 1 as int) as log2_bin"
+    )
+    return binned.groupBy("log2_bin").agg(
+        F.count("*").cast("long").alias("n_nodes")
     )
