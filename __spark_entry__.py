@@ -3201,6 +3201,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # degree distribution
         "ml_roc": q_ml_roc,
         "g30_degdist": q_g30_degdist,
+        # tranche 21 (defs at end of file): Heaps' law, exact KS drift
+        "ts_heaps": q_ts_heaps,
+        "ml_ks": q_ml_ks,
     }
 
 
@@ -8571,6 +8574,66 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_nodes
         FROM deg GROUP BY 1
     """
+    # cumulative distinct via first-source argmin — no prefix rescans
+    o["ts_heaps"] = """
+        WITH toks AS (
+          SELECT source, w FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w <> ''
+        ),
+        per_src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+          FROM toks GROUP BY source
+        ),
+        firsts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_first FROM (
+            SELECT w, min(source) AS source FROM toks GROUP BY w
+          ) GROUP BY source
+        )
+        SELECT source,
+               CAST(sum(n_tokens) OVER wc AS BIGINT) AS tokens_cum,
+               CAST(sum(COALESCE(n_first, 0)) OVER wc AS BIGINT)
+                 AS vocab_cum
+        FROM per_src LEFT JOIN firsts USING (source)
+        WINDOW wc AS (ORDER BY source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """
+    # same content-addressed halves as ml_psi; D = max |CDF gap| over
+    # the distinct-value histogram, (gap DESC, v ASC) tie-break
+    o["ml_ks"] = """
+        WITH d AS (
+          SELECT CAST(n_chars AS BIGINT) AS v,
+                 CASE WHEN ('0x' || substr(sha256('psi-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 50
+                      THEN 1 ELSE 0 END AS a
+          FROM documents
+        ),
+        hist AS (
+          SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                 CAST(sum(1 - a) AS BIGINT) AS cb
+          FROM d GROUP BY v
+        ),
+        cum AS (
+          SELECT v,
+                 CAST(sum(ca) OVER wc AS BIGINT) AS cum_a,
+                 CAST(sum(cb) OVER wc AS BIGINT) AS cum_b,
+                 CAST(sum(ca) OVER () AS BIGINT) AS n_a,
+                 CAST(sum(cb) OVER () AS BIGINT) AS n_b
+          FROM hist
+          WINDOW wc AS (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        gaps AS (
+          SELECT v, n_a, n_b,
+                 round(abs(CAST(cum_a AS DOUBLE) / n_a
+                       - CAST(cum_b AS DOUBLE) / n_b), 6) AS gap
+          FROM cum
+        )
+        SELECT n_a, n_b, gap AS d_stat, v AS at_value
+        FROM gaps ORDER BY gap DESC, v LIMIT 1
+    """
     return o
 
 
@@ -9467,4 +9530,82 @@ def q_g30_degdist(spark, sf_dir):
     )
     return binned.groupBy("log2_bin").agg(
         F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+def q_ts_heaps(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve at source granularity: sources
+    in lexicographic order, cumulative token count vs cumulative distinct
+    vocabulary — the companion corpus law to ts_zipf (sublinear vocab
+    growth is what natural text does; linear growth flags id-spam).
+    Cumulative distinct WITHOUT re-scanning prefixes: each word counts
+    once at its FIRST source (argmin groupBy), then one window cumsum
+    over the source-sized table."""
+    from pyspark.sql import Window as W
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_tokens")
+    )
+    firsts = (
+        toks.groupBy("w").agg(F.min("source").alias("source"))
+        .groupBy("source").agg(F.count("*").cast("long").alias("n_first"))
+    )
+    w = W.orderBy("source").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        per_src.join(firsts, "source", "left")
+        .select("source", "n_tokens",
+                F.coalesce("n_first", F.lit(0)).alias("n_first"))
+        .select(
+            "source",
+            F.sum("n_tokens").over(w).cast("long").alias("tokens_cum"),
+            F.sum("n_first").over(w).cast("long").alias("vocab_cum"),
+        )
+    )
+
+
+def q_ml_ks(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the same
+    content-addressed halves as ml_psi: D = max |CDF_a - CDF_b| over the
+    distinct-value histogram — integer cumulative counts, one |p - q|
+    double per distinct value, argmax with a (D DESC, value ASC)
+    tie-break. The binless companion to PSI."""
+    from pyspark.sql import Window as W
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    side = (
+        F.expr(_H60.format(
+            s="concat('psi-v1', ',', cast(doc_id as string))"
+        )) % 100 < 50
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(side, 1).otherwise(0).alias("a"),
+    )
+    hist = d.groupBy("v").agg(
+        F.sum("a").cast("long").alias("ca"),
+        F.sum(F.expr("1 - a")).cast("long").alias("cb"),
+    )
+    wc = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    tot = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "v",
+        F.sum("ca").over(wc).cast("long").alias("cum_a"),
+        F.sum("cb").over(wc).cast("long").alias("cum_b"),
+        F.sum("ca").over(tot).cast("long").alias("n_a"),
+        F.sum("cb").over(tot).cast("long").alias("n_b"),
+    ).selectExpr(
+        "v", "n_a", "n_b",
+        "round(abs(cast(cum_a as double) / n_a"
+        " - cast(cum_b as double) / n_b), 6) as gap",
+    )
+    return (
+        cum.orderBy(F.desc("gap"), "v").limit(1)
+        .selectExpr("n_a", "n_b", "gap as d_stat", "v as at_value")
     )
