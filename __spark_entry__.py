@@ -3204,6 +3204,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 21 (defs at end of file): Heaps' law, exact KS drift
         "ts_heaps": q_ts_heaps,
         "ml_ks": q_ml_ks,
+        # tranche 22 (defs at end of file): source-vocab similarity,
+        # KG typed-degree profile
+        "ts_srcsim": q_ts_srcsim,
+        "kg_degprofile": q_kg_degprofile,
     }
 
 
@@ -8634,6 +8638,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT n_a, n_b, gap AS d_stat, v AS at_value
         FROM gaps ORDER BY gap DESC, v LIMIT 1
     """
+    # vocab-sized equi-join + inclusion-exclusion union sizes
+    o["ts_srcsim"] = """
+        WITH sv AS (
+          SELECT DISTINCT source, w FROM (
+            SELECT source, UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w <> ''
+        ),
+        sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+                  FROM sv GROUP BY source),
+        inter AS (
+          SELECT a.source AS src_a, b.source AS src_b,
+                 CAST(count(*) AS BIGINT) AS n_inter
+          FROM sv a JOIN sv b ON a.w = b.w AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT src_a, src_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+               round(CAST(n_inter AS DOUBLE)
+                     / (sa.n + sb.n - n_inter), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.source = inter.src_a
+        JOIN sizes sb ON sb.source = inter.src_b
+    """
+    # composes the kg edge replay (the ml_f1 single-source discipline)
+    o["kg_degprofile"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        outd AS (
+          SELECT head_node_id AS node_id, rel_type,
+                 CAST(count(*) AS BIGINT) AS out_deg
+          FROM kge GROUP BY 1, 2
+        ),
+        ind AS (
+          SELECT tail_node_id AS node_id, rel_type,
+                 CAST(count(*) AS BIGINT) AS in_deg
+          FROM kge GROUP BY 1, 2
+        )
+        SELECT COALESCE(o.node_id, i.node_id) AS node_id,
+               COALESCE(o.rel_type, i.rel_type) AS rel_type,
+               COALESCE(out_deg, 0) AS out_deg,
+               COALESCE(in_deg, 0) AS in_deg
+        FROM outd o FULL OUTER JOIN ind i
+          ON o.node_id = i.node_id AND o.rel_type = i.rel_type
+    """
     return o
 
 
@@ -9608,4 +9655,62 @@ def q_ml_ks(spark, sf_dir):
     return (
         cum.orderBy(F.desc("gap"), "v").limit(1)
         .selectExpr("n_a", "n_b", "gap as d_stat", "v as at_value")
+    )
+
+
+def q_ts_srcsim(spark, sf_dir):
+    """Source-pair vocabulary Jaccard matrix — which shards speak the
+    same language/domain (mixture design reads this): |A∩B| from one
+    equi-join of the per-source DISTINCT word sets on word, |A∪B| by
+    inclusion-exclusion from the per-source vocab sizes. Work is
+    vocab-sized, output is source-pair-sized; exact integers until the
+    final divide."""
+    sv = (
+        _t(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count("*").cast("long").alias("n"))
+    a = sv.select(F.col("source").alias("src_a"), "w")
+    b = sv.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .selectExpr(
+            "src_a", "src_b", "n_inter", "n_a", "n_b",
+            "round(cast(n_inter as double)"
+            " / (n_a + n_b - n_inter), 6) as jaccard",
+        )
+    )
+
+
+def q_kg_degprofile(spark, sf_dir):
+    """Per-(node, rel_type) in/out degree profile of the knowledge graph
+    — the KG-side analytics view (which entities hub which relation
+    types). Two map-side combinable counts over the edge table,
+    full-outer joined so pure sources/sinks both surface; oracle
+    composes the kg_j2_edges replay."""
+    e = _kg(spark, sf_dir).edges
+    outd = e.groupBy(
+        F.col("head_node_id").alias("node_id"), "rel_type"
+    ).agg(F.count("*").cast("long").alias("out_deg"))
+    ind = e.groupBy(
+        F.col("tail_node_id").alias("node_id"), "rel_type"
+    ).agg(F.count("*").cast("long").alias("in_deg"))
+    return (
+        outd.join(ind, ["node_id", "rel_type"], "full_outer")
+        .selectExpr(
+            "node_id", "rel_type",
+            "coalesce(out_deg, 0L) as out_deg",
+            "coalesce(in_deg, 0L) as in_deg",
+        )
     )
