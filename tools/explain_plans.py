@@ -946,6 +946,28 @@ def main() -> None:
         "click-history range join would shuffle the event log twice.",
         entry.q_sql_attribution(spark, args.sf),
     )
+    add(
+        "Two-feature regression: one aggregate, Cramer in the projection",
+        "All nine sufficient statistics partial-aggregate in one map-side "
+        "combinable pass (exact decimals); the 2x2 normal-equation solve "
+        "is pure projection arithmetic on the group-sized stats table — "
+        "no iteration, no second scan.",
+        entry.q_ml_mlr(spark, args.sf),
+    )
+    add(
+        "kNN classifier: broadcast labels, argmax as an aggregate",
+        "Neighbor labels broadcast onto the kNN edge table "
+        "(BroadcastHashJoin); the majority vote is max(struct(count, "
+        "-label)) — an aggregate, never a per-node sorted window.",
+        entry.q_ml_knnclass(spark, args.sf),
+    )
+    add(
+        "Source similarity: vocab-sized join, inclusion-exclusion union",
+        "The word equi-join runs on per-source DISTINCT vocab (vocab-"
+        "sized, not corpus-sized); union sizes come from broadcast "
+        "per-source counts — no corpus self-join anywhere.",
+        entry.q_ts_srcsim(spark, args.sf),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
