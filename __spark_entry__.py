@@ -3208,6 +3208,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG typed-degree profile
         "ts_srcsim": q_ts_srcsim,
         "kg_degprofile": q_kg_degprofile,
+        # tranche 23 (defs at end of file): burstiness index, effect
+        # size, directed reciprocity
+        "ts_burstiness": q_ts_burstiness,
+        "ml_effect": q_ml_effect,
+        "g31_reciprocity": q_g31_reciprocity,
     }
 
 
@@ -8681,6 +8686,99 @@ def oracle_sql() -> dict[str, str]:
         FROM outd o FULL OUTER JOIN ind i
           ON o.node_id = i.node_id AND o.rel_type = i.rel_type
     """
+    # dense-grid counts (the ts_resample CTEs) -> exact sum/sumsq ->
+    # one fixed double B formula
+    o["ts_burstiness"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 900000000 AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS x
+          FROM e GROUP BY 1, 2
+        ),
+        b AS (SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY 1),
+        grid AS (SELECT key, UNNEST(generate_series(lo, hi)) AS bkt FROM b),
+        dense AS (
+          SELECT g.key, COALESCE(a.x, 0) AS x
+          FROM grid g LEFT JOIN agg a USING (key, bkt)
+        ),
+        s AS (
+          SELECT key, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM dense GROUP BY key
+        )
+        SELECT key, n,
+               CASE WHEN sx > 0 THEN
+                 round((sqrt(CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx) / n
+                        - CAST(sx AS DOUBLE) / n)
+                   / (sqrt(CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx) / n
+                        + CAST(sx AS DOUBLE) / n), 6)
+               END AS burstiness
+        FROM s
+    """
+    # same content-addressed halves as ml_psi/ml_ks; pooled-variance
+    # Cohen's d in one fixed double formula over exact integer moments
+    o["ml_effect"] = """
+        WITH d AS (
+          SELECT CAST(n_chars AS BIGINT) AS v,
+                 CASE WHEN ('0x' || substr(sha256('psi-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 50
+                      THEN 'a' ELSE 'b' END AS side
+          FROM documents
+        ),
+        s AS (
+          SELECT
+            CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS a_n,
+            CAST(sum(CASE WHEN side = 'a' THEN v ELSE 0 END) AS BIGINT)
+              AS a_sv,
+            CAST(sum(CASE WHEN side = 'a' THEN v * v ELSE 0 END) AS BIGINT)
+              AS a_svv,
+            CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS b_n,
+            CAST(sum(CASE WHEN side = 'b' THEN v ELSE 0 END) AS BIGINT)
+              AS b_sv,
+            CAST(sum(CASE WHEN side = 'b' THEN v * v ELSE 0 END) AS BIGINT)
+              AS b_svv
+          FROM d
+        )
+        SELECT a_n AS n_a, b_n AS n_b,
+               round((CAST(a_sv AS DOUBLE) / a_n
+                      - CAST(b_sv AS DOUBLE) / b_n)
+                 / sqrt(((CAST(a_svv AS DOUBLE)
+                          - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                   + (CAST(b_svv AS DOUBLE)
+                          - CAST(b_sv AS DOUBLE) * b_sv / b_n))
+                 / (a_n + b_n - 2)), 6) AS cohens_d
+        FROM s
+    """
+    # same directed projection as g23/g24 (shared CTEs — cannot drift)
+    o["g31_reciprocity"] = f"""
+        WITH {_DIRECTED_CTES},
+        de AS MATERIALIZED (
+          SELECT DISTINCT s, d FROM (
+            SELECT a AS s, b AS d FROM eu
+            UNION ALL SELECT b, a FROM eu WHERE w >= 3
+          )
+        ),
+        rec AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+          FROM de x
+          WHERE EXISTS (SELECT 1 FROM de y
+                        WHERE y.s = x.d AND y.d = x.s)
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM de) AS n_edges,
+               n_reciprocal,
+               round(CAST(n_reciprocal AS DOUBLE)
+                     / (SELECT count(*) FROM de), 6) AS reciprocity
+        FROM rec
+    """
     return o
 
 
@@ -9713,4 +9811,87 @@ def q_kg_degprofile(spark, sf_dir):
             "coalesce(out_deg, 0L) as out_deg",
             "coalesce(in_deg, 0L) as in_deg",
         )
+    )
+
+
+def q_ts_burstiness(spark, sf_dir):
+    """Goh-Barabasi burstiness index B = (sigma - mu) / (sigma + mu) of
+    the per-type bucket-count series over the DENSE grid — the scalar
+    companion to ts_autocorr (-1 regular, 0 Poisson, ->1 bursty).
+    Exact integer sum/sumsq over the grid, population sigma in one fixed
+    double formula, 6 dp."""
+    from knowledgegraphbuilder_spark.operators.timeseries import (
+        resample_events,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    grid = resample_events(_t(spark, sf_dir, "events")).select(
+        "key", F.col("n_events").alias("x")
+    )
+    s = grid.groupBy("key").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.expr("x * x")).cast("long").alias("sxx"),
+    )
+    return s.selectExpr(
+        "key", "n",
+        "case when sx > 0 then"
+        " round((sqrt(cast(n as double) * sxx - cast(sx as double) * sx) / n"
+        "        - cast(sx as double) / n)"
+        "   / (sqrt(cast(n as double) * sxx - cast(sx as double) * sx) / n"
+        "        + cast(sx as double) / n), 6)"
+        " end as burstiness",
+    )
+
+
+def q_ml_effect(spark, sf_dir):
+    """Cohen's d effect size of doc length between the same
+    content-addressed halves as ml_psi/ml_ks: (mean_a - mean_b) /
+    pooled_std, every moment from exact integer sums, one fixed double
+    formula — the magnitude companion to the KS location test."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    side = (
+        F.expr(_H60.format(
+            s="concat('psi-v1', ',', cast(doc_id as string))"
+        )) % 100 < 50
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(side, "a").otherwise("b").alias("side"),
+    )
+    s = d.groupBy("side").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.expr("v * v")).cast("long").alias("svv"),
+    )
+    wide = s.groupBy().pivot("side", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("sv").alias("sv"),
+        F.first("svv").alias("svv"),
+    )
+    # pooled variance from exact integers: ssq_x = svv - sv^2/n (per side)
+    return wide.selectExpr(
+        "a_n as n_a", "b_n as n_b",
+        "round((cast(a_sv as double) / a_n - cast(b_sv as double) / b_n)"
+        " / sqrt(((cast(a_svv as double) - cast(a_sv as double) * a_sv / a_n)"
+        "  + (cast(b_svv as double) - cast(b_sv as double) * b_sv / b_n))"
+        " / (a_n + b_n - 2)), 6) as cohens_d",
+    )
+
+
+def q_g31_reciprocity(spark, sf_dir):
+    """Reciprocity of the directed co-purchase graph (the g23/g24
+    substrate): fraction of directed edges whose reverse also exists —
+    one self-equi-join on the flipped key, exact integer counts, one
+    divide. The do-relations-flow-both-ways diagnostic for any directed
+    KG export."""
+    e = _directed_copurchase(spark, sf_dir).select("s", "d").distinct()
+    rev = e.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    n_total = e.count()
+    n_recip = e.join(rev, ["s", "d"], "left_semi").count()
+    return spark.createDataFrame(
+        [(n_total, n_recip)], "n_edges long, n_reciprocal long"
+    ).selectExpr(
+        "n_edges", "n_reciprocal",
+        "round(cast(n_reciprocal as double) / n_edges, 6) as reciprocity",
     )
