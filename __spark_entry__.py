@@ -3213,6 +3213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_burstiness": q_ts_burstiness,
         "ml_effect": q_ml_effect,
         "g31_reciprocity": q_g31_reciprocity,
+        # tranche 24 (defs at end of file): Pareto concentration,
+        # KG relation-type co-occurrence
+        "sql_pareto": q_sql_pareto,
+        "kg_reltype_cooccur": q_kg_reltype_cooccur,
     }
 
 
@@ -8779,6 +8783,39 @@ def oracle_sql() -> dict[str, str]:
                      / (SELECT count(*) FROM de), 6) AS reciprocity
         FROM rec
     """
+    o["sql_pareto"] = """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev
+          FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT row_number() OVER (ORDER BY rev DESC, user_id) AS rk,
+                 CAST(sum(rev) OVER (ORDER BY rev DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum,
+                 CAST(sum(rev) OVER () AS BIGINT) AS tot,
+                 CAST(count(*) OVER () AS BIGINT) AS n_users
+          FROM per
+        )
+        SELECT n_users, tot AS total_cents,
+               CAST(min(rk) AS BIGINT) AS users_for_80pct,
+               round(CAST(min(rk) AS DOUBLE) / n_users, 6) AS frac_users
+        FROM ranked
+        WHERE CAST(cum AS DOUBLE) / tot >= 0.8
+        GROUP BY n_users, tot
+    """
+    # composes the kg edge replay (the kg_degprofile discipline)
+    o["kg_reltype_cooccur"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        dt AS (SELECT DISTINCT doc_id, rel_type FROM kge)
+        SELECT a.rel_type AS rt_a, b.rel_type AS rt_b,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM dt a JOIN dt b
+          ON a.doc_id = b.doc_id AND a.rel_type < b.rel_type
+        GROUP BY 1, 2
+    """
     return o
 
 
@@ -9894,4 +9931,59 @@ def q_g31_reciprocity(spark, sf_dir):
     ).selectExpr(
         "n_edges", "n_reciprocal",
         "round(cast(n_reciprocal as double) / n_edges, 6) as reciprocity",
+    )
+
+
+def q_sql_pareto(spark, sf_dir):
+    """Pareto concentration: how few users produce 80% of revenue — per-
+    user exact cents, (revenue DESC, user) total-order rank, running
+    share, then the first rank crossing 0.8 (min-over-qualifying as an
+    aggregate). The user-sized sort is one range exchange; everything
+    else is scalar."""
+    from pyspark.sql import Window as W
+
+    per = (
+        _t(spark, sf_dir, "events")
+        .select("user_id",
+                F.expr("cast(floor(value * 100) as bigint)").alias("cents"))
+        .groupBy("user_id")
+        .agg(F.sum("cents").cast("long").alias("rev"))
+    )
+    wc = W.orderBy(F.desc("rev"), "user_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    tot = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    ranked = per.select(
+        F.row_number().over(W.orderBy(F.desc("rev"), "user_id")).alias("rk"),
+        F.sum("rev").over(wc).cast("long").alias("cum"),
+        F.sum("rev").over(tot).cast("long").alias("tot"),
+        F.count("*").over(tot).cast("long").alias("n_users"),
+    )
+    return ranked.filter(
+        F.expr("cast(cum as double) / tot >= 0.8d")
+    ).groupBy("n_users", "tot").agg(
+        F.min("rk").cast("long").alias("users_for_80pct")
+    ).selectExpr(
+        "n_users", "tot as total_cents", "users_for_80pct",
+        "round(cast(users_for_80pct as double) / n_users, 6)"
+        " as frac_users",
+    )
+
+
+def q_kg_reltype_cooccur(spark, sf_dir):
+    """Relation-type co-occurrence within documents: which relation types
+    appear together in the same doc (schema-design/extraction-drift
+    diagnostic). One distinct on (doc, rel_type), one a<b self-join on
+    doc, one count — doc-type-sized work; oracle composes the kg edge
+    replay."""
+    dt = _kg(spark, sf_dir).edges.select("doc_id", "rel_type").distinct()
+    a = dt.select("doc_id", F.col("rel_type").alias("rt_a"))
+    b = dt.select("doc_id", F.col("rel_type").alias("rt_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("rt_a") < F.col("rt_b"))
+        .groupBy("rt_a", "rt_b")
+        .agg(F.count("*").cast("long").alias("n_docs"))
     )
