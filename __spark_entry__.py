@@ -3217,6 +3217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG relation-type co-occurrence
         "sql_pareto": q_sql_pareto,
         "kg_reltype_cooccur": q_kg_reltype_cooccur,
+        # tranche 25 (defs at end of file): Welch t, two-proportion A/B z
+        "ml_welch": q_ml_welch,
+        "ml_ab": q_ml_ab,
     }
 
 
@@ -8816,6 +8819,102 @@ def oracle_sql() -> dict[str, str]:
           ON a.doc_id = b.doc_id AND a.rel_type < b.rel_type
         GROUP BY 1, 2
     """
+    # identical fixed double formula over exact integer moments
+    o["ml_welch"] = """
+        WITH d AS (
+          SELECT CAST(n_chars AS BIGINT) AS v,
+                 CASE WHEN ('0x' || substr(sha256('psi-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 50
+                      THEN 'a' ELSE 'b' END AS side
+          FROM documents
+        ),
+        s AS (
+          SELECT
+            CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS a_n,
+            CAST(sum(CASE WHEN side = 'a' THEN v ELSE 0 END) AS BIGINT)
+              AS a_sv,
+            CAST(sum(CASE WHEN side = 'a' THEN v * v ELSE 0 END) AS BIGINT)
+              AS a_svv,
+            CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS b_n,
+            CAST(sum(CASE WHEN side = 'b' THEN v ELSE 0 END) AS BIGINT)
+              AS b_sv,
+            CAST(sum(CASE WHEN side = 'b' THEN v * v ELSE 0 END) AS BIGINT)
+              AS b_svv
+          FROM d
+        )
+        SELECT a_n AS n_a, b_n AS n_b,
+               round((CAST(a_sv AS DOUBLE) / a_n
+                      - CAST(b_sv AS DOUBLE) / b_n)
+                 / sqrt(((CAST(a_svv AS DOUBLE)
+                          - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                         / (a_n - 1) / a_n)
+                      + ((CAST(b_svv AS DOUBLE)
+                          - CAST(b_sv AS DOUBLE) * b_sv / b_n)
+                         / (b_n - 1) / b_n)), 6) AS t_stat,
+               round((((CAST(a_svv AS DOUBLE)
+                        - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                       / (a_n - 1) / a_n)
+                    + ((CAST(b_svv AS DOUBLE)
+                        - CAST(b_sv AS DOUBLE) * b_sv / b_n)
+                       / (b_n - 1) / b_n))
+                 * (((CAST(a_svv AS DOUBLE)
+                        - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                       / (a_n - 1) / a_n)
+                    + ((CAST(b_svv AS DOUBLE)
+                        - CAST(b_sv AS DOUBLE) * b_sv / b_n)
+                       / (b_n - 1) / b_n))
+                 / (((CAST(a_svv AS DOUBLE)
+                        - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                       / (a_n - 1) / a_n)
+                    * ((CAST(a_svv AS DOUBLE)
+                        - CAST(a_sv AS DOUBLE) * a_sv / a_n)
+                       / (a_n - 1) / a_n) / (a_n - 1)
+                    + ((CAST(b_svv AS DOUBLE)
+                        - CAST(b_sv AS DOUBLE) * b_sv / b_n)
+                       / (b_n - 1) / b_n)
+                    * ((CAST(b_svv AS DOUBLE)
+                        - CAST(b_sv AS DOUBLE) * b_sv / b_n)
+                       / (b_n - 1) / b_n) / (b_n - 1)), 6) AS df
+        FROM s
+    """
+    o["ml_ab"] = """
+        WITH per AS (
+          SELECT user_id,
+                 CAST(max(CASE WHEN event_type = 'purchase'
+                               THEN 1 ELSE 0 END) AS BIGINT) AS converted
+          FROM events GROUP BY user_id
+        ),
+        s AS (
+          SELECT
+            CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+              AS a_n,
+            CAST(sum(CASE WHEN arm = 'a' THEN converted ELSE 0 END)
+              AS BIGINT) AS a_c,
+            CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+              AS b_n,
+            CAST(sum(CASE WHEN arm = 'b' THEN converted ELSE 0 END)
+              AS BIGINT) AS b_c
+          FROM (
+            SELECT converted,
+                   CASE WHEN ('0x' || substr(sha256('ab-v1' || ','
+                          || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                          % 100 < 50
+                        THEN 'a' ELSE 'b' END AS arm
+            FROM per
+          )
+        )
+        SELECT a_n AS n_a, a_c AS conv_a, b_n AS n_b, b_c AS conv_b,
+               round(CAST(a_c AS DOUBLE) / a_n, 6) AS rate_a,
+               round(CAST(b_c AS DOUBLE) / b_n, 6) AS rate_b,
+               round((CAST(a_c AS DOUBLE) / a_n - CAST(b_c AS DOUBLE) / b_n)
+                 / nullif(sqrt((CAST(a_c + b_c AS DOUBLE) / (a_n + b_n))
+                   * (1.0 - (CAST(a_c + b_c AS DOUBLE) / (a_n + b_n)))
+                   * (1.0 / a_n + 1.0 / b_n)), 0.0), 6) AS z
+        FROM s
+    """
     return o
 
 
@@ -9986,4 +10085,84 @@ def q_kg_reltype_cooccur(spark, sf_dir):
         .filter(F.col("rt_a") < F.col("rt_b"))
         .groupBy("rt_a", "rt_b")
         .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def q_ml_welch(spark, sf_dir):
+    """Welch's t statistic (+ Welch-Satterthwaite df) for doc length
+    between the content-addressed halves — the unequal-variance
+    significance companion to ml_effect's magnitude. Exact integer
+    moments, one fixed double formula, 6 dp."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    side = (
+        F.expr(_H60.format(
+            s="concat('psi-v1', ',', cast(doc_id as string))"
+        )) % 100 < 50
+    )
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("v"),
+        F.when(side, "a").otherwise("b").alias("side"),
+    )
+    s = d.groupBy("side").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.expr("v * v")).cast("long").alias("svv"),
+    )
+    wide = s.groupBy().pivot("side", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("sv").alias("sv"),
+        F.first("svv").alias("svv"),
+    )
+    # sample variance s^2 = (svv - sv^2/n) / (n-1); se_i = s_i^2 / n_i
+    sea = ("((cast(a_svv as double) - cast(a_sv as double) * a_sv / a_n)"
+           " / (a_n - 1) / a_n)")
+    seb = ("((cast(b_svv as double) - cast(b_sv as double) * b_sv / b_n)"
+           " / (b_n - 1) / b_n)")
+    return wide.selectExpr(
+        "a_n as n_a", "b_n as n_b",
+        f"round((cast(a_sv as double) / a_n - cast(b_sv as double) / b_n)"
+        f" / sqrt({sea} + {seb}), 6) as t_stat",
+        f"round(({sea} + {seb}) * ({sea} + {seb})"
+        f" / ({sea} * {sea} / (a_n - 1) + {seb} * {seb} / (b_n - 1)), 6)"
+        f" as df",
+    )
+
+
+def q_ml_ab(spark, sf_dir):
+    """Two-proportion A/B test on purchase conversion between
+    hash-assigned user halves: exact integer (users, converters) per
+    arm, pooled-variance z statistic in one fixed double formula — the
+    experiment-analysis primitive."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", (F.col("event_type") == "purchase").cast("int").alias("p")
+    )
+    per = e.groupBy("user_id").agg(
+        F.max("p").cast("long").alias("converted")
+    )
+    arm = (
+        F.expr(_H60.format(
+            s="concat('ab-v1', ',', cast(user_id as string))"
+        )) % 100 < 50
+    )
+    s = per.select(
+        F.when(arm, "a").otherwise("b").alias("arm"), "converted"
+    ).groupBy("arm").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("converted").cast("long").alias("c"),
+    )
+    wide = s.groupBy().pivot("arm", ["a", "b"]).agg(
+        F.first("n").alias("n"), F.first("c").alias("c")
+    )
+    pool = "(cast(a_c + b_c as double) / (a_n + b_n))"
+    return wide.selectExpr(
+        "a_n as n_a", "a_c as conv_a", "b_n as n_b", "b_c as conv_b",
+        "round(cast(a_c as double) / a_n, 6) as rate_a",
+        "round(cast(b_c as double) / b_n, 6) as rate_b",
+        # pool = 0 or 1 (nobody / everybody converts) zeroes the variance:
+        # nullif -> null z on both engines instead of ANSI divide-by-zero
+        f"round((cast(a_c as double) / a_n - cast(b_c as double) / b_n)"
+        f" / nullif(sqrt({pool} * (1.0d - {pool})"
+        f" * (1.0d / a_n + 1.0d / b_n)), 0.0d), 6) as z",
     )
