@@ -3220,6 +3220,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 25 (defs at end of file): Welch t, two-proportion A/B z
         "ml_welch": q_ml_welch,
         "ml_ab": q_ml_ab,
+        # tranche 26 (defs at end of file): bigram conditional entropy,
+        # component-size distribution
+        "ts_bigram_entropy": q_ts_bigram_entropy,
+        "g32_ccsizes": q_g32_ccsizes,
     }
 
 
@@ -8915,6 +8919,38 @@ def oracle_sql() -> dict[str, str]:
                    * (1.0 / a_n + 1.0 / b_n)), 0.0), 6) AS z
         FROM s
     """
+    # pmi-guarded bigram explode; exact counts, vocab-sized float sum
+    o["ts_bigram_entropy"] = """
+        WITH ws AS (
+          SELECT string_split(text, ' ') AS w FROM documents
+          WHERE text IS NOT NULL
+        ),
+        bg AS (
+          SELECT w[i] AS w1, w[i + 1] AS w2
+          FROM ws, UNNEST(range(1, greatest(len(w), 1))) AS t(i)
+          WHERE len(w) >= 2
+        ),
+        bgf AS (SELECT * FROM bg WHERE w1 <> '' AND w2 <> ''),
+        cbg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+                FROM bgf GROUP BY 1, 2),
+        cw1 AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw
+                FROM cbg GROUP BY w1)
+        SELECT CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+               round(-sum(c * ln(CAST(c AS DOUBLE) / cw)) / sum(c), 6)
+                 AS h_cond
+        FROM cbg JOIN cw1 USING (w1)
+    """
+    # composes the recursive-CTE CC replay (single-source discipline)
+    o["g32_ccsizes"] = f"""
+        WITH RECURSIVE cc AS ({o["g4_cc"]}),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM cc GROUP BY component
+        )
+        SELECT size, CAST(count(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY size
+    """
     return o
 
 
@@ -10165,4 +10201,30 @@ def q_ml_ab(spark, sf_dir):
         f"round((cast(a_c as double) / a_n - cast(b_c as double) / b_n)"
         f" / nullif(sqrt({pool} * (1.0d - {pool})"
         f" * (1.0d / a_n + 1.0d / b_n)), 0.0d), 6) as z",
+    )
+
+
+def q_ts_bigram_entropy(spark, sf_dir):
+    """Corpus bigram conditional entropy H(w2|w1)
+    (textstats.py:bigram_cond_entropy) — predictability diagnostic;
+    exact integer bigram/prefix counts, vocab-sized float sum."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        bigram_cond_entropy,
+    )
+
+    return bigram_cond_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_g32_ccsizes(spark, sf_dir):
+    """Connected-component size distribution of the near-dup graph (the
+    g4_cc substrate): component sizes then a size histogram — the
+    dedup-cluster shape diagnostic (one giant component means the
+    threshold is too loose). Two tiny rollups on top of CC; oracle
+    composes the recursive-CTE g4_cc replay."""
+    cc = q_g4_cc(spark, sf_dir)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_components")
     )

@@ -550,3 +550,47 @@ def kl_by_group(
         )
         .selectExpr("grp", "n_tokens", "n_words", "round(klsum, 6) as kl")
     )
+
+
+def bigram_cond_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus bigram conditional entropy H(w2 | w1) = -(1/N) * sum over
+    bigrams of c_bg * ln(c_bg / c_w1) — the predictability diagnostic
+    that separates natural text (moderate H) from template spam (H near
+    0) and shuffled word soup (H near the unigram entropy). Uses the
+    pmi_collocations bigram machinery including its size(ws) < 2 guard
+    (sequence() DESCENDS on short docs under ANSI).
+
+    Exact integer bigram/prefix counts (two map-side combinable
+    groupBys), vocabulary-sized float sum, 6 dp — the ts_entropy
+    contract. Output: one row (n_bigrams, n_distinct_bigrams, h_cond).
+    """
+    bg = docs.select(
+        F.explode(
+            F.expr(
+                f"case when {text_col} is null"
+                f" or size(split({text_col}, ' ')) < 2 then array() else "
+                f"transform(sequence(1, size(split({text_col}, ' ')) - 1), "
+                f"i -> struct(split({text_col}, ' ')[i - 1] as w1, "
+                f"split({text_col}, ' ')[i] as w2)) end"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    cbg = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c"))
+    cw1 = cbg.groupBy("w1").agg(F.sum("c").cast("long").alias("cw"))
+    return (
+        cbg.join(F.broadcast(cw1), "w1")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.count("*").cast("long").alias("n_distinct_bigrams"),
+            F.sum(
+                F.expr("c * ln(cast(c as double) / cw)")
+            ).alias("hsum"),
+        )
+        .selectExpr(
+            "n_bigrams", "n_distinct_bigrams",
+            "round(-hsum / n_bigrams, 6) as h_cond",
+        )
+    )
