@@ -3224,6 +3224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # component-size distribution
         "ts_bigram_entropy": q_ts_bigram_entropy,
         "g32_ccsizes": q_g32_ccsizes,
+        # tranche 27 (defs at end of file): week-over-week growth
+        "sql_wow": q_sql_wow,
     }
 
 
@@ -8951,6 +8953,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT size, CAST(count(*) AS BIGINT) AS n_components
         FROM sizes GROUP BY size
     """
+    o["sql_wow"] = """
+        WITH wk AS (
+          SELECT event_type, CAST(date_trunc('week', ts) AS DATE) AS wk,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT event_type, wk, n,
+                 CAST(lag(n) OVER (PARTITION BY event_type ORDER BY wk)
+                   AS BIGINT) AS prev_n
+          FROM wk
+        )
+        SELECT event_type, strftime(wk, '%Y-%m-%d') AS week, n, prev_n,
+               CASE WHEN prev_n > 0 THEN
+                 round(CAST(n AS DOUBLE) / prev_n - 1.0, 6)
+               END AS wow_growth
+        FROM lagged
+    """
     return o
 
 
@@ -10227,4 +10247,32 @@ def q_g32_ccsizes(spark, sf_dir):
     )
     return sizes.groupBy("size").agg(
         F.count("*").cast("long").alias("n_components")
+    )
+
+
+def q_sql_wow(spark, sf_dir):
+    """Week-over-week growth per event type: weekly counts, lag window,
+    exact-int ratio minus 1 (6 dp; first week null) — the canonical
+    trend query, one grouped count + one tiny per-type window."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    from pyspark.sql import Window as W
+
+    wk = (
+        _t(spark, sf_dir, "events")
+        .select("event_type",
+                F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .groupBy("event_type", "wk")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("wk")
+    return wk.select(
+        "event_type",
+        F.date_format("wk", "yyyy-MM-dd").alias("week"),
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+    ).selectExpr(
+        "event_type", "week", "n",
+        "cast(prev_n as bigint) as prev_n",
+        "case when prev_n > 0 then"
+        " round(cast(n as double) / prev_n - 1.0d, 6) end as wow_growth",
     )

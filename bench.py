@@ -257,7 +257,7 @@ def main() -> None:
         "sql_dau_wau", "sql_streaks", "ml_psi", "g26_gcc",
         "sql_rfm", "ts_novelty", "sql_seasonality", "g27_coreness",
         "ml_knnclass", "sql_percentrank", "stream_lines", "ml_mlr",
-        "dd_soft", "g29_richclub", "ml_histogram2d", "ml_roc", "g30_degdist", "ts_heaps", "ml_ks", "ts_srcsim", "kg_degprofile", "ts_burstiness", "ml_effect", "g31_reciprocity", "sql_pareto", "kg_reltype_cooccur", "ml_welch", "ml_ab", "ts_bigram_entropy", "g32_ccsizes",
+        "dd_soft", "g29_richclub", "ml_histogram2d", "ml_roc", "g30_degdist", "ts_heaps", "ml_ks", "ts_srcsim", "kg_degprofile", "ts_burstiness", "ml_effect", "g31_reciprocity", "sql_pareto", "kg_reltype_cooccur", "ml_welch", "ml_ab", "ts_bigram_entropy", "g32_ccsizes", "sql_wow",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries
