@@ -3226,6 +3226,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g32_ccsizes": q_g32_ccsizes,
         # tranche 27 (defs at end of file): week-over-week growth
         "sql_wow": q_sql_wow,
+        # tranche 28 (defs at end of file): Mann-Whitney U, Spearman rho
+        "ml_mannwhitney": q_ml_mannwhitney,
+        "ml_spearman": q_ml_spearman,
     }
 
 
@@ -8971,6 +8974,91 @@ def oracle_sql() -> dict[str, str]:
                END AS wow_growth
         FROM lagged
     """
+    # roc_auc discipline: doubled midranks over the distinct-score
+    # histogram keep 2*R_a / 2*U_a / the tie term exact integers
+    o["ml_mannwhitney"] = """
+        WITH d AS (
+          SELECT CAST(n_chars AS BIGINT) AS s,
+                 CASE WHEN ('0x' || substr(sha256('mwu-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 50
+                      THEN 1 ELSE 0 END AS y
+          FROM documents
+        ),
+        hist AS (
+          SELECT s, CAST(count(*) AS BIGINT) AS c,
+                 CAST(sum(y) AS BIGINT) AS a
+          FROM d GROUP BY s
+        ),
+        ranked AS (
+          SELECT c, a,
+                 CAST(coalesce(sum(c) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cb
+          FROM hist
+        ),
+        st AS (
+          SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(c) - sum(a) AS BIGINT) AS n_b,
+                 CAST(sum(a * (2 * cb + c + 1)) AS HUGEINT) AS r1x2,
+                 CAST(sum(c * c * c - c) AS HUGEINT) AS ties
+          FROM ranked
+        )
+        SELECT n_a, n_b,
+               CAST(r1x2 - n_a * (n_a + 1) AS BIGINT) AS u_x2,
+               round((0.5 * CAST(r1x2 - n_a * (n_a + 1) AS DOUBLE)
+                      - 0.5 * CAST(n_a AS DOUBLE) * n_b)
+                 / nullif(sqrt(CAST(n_a AS DOUBLE) * n_b / 12.0
+                     * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                        - CAST(ties AS DOUBLE)
+                          / (CAST(n_a + n_b AS DOUBLE)
+                             * (CAST(n_a + n_b AS DOUBLE) - 1.0)))),
+                   0.0), 6) AS z
+        FROM st
+    """
+    # midranks joined back to rows, Pearson over the doubled midranks
+    o["ml_spearman"] = """
+        WITH r AS (
+          SELECT CAST(n_chars AS BIGINT) AS x,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS BIGINT) AS y
+          FROM documents WHERE text IS NOT NULL
+        ),
+        hx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY x),
+        mxt AS (
+          SELECT x, CAST(2 * coalesce(sum(c) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS mx
+          FROM hx
+        ),
+        hy AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY y),
+        myt AS (
+          SELECT y, CAST(2 * coalesce(sum(c) OVER (ORDER BY y
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + c + 1 AS BIGINT) AS my
+          FROM hy
+        ),
+        j AS (
+          SELECT mx, my FROM r JOIN mxt USING (x) JOIN myt USING (y)
+        ),
+        st AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(mx) AS HUGEINT) AS sx,
+                 CAST(sum(my) AS HUGEINT) AS sy,
+                 CAST(sum(mx * mx) AS HUGEINT) AS sxx,
+                 CAST(sum(my * my) AS HUGEINT) AS syy,
+                 CAST(sum(mx * my) AS HUGEINT) AS sxy
+          FROM j
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               round(CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+                           AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+                     THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                     END, 6) AS rho
+        FROM st
+    """
     return o
 
 
@@ -10275,4 +10363,38 @@ def q_sql_wow(spark, sf_dir):
         "cast(prev_n as bigint) as prev_n",
         "case when prev_n > 0 then"
         " round(cast(n as double) / prev_n - 1.0d, 6) end as wow_growth",
+    )
+
+
+def q_ml_mannwhitney(spark, sf_dir):
+    """Tie-corrected Mann-Whitney U (mlstats.py:mann_whitney) on doc
+    length between the content-addressed halves — the nonparametric
+    location test beside ml_welch's t; doubled-midrank integers end to
+    end, one fixed double z formula."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+    from knowledgegraphbuilder_spark.operators.mlstats import mann_whitney
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("long").alias("v"),
+        (
+            F.expr(_H60.format(
+                s="concat('mwu-v1', ',', cast(doc_id as string))"
+            )) % 100 < 50
+        ).cast("int").alias("y"),
+    )
+    return mann_whitney(d, score_expr="v", side_expr="y")
+
+
+def q_ml_spearman(spark, sf_dir):
+    """Spearman rank correlation (mlstats.py:spearman) between doc
+    char length and whitespace token count — the outlier-robust
+    association check; midranks via histogram windows (never a
+    corpus-sized rank), exact decimal sufficient stats."""
+    from knowledgegraphbuilder_spark.operators.mlstats import spearman
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return spearman(
+        d,
+        x_expr="cast(n_chars as bigint)",
+        y_expr="cast(size(filter(split(text, ' '), t -> t != '')) as bigint)",
     )

@@ -878,3 +878,128 @@ def grouped_ols2(
         f" - {beta2} * cast(s2 as double)) / cast(n as double), 6)"
         f" as intercept",
     )
+
+
+def mann_whitney(
+    df: DataFrame,
+    score_expr: str = "cast(n_chars as bigint)",
+    side_expr: str = "side",
+) -> DataFrame:
+    """Two-sample Mann-Whitney U test (tie-corrected normal z) — the
+    nonparametric companion to Welch's t: does group a's score
+    distribution stochastically dominate group b's, without assuming
+    normality. The distribution-free location test every data-quality
+    comparison (filtered vs unfiltered shard, source A vs source B)
+    reaches for when lengths/scores are skewed.
+
+    Exactness (roc_auc discipline — the U statistic IS the AUC
+    numerator): per distinct score s with c rows (a of them in group a),
+    the DOUBLED midrank is 2*cb + c + 1, so 2*R_a is an exact integer
+    sum; 2*U_a = 2*R_a - n_a*(n_a+1) stays integer, and the tie
+    correction T = sum(c^3 - c) is an exact decimal sum. The z statistic
+    is ONE fixed double formula over those integers, rounded to 6 dp —
+    bit-identical on both engines, no float accumulation.
+
+    Scale shape: one map-side combinable groupBy(score) histogram, one
+    cumulative window over the DISTINCT-score histogram
+    (histogram-sized, never corpus-sized), one final aggregate. Output:
+    a single row. Decimal(38) headroom holds to ~1e12 rows.
+    """
+    from pyspark.sql import Window as W
+
+    hist = (
+        df.selectExpr(f"{score_expr} as s", f"cast({side_expr} as int) as y")
+        .groupBy("s")
+        .agg(
+            F.count("*").cast("long").alias("c"),
+            F.sum("y").cast("long").alias("a"),
+        )
+    )
+    w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    ranked = hist.select(
+        "c",
+        "a",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("cb"),
+    )
+    stats = ranked.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        (F.sum("c") - F.sum("a")).cast("long").alias("n_b"),
+        # doubled rank-sum of group a — decimal domain BEFORE the product
+        # (the _d18 lesson: bigint*bigint accumulates in LONG)
+        F.expr(
+            "cast(sum(cast(a as decimal(14,0))"
+            " * cast(2 * cb + c + 1 as decimal(16,0))) as decimal(32,0))"
+        ).alias("r1x2"),
+        # tie term sum(c^3 - c): decimal(12)^3 -> decimal(38), exact
+        F.expr(
+            "cast(sum(cast(c as decimal(12,0)) * cast(c as decimal(12,0))"
+            " * cast(c as decimal(12,0)) - c) as decimal(38,0))"
+        ).alias("ties"),
+    )
+    return stats.selectExpr(
+        "n_a",
+        "n_b",
+        # 2*U_a = 2*R_a - n_a*(n_a+1) — exact integer, bigint-safe output
+        # at any SF this sandbox runs (value <= 2 * n_a * n)
+        "cast(r1x2 - cast(n_a as decimal(20,0)) * (n_a + 1) as bigint)"
+        " as u_x2",
+        # z = (U_a - n_a*n_b/2) / sqrt(n_a*n_b/12 * ((n+1) - T/(n*(n-1))))
+        # with the zero-variance (all scores tied) guard via nullif
+        "round((0.5d * cast(r1x2 - cast(n_a as decimal(20,0)) * (n_a + 1)"
+        "         as double)"
+        "  - 0.5d * cast(n_a as double) * n_b)"
+        " / nullif(sqrt(cast(n_a as double) * n_b / 12.0d"
+        "   * ((cast(n_a + n_b as double) + 1.0d)"
+        "      - cast(ties as double)"
+        "        / (cast(n_a + n_b as double)"
+        "           * (cast(n_a + n_b as double) - 1.0d)))), 0.0d), 6)"
+        " as z",
+    )
+
+
+def spearman(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+) -> DataFrame:
+    """Spearman rank correlation rho between two numeric expressions —
+    the monotone-association measure that survives outliers and
+    nonlinearity (Pearson's corr_matrix complement). Ties get average
+    ranks (midranks), the textbook tie treatment.
+
+    Exactness: each variable's DOUBLED midrank (2*cb + c + 1 per
+    distinct value — integer) is joined back to the rows, then Pearson
+    runs over the doubled midranks via the exact decimal sufficient
+    statistics of _sums; doubling cancels in the correlation. One fixed
+    double formula at the end, 6 dp.
+
+    Scale shape: two map-side combinable value histograms + cumulative
+    windows over the DISTINCT-value histograms (histogram-sized), two
+    equi-joins of rows against histogram-sized rank tables, one
+    aggregate. No corpus-sized window (a naive rank() over all rows
+    would single-partition); decimal(38) headroom holds to ~1e9 rows of
+    doubled midranks <= 2e9 (re-bucket scores first beyond that).
+    """
+    from pyspark.sql import Window as W
+
+    rows = df.selectExpr(f"{x_expr} as x", f"{y_expr} as y")
+
+    def midranks(col: str) -> DataFrame:
+        hist = rows.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
+        return hist.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c") + 1
+            ).cast("long").alias(f"m{col}"),
+        )
+
+    j = rows.join(midranks("x"), "x").join(midranks("y"), "y")
+    stats = j.agg(*_sums("mx", "my"))
+    return stats.selectExpr(
+        "cast(n as bigint) as n",
+        f"round(case when {_VAR_X} > 0 and {_VAR_Y} > 0 then "
+        f"{_COV_NUM} / (sqrt({_VAR_X}) * sqrt({_VAR_Y})) "
+        f"else null end, 6) as rho",
+    )
