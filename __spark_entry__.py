@@ -3229,6 +3229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 28 (defs at end of file): Mann-Whitney U, Spearman rho
         "ml_mannwhitney": q_ml_mannwhitney,
         "ml_spearman": q_ml_spearman,
+        # tranche 29 (defs at end of file): edit-distance-1 dedup,
+        # KG 2-hop metapath census
+        "dd_editdist": q_dd_editdist,
+        "kg_metapaths": q_kg_metapaths,
     }
 
 
@@ -9059,6 +9063,73 @@ def oracle_sql() -> dict[str, str]:
                      END, 6) AS rho
         FROM st
     """
+    # SymSpell delete-1 neighborhood replay: the key itself + every
+    # delete-one variant, equi-join, exact levenshtein verify
+    o["dd_editdist"] = """
+        WITH base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 substr(text, 1, 48) AS key
+          FROM documents
+          WHERE text IS NOT NULL
+            AND length(substr(text, 1, 48)) >= 8
+            AND regexp_matches(substr(text, 1, 48), '^[ -~]+$')
+        ),
+        hashed AS (
+          SELECT id, key,
+                 ('0x' || substr(sha256('ed1-v1' || ',' || id), 1, 15))
+                   ::BIGINT AS h
+          FROM base
+        ),
+        planted AS (
+          SELECT 'typo-' || id AS id,
+                 substr(key, 1, pos - 1)
+                 || CASE WHEN substr(key, pos, 1) = 'q'
+                         THEN 'z' ELSE 'q' END
+                 || substr(key, pos + 1) AS key
+          FROM (
+            SELECT id, key,
+                   CAST(h % length(key) + 1 AS INT) AS pos
+            FROM hashed WHERE h % 100 < 8
+          )
+        ),
+        corpus AS (
+          SELECT id, key FROM base
+          UNION ALL SELECT id, key FROM planted
+        ),
+        vars AS (
+          SELECT id, key,
+                 substr(key, 1, CAST(i AS INT) - 1)
+                 || substr(key, CAST(i AS INT) + 1) AS v
+          FROM corpus, UNNEST(range(1, length(key) + 1)) AS t(i)
+          UNION
+          SELECT id, key, key AS v FROM corpus
+        ),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, a.key AS key_a,
+                          b.id AS id_b, b.key AS key_b
+          FROM vars a JOIN vars b ON a.v = b.v AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               CAST(levenshtein(key_a, key_b) AS INT) AS dist
+        FROM cand WHERE levenshtein(key_a, key_b) <= 1
+    """
+    # composes the kg edge replay; distinct typed edges BEFORE the
+    # mid-node join so instance multiplicity never inflates path counts
+    o["kg_metapaths"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        et AS (
+          SELECT DISTINCT head_node_id AS h, tail_node_id AS t, rel_type
+          FROM kge
+        ),
+        paths AS (
+          SELECT DISTINCT e1.h AS a, e1.t AS b, e2.t AS c,
+                          e1.rel_type AS rt1, e2.rel_type AS rt2
+          FROM et e1 JOIN et e2 ON e1.t = e2.h
+          WHERE e1.h <> e2.t
+        )
+        SELECT rt1, rt2, CAST(count(*) AS BIGINT) AS n_paths
+        FROM paths GROUP BY 1, 2
+    """
     return o
 
 
@@ -10397,4 +10468,75 @@ def q_ml_spearman(spark, sf_dir):
         d,
         x_expr="cast(n_chars as bigint)",
         y_expr="cast(size(filter(split(text, ' '), t -> t != '')) as bigint)",
+    )
+
+
+def q_dd_editdist(spark, sf_dir):
+    """Edit-distance-1 near-dup recovery (dedup.py:editdist1_pairs —
+    SymSpell delete-1 blocking + exact levenshtein verify): plants
+    one-char-substitution typo copies of a content-addressed ~8% doc
+    sample (the dd_rewrite planting discipline), then the operator must
+    recover exactly the planted pairs plus any organic distance<=1 key
+    collisions. ASCII keys, length >= 8 (both are the operator's
+    documented contract)."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+    from knowledgegraphbuilder_spark.operators.dedup import editdist1_pairs
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr("substring(text, 1, 48)").alias("key"),
+        )
+        .filter(F.expr("length(key) >= 8 and key rlike '^[ -~]+$'"))
+    )
+    h = F.expr(_H60.format(s="concat('ed1-v1', ',', doc_id)"))
+    # pos derives from the SAME hash the sample draw used
+    planted = (
+        base.filter(h % 100 < 8)
+        .withColumn("pos", (h % F.expr("length(key)") + 1).cast("int"))
+        .select(
+            F.concat(F.lit("typo-"), F.col("doc_id")).alias("doc_id"),
+            F.expr(
+                "concat(substring(key, 1, pos - 1), "
+                "case when substring(key, pos, 1) = 'q' then 'z' "
+                "else 'q' end, substring(key, pos + 1))"
+            ).alias("key"),
+        )
+    )
+    corpus = base.unionAll(planted)
+    return editdist1_pairs(corpus, key_col="key", id_col="doc_id")
+
+
+def q_kg_metapaths(spark, sf_dir):
+    """2-hop metapath census over the KG: distinct node paths
+    a -[rt1]-> b -[rt2]-> c with a != c, counted by (rt1, rt2) — the
+    schema-navigation profile that tells a query planner which typed
+    joins are worth indexing. Pre-distincts typed edges before the
+    mid-node equi-join (instance multiplicity must not inflate path
+    counts); mid-node skew is the documented hazard at scale (salt or
+    cap hub nodes — the canonicalize.py discipline)."""
+    e = (
+        _kg(spark, sf_dir).edges
+        .select("head_node_id", "tail_node_id", "rel_type")
+        .distinct()
+    )
+    e1 = e.select(
+        F.col("head_node_id").alias("a"),
+        F.col("tail_node_id").alias("b"),
+        F.col("rel_type").alias("rt1"),
+    )
+    e2 = e.select(
+        F.col("head_node_id").alias("b"),
+        F.col("tail_node_id").alias("c"),
+        F.col("rel_type").alias("rt2"),
+    )
+    return (
+        e1.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "b", "c", "rt1", "rt2")
+        .distinct()
+        .groupBy("rt1", "rt2")
+        .agg(F.count("*").cast("long").alias("n_paths"))
     )

@@ -940,3 +940,75 @@ def line_dedup_stats(
         F.sum("kept").cast("long").alias("n_kept"),
         (F.count("*") - F.sum("kept")).cast("long").alias("n_removed"),
     )
+
+
+def editdist1_pairs(
+    df: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Typo-level near-dup pairs at edit distance <= 1 via the SymSpell /
+    FastSS delete-1 neighborhood: every key emits itself plus each
+    delete-one-char variant; two keys at Levenshtein distance <= 1 MUST
+    share a variant (equal keys share the key; a substitution at i shares
+    the delete-i variant; an insert/delete shares the shorter key
+    itself), so a pure equi-join on variant is a provably lossless
+    candidate generator. Candidates are verified with the exact
+    levenshtein() built-in — the neighborhood over-generates (e.g. 'ab'
+    vs 'ba' share variants 'a' and 'b' but are distance 2), which is why
+    filter-then-verify is not optional.
+
+    Scale shape: n*(L+1) variant rows for key length L (linear, not
+    quadratic), one equi-join on variant, verification only on pairs
+    that share a variant. Hot variants (shared boilerplate prefixes)
+    can fan out; ``max_bucket`` drops variants whose bucket exceeds the
+    cap — lossy and OFF by default, the documented-cap discipline of the
+    jaccard/containment paths. ASCII keys only is the caller's contract:
+    Spark's levenshtein counts characters while some engines count
+    bytes, so non-ASCII keys are where engines diverge.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, dist <= 1, exact.
+    """
+    kv = df.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    # the key itself + delete-1 variants, deduped per key; sequence()
+    # DESCENDS for empty keys under ANSI, so callers enforce length >= 1
+    variants = kv.select(
+        "id",
+        "key",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(key), "
+                "transform(sequence(1, length(key)), "
+                "i -> concat(substring(key, 1, i - 1), "
+                "substring(key, i + 1)))))"
+            )
+        ).alias("v"),
+    )
+    if max_bucket is not None:
+        heavy = (
+            variants.groupBy("v")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") > max_bucket)
+            .select("v")
+        )
+        variants = variants.join(F.broadcast(heavy), "v", "left_anti")
+    a = variants.select(
+        F.col("id").alias("id_a"), F.col("key").alias("key_a"), "v"
+    )
+    b = variants.select(
+        F.col("id").alias("id_b"), F.col("key").alias("key_b"), "v"
+    )
+    cand = (
+        a.join(b, "v")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "key_a", "id_b", "key_b")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein("key_a", "key_b") <= 1
+    ).select(
+        "id_a",
+        "id_b",
+        F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
+    )
