@@ -3233,6 +3233,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # KG 2-hop metapath census
         "dd_editdist": q_dd_editdist,
         "kg_metapaths": q_kg_metapaths,
+        # tranche 30 (defs at end of file): CUSUM changepoint,
+        # event-type Markov transitions
+        "ts_cusum": q_ts_cusum,
+        "sql_transitions": q_sql_transitions,
     }
 
 
@@ -9130,6 +9134,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT rt1, rt2, CAST(count(*) AS BIGINT) AS n_paths
         FROM paths GROUP BY 1, 2
     """
+    # scaled-integer CUSUM: s_i = n_i*D - T keeps the cumulative sum
+    # exact; peak ties break to the earliest day
+    o["ts_cusum"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      // 86400000000 AS BIGINT) AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY key
+        ),
+        grid AS (
+          SELECT key, CAST(i AS BIGINT) AS bkt
+          FROM bounds, UNNEST(range(lo, hi + 1)) AS t(i)
+        ),
+        dense AS (
+          SELECT g.key, g.bkt, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+          FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bkt = g.bkt
+        ),
+        sized AS (
+          SELECT key, bkt, n,
+                 CAST(count(*) OVER (PARTITION BY key) AS BIGINT) AS d,
+                 CAST(sum(n) OVER (PARTITION BY key) AS BIGINT) AS t
+          FROM dense
+        ),
+        scored AS (
+          SELECT key, bkt, d, t,
+                 CAST(sum(n * d - t) OVER (PARTITION BY key ORDER BY bkt
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS c
+          FROM sized
+        ),
+        top AS (
+          SELECT *, row_number() OVER (PARTITION BY key
+                   ORDER BY abs(c) DESC, bkt ASC) AS rn
+          FROM scored
+        )
+        SELECT key AS event_type,
+               strftime(make_timestamp(bkt * 86400000000), '%Y-%m-%d')
+                 AS peak_day,
+               d AS n_days, t AS total,
+               CAST(abs(c) AS BIGINT) AS cusum_abs_max,
+               round(abs(c) / (CAST(d AS DOUBLE) * t), 6) AS score
+        FROM top WHERE rn = 1
+    """
+    # LEAD over each user's (ts, event_id)-ordered stream
+    o["sql_transitions"] = """
+        WITH tr AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events
+        ),
+        cnt AS (
+          SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+          FROM tr WHERE to_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        FROM cnt
+    """
     return o
 
 
@@ -10539,4 +10610,45 @@ def q_kg_metapaths(spark, sf_dir):
         .distinct()
         .groupBy("rt1", "rt2")
         .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM changepoint per event type
+    (timeseries.py:cusum_changepoint): zero-filled daily grid,
+    scaled-integer cumulative deviation (n_i*D - T stays BIGINT), peak
+    day + normalized displacement score."""
+    from knowledgegraphbuilder_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return cusum_changepoint(_t(spark, sf_dir, "events"))
+
+
+def q_sql_transitions(spark, sf_dir):
+    """Per-user event-type Markov transition matrix: LEAD over each
+    user's (ts, event_id)-ordered stream, exact transition counts, and
+    the row-normalized probability as one exact-int ratio (6 dp) — the
+    behavioral-model substrate (mm_transitions' cross-doc cousin)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id",
+                                           "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = tr.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wrow = W.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(wrow).cast("double"), 6
+        ).alias("p"),
     )

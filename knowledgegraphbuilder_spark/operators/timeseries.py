@@ -262,3 +262,89 @@ def lag1_autocorr(
         "         * cast(n * syy - sy * sy as double)), 6)"
         " end as r1",
     )
+
+
+def cusum_changepoint(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """CUSUM changepoint score per key: on the zero-filled daily count
+    grid (the densify_ffill span discipline — gaps MUST count as zero or
+    the statistic is blind to outages), the cumulative sum of deviations
+    from the key's mean rate peaks at the most likely level-shift point.
+    Reported per key: the peak day, the peak magnitude, and a
+    0..1-normalized score (max |C| / (D * T), the fraction-of-mass
+    displacement).
+
+    Exactness: the deviation is kept INTEGER by scaling — with D days
+    and total T, s_i = n_i * D - T (instead of n_i - T/D), so the
+    cumulative sum C_i is an exact BIGINT on both engines; only the
+    final normalization is one double divide, 6 dp. Peak day ties break
+    to the earliest day (row_number over |C| desc, day asc). Headroom:
+    |C_i| <= T * D — fine to ~1e12 events over ~1e4 days; widen to
+    decimal beyond that.
+
+    Scale shape: one map-side combinable (key, day) count, a per-key
+    grid explode, two key-partitioned windows (grid-sized, never
+    event-sized), one top-1 filter. Output: one row per key.
+    """
+    from pyspark.sql import Window as W
+
+    bus = int(bucket_us)
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bus}")
+        .alias("bkt"),
+    )
+    agg = e.groupBy("key", "bkt").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = agg.groupBy("key").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.expr("sequence(lo, hi)")).alias("bkt")
+    )
+    dense = grid.join(agg, ["key", "bkt"], "left").select(
+        "key", "bkt", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    wk = W.partitionBy("key")
+    wcum = (
+        W.partitionBy("key").orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    sized = dense.select(
+        "key",
+        "bkt",
+        "n",
+        F.count("*").over(wk).cast("long").alias("d"),
+        F.sum("n").over(wk).cast("long").alias("t"),
+    )
+    scored = sized.select(
+        "key",
+        "bkt",
+        "d",
+        "t",
+        F.sum(F.expr("n * d - t")).over(wcum).cast("long").alias("c"),
+    )
+    wpk = W.partitionBy("key").orderBy(
+        F.abs(F.col("c")).desc(), F.col("bkt").asc()
+    )
+    top = scored.withColumn("rn", F.row_number().over(wpk)).filter(
+        F.col("rn") == 1
+    )
+    return top.select(
+        F.col("key").alias(key_col),
+        F.date_format(
+            F.expr(f"timestamp_micros(bkt * {bus})"), "yyyy-MM-dd"
+        ).alias("peak_day"),
+        F.col("d").alias("n_days"),
+        F.col("t").alias("total"),
+        F.abs(F.col("c")).cast("long").alias("cusum_abs_max"),
+        F.round(
+            F.abs(F.col("c"))
+            / (F.col("d").cast("double") * F.col("t")), 6
+        ).alias("score"),
+    )
