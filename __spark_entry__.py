@@ -3237,6 +3237,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event-type Markov transitions
         "ts_cusum": q_ts_cusum,
         "sql_transitions": q_sql_transitions,
+        # tranche 31 (defs at end of file): exact binary-decay EWMA,
+        # SCD Type-2 history
+        "ts_ewma": q_ts_ewma,
+        "sql_scd2": q_sql_scd2,
     }
 
 
@@ -9201,6 +9205,72 @@ def oracle_sql() -> dict[str, str]:
                  / sum(n) OVER (PARTITION BY from_type), 6) AS p
         FROM cnt
     """
+    # scatter replay: each dense day contributes to the next 32 buckets
+    # with exact power-of-two weights
+    o["ts_ewma"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      // 86400000000 AS BIGINT) AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY key
+        ),
+        grid AS (
+          SELECT b.key, b.hi, CAST(i AS BIGINT) AS bkt
+          FROM bounds b, UNNEST(range(b.lo, b.hi + 1)) AS t(i)
+        ),
+        dense AS (
+          SELECT g.key, g.hi, g.bkt,
+                 CAST(coalesce(a.n, 0) AS BIGINT) AS n
+          FROM grid g
+          LEFT JOIN agg a ON a.key = g.key AND a.bkt = g.bkt
+        ),
+        scattered AS (
+          SELECT key, bkt + CAST(lag AS BIGINT) AS t_bkt,
+                 (CAST(1 AS BIGINT) << (31 - CAST(lag AS INT))) AS w,
+                 n, hi, bkt AS src_bkt
+          FROM dense, UNNEST(range(0, 32)) AS l(lag)
+          WHERE bkt + CAST(lag AS BIGINT) <= hi
+        )
+        SELECT key AS event_type,
+               strftime(make_timestamp(t_bkt * 86400000000), '%Y-%m-%d')
+                 AS day,
+               CAST(max(CASE WHEN src_bkt = t_bkt THEN n END) AS BIGINT)
+                 AS n,
+               round(CAST(sum(n * w) AS DOUBLE) / sum(w), 6) AS ewma
+        FROM scattered GROUP BY key, t_bkt
+    """
+    # change points via LAG, validity intervals via LEAD — zero self-joins
+    o["sql_scd2"] = """
+        WITH marked AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ),
+        changes AS (
+          SELECT user_id, ts, event_id, event_type
+          FROM marked
+          WHERE prev_type IS NULL OR event_type <> prev_type
+        )
+        SELECT user_id, event_type AS segment,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+               strftime(lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id), '%Y-%m-%d %H:%M:%S.%f')
+                 AS valid_to,
+               CAST(row_number() OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS BIGINT) AS version,
+               CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS is_current
+        FROM changes
+    """
     return o
 
 
@@ -10651,4 +10721,49 @@ def q_sql_transitions(spark, sf_dir):
         F.round(
             F.col("n") / F.sum("n").over(wrow).cast("double"), 6
         ).alias("p"),
+    )
+
+
+def q_ts_ewma(spark, sf_dir):
+    """Exact binary-decay EWMA of daily event counts per type
+    (timeseries.py:ewma_daily): power-of-two weights keep S and W exact
+    BIGINTs; the scatter formulation replaces a banded self-join with a
+    constant 32x map-side fan-out + one groupBy."""
+    from knowledgegraphbuilder_spark.operators.timeseries import ewma_daily
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return ewma_daily(_t(spark, sf_dir, "events"))
+
+
+def q_sql_scd2(spark, sf_dir):
+    """SCD Type-2 history build: each user's event-type regime as
+    versioned validity intervals — keep change points (event_type !=
+    LAG), then valid_to = LEAD(valid_from) with the open current row
+    null; version = change index. The warehouse dimension-history
+    pattern, built from two per-user windows and zero self-joins."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(
+        F.col("prev_type").isNull()
+        | (F.col("event_type") != F.col("prev_type"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return marked.select(
+        "user_id",
+        F.col("event_type").alias("segment"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("valid_from"),
+        F.date_format(
+            F.lead("ts").over(w2), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("valid_to"),
+        F.row_number().over(w2).cast("long").alias("version"),
+        (F.lead("ts").over(w2).isNull()).cast("int").alias("is_current"),
     )

@@ -348,3 +348,79 @@ def cusum_changepoint(
             / (F.col("d").cast("double") * F.col("t")), 6
         ).alias("score"),
     )
+
+
+def ewma_daily(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    span_days: int = 32,
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Exponentially weighted moving average of daily counts with decay
+    1/2 per day over a trailing ``span_days`` window — the trend
+    smoother. Weights are EXACT powers of two (2^(span-1-lag), integer
+    shiftleft), so the weighted sum S and weight mass W are exact
+    BIGINTs on both engines and the EWMA is one final divide (6 dp) —
+    no float power chains whose libm rounding could differ.
+
+    Scale shape: the SCATTER formulation — each dense day row emits its
+    contribution to the next ``span_days`` buckets (a constant 32x
+    map-side fan-out), then ONE groupBy((key, bucket)) sums S and W.
+    No banded range self-join, no window over an unbounded frame; the
+    truncated head windows are handled for free because only existing
+    rows scatter. Headroom: S <= max_daily_n * 2^span — keep
+    span_days <= 32 so BIGINT holds to ~1e9 events/day/key.
+    """
+    from pyspark.sql import Window as W
+
+    bus, span = int(bucket_us), int(span_days)
+    e = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros(cast({ts_col} as timestamp)) div {bus}")
+        .alias("bkt"),
+    )
+    agg = e.groupBy("key", "bkt").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = agg.groupBy("key").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    grid = bounds.select(
+        "key", "hi", F.explode(F.expr("sequence(lo, hi)")).alias("bkt")
+    )
+    dense = grid.join(agg, ["key", "bkt"], "left").select(
+        "key", "hi", "bkt",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+    )
+    scattered = dense.select(
+        "key",
+        "n",
+        "bkt",
+        F.explode(F.expr(f"sequence(0, {span - 1})")).alias("lag"),
+        "hi",
+    ).select(
+        "key",
+        (F.col("bkt") + F.col("lag")).alias("t_bkt"),
+        F.expr(f"shiftleft(cast(1 as bigint), {span - 1} - lag)")
+        .alias("w"),
+        "n",
+        "hi",
+        F.col("bkt").alias("src_bkt"),
+    ).filter(F.col("t_bkt") <= F.col("hi"))
+    out = scattered.groupBy("key", "t_bkt").agg(
+        F.sum(F.expr("n * w")).cast("long").alias("s"),
+        F.sum("w").cast("long").alias("wsum"),
+        F.max(
+            F.when(F.col("src_bkt") == F.col("t_bkt"), F.col("n"))
+        ).cast("long").alias("n"),
+    )
+    return out.select(
+        F.col("key").alias(key_col),
+        F.date_format(
+            F.expr(f"timestamp_micros(t_bkt * {bus})"), "yyyy-MM-dd"
+        ).alias("day"),
+        "n",
+        F.round(F.col("s") / F.col("wsum").cast("double"), 6)
+        .alias("ewma"),
+    )
