@@ -3241,6 +3241,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SCD Type-2 history
         "ts_ewma": q_ts_ewma,
         "sql_scd2": q_sql_scd2,
+        # tranche 32 (defs at end of file): Jensen-Shannon drift,
+        # categorical mutual information
+        "ml_jsd": q_ml_jsd,
+        "ml_mi": q_ml_mi,
     }
 
 
@@ -9271,6 +9275,65 @@ def oracle_sql() -> dict[str, str]:
                  AS is_current
         FROM changes
     """
+    # one conditional-sum groupBy(word); zero-count terms excluded by
+    # CASE so both engines sum the same term set
+    o["ml_jsd"] = """
+        WITH toks AS (
+          SELECT CASE WHEN ('0x' || substr(sha256('jsd-v1' || ','
+                   || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 50
+                 THEN 'a' ELSE 'b' END AS side,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        wc AS (
+          SELECT w,
+                 CAST(sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+                 CAST(sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+          FROM toks WHERE w <> '' GROUP BY w
+        ),
+        tot AS (
+          SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb,
+                 CAST(count(*) AS BIGINT) AS n_words
+          FROM wc
+        )
+        SELECT na AS n_a, nb AS n_b, n_words,
+               round(sum(
+                 0.5 * (CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+                   * ln((CAST(ca AS DOUBLE) / na)
+                     / (0.5 * (CAST(ca AS DOUBLE) / na
+                        + CAST(cb AS DOUBLE) / nb))) ELSE 0.0 END
+                 + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+                   * ln((CAST(cb AS DOUBLE) / nb)
+                     / (0.5 * (CAST(ca AS DOUBLE) / na
+                        + CAST(cb AS DOUBLE) / nb))) ELSE 0.0 END)
+               ), 6) AS jsd
+        FROM wc, tot
+        GROUP BY na, nb, n_words
+    """
+    # contingency + window marginals over the cell-cardinality table
+    o["ml_mi"] = """
+        WITH ct AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        cells AS (
+          SELECT c,
+                 CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS cx,
+                 CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS cy,
+                 CAST(sum(c) OVER () AS BIGINT) AS n
+          FROM ct
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               round(sum((CAST(c AS DOUBLE) / n)
+                 * ln(CAST(c AS DOUBLE) * n
+                      / (CAST(cx AS DOUBLE) * cy))), 6) AS mi
+        FROM cells
+    """
     return o
 
 
@@ -10766,4 +10829,65 @@ def q_sql_scd2(spark, sf_dir):
         ).alias("valid_to"),
         F.row_number().over(w2).cast("long").alias("version"),
         (F.lead("ts").over(w2).isNull()).cast("int").alias("is_current"),
+    )
+
+
+def q_ml_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between the content-addressed halves'
+    unigram distributions (textstats.py:jsd_split) — the symmetric
+    bounded drift measure beside ts_kl; one conditional-sum groupBy,
+    no join."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+    from knowledgegraphbuilder_spark.operators.textstats import jsd_split
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select(
+        "text",
+        F.when(
+            F.expr(_H60.format(
+                s="concat('jsd-v1', ',', cast(doc_id as string))"
+            )) % 100 < 50,
+            "a",
+        ).otherwise("b").alias("side"),
+    )
+    return jsd_split(d)
+
+
+def q_ml_mi(spark, sf_dir):
+    """Mutual information (nats) between doc source and language: exact
+    integer contingency + marginals via window sums over the
+    cell-cardinality table, one fixed double summand, 6 dp — the
+    categorical-dependence measure behind feature selection (ml_chi2's
+    information-theoretic sibling)."""
+    from pyspark.sql import Window as W
+
+    ct = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    wx = W.partitionBy("source")
+    wy = W.partitionBy("lang")
+    wall = W.partitionBy()
+    cells = ct.select(
+        "source", "lang", "c",
+        F.sum("c").over(wx).cast("long").alias("cx"),
+        F.sum("c").over(wy).cast("long").alias("cy"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    return (
+        cells.groupBy()
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.count("*").cast("long").alias("n_cells"),
+            F.sum(
+                F.expr(
+                    "(cast(c as double) / n)"
+                    " * ln(cast(c as double) * n"
+                    "      / (cast(cx as double) * cy))"
+                )
+            ).alias("s"),
+        )
+        .selectExpr("n", "n_cells", "round(s, 6) as mi")
     )

@@ -594,3 +594,56 @@ def bigram_cond_entropy(
             "round(-hsum / n_bigrams, 6) as h_cond",
         )
     )
+
+
+def jsd_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    side_col: str = "side",
+) -> DataFrame:
+    """Jensen-Shannon divergence between the unigram distributions of
+    two document populations (side 'a' vs side 'b') — the SYMMETRIC,
+    bounded (<= ln 2) drift measure; unlike KL it tolerates words seen
+    on only one side (the mixture m is never zero where either side has
+    mass), which is exactly the regime where corpus halves differ.
+
+    Exactness: ONE map-side combinable groupBy(word) with conditional
+    integer sums gives (c_a, c_b) per word — no join at all; the
+    summand is a single identical formula over those exact integers
+    evaluated in double, vocabulary-sized sum, 6 dp (the ts_entropy
+    contract). Zero-count terms are excluded by CASE, not by rows
+    disappearing, so both engines sum the same term set.
+
+    Output: one row (n_a, n_b, n_words, jsd).
+    """
+    toks = docs.select(
+        F.col(side_col).alias("side"),
+        F.explode(F.split(F.col(text_col), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    wc = toks.groupBy("w").agg(
+        F.sum(F.expr("cast(side = 'a' as int)")).cast("long").alias("ca"),
+        F.sum(F.expr("cast(side = 'b' as int)")).cast("long").alias("cb"),
+    )
+    tot = wc.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+        F.count("*").cast("long").alias("n_words"),
+    )
+    j = wc.crossJoin(F.broadcast(tot))
+    term = (
+        "0.5d * (case when ca > 0 then (cast(ca as double) / na)"
+        " * ln((cast(ca as double) / na)"
+        "   / (0.5d * (cast(ca as double) / na"
+        "      + cast(cb as double) / nb))) else 0.0d end"
+        " + case when cb > 0 then (cast(cb as double) / nb)"
+        " * ln((cast(cb as double) / nb)"
+        "   / (0.5d * (cast(ca as double) / na"
+        "      + cast(cb as double) / nb))) else 0.0d end)"
+    )
+    return (
+        j.groupBy("na", "nb", "n_words")
+        .agg(F.sum(F.expr(term)).alias("s"))
+        .selectExpr(
+            "na as n_a", "nb as n_b", "n_words", "round(s, 6) as jsd"
+        )
+    )
