@@ -3245,6 +3245,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categorical mutual information
         "ml_jsd": q_ml_jsd,
         "ml_mi": q_ml_mi,
+        # tranche 33 (defs at end of file): Kendall tau-b,
+        # Poisson-bootstrap CI
+        "ml_kendall": q_ml_kendall,
+        "ml_bootstrap": q_ml_bootstrap,
     }
 
 
@@ -9334,6 +9338,104 @@ def oracle_sql() -> dict[str, str]:
                       / (CAST(cx AS DOUBLE) * cy))), 6) AS mi
         FROM cells
     """
+    # sample-sized pair join; tie pairs from linear value histograms
+    o["ml_kendall"] = """
+        WITH s AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(n_chars AS BIGINT) AS x,
+                 CAST(len(list_filter(string_split(text, ' '),
+                   t -> t <> '')) AS BIGINT) AS y
+          FROM documents
+          WHERE text IS NOT NULL
+            AND ('0x' || substr(sha256('kt-v1' || ','
+                  || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 100 < 20
+        ),
+        cd AS (
+          SELECT
+            CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(sum(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+          FROM s a JOIN s b ON a.id < b.id
+        ),
+        tx AS (
+          SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n1x2
+          FROM (SELECT count(*) AS t FROM s GROUP BY x)
+        ),
+        ty AS (
+          SELECT CAST(sum(t * (t - 1)) AS BIGINT) AS n2x2
+          FROM (SELECT count(*) AS t FROM s GROUP BY y)
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+        SELECT n,
+               CAST(n * (n - 1) / 2 AS BIGINT) AS n_pairs,
+               c AS concordant, d AS discordant,
+               round(CAST(c - d AS DOUBLE)
+                 / nullif(sqrt((CAST(n AS DOUBLE) * (n - 1) - n1x2)
+                     / 2.0)
+                   * sqrt((CAST(n AS DOUBLE) * (n - 1) - n2x2) / 2.0),
+                   0.0), 6) AS tau
+        FROM cd, tx, ty, nn
+    """
+    # Poisson(1) inverse-CDF CASE ladder over floor(cdf * 2^60) integer
+    # literals — identical comparisons on both engines
+    o["ml_bootstrap"] = """
+        WITH rows_ AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(n_chars AS BIGINT) AS v
+          FROM documents
+        ),
+        reps AS (
+          SELECT id, v, CAST(r AS BIGINT) AS r
+          FROM rows_, UNNEST(range(0, 32)) AS t(r)
+        ),
+        weighted AS (
+          SELECT r, v,
+                 CAST(CASE
+                   WHEN h < 424136118829305344 THEN 0
+                   WHEN h < 848272237658610688 THEN 1
+                   WHEN h < 1060340297073263360 THEN 2
+                   WHEN h < 1131029650211480960 THEN 3
+                   WHEN h < 1148701988496035328 THEN 4
+                   WHEN h < 1152236456152946176 THEN 5
+                   WHEN h < 1152825534095764608 THEN 6
+                   ELSE 7 END AS BIGINT) AS w
+          FROM (
+            SELECT r, v,
+                   ('0x' || substr(sha256('boot-v1' || ','
+                     || CAST(r AS VARCHAR) || ',' || id), 1, 15))
+                     ::BIGINT AS h
+            FROM reps
+          )
+        ),
+        means AS (
+          SELECT r,
+                 CAST(sum(v * w) AS DOUBLE) / nullif(sum(w), 0) AS m
+          FROM weighted GROUP BY r
+        ),
+        ranked AS (
+          SELECT m, row_number() OVER (ORDER BY m ASC) AS rk FROM means
+        ),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS bn,
+                 max(CASE WHEN rk = 2 THEN m END) AS lo,
+                 max(CASE WHEN rk = 31 THEN m END) AS hi,
+                 sum(m) AS sm, sum(m * m) AS smm
+          FROM ranked
+        ),
+        full_ AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv
+          FROM rows_
+        )
+        SELECT n, bn AS b,
+               round(CAST(sv AS DOUBLE) / n, 6) AS mean_full,
+               round(lo, 6) AS boot_lo,
+               round(hi, 6) AS boot_hi,
+               round(sqrt((smm - sm * sm / bn) / (bn - 1)), 6) AS boot_se
+        FROM st, full_
+    """
     return o
 
 
@@ -10890,4 +10992,48 @@ def q_ml_mi(spark, sf_dir):
             ).alias("s"),
         )
         .selectExpr("n", "n_cells", "round(s, 6) as mi")
+    )
+
+
+def q_ml_kendall(spark, sf_dir):
+    """Kendall tau-b (mlstats.py:kendall_tau) between doc char length
+    and token count over a content-addressed ~20% sample — pair
+    concordance is O(s^2) by nature, so the quadratic work is
+    sample-sized and opt-in (the ml_knnclass discipline); tie pairs
+    from linear histograms."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+    from knowledgegraphbuilder_spark.operators.mlstats import kendall_tau
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .filter(
+            F.expr(_H60.format(
+                s="concat('kt-v1', ',', cast(doc_id as string))"
+            )) % 100 < 20
+        )
+    )
+    return kendall_tau(
+        d,
+        x_expr="cast(n_chars as bigint)",
+        y_expr="cast(size(filter(split(text, ' '), t -> t != ''))"
+               " as bigint)",
+        id_expr="cast(doc_id as string)",
+    )
+
+
+def q_ml_bootstrap(spark, sf_dir):
+    """Poisson-bootstrap CI of mean doc length
+    (mlstats.py:poisson_bootstrap_mean): per-row Poisson(1) replicate
+    weights from a content hash via an integer-threshold CASE ladder —
+    the coordination-free distributed bootstrap; B=32 replicate means,
+    2nd-smallest/2nd-largest interval."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        poisson_bootstrap_mean,
+    )
+
+    return poisson_bootstrap_mean(
+        _t(spark, sf_dir, "documents"),
+        value_expr="cast(n_chars as bigint)",
+        id_expr="cast(doc_id as string)",
     )

@@ -1003,3 +1003,151 @@ def spearman(
         f"{_COV_NUM} / (sqrt({_VAR_X}) * sqrt({_VAR_Y})) "
         f"else null end, 6) as rho",
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    id_expr: str,
+) -> DataFrame:
+    """Kendall tau-b rank correlation with tie correction — the
+    pair-concordance association measure (more robust to a few wild
+    ranks than Spearman, and the one with a direct probabilistic
+    reading: P(concordant) - P(discordant)).
+
+    tau-b = (C - D) / sqrt((n0 - n1) * (n0 - n2)) with n0 = n(n-1)/2,
+    n1/n2 the tie-pair counts of x/y. C and D come from an explicit
+    a < b pair join — intrinsically O(n^2), which is why the CALLER
+    passes a deterministic hash sample (the ml_knnclass discipline:
+    quadratic work is opt-in and sample-sized, never corpus-sized).
+    Tie-pair counts come from value histograms (linear). Every count is
+    an exact integer; tau is one fixed double formula, 6 dp.
+
+    Output: one row (n, n_pairs, concordant, discordant, tau).
+    """
+    rows = df.selectExpr(
+        f"{id_expr} as id", f"{x_expr} as x", f"{y_expr} as y"
+    )
+    a = rows.selectExpr("id as id_a", "x as xa", "y as ya")
+    b = rows.selectExpr("id as id_b", "x as xb", "y as yb")
+    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    cd = pairs.agg(
+        F.sum(
+            F.expr("cast((xa - xb) * (ya - yb) > 0 as int)")
+        ).cast("long").alias("c"),
+        F.sum(
+            F.expr("cast((xa - xb) * (ya - yb) < 0 as int)")
+        ).cast("long").alias("d"),
+    )
+    tx = (
+        rows.groupBy("x").agg(F.count("*").cast("long").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1)")).cast("long").alias("n1x2"))
+    )
+    ty = (
+        rows.groupBy("y").agg(F.count("*").cast("long").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1)")).cast("long").alias("n2x2"))
+    )
+    n = rows.agg(F.count("*").cast("long").alias("n"))
+    out = (
+        cd.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(n))
+    )
+    return out.selectExpr(
+        "n",
+        "cast(n * (n - 1) / 2 as bigint) as n_pairs",
+        "c as concordant",
+        "d as discordant",
+        # doubled tie counts cancel against doubled n0
+        "round(cast(c - d as double)"
+        " / nullif(sqrt((cast(n as double) * (n - 1) - n1x2) / 2.0d)"
+        "   * sqrt((cast(n as double) * (n - 1) - n2x2) / 2.0d), 0.0d),"
+        " 6) as tau",
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on a 60-bit uniform, written as
+# EXACT integer literals (floor(CDF * 2^60)) so both engines compare
+# the same integers — never a float CDF at eval time.
+_POIS_CUM = [
+    424136118829305344,   # P(X=0)=e^-1
+    848272237658610688,   # P(X<=1)
+    1060340297073263360,  # P(X<=2)
+    1131029650211480960,  # P(X<=3)
+    1148701988496035328,  # P(X<=4)
+    1152236456152946176,  # P(X<=5)
+    1152825534095764608,  # P(X<=6)
+]
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    value_expr: str,
+    id_expr: str,
+    replicates: int = 32,
+    salt: str = "boot-v1",
+) -> DataFrame:
+    """Poisson bootstrap of the mean — THE distributed bootstrap: the
+    multinomial resample is approximated by giving every row an
+    independent Poisson(1) weight per replicate, which needs no global
+    coordination (each row draws its weights from a content hash) and
+    is exact in distribution as n grows. One scatter of B replicate
+    rows per input row, one groupBy(replicate), one tiny sort of the B
+    replicate means for the percentile interval.
+
+    Determinism: the uniform is the usual 60-bit sha256 hash of
+    (salt, replicate, id); the Poisson(1) inverse CDF is a CASE ladder
+    over PRECOMPUTED integer thresholds (floor(cdf * 2^60) literals) —
+    both engines compare identical integers, no float CDF at eval time.
+    Weighted sums stay exact integers when the value is integer.
+
+    Output: one row (n, b, mean_full, boot_lo, boot_hi, boot_se) where
+    lo/hi are the 2nd-smallest / 2nd-largest replicate means (a ~94%
+    interval at B=32) and boot_se is the replicate-mean stdev.
+    """
+    b = int(replicates)
+    rows = df.selectExpr(f"{id_expr} as id", f"{value_expr} as v")
+    reps = rows.select(
+        "id", "v",
+        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("r"),
+    )
+    h60 = ("cast(conv(substring(sha2(concat("
+           f"'{salt}', ',', cast(r as string), ',', cast(id as string)"
+           "), 256), 1, 15), 16, 10) as bigint)")
+    ladder = "case "
+    for k, thr in enumerate(_POIS_CUM):
+        ladder += f"when {h60} < {thr} then {k} "
+    ladder += f"else {len(_POIS_CUM)} end"
+    weighted = reps.select(
+        "r", "v", F.expr(ladder).cast("long").alias("w")
+    )
+    means = weighted.groupBy("r").agg(
+        F.sum(F.expr("v * w")).cast("long").alias("sv"),
+        F.sum("w").cast("long").alias("sw"),
+    ).selectExpr("r", "cast(sv as double) / nullif(sw, 0) as m")
+    from pyspark.sql import Window as W
+
+    ranked = means.select(
+        "m",
+        F.row_number().over(W.orderBy(F.col("m").asc())).alias("rk"),
+    )
+    stats = ranked.agg(
+        F.count("*").cast("long").alias("bn"),
+        F.max(F.when(F.col("rk") == 2, F.col("m"))).alias("lo"),
+        F.max(F.when(F.col("rk") == b - 1, F.col("m"))).alias("hi"),
+        F.sum("m").alias("sm"),
+        F.sum(F.expr("m * m")).alias("smm"),
+    )
+    full = rows.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    return stats.crossJoin(F.broadcast(full)).selectExpr(
+        "n",
+        "bn as b",
+        "round(cast(sv as double) / n, 6) as mean_full",
+        "round(lo, 6) as boot_lo",
+        "round(hi, 6) as boot_hi",
+        "round(sqrt((smm - sm * sm / bn) / (bn - 1)), 6) as boot_se",
+    )
