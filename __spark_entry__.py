@@ -3249,6 +3249,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Poisson-bootstrap CI
         "ml_kendall": q_ml_kendall,
         "ml_bootstrap": q_ml_bootstrap,
+        # tranche 34 (defs at end of file): typed KG triangle motifs,
+        # gains/lift chart
+        "kg_typed_triangles": q_kg_typed_triangles,
+        "ml_lift": q_ml_lift,
     }
 
 
@@ -9436,6 +9440,58 @@ def oracle_sql() -> dict[str, str]:
                round(sqrt((smm - sm * sm / bn) / (bn - 1)), 6) AS boot_se
         FROM st, full_
     """
+    # rotation anchored at the smallest node id so each 3-cycle counts
+    # once; composes the kg edge replay
+    o["kg_typed_triangles"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        et AS (
+          SELECT DISTINCT head_node_id AS h, tail_node_id AS t, rel_type
+          FROM kge
+        ),
+        tris AS (
+          SELECT DISTINCT e1.h AS a, e1.t AS b, e2.t AS c,
+                 e1.rel_type AS rt1, e2.rel_type AS rt2,
+                 e3.rel_type AS rt3
+          FROM et e1
+          JOIN et e2 ON e2.h = e1.t
+          JOIN et e3 ON e3.h = e2.t AND e3.t = e1.h
+          WHERE e1.h < e1.t AND e1.h < e2.t
+        )
+        SELECT rt1, rt2, rt3, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM tris GROUP BY 1, 2, 3
+    """
+    # ntile over the (score desc, doc_id) total order; exact-int ratios
+    o["ml_lift"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                 CAST(n_chars AS BIGINT) AS s,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                   AS y
+          FROM documents
+        ),
+        deciled AS (
+          SELECT s, y,
+                 CAST(ntile(10) OVER (ORDER BY s DESC, doc_id ASC)
+                   AS BIGINT) AS decile
+          FROM d
+        ),
+        per AS (
+          SELECT decile, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM deciled GROUP BY decile
+        )
+        SELECT decile, n, pos,
+               CAST(sum(pos) OVER (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS cum_pos,
+               round(sum(pos) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / CAST(sum(pos) OVER () AS DOUBLE), 6) AS gain,
+               round((pos / CAST(n AS DOUBLE))
+                 / (sum(pos) OVER () / CAST(sum(n) OVER () AS DOUBLE)),
+                 6) AS lift
+        FROM per
+    """
     return o
 
 
@@ -11036,4 +11092,77 @@ def q_ml_bootstrap(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         value_expr="cast(n_chars as bigint)",
         id_expr="cast(doc_id as string)",
+    )
+
+
+def q_kg_typed_triangles(spark, sf_dir):
+    """Directed typed-triangle motif census over the KG: 3-cycles
+    a -[rt1]-> b -[rt2]-> c -[rt3]-> a counted once per node triple by
+    anchoring the rotation at the smallest node id (a < b, a < c), then
+    grouped by the anchored relation-type triple — the semantic-motif
+    profile (e.g. works_at -> located_in -> employs loops flag schema
+    redundancy). Distinct typed edges first (kg_metapaths discipline);
+    wedge join + closing-edge equi-join, never a 3-way cross."""
+    e = (
+        _kg(spark, sf_dir).edges
+        .select("head_node_id", "tail_node_id", "rel_type")
+        .distinct()
+    )
+    e1 = e.select(F.col("head_node_id").alias("a"),
+                  F.col("tail_node_id").alias("b"),
+                  F.col("rel_type").alias("rt1"))
+    e2 = e.select(F.col("head_node_id").alias("b"),
+                  F.col("tail_node_id").alias("c"),
+                  F.col("rel_type").alias("rt2"))
+    e3 = e.select(F.col("head_node_id").alias("c"),
+                  F.col("tail_node_id").alias("a"),
+                  F.col("rel_type").alias("rt3"))
+    wedges = e1.join(e2, "b").filter(
+        (F.col("a") < F.col("b")) & (F.col("a") < F.col("c"))
+    )
+    tris = wedges.join(e3, ["c", "a"]).select(
+        "a", "b", "c", "rt1", "rt2", "rt3"
+    ).distinct()
+    return tris.groupBy("rt1", "rt2", "rt3").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def q_ml_lift(spark, sf_dir):
+    """Gains/lift chart of doc length as a predictor of lang = 'en':
+    population deciles by (score desc, doc_id) total order, exact
+    integer positives per decile, cumulative gain and per-decile lift
+    as exact-int ratios (6 dp) — the campaign-targeting view of the
+    same ranking ml_auc scores by threshold."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("s"),
+        F.expr("cast(lang = 'en' as int)").cast("long").alias("y"),
+    )
+    w = W.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+    deciled = d.select(
+        "s", "y", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+    )
+    wc = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    wall = W.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "pos",
+        F.sum("pos").over(wc).cast("long").alias("cum_pos"),
+        F.round(
+            F.sum("pos").over(wc)
+            / F.sum("pos").over(wall).cast("double"), 6
+        ).alias("gain"),
+        F.round(
+            (F.col("pos") / F.col("n").cast("double"))
+            / (F.sum("pos").over(wall)
+               / F.sum("n").over(wall).cast("double")), 6
+        ).alias("lift"),
     )
