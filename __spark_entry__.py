@@ -3253,6 +3253,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gains/lift chart
         "kg_typed_triangles": q_kg_typed_triangles,
         "ml_lift": q_ml_lift,
+        # tranche 35 (defs at end of file): Wald-Wolfowitz runs test,
+        # 3-step path mining
+        "ts_runs": q_ts_runs,
+        "sql_pathfunnel": q_sql_pathfunnel,
     }
 
 
@@ -9492,6 +9496,85 @@ def oracle_sql() -> dict[str, str]:
                  6) AS lift
         FROM per
     """
+    # runs counted as LAG sign changes + 1 over the dense grid; exact
+    # (n_plus, n_minus, runs) integers into one fixed double formula
+    o["ts_runs"] = """
+        WITH e AS (
+          SELECT event_type AS key,
+                 CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                      // 86400000000 AS BIGINT) AS bkt
+          FROM events
+        ),
+        agg AS (
+          SELECT key, bkt, CAST(count(*) AS BIGINT) AS n
+          FROM e GROUP BY 1, 2
+        ),
+        bounds AS (
+          SELECT key, min(bkt) AS lo, max(bkt) AS hi FROM agg GROUP BY key
+        ),
+        grid AS (
+          SELECT key, CAST(i AS BIGINT) AS bkt
+          FROM bounds, UNNEST(range(lo, hi + 1)) AS t(i)
+        ),
+        dense AS (
+          SELECT g.key, g.bkt, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+          FROM grid g LEFT JOIN agg a ON a.key = g.key AND a.bkt = g.bkt
+        ),
+        signed AS (
+          SELECT key, bkt,
+                 CAST(n * count(*) OVER (PARTITION BY key)
+                      > sum(n) OVER (PARTITION BY key) AS INT) AS s
+          FROM dense
+        ),
+        runs_ AS (
+          SELECT key, s,
+                 CASE WHEN lag(s) OVER (PARTITION BY key ORDER BY bkt)
+                        IS NULL
+                      OR lag(s) OVER (PARTITION BY key ORDER BY bkt)
+                        <> s
+                      THEN 1 ELSE 0 END AS newrun
+          FROM signed
+        ),
+        st AS (
+          SELECT key,
+                 CAST(sum(s) AS BIGINT) AS n_plus,
+                 CAST(count(*) - sum(s) AS BIGINT) AS n_minus,
+                 CAST(sum(newrun) AS BIGINT) AS runs
+          FROM runs_ GROUP BY key
+        )
+        SELECT key AS event_type, n_plus, n_minus, runs,
+               round((runs - (2.0 * n_plus * n_minus
+                       / (n_plus + n_minus) + 1.0))
+                 / nullif(sqrt((2.0 * n_plus * n_minus
+                     * (2.0 * n_plus * n_minus - n_plus - n_minus)
+                     / (CAST(n_plus + n_minus AS DOUBLE)
+                        * (n_plus + n_minus)
+                        * (n_plus + n_minus - 1.0)))), 0.0), 6) AS z
+        FROM st
+    """
+    # two LEADs over the (ts, event_id) order; top 20 by (count, path)
+    o["sql_pathfunnel"] = """
+        WITH tri AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS e2,
+                 lead(event_type, 2) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS e3
+          FROM events
+        ),
+        cnt AS (
+          SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+          FROM tri WHERE e3 IS NOT NULL GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+          SELECT e1, e2, e3, n,
+                 round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS share,
+                 row_number() OVER (ORDER BY n DESC, e1, e2, e3) AS rk
+          FROM cnt
+        )
+        SELECT CAST(rk AS BIGINT) AS rk, e1, e2, e3, n, share
+        FROM ranked WHERE rk <= 20
+    """
     return o
 
 
@@ -11165,4 +11248,102 @@ def q_ml_lift(spark, sf_dir):
             / (F.sum("pos").over(wall)
                / F.sum("n").over(wall).cast("double")), 6
         ).alias("lift"),
+    )
+
+
+def q_ts_runs(spark, sf_dir):
+    """Wald-Wolfowitz runs test for randomness of each event type's
+    daily rate: sign = daily count above/below the type's median-free
+    pivot (the mean, kept exact as n_i*D vs T), runs counted as sign
+    changes + 1 via LAG over the dense grid, z from the exact (n_plus,
+    n_minus, runs) integers in one fixed double formula — the
+    trend/oscillation diagnostic beside ts_burstiness (which only sees
+    inter-event gaps)."""
+    from pyspark.sql import Window as W
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("key"),
+        F.expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .alias("bkt"),
+    )
+    agg = e.groupBy("key", "bkt").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    bounds = agg.groupBy("key").agg(
+        F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
+    )
+    grid = bounds.select(
+        "key", F.explode(F.expr("sequence(lo, hi)")).alias("bkt")
+    )
+    dense = grid.join(agg, ["key", "bkt"], "left").select(
+        "key", "bkt", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+    )
+    wk = W.partitionBy("key")
+    # sign of n_i*D - T (exact integers; zero counts as below)
+    signed = dense.select(
+        "key", "bkt",
+        (
+            (F.col("n") * F.count("*").over(wk))
+            > F.sum("n").over(wk)
+        ).cast("int").alias("s"),
+    )
+    wo = W.partitionBy("key").orderBy("bkt")
+    runs = signed.select(
+        "key", "s",
+        F.when(
+            F.lag("s").over(wo).isNull()
+            | (F.lag("s").over(wo) != F.col("s")),
+            1,
+        ).otherwise(0).alias("newrun"),
+    )
+    st = runs.groupBy("key").agg(
+        F.sum("s").cast("long").alias("n_plus"),
+        (F.count("*") - F.sum("s")).cast("long").alias("n_minus"),
+        F.sum("newrun").cast("long").alias("runs"),
+    )
+    # E[R] = 2ab/(a+b) + 1; Var = 2ab(2ab-a-b) / ((a+b)^2 (a+b-1))
+    mu = "(2.0d * n_plus * n_minus / (n_plus + n_minus) + 1.0d)"
+    var = ("(2.0d * n_plus * n_minus"
+           " * (2.0d * n_plus * n_minus - n_plus - n_minus)"
+           " / (cast(n_plus + n_minus as double)"
+           "    * (n_plus + n_minus)"
+           "    * (n_plus + n_minus - 1.0d)))")
+    return st.selectExpr(
+        "key as event_type", "n_plus", "n_minus", "runs",
+        f"round((runs - {mu}) / nullif(sqrt({var}), 0.0d), 6) as z",
+    )
+
+
+def q_sql_pathfunnel(spark, sf_dir):
+    """Top 3-step event paths: consecutive (e1 -> e2 -> e3) triples per
+    user via two LEADs over the (ts, event_id) order, exact path counts,
+    share of all triples (6 dp), top 20 by (count desc, path) — the
+    sequential-pattern census behind funnel design (sql_funnel checks a
+    FIXED path; this discovers which paths exist)."""
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tri = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    cnt = tri.groupBy("e1", "e2", "e3").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wall = W.partitionBy()
+    ranked = cnt.select(
+        "e1", "e2", "e3", "n",
+        F.round(F.col("n") / F.sum("n").over(wall).cast("double"), 6)
+        .alias("share"),
+        F.row_number().over(
+            W.orderBy(F.col("n").desc(), "e1", "e2", "e3")
+        ).cast("long").alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= 20).select(
+        "rk", "e1", "e2", "e3", "n", "share"
     )

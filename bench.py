@@ -258,6 +258,10 @@ def main() -> None:
         "sql_rfm", "ts_novelty", "sql_seasonality", "g27_coreness",
         "ml_knnclass", "sql_percentrank", "stream_lines", "ml_mlr",
         "dd_soft", "g29_richclub", "ml_histogram2d", "ml_roc", "g30_degdist", "ts_heaps", "ml_ks", "ts_srcsim", "kg_degprofile", "ts_burstiness", "ml_effect", "g31_reciprocity", "sql_pareto", "kg_reltype_cooccur", "ml_welch", "ml_ab", "ts_bigram_entropy", "g32_ccsizes", "sql_wow",
+        "ml_mannwhitney", "ml_spearman", "dd_editdist", "kg_metapaths",
+        "ts_cusum", "sql_transitions", "ts_ewma", "sql_scd2",
+        "ml_jsd", "ml_mi", "ml_kendall", "ml_bootstrap",
+        "kg_typed_triangles", "ml_lift", "ts_runs", "sql_pathfunnel",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries
