@@ -3257,6 +3257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 3-step path mining
         "ts_runs": q_ts_runs,
         "sql_pathfunnel": q_sql_pathfunnel,
+        # tranche 36 (defs at end of file): Cramer's V, streaming CUSUM
+        "ml_cramersv": q_ml_cramersv,
+        "stream_cusum": q_stream_cusum,
     }
 
 
@@ -9575,6 +9578,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(rk AS BIGINT) AS rk, e1, e2, e3, n, share
         FROM ranked WHERE rk <= 20
     """
+    # zero cells folded in analytically: chi2 = n + sum_obs(...)
+    o["ml_cramersv"] = """
+        WITH ct AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ),
+        cells AS (
+          SELECT c,
+                 CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS cx,
+                 CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS cy,
+                 CAST(sum(c) OVER () AS BIGINT) AS n,
+                 source, lang
+          FROM ct
+        ),
+        st AS (
+          SELECT CAST(max(n) AS BIGINT) AS n,
+                 CAST(count(DISTINCT source) AS BIGINT) AS r,
+                 CAST(count(DISTINCT lang) AS BIGINT) AS cc,
+                 sum((CAST(c AS DOUBLE) * n - CAST(cx AS DOUBLE) * cy)
+                     * (CAST(c AS DOUBLE) * n - CAST(cx AS DOUBLE) * cy)
+                     / (CAST(n AS DOUBLE) * cx * cy)
+                     - CAST(cx AS DOUBLE) * cy / n) AS adj
+          FROM cells
+        )
+        SELECT n, r, cc AS c,
+               round(n + adj, 6) AS chi2,
+               round(sqrt((n + adj) / (CAST(n AS DOUBLE)
+                 * (least(r, cc) - 1))), 6) AS cramers_v
+        FROM st
+    """
+    # streamed daily fold + shared CUSUM plan == the batch statistic
+    o["stream_cusum"] = o["ts_cusum"]
     return o
 
 
@@ -11347,3 +11382,81 @@ def q_sql_pathfunnel(spark, sf_dir):
     return ranked.filter(F.col("rk") <= 20).select(
         "rk", "e1", "e2", "e3", "n", "share"
     )
+
+
+def q_ml_cramersv(spark, sf_dir):
+    """Cramer's V association between doc source and language: chi2
+    over the full contingency INCLUDING zero cells via the closed form
+    chi2 = n + sum_observed((o*n - cx*cy)^2 / (n*cx*cy) - cx*cy/n) —
+    the unobserved cells' contribution is their expected mass, folded
+    in analytically instead of generating r*c zero rows. Exact integer
+    (o, cx, cy, n); one fixed double formula, 6 dp."""
+    from pyspark.sql import Window as W
+
+    ct = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    cells = ct.select(
+        "source", "lang", "c",
+        F.sum("c").over(W.partitionBy("source")).cast("long").alias("cx"),
+        F.sum("c").over(W.partitionBy("lang")).cast("long").alias("cy"),
+        F.sum("c").over(W.partitionBy()).cast("long").alias("n"),
+    )
+    st = cells.groupBy().agg(
+        F.max("n").cast("long").alias("n"),
+        F.countDistinct("source").cast("long").alias("r"),
+        F.countDistinct("lang").cast("long").alias("cc"),
+        F.sum(
+            F.expr(
+                "(cast(c as double) * n - cast(cx as double) * cy)"
+                " * (cast(c as double) * n - cast(cx as double) * cy)"
+                " / (cast(n as double) * cx * cy)"
+                " - cast(cx as double) * cy / n"
+            )
+        ).alias("adj"),
+    )
+    return st.selectExpr(
+        "n", "r", "cc as c",
+        "round(n + adj, 6) as chi2",
+        "round(sqrt((n + adj) / (cast(n as double)"
+        " * (least(r, cc) - 1))), 6) as cramers_v",
+    )
+
+
+def q_stream_cusum(spark, sf_dir):
+    """STREAMING changepoint-state maintenance: the daily-bucket
+    resample fold (streaming/ingest.py:run_resample_available_now at
+    bucket_us=1 day — per-bucket counts are a commutative monoid, so no
+    batch-alignment requirement), replayed against a fresh checkpoint
+    to prove MERGE idempotency, then read_cusum runs the identical
+    densify + scaled-integer CUSUM plan as batch ts_cusum — which is
+    why the ts_cusum SQL oracle checks it directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_cusum, run_resample_available_now,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_cusum_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = ev.agg(F.max("event_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (ev.filter((F.col("event_id") >= bounds[i])
+                   & (F.col("event_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_resample_available_now(
+        spark, f"{base}/in/*", f"{base}/st", f"{base}/ck",
+        bucket_us=86_400_000_000,
+    )
+    run_resample_available_now(
+        spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2",
+        bucket_us=86_400_000_000,
+    )
+    return read_cusum(spark, f"{base}/st")

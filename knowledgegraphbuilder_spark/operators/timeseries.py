@@ -301,6 +301,22 @@ def cusum_changepoint(
     agg = e.groupBy("key", "bkt").agg(
         F.count("*").cast("long").alias("n")
     )
+    return cusum_from_bucket_counts(agg, key_col=key_col, bucket_us=bus)
+
+
+def cusum_from_bucket_counts(
+    agg: DataFrame,
+    key_col: str = "event_type",
+    bucket_us: int = 86_400_000_000,
+) -> DataFrame:
+    """The densify + scaled-integer CUSUM back half of
+    cusum_changepoint over a pre-aggregated (key, bkt, n) table — shared
+    with the streaming fold (streaming/ingest.py:read_cusum), so
+    streamed state and batch events go through literally the same plan
+    (the densify_ffill discipline)."""
+    from pyspark.sql import Window as W
+
+    bus = int(bucket_us)
     bounds = agg.groupBy("key").agg(
         F.min("bkt").alias("lo"), F.max("bkt").alias("hi")
     )

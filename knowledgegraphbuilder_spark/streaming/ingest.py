@@ -1030,3 +1030,27 @@ def line_dedup_stats_from_state(
         F.sum("kept").cast("long").alias("n_kept"),
         (F.count("*") - F.sum("kept")).cast("long").alias("n_removed"),
     )
+
+
+def read_cusum(spark: SparkSession, table_dir: str) -> "DataFrame":
+    """Fold the batch-keyed DAILY bucket partials (maintained by
+    run_resample_available_now at bucket_us=86_400_000_000) into live
+    per-(key, day) counts and run the SAME densify + scaled-integer
+    CUSUM plan as the batch operator
+    (operators/timeseries.py:cusum_from_bucket_counts) — streamed
+    changepoint state equals the batch statistic for any batching,
+    arrival order, or replay of the input, because (count) is a
+    commutative monoid per bucket and everything after the fold is the
+    shared plan."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.timeseries import (
+        cusum_from_bucket_counts,
+    )
+
+    agg = (
+        spark.read.parquet(table_dir)
+        .groupBy("key", "bkt")
+        .agg(F.sum("n_events").cast("long").alias("n"))
+    )
+    return cusum_from_bucket_counts(agg)
