@@ -3260,6 +3260,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 36 (defs at end of file): Cramer's V, streaming CUSUM
         "ml_cramersv": q_ml_cramersv,
         "stream_cusum": q_stream_cusum,
+        # tranche 37 (defs at end of file): cross-corpus dedup, KMV sketch
+        "dd_crossdedup": q_dd_crossdedup,
+        "sk_kmv": q_sk_kmv,
     }
 
 
@@ -9610,6 +9613,70 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed daily fold + shared CUSUM plan == the batch statistic
     o["stream_cusum"] = o["ts_cusum"]
+    # cross-side pairs from the exact-jaccard replay (the dd_minhash_lsh
+    # equivalence: LSH at b=16/r=2 provably recovers J>=0.9) + sha match
+    o["dd_crossdedup"] = f"""
+        WITH {_SHINGLE_CTE},
+        sides AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id, text,
+                 CASE WHEN ('0x' || substr(sha256('xd-v1' || ','
+                        || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                        % 100 < 70
+                      THEN 'base' ELSE 'in' END AS side
+          FROM documents
+        ),
+        basesha AS (
+          SELECT DISTINCT sha256(text) AS h FROM sides
+          WHERE side = 'base'
+        ),
+        exact_drop AS (
+          SELECT DISTINCT s.id FROM sides s
+          JOIN basesha b ON sha256(s.text) = b.h
+          WHERE s.side = 'in'
+        ),
+        near_drop AS (
+          SELECT DISTINCT CASE WHEN sa.side = 'in' THEN j.id_a
+                               ELSE j.id_b END AS id
+          FROM jacc j
+          JOIN sides sa ON sa.id = j.id_a
+          JOIN sides sb ON sb.id = j.id_b
+          WHERE j.jaccard >= 0.9 AND sa.side <> sb.side
+        )
+        SELECT s.id AS doc_id,
+               CAST(CASE WHEN e.id IS NOT NULL OR n.id IS NOT NULL
+                    THEN 0 ELSE 1 END AS INT) AS kept,
+               CASE WHEN e.id IS NOT NULL THEN 'exact'
+                    WHEN n.id IS NOT NULL THEN 'near' END AS reason
+        FROM sides s
+        LEFT JOIN exact_drop e ON e.id = s.id
+        LEFT JOIN near_drop n ON n.id = s.id
+        WHERE s.side = 'in'
+    """
+    # k-th order statistic of the distinct 60-bit hashes
+    o["sk_kmv"] = """
+        WITH vals AS (SELECT DISTINCT user_id AS v FROM events),
+        hs AS (
+          SELECT DISTINCT ('0x' || substr(sha256('kmv-v1' || ','
+                   || CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM vals
+        ),
+        topk AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+        st AS (
+          SELECT CAST(count(*) AS BIGINT) AS m,
+                 CAST(max(h) AS BIGINT) AS kth
+          FROM topk
+        ),
+        ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hs)
+        SELECT m AS k_used, kth AS kth_hash,
+               round(CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                 ELSE (256 - 1.0) * 1152921504606846976 / kth END, 6)
+                 AS n_est,
+               n_exact,
+               round(abs(CASE WHEN m < 256 THEN CAST(m AS DOUBLE)
+                 ELSE (256 - 1.0) * 1152921504606846976 / kth END
+                 - n_exact) / n_exact, 6) AS rel_err
+        FROM st, ne
+    """
     return o
 
 
@@ -11460,3 +11527,35 @@ def q_stream_cusum(spark, sf_dir):
         bucket_us=86_400_000_000,
     )
     return read_cusum(spark, f"{base}/st")
+
+
+def q_dd_crossdedup(spark, sf_dir):
+    """Cross-corpus incremental dedup (dedup.py:cross_dedup): a
+    content-addressed ~30% incoming shard deduplicated AGAINST the
+    ~70% base corpus — exact sha semi-join + cross-side-only verified
+    MinHash-LSH near-dups; intra-shard dups are kept by policy. The
+    production arrival-shard shape stream_dedup approximates one doc
+    at a time."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+    from knowledgegraphbuilder_spark.operators.dedup import cross_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.when(
+            F.expr(_H60.format(
+                s="concat('xd-v1', ',', cast(doc_id as string))"
+            )) % 100 < 70,
+            "base",
+        ).otherwise("in").alias("side"),
+    )
+    return cross_dedup(d)
+
+
+def q_sk_kmv(spark, sf_dir):
+    """KMV distinct-user sketch (sketches.py:kmv_estimate): k smallest
+    60-bit hashes, (k-1)*2^60/h_k estimator, exact below k — the
+    order-statistics cousin of sk_hll; top-k plans as
+    TakeOrderedAndProject, never a full sort."""
+    from knowledgegraphbuilder_spark.operators.sketches import kmv_estimate
+
+    return kmv_estimate(_t(spark, sf_dir, "events"), "user_id", k=256)

@@ -262,7 +262,7 @@ def main() -> None:
         "ts_cusum", "sql_transitions", "ts_ewma", "sql_scd2",
         "ml_jsd", "ml_mi", "ml_kendall", "ml_bootstrap",
         "kg_typed_triangles", "ml_lift", "ts_runs", "sql_pathfunnel",
-        "ml_cramersv", "stream_cusum",
+        "ml_cramersv", "stream_cusum", "dd_crossdedup", "sk_kmv",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

@@ -1012,3 +1012,70 @@ def editdist1_pairs(
         "id_b",
         F.levenshtein("key_a", "key_b").cast("int").alias("dist"),
     )
+
+
+def cross_dedup(
+    docs: DataFrame,
+    side_col: str = "side",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    n_perm: int = 32,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Cross-corpus incremental dedup — the production shape: an
+    INCOMING shard (side 'in') is deduplicated AGAINST an existing base
+    corpus (side 'base'), never against itself (intra-shard near-dups
+    are a separate policy decision and are kept here). An incoming doc
+    drops if (a) its sha256(text) already exists in the base — the
+    exact path, one broadcast-able distinct-hash semi-join — or (b) it
+    is a verified MinHash-LSH near-dup (exact Jaccard >= threshold) of
+    any base doc; 'exact' wins the reason tie.
+
+    Scale shape: the exact path is a distinct-hash anti/semi join (the
+    dd_exact discipline); the near path reuses minhash_lsh_pairs'
+    bucket join — shuffle stays docs x bands — and only CROSS-side
+    pairs gate the drop. Output: one row per incoming doc
+    (doc_id, kept, reason).
+    """
+    base_sha = (
+        docs.filter(F.col(side_col) == "base")
+        .select(F.sha2(F.col(text_col), 256).alias("h"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col(side_col) == "in").select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.sha2(F.col(text_col), 256).alias("h"),
+    )
+    exact = incoming.join(base_sha, "h", "left_semi").select("doc_id")
+    pairs = minhash_lsh_pairs(
+        docs, threshold=threshold, n_perm=n_perm, bands=bands, k=k,
+        text_col=text_col, id_col=id_col,
+    )
+    sides = docs.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.col(side_col).alias("side"),
+    )
+    tagged = (
+        pairs.join(sides.selectExpr("id as id_a", "side as side_a"), "id_a")
+        .join(sides.selectExpr("id as id_b", "side as side_b"), "id_b")
+        .filter(F.col("side_a") != F.col("side_b"))
+    )
+    near = (
+        tagged.selectExpr(
+            "case when side_a = 'in' then id_a else id_b end as doc_id"
+        ).distinct()
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "cast(case when is_exact is not null or is_near is not null"
+            " then 0 else 1 end as int) as kept",
+            "case when is_exact is not null then 'exact'"
+            " when is_near is not null then 'near' end as reason",
+        )
+    )

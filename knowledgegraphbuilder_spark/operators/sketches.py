@@ -565,3 +565,59 @@ def minhash_group_signatures(
         .groupBy("g", "perm")
         .agg(F.min("minv").alias("minv"))
     )
+
+
+def kmv_estimate(
+    df: DataFrame,
+    value_expr: str,
+    k: int = 256,
+    salt: str = "kmv-v1",
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: keep the k smallest
+    60-bit hashes of the distinct values; the estimator is
+    (k - 1) * 2^60 / h_k with h_k the k-th smallest hash — the
+    order-statistics cousin of HLL (HLL folds by register max, KMV by
+    set-union + re-top-k; both mergeable, different accuracy/space
+    trade: KMV's relative error ~ 1/sqrt(k-2) with exact small-set
+    behavior below k).
+
+    Exactness: hashes are the usual sha-derived 60-bit integers; the
+    k-th order statistic is a deterministic integer on both engines;
+    the estimate is one double divide, 6 dp. When the distinct count
+    n <= k the sketch degrades to EXACT counting (reported via the
+    n <= k branch).
+
+    Scale shape: one distinct (map-side combinable), then a global
+    top-k — Catalyst plans orderBy(h).limit(k) as
+    TakeOrderedAndProject (per-partition heaps + driver merge of k
+    rows), never a full sort shuffle. Output: one row
+    (k_used, kth_hash, n_est, n_exact, rel_err) — n_exact is carried
+    for the gate; a production caller drops it.
+    """
+    kk = int(k)
+    hashed = (
+        df.selectExpr(f"{value_expr} as v")
+        .distinct()
+        .select(
+            F.expr(_H60.format(x=f"concat('{salt}', ',', cast(v as string))"))
+            .alias("h")
+        )
+        .distinct()
+    )
+    topk = hashed.orderBy("h").limit(kk)
+    st = topk.agg(
+        F.count("*").cast("long").alias("m"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    n_exact = hashed.count()
+    two60 = 1 << 60
+    return st.selectExpr(
+        "m as k_used",
+        "kth as kth_hash",
+        f"round(case when m < {kk} then cast(m as double)"
+        f" else ({kk} - 1.0d) * {two60}d / kth end, 6) as n_est",
+        f"cast({int(n_exact)} as bigint) as n_exact",
+        f"round(abs(case when m < {kk} then cast(m as double)"
+        f" else ({kk} - 1.0d) * {two60}d / kth end"
+        f" - {int(n_exact)}) / {int(n_exact)}, 6) as rel_err",
+    )
