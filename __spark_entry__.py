@@ -3263,6 +3263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 37 (defs at end of file): cross-corpus dedup, KMV sketch
         "dd_crossdedup": q_dd_crossdedup,
         "sk_kmv": q_sk_kmv,
+        # tranche 38 (defs at end of file): streaming KMV fold
+        "stream_kmv": q_stream_kmv,
     }
 
 
@@ -9677,6 +9679,8 @@ def oracle_sql() -> dict[str, str]:
                  - n_exact) / n_exact, 6) AS rel_err
         FROM st, ne
     """
+    # streamed k-min fold == the batch sketch (superset-of-top-k proof)
+    o["stream_kmv"] = o["sk_kmv"]
     return o
 
 
@@ -11559,3 +11563,33 @@ def q_sk_kmv(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.sketches import kmv_estimate
 
     return kmv_estimate(_t(spark, sf_dir, "events"), "user_id", k=256)
+
+
+def q_stream_kmv(spark, sf_dir):
+    """STREAMING KMV fold under the value-exact gate: per-micro-batch
+    k-min hash sets land via content-keyed replace-MERGE
+    (streaming/ingest.py:run_kmv_available_now), the input replays
+    against a fresh checkpoint, and read_kmv's distinct + re-top-k
+    equals the batch sketch (union of per-batch k-min sets is a
+    superset of the global k-min set) — so the sk_kmv SQL oracle
+    checks it directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_kmv, run_kmv_available_now,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_kmv_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = ev.agg(F.max("event_id")).first()[0]
+    bounds = [0, n // 3, 2 * n // 3, n + 1]
+    for i in range(3):
+        (ev.filter((F.col("event_id") >= bounds[i])
+                   & (F.col("event_id") < bounds[i + 1]))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
+    run_kmv_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_kmv_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    return read_kmv(spark, f"{base}/st", ev)

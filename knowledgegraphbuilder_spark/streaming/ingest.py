@@ -1054,3 +1054,109 @@ def read_cusum(spark: SparkSession, table_dir: str) -> "DataFrame":
         .agg(F.sum("n_events").cast("long").alias("n"))
     )
     return cusum_from_bucket_counts(agg)
+
+
+def run_kmv_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    value_col: str = "user_id", id_col: str = "event_id",
+    k: int = 256, salt: str = "kmv-v1",
+    schema: str = ("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"),
+) -> None:
+    """Streaming KMV-state maintenance: each micro-batch contributes its
+    own k smallest distinct 60-bit value hashes under a content-derived
+    batch key via replace-MERGE. The union of per-batch k-min sets is a
+    SUPERSET of the global k-min set (every hash in the global top-k is
+    by definition in its own batch's top-k), so read_kmv's
+    distinct + re-top-k over the folded state equals the batch sketch
+    for any batching, arrival order, or replay — KMV is a bounded-state
+    mergeable sketch, the order-statistics analog of the HLL
+    register-max fold."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import _H60
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    kk = int(k)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .format("parquet")
+        .load(input_dir)
+    )
+
+    def process(batch_df, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min(id_col).alias("lo"),
+            F.max(id_col).alias("hi"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}"
+        part = (
+            batch_df.selectExpr(f"{value_col} as v")
+            .distinct()
+            .select(
+                F.expr(_H60.format(
+                    x=f"concat('{salt}', ',', cast(v as string))"
+                )).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(kk)
+            .select(F.sha2(F.lit(bkey), 256).alias("bkey"), "h")
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, part, "bkey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_kmv(
+    spark: SparkSession, table_dir: str, n_exact_df: "DataFrame",
+    value_col: str = "user_id", k: int = 256, salt: str = "kmv-v1",
+) -> "DataFrame":
+    """Fold the per-batch k-min sets (distinct + global re-top-k, the
+    same TakeOrderedAndProject plan as the batch sketch) and project the
+    identical estimator row as sketches.kmv_estimate — streamed state
+    equals the batch sketch. ``n_exact_df`` supplies the exact-count
+    column the gate compares (a production caller drops it)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.sketches import _H60
+
+    kk = int(k)
+    hashed = spark.read.parquet(table_dir).select("h").distinct()
+    topk = hashed.orderBy("h").limit(kk)
+    st = topk.agg(
+        F.count("*").cast("long").alias("m"),
+        F.max("h").cast("long").alias("kth"),
+    )
+    n_exact = (
+        n_exact_df.selectExpr(f"{value_col} as v")
+        .distinct()
+        .select(
+            F.expr(_H60.format(
+                x=f"concat('{salt}', ',', cast(v as string))"
+            )).alias("h")
+        )
+        .distinct()
+        .count()
+    )
+    two60 = 1 << 60
+    return st.selectExpr(
+        "m as k_used",
+        "kth as kth_hash",
+        f"round(case when m < {kk} then cast(m as double)"
+        f" else ({kk} - 1.0d) * {two60}d / kth end, 6) as n_est",
+        f"cast({int(n_exact)} as bigint) as n_exact",
+        f"round(abs(case when m < {kk} then cast(m as double)"
+        f" else ({kk} - 1.0d) * {two60}d / kth end"
+        f" - {int(n_exact)}) / {int(n_exact)}, 6) as rel_err",
+    )

@@ -54,3 +54,40 @@ class TestKmv:
         df = spark.createDataFrame(rows, "user_id long")
         r = kmv_estimate(df, "user_id", k=256).collect()[0]
         assert r["n_exact"] == 50 and r["n_est"] == 50.0
+
+
+class TestStreamKmv:
+    def test_streamed_fold_equals_batch_sketch(self, spark, tmp_path):
+        import datetime
+
+        import pyspark.sql.functions as F
+
+        from knowledgegraphbuilder_spark.operators.sketches import (
+            kmv_estimate,
+        )
+        from knowledgegraphbuilder_spark.streaming.ingest import (
+            read_kmv, run_kmv_available_now,
+        )
+
+        rows = [
+            (i, datetime.datetime(2024, 1, 1 + i % 5), i % 700,
+             "view", 1.0, "{}")
+            for i in range(1, 2001)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string"
+        )
+        base = str(tmp_path / "kmv")
+        for i, (lo, hi) in enumerate([(0, 600), (600, 1400), (1400, 2001)]):
+            (df.filter((F.col("event_id") > lo) & (F.col("event_id") <= hi))
+             .coalesce(1).write.parquet(f"{base}/in/b{i}"))
+        run_kmv_available_now(
+            spark, f"{base}/in/*", f"{base}/st", f"{base}/ck", k=64)
+        # replay against a fresh checkpoint: MERGE must be idempotent
+        run_kmv_available_now(
+            spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2", k=64)
+        got = tuple(read_kmv(spark, f"{base}/st", df, k=64).collect()[0])
+        want = tuple(kmv_estimate(df, "user_id", k=64).collect()[0])
+        assert got == want
+        assert want[3] == 700  # n_exact sanity
