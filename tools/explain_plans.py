@@ -968,6 +968,46 @@ def main() -> None:
         "per-source counts — no corpus self-join anywhere.",
         entry.q_ts_srcsim(spark, args.sf),
     )
+    add(
+        "Mann-Whitney U: histogram window, never a corpus rank",
+        "The cumulative window runs over the DISTINCT-score histogram "
+        "(the roc_auc discipline); the corpus-sized work is one "
+        "map-side combinable groupBy(score). Every statistic is an "
+        "exact integer until the final z projection.",
+        entry.q_ml_mannwhitney(spark, args.sf),
+    )
+    add(
+        "Edit-distance-1 dedup: variant equi-join, no cartesian",
+        "Delete-1 variants explode map-side (n*(L+1) rows, linear); "
+        "candidates come from a hash equi-join on the variant key — "
+        "the plan has SortMergeJoin/ShuffledHashJoin on `v`, no "
+        "CartesianProduct or BroadcastNestedLoopJoin anywhere; "
+        "levenshtein verifies only pairs that share a variant.",
+        entry.q_dd_editdist(spark, args.sf),
+    )
+    add(
+        "Exact EWMA: scatter fan-out + one groupBy, no range join",
+        "Each dense day row scatters to its next 32 buckets (a constant "
+        "map-side explode), then ONE hash aggregate on (key, bucket) — "
+        "no banded range self-join, no window over an unbounded frame.",
+        entry.q_ts_ewma(spark, args.sf),
+    )
+    add(
+        "KMV sketch: TakeOrderedAndProject, never a full sort",
+        "The global k-min is planned as TakeOrderedAndProject "
+        "(per-partition heaps + a k-row driver merge) over the "
+        "distinct-hash aggregate — the full-sort shuffle a naive "
+        "ORDER BY would pay never appears.",
+        entry.q_sk_kmv(spark, args.sf),
+    )
+    add(
+        "Poisson bootstrap: 32x scatter, one aggregate per replicate",
+        "Replicate weights are a CASE ladder over integer thresholds "
+        "inside whole-stage codegen; the plan is explode + one hash "
+        "aggregate on the replicate id — no per-replicate job, no "
+        "driver-side resampling.",
+        entry.q_ml_bootstrap(spark, args.sf),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
