@@ -3265,6 +3265,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_kmv": q_sk_kmv,
         # tranche 38 (defs at end of file): streaming KMV fold
         "stream_kmv": q_stream_kmv,
+        # tranche 39 (defs at end of file): OOV rate, KG entity PMI
+        "ts_oov": q_ts_oov,
+        "kg_entity_pmi": q_kg_entity_pmi,
     }
 
 
@@ -9681,6 +9684,85 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed k-min fold == the batch sketch (superset-of-top-k proof)
     o["stream_kmv"] = o["sk_kmv"]
+    # in-half words left-joined against the base DISTINCT vocab
+    o["ts_oov"] = """
+        WITH toks AS (
+          SELECT CASE WHEN ('0x' || substr(sha256('oov-v1' || ','
+                   || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 50
+                 THEN 'base' ELSE 'in' END AS side,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents WHERE text IS NOT NULL
+        ),
+        tf AS (SELECT side, w FROM toks WHERE w <> ''),
+        vocab AS (
+          SELECT DISTINCT w, 1 AS known FROM tf WHERE side = 'base'
+        ),
+        inw AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM tf WHERE side = 'in' GROUP BY w
+        ),
+        j AS (
+          SELECT inw.c, vocab.known
+          FROM inw LEFT JOIN vocab ON vocab.w = inw.w
+        ),
+        st AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(sum(CASE WHEN known IS NULL THEN c ELSE 0 END)
+                   AS BIGINT) AS n_oov,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 CAST(sum(CASE WHEN known IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_oov_types
+          FROM j
+        )
+        SELECT n_tokens, n_oov,
+               round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate,
+               n_types, n_oov_types,
+               round(CAST(n_oov_types AS DOUBLE) / n_types, 6)
+                 AS type_oov_rate
+        FROM st
+    """
+    # distinct (doc, node) membership from the kg edge endpoints
+    o["kg_entity_pmi"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        mem AS (
+          SELECT DISTINCT doc_id, node FROM (
+            SELECT doc_id, head_node_id AS node FROM kge
+            UNION ALL SELECT doc_id, tail_node_id FROM kge
+          )
+        ),
+        nd AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS ndc
+          FROM mem GROUP BY node
+        ),
+        ndocs AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM mem
+        ),
+        pairs AS (
+          SELECT a.node AS e1, b.node AS e2,
+                 CAST(count(*) AS BIGINT) AS n12
+          FROM mem a JOIN mem b
+            ON a.doc_id = b.doc_id AND a.node < b.node
+          GROUP BY 1, 2
+          HAVING count(*) >= 3
+        ),
+        scored AS (
+          SELECT e1, e2, n12, x.ndc AS n1, y.ndc AS n2,
+                 round(ln(CAST(n12 AS DOUBLE) * ndocs.n
+                   / (CAST(x.ndc AS DOUBLE) * y.ndc)), 6) AS pmi
+          FROM pairs
+          JOIN nd x ON x.node = e1
+          JOIN nd y ON y.node = e2
+          CROSS JOIN ndocs
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, e1, e2)
+                   AS BIGINT) AS rk
+          FROM scored
+        )
+        SELECT rk, e1, e2, n12, n1, n2, pmi
+        FROM ranked WHERE rk <= 50
+    """
     return o
 
 
@@ -11593,3 +11675,95 @@ def q_stream_kmv(spark, sf_dir):
     run_kmv_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
     run_kmv_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
     return read_kmv(spark, f"{base}/st", ev)
+
+
+def q_ts_oov(spark, sf_dir):
+    """Out-of-vocabulary rate of the incoming half against the base
+    half's vocabulary — the tokenizer/domain-shift diagnostic (JSD says
+    'the mix moved'; OOV says 'these are words the base never saw').
+    Token AND type rates; the vocab membership is one left-anti-style
+    join of in-half words against the base DISTINCT vocab
+    (vocab-sized, broadcast-able), exact integer counts, 6 dp."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.when(
+                F.expr(_H60.format(
+                    s="concat('oov-v1', ',', cast(doc_id as string))"
+                )) % 100 < 50,
+                "base",
+            ).otherwise("in").alias("side"),
+            F.explode(F.split("text", " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
+    vocab = (
+        toks.filter(F.col("side") == "base").select("w").distinct()
+        .withColumn("known", F.lit(1))
+    )
+    inw = toks.filter(F.col("side") == "in").groupBy("w").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    j = inw.join(vocab, "w", "left")
+    return j.groupBy().agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("known").isNull(), F.col("c")).otherwise(0))
+        .cast("long").alias("n_oov"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("known").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_oov_types"),
+    ).selectExpr(
+        "n_tokens", "n_oov",
+        "round(cast(n_oov as double) / n_tokens, 6) as oov_rate",
+        "n_types", "n_oov_types",
+        "round(cast(n_oov_types as double) / n_types, 6) as type_oov_rate",
+    )
+
+
+def q_kg_entity_pmi(spark, sf_dir):
+    """Top entity-pair PMI over document co-occurrence: distinct
+    (doc, node) membership from the KG edge endpoints, a < b pair join
+    on doc (doc-entity-set-sized, the kg_reltype_cooccur shape), exact
+    integer (n12, n1, n2, N), PMI = ln(n12*N/(n1*n2)) as one fixed
+    double formula; pairs with n12 >= 3, top 50 by (pmi desc, pair) —
+    the KG's answer to ts_pmi's token collocations."""
+    from pyspark.sql import Window as W
+
+    e = _kg(spark, sf_dir).edges
+    mem = (
+        e.selectExpr("doc_id", "head_node_id as node")
+        .unionAll(e.selectExpr("doc_id", "tail_node_id as node"))
+        .distinct()
+    )
+    nd = mem.groupBy("node").agg(F.count("*").cast("long").alias("nd"))
+    ndocs = mem.select("doc_id").distinct().count()
+    a = mem.selectExpr("doc_id", "node as e1")
+    b = mem.selectExpr("doc_id", "node as e2")
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("n12"))
+        .filter(F.col("n12") >= 3)
+    )
+    scored = (
+        pairs.join(nd.selectExpr("node as e1", "nd as n1"), "e1")
+        .join(nd.selectExpr("node as e2", "nd as n2"), "e2")
+        .selectExpr(
+            "e1", "e2", "n12", "n1", "n2",
+            f"round(ln(cast(n12 as double) * {int(ndocs)}"
+            f" / (cast(n1 as double) * n2)), 6) as pmi",
+        )
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.col("pmi").desc(), "e1", "e2")
+        ).cast("long"),
+    )
+    return ranked.filter(F.col("rk") <= 50).select(
+        "rk", "e1", "e2", "n12", "n1", "n2", "pmi"
+    )
