@@ -3268,6 +3268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 39 (defs at end of file): OOV rate, KG entity PMI
         "ts_oov": q_ts_oov,
         "kg_entity_pmi": q_kg_entity_pmi,
+        # tranche 40 (defs at end of file): span-sequence audit, KG WCC
+        "mm_audit": q_mm_audit,
+        "kg_wcc": q_kg_wcc,
     }
 
 
@@ -9763,6 +9766,70 @@ def oracle_sql() -> dict[str, str]:
         SELECT rk, e1, e2, n12, n1, n2, pmi
         FROM ranked WHERE rk <= 50
     """
+    # replay the span synthesis, then the SAME two integrity checks
+    o["mm_audit"] = f"""
+        WITH {_SPANS_SQL},
+        flat AS (
+          SELECT doc_id, p, s.kind AS kind, s.txt AS txt, s.off AS off
+          FROM ex
+        ),
+        flags AS (
+          SELECT doc_id, kind,
+                 CASE WHEN lag(off) OVER (PARTITION BY doc_id ORDER BY p)
+                        IS NOT NULL
+                      AND off < lag(off) OVER (PARTITION BY doc_id
+                        ORDER BY p)
+                      THEN 1 ELSE 0 END AS viol
+          FROM flat
+        ),
+        rebuilt AS (
+          SELECT doc_id, string_agg(txt, '' ORDER BY p) AS rebuilt
+          FROM flat WHERE kind = 'text' GROUP BY doc_id
+        ),
+        orig AS (
+          SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id,
+                 text AS orig
+          FROM documents
+        ),
+        mism AS (
+          SELECT CASE WHEN r.rebuilt <> o2.orig THEN 1 ELSE 0 END AS mm
+          FROM rebuilt r JOIN orig o2 USING (doc_id)
+        ),
+        aud_a AS (
+          SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                 CAST(count(*) AS BIGINT) AS n_spans,
+                 CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_media_spans,
+                 CAST(sum(viol) AS BIGINT) AS n_offset_violations
+          FROM flags
+        ),
+        aud_b AS (
+          SELECT CAST(sum(mm) AS BIGINT) AS n_reassembly_mismatches
+          FROM mism
+        )
+        SELECT * FROM aud_a, aud_b
+    """
+    # recursive min-label reach over the kg edge replay, then sizes
+    o["kg_wcc"] = f"""
+        WITH RECURSIVE kge AS ({o["kg_j2_edges"]}),
+        p AS (SELECT DISTINCT head_node_id AS s, tail_node_id AS d
+              FROM kge),
+        edges AS (SELECT s, d FROM p UNION SELECT d, s FROM p),
+        verts AS (SELECT DISTINCT s AS v FROM edges),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.d AS v, reach.r FROM reach JOIN edges e
+            ON e.s = reach.v
+        ),
+        cc AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS size
+          FROM cc GROUP BY component
+        )
+        SELECT size, CAST(count(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY size
+    """
     return o
 
 
@@ -11766,4 +11833,82 @@ def q_kg_entity_pmi(spark, sf_dir):
     )
     return ranked.filter(F.col("rk") <= 50).select(
         "rk", "e1", "e2", "n12", "n1", "n2", "pmi"
+    )
+
+
+def q_mm_audit(spark, sf_dir):
+    """Span-sequence integrity audit — the north-rule invariant (kind,
+    text, media_ref, order) as a QUERY: per doc, span offsets must be
+    non-decreasing in span order and the ordered concatenation of text
+    spans must reassemble the original document byte-identically.
+    Output is one row of violation counts (all zero on a healthy
+    table); ordered reassembly uses sort_array(collect_list(struct(p,
+    text))) so the concat order is deterministic, never
+    collect-order-dependent."""
+    spans = read_documents_parquet(spark, sf_dir)
+    ex = spans.select(
+        "doc_id", F.posexplode("spans").alias("p", "s")
+    ).select(
+        "doc_id", "p", F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("txt"), F.col("s.offset").alias("off"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy("p")
+    flags = ex.select(
+        "doc_id", "kind",
+        F.when(
+            F.lag("off").over(w).isNotNull()
+            & (F.col("off") < F.lag("off").over(w)),
+            1,
+        ).otherwise(0).alias("viol"),
+    )
+    rebuilt = (
+        ex.filter(F.col("kind") == "text")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "concat_ws('', transform(sort_array(collect_list("
+                "struct(p, txt))), x -> x.txt))"
+            ).alias("rebuilt")
+        )
+    )
+    orig = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        F.col("text").alias("orig"),
+    )
+    mism = rebuilt.join(orig, "doc_id").select(
+        F.when(F.col("rebuilt") != F.col("orig"), 1).otherwise(0)
+        .alias("mm")
+    )
+    a = flags.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_spans"),
+        F.sum(F.expr("cast(kind != 'text' as int)")).cast("long")
+        .alias("n_media_spans"),
+        F.sum("viol").cast("long").alias("n_offset_violations"),
+    )
+    b = mism.agg(
+        F.sum("mm").cast("long").alias("n_reassembly_mismatches")
+    )
+    return a.crossJoin(F.broadcast(b))
+
+
+def q_kg_wcc(spark, sf_dir):
+    """Weakly-connected-component size distribution of the knowledge
+    graph (large/small-star CC over the undirected edge view) — the
+    KG fragmentation diagnostic (one giant component = healthy linking;
+    many shards = entity resolution failed). Oracle replays the
+    recursive min-label reach over the kg edge replay."""
+    e = _kg(spark, sf_dir).edges.select(
+        F.col("head_node_id").alias("src"),
+        F.col("tail_node_id").alias("dst"),
+    )
+    cc = connected_components(e)
+    sizes = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count("*").cast("long").alias("n_components")
     )
