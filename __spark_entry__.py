@@ -3271,6 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 40 (defs at end of file): span-sequence audit, KG WCC
         "mm_audit": q_mm_audit,
         "kg_wcc": q_kg_wcc,
+        # tranche 41 (defs at end of file): langid confusion matrix,
+        # randomization test
+        "ts_langconfusion": q_ts_langconfusion,
+        "ml_permtest": q_ml_permtest,
     }
 
 
@@ -9830,6 +9834,77 @@ def oracle_sql() -> dict[str, str]:
         SELECT size, CAST(count(*) AS BIGINT) AS n_components
         FROM sizes GROUP BY size
     """
+    # composes the ts_langid stopword-vote replay
+    o["ts_langconfusion"] = f"""
+        WITH pred AS ({o["ts_langid"]}),
+        truth AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang AS true_lang
+          FROM documents
+        ),
+        ct AS (
+          SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+          FROM pred JOIN truth USING (doc_id)
+          GROUP BY 1, 2
+        )
+        SELECT true_lang, pred_lang, n,
+               round(CAST(n AS DOUBLE)
+                 / sum(n) OVER (PARTITION BY true_lang), 6)
+                 AS recall_share
+        FROM ct
+    """
+    # 64 deterministic relabelings via integer modulo (no float
+    # threshold); null diffs (degenerate one-sided draws) count as 0
+    o["ml_permtest"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS id,
+                 CAST(n_chars AS BIGINT) AS v,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT)
+                   AS y
+          FROM documents
+        ),
+        tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n1,
+                 CAST(sum(v) AS BIGINT) AS sv,
+                 CAST(sum(v * y) AS BIGINT) AS sv1
+          FROM d
+        ),
+        obs AS (
+          SELECT n, n1,
+                 CAST(sv1 AS DOUBLE) / n1
+                 - CAST(sv - sv1 AS DOUBLE) / (n - n1) AS obs_diff
+          FROM tot
+        ),
+        reps AS (
+          SELECT id, v, CAST(r AS BIGINT) AS r
+          FROM d, UNNEST(range(0, 64)) AS t(r)
+        ),
+        sided AS (
+          SELECT r, v,
+                 CAST(CASE WHEN (('0x' || substr(sha256('perm-v1' || ','
+                        || CAST(r AS VARCHAR) || ',' || id), 1, 15))
+                        ::BIGINT % obs.n) < obs.n1
+                      THEN 1 ELSE 0 END AS BIGINT) AS s
+          FROM reps, obs
+        ),
+        per AS (
+          SELECT r,
+                 CASE WHEN sum(s) > 0 AND sum(s) < count(*) THEN
+                   CAST(sum(v * s) AS DOUBLE) / sum(s)
+                   - CAST(sum(v) - sum(v * s) AS DOUBLE)
+                     / (count(*) - sum(s))
+                 END AS diff
+          FROM sided GROUP BY r
+        )
+        SELECT obs.n, obs.n1, round(obs.obs_diff, 6) AS obs_diff,
+               CAST(count(*) AS BIGINT) AS b,
+               CAST(sum(CASE WHEN abs(diff) >= abs(obs.obs_diff)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+               round((1.0 + sum(CASE WHEN abs(diff) >= abs(obs.obs_diff)
+                    THEN 1 ELSE 0 END)) / 65.0, 6) AS p_value
+        FROM per, obs
+        GROUP BY obs.n, obs.n1, obs.obs_diff
+    """
     return o
 
 
@@ -11911,4 +11986,100 @@ def q_kg_wcc(spark, sf_dir):
     )
     return sizes.groupBy("size").agg(
         F.count("*").cast("long").alias("n_components")
+    )
+
+
+def q_ts_langconfusion(spark, sf_dir):
+    """Confusion matrix of the stopword-vote language heuristic
+    (textstats.py:language_id) against the documents table's true lang
+    labels, with per-true-class recall share — the honest quality
+    report for the langid operator itself (ml_f1 evaluates Naive
+    Bayes; this evaluates ts_langid). Exact integer cells, one window
+    per true class."""
+    from pyspark.sql import Window as W
+
+    from knowledgegraphbuilder_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = language_id(docs)
+    truth = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("true_lang"),
+    )
+    ct = (
+        pred.join(truth, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    w = W.partitionBy("true_lang")
+    return ct.select(
+        "true_lang", "pred_lang", "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 6)
+        .alias("recall_share"),
+    )
+
+
+def q_ml_permtest(spark, sf_dir):
+    """Randomization test for the en-vs-rest doc-length difference: 64
+    deterministic relabelings (side_r = hash(salt, r, id) % n < n1 —
+    modulo arithmetic, no float threshold, no overflow), each
+    replicate's mean difference from exact conditional integer sums;
+    p = (1 + #{|diff_r| >= |obs|}) / (B + 1). The ml_bootstrap
+    discipline applied to significance: a constant 64x scatter + one
+    groupBy(replicate), coordination-free and replayable."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    b = 64
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"),
+        F.col("n_chars").cast("long").alias("v"),
+        F.expr("cast(lang = 'en' as int)").cast("long").alias("y"),
+    )
+    tot = d.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n1"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.expr("v * y")).cast("long").alias("sv1"),
+    )
+    obs = tot.selectExpr(
+        "n", "n1", "sv", "sv1",
+        "cast(sv1 as double) / n1"
+        " - cast(sv - sv1 as double) / (n - n1) as obs_diff",
+    )
+    reps = d.select(
+        "id", "v",
+        F.explode(F.expr(f"sequence(0, {b - 1})")).alias("r"),
+    )
+    h = _H60.format(
+        s="concat('perm-v1', ',', cast(r as string), ',', id)"
+    )
+    sided = reps.crossJoin(F.broadcast(obs.select("n", "n1"))).select(
+        "r", "v",
+        F.expr(f"cast(({h} % n) < n1 as int)").cast("long").alias("s"),
+    )
+    per = sided.groupBy("r").agg(
+        F.sum(F.expr("v * s")).cast("long").alias("sva"),
+        F.sum("s").cast("long").alias("na"),
+        F.sum("v").cast("long").alias("svt"),
+        F.count("*").cast("long").alias("nt"),
+    ).selectExpr(
+        "r",
+        "case when na > 0 and na < nt then"
+        " cast(sva as double) / na"
+        " - cast(svt - sva as double) / (nt - na) end as diff",
+    )
+    return (
+        per.crossJoin(F.broadcast(obs))
+        .groupBy("n", "n1")
+        .agg(
+            F.round(F.max("obs_diff"), 6).alias("obs_diff"),
+            F.count("*").cast("long").alias("b"),
+            F.sum(
+                F.expr("cast(abs(diff) >= abs(obs_diff) as int)")
+            ).cast("long").alias("n_ge"),
+        )
+        .selectExpr(
+            "n", "n1", "obs_diff", "b", "n_ge",
+            f"round((1.0d + n_ge) / ({b} + 1.0d), 6) as p_value",
+        )
     )

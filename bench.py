@@ -264,6 +264,7 @@ def main() -> None:
         "kg_typed_triangles", "ml_lift", "ts_runs", "sql_pathfunnel",
         "ml_cramersv", "stream_cusum", "dd_crossdedup", "sk_kmv",
         "stream_kmv", "ts_oov", "kg_entity_pmi", "mm_audit", "kg_wcc",
+        "ts_langconfusion", "ml_permtest",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

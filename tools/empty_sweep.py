@@ -56,6 +56,9 @@ NEEDS_CORPUS = {
     "stream_dedup", "stream_sessions", "stream_ann", "stream_edges",
     "stream_heavy", "stream_quantile", "stream_minhash", "stream_bloom",
     "kg_incremental", "src_jsonl", "src_txt", "kg_sink_roundtrip",
+    "stream_lines", "stream_resample",
+    # round-4 session-3 additions, same min/max-id batch synthesis
+    "stream_cusum", "stream_kmv",
 }
 
 
