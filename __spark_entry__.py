@@ -3275,6 +3275,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # randomization test
         "ts_langconfusion": q_ts_langconfusion,
         "ml_permtest": q_ml_permtest,
+        # tranche 42 (defs at end of file): SRM guard, modality mix
+        "ml_srm": q_ml_srm,
+        "mm_modality_mix": q_mm_modality_mix,
     }
 
 
@@ -9905,6 +9908,54 @@ def oracle_sql() -> dict[str, str]:
         FROM per, obs
         GROUP BY obs.n, obs.n1, obs.obs_diff
     """
+    # binomial z on the hash-arm sizes (the ml_ab split's health check)
+    o["ml_srm"] = """
+        WITH per AS (
+          SELECT CASE WHEN ('0x' || substr(sha256('ab-v1' || ','
+                   || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   % 100 < 50
+                 THEN 1 ELSE 0 END AS a
+          FROM (SELECT DISTINCT user_id FROM events)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(a) AS BIGINT) AS n_a,
+               CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+               round((CAST(sum(a) AS DOUBLE)
+                   - CAST(count(*) AS DOUBLE) / 2.0)
+                 / nullif(sqrt(CAST(count(*) AS DOUBLE) / 4.0), 0.0), 6)
+                 AS srm_z
+        FROM per
+    """
+    # span-synthesis replay joined back to doc sources
+    o["mm_modality_mix"] = f"""
+        WITH {_SPANS_SQL},
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN s.kind = 'image' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_img,
+                 CAST(sum(CASE WHEN s.kind = 'audio' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_aud
+          FROM ex GROUP BY doc_id
+        ),
+        src AS (
+          SELECT 'doc_' || CAST(doc_id AS VARCHAR) AS doc_id, source
+          FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_img > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_image,
+               CAST(sum(CASE WHEN n_aud > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_audio,
+               CAST(sum(n_img) AS BIGINT) AS n_image_spans,
+               CAST(sum(n_aud) AS BIGINT) AS n_audio_spans,
+               round(CAST(sum(CASE WHEN n_img > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS image_doc_share,
+               round(CAST(sum(CASE WHEN n_aud > 0 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / count(*), 6) AS audio_doc_share
+        FROM per_doc JOIN src USING (doc_id)
+        GROUP BY source
+    """
     return o
 
 
@@ -11546,7 +11597,15 @@ def q_ml_lift(spark, sf_dir):
     population deciles by (score desc, doc_id) total order, exact
     integer positives per decile, cumulative gain and per-decile lift
     as exact-int ratios (6 dp) — the campaign-targeting view of the
-    same ranking ml_auc scores by threshold."""
+    same ranking ml_auc scores by threshold.
+
+    Scale shape: NO corpus-sized ntile window (that single-partitions).
+    The global rank decomposes as cb(s) + rank_within(s): a cumulative
+    window over the DISTINCT-score histogram (histogram-sized) plus a
+    row_number PARTITIONED by score (parallel), and the decile is
+    Spark/DuckDB ntile's first-buckets-get-the-remainder split computed
+    arithmetically from (rank, n) — bit-identical to the oracle's
+    native ntile(10)."""
     from pyspark.sql import Window as W
 
     d = _t(spark, sf_dir, "documents").select(
@@ -11554,9 +11613,31 @@ def q_ml_lift(spark, sf_dir):
         F.col("n_chars").cast("long").alias("s"),
         F.expr("cast(lang = 'en' as int)").cast("long").alias("y"),
     )
-    w = W.orderBy(F.col("s").desc(), F.col("doc_id").asc())
-    deciled = d.select(
-        "s", "y", F.ntile(10).over(w).cast("long").alias("decile")
+    hist = d.groupBy("s").agg(F.count("*").cast("long").alias("c"))
+    whist = W.orderBy(F.col("s").desc()).rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cb = hist.select(
+        "s",
+        F.coalesce(F.sum("c").over(whist), F.lit(0)).cast("long")
+        .alias("cb"),
+    )
+    n = d.count()
+    win = W.partitionBy("s").orderBy("doc_id")
+    q, rmd = n // 10, n % 10
+    ranked = d.join(cb, "s").select(
+        "s", "y",
+        (F.col("cb") + F.row_number().over(win)).alias("rank"),
+    )
+    # ntile(10): the first n%10 buckets hold floor(n/10)+1 rows
+    decile_expr = (
+        f"case when rank <= {rmd * (q + 1)}"
+        f" then (rank - 1) div {q + 1} + 1"
+        f" else {rmd} + (rank - {rmd * (q + 1)} - 1) div {max(q, 1)} + 1"
+        f" end"
+    )
+    deciled = ranked.selectExpr(
+        "s", "y", f"cast({decile_expr} as long) as decile"
     )
     per = deciled.groupBy("decile").agg(
         F.count("*").cast("long").alias("n"),
@@ -12081,5 +12162,79 @@ def q_ml_permtest(spark, sf_dir):
         .selectExpr(
             "n", "n1", "obs_diff", "b", "n_ge",
             f"round((1.0d + n_ge) / ({b} + 1.0d), 6) as p_value",
+        )
+    )
+
+
+def q_ml_srm(spark, sf_dir):
+    """Sample-ratio-mismatch guard for the ml_ab experiment split: the
+    hash assignment TARGETS 50/50, so the arm sizes are a binomial draw
+    whose z = (n_a - n/2) / sqrt(n/4) must sit in normal range — a
+    large |z| means the bucketing hash is biased or the logging drops
+    one arm (the first thing to check before reading any A/B result).
+    Exact integer counts, one fixed double formula."""
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    per = (
+        _t(spark, sf_dir, "events")
+        .select("user_id").distinct()
+        .select(
+            (
+                F.expr(_H60.format(
+                    s="concat('ab-v1', ',', cast(user_id as string))"
+                )) % 100 < 50
+            ).cast("long").alias("a")
+        )
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("a").cast("long").alias("n_a"),
+    ).selectExpr(
+        "n", "n_a", "n - n_a as n_b",
+        "round((cast(n_a as double) - cast(n as double) / 2.0d)"
+        " / nullif(sqrt(cast(n as double) / 4.0d), 0.0d), 6) as srm_z",
+    )
+
+
+def q_mm_modality_mix(spark, sf_dir):
+    """Per-source modality composition of the interleaved corpus: share
+    of docs containing image/audio spans and the media-per-doc rate —
+    the shard-balance view a multimodal mixture sampler needs (text-only
+    sources starve the vision tower). One explode + two grouped counts;
+    oracle replays the span synthesis joined back to doc sources."""
+    spans = read_documents_parquet(spark, sf_dir)
+    ex = spans.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", F.col("s.kind").alias("kind"))
+    per_doc = ex.groupBy("doc_id").agg(
+        F.sum(F.expr("cast(kind = 'image' as int)")).cast("long")
+        .alias("n_img"),
+        F.sum(F.expr("cast(kind = 'audio' as int)")).cast("long")
+        .alias("n_aud"),
+    )
+    src = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+        .alias("doc_id"),
+        "source",
+    )
+    return (
+        per_doc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("cast(n_img > 0 as int)")).cast("long")
+            .alias("n_with_image"),
+            F.sum(F.expr("cast(n_aud > 0 as int)")).cast("long")
+            .alias("n_with_audio"),
+            F.sum("n_img").cast("long").alias("n_image_spans"),
+            F.sum("n_aud").cast("long").alias("n_audio_spans"),
+        )
+        .selectExpr(
+            "source", "n_docs", "n_with_image", "n_with_audio",
+            "n_image_spans", "n_audio_spans",
+            "round(cast(n_with_image as double) / n_docs, 6)"
+            " as image_doc_share",
+            "round(cast(n_with_audio as double) / n_docs, 6)"
+            " as audio_doc_share",
         )
     )

@@ -78,3 +78,36 @@ class TestLift:
         assert [r["pos"] for r in per] == [10, 10, 0, 0, 0, 0, 0, 0, 0, 0]
         # decile-1 lift = (10/10) / (20/100) = 5.0
         assert per[0]["pos"] / per[0]["n"] / (20 / 100) == 5.0
+
+    def test_arithmetic_decile_split_equals_ntile(self, spark):
+        # the histogram+rank formulation must reproduce ntile(10)'s
+        # first-buckets-get-the-remainder split exactly, ties included
+        rows = [(str(i), (i * 7) % 23, i % 2) for i in range(103)]
+        d = spark.createDataFrame(rows, "doc_id string, s long, y long")
+        w = W.orderBy(F.col("s").desc(), F.col("doc_id").asc())
+        want = {(r["s"], r["doc_id"]): r["d"]
+                for r in d.select(
+                    "s", "doc_id", F.ntile(10).over(w).alias("d")
+                ).collect()}
+        hist = d.groupBy("s").agg(F.count("*").cast("long").alias("c"))
+        whist = W.orderBy(F.col("s").desc()).rowsBetween(
+            W.unboundedPreceding, -1)
+        cb = hist.select(
+            "s",
+            F.coalesce(F.sum("c").over(whist), F.lit(0)).cast("long")
+            .alias("cb"))
+        n = d.count()
+        q, rmd = n // 10, n % 10
+        win = W.partitionBy("s").orderBy("doc_id")
+        got = {(r["s"], r["doc_id"]): r["d"]
+               for r in d.join(cb, "s").select(
+                   "s", "doc_id",
+                   (F.col("cb") + F.row_number().over(win)).alias("rank"),
+               ).selectExpr(
+                   "s", "doc_id",
+                   f"case when rank <= {rmd * (q + 1)}"
+                   f" then (rank - 1) div {q + 1} + 1"
+                   f" else {rmd} + (rank - {rmd * (q + 1)} - 1)"
+                   f" div {max(q, 1)} + 1 end as d",
+               ).collect()}
+        assert got == want
