@@ -3278,6 +3278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 42 (defs at end of file): SRM guard, modality mix
         "ml_srm": q_ml_srm,
         "mm_modality_mix": q_mm_modality_mix,
+        # tranche 43: retrieval-eval NDCG, calibration bins, taxonomy
+        "ml_ndcg": q_ml_ndcg,
+        "ml_calibration": q_ml_calibration,
+        "ts_taxonomy": q_ts_taxonomy,
     }
 
 
@@ -9956,6 +9960,92 @@ def oracle_sql() -> dict[str, str]:
         FROM per_doc JOIN src USING (doc_id)
         GROUP BY source
     """
+    # NDCG@10: gain 2^g - 1, 1/log2(pos+1) discount, ideal by grade
+    o["ml_ndcg"] = """
+        WITH base AS (
+          SELECT source, doc_id, n_chars AS s, doc_id % 4 AS g
+          FROM documents
+        ),
+        r AS (
+          SELECT source,
+                 (CAST(1 AS BIGINT) << g) - 1 AS gain,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY s DESC, doc_id ASC) AS pos,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY g DESC, doc_id ASC) AS ipos
+          FROM base
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(CASE WHEN pos <= 10
+                 THEN gain / log2(CAST(pos + 1 AS DOUBLE))
+                 ELSE 0.0 END), 6) AS dcg,
+               round(sum(CASE WHEN ipos <= 10
+                 THEN gain / log2(CAST(ipos + 1 AS DOUBLE))
+                 ELSE 0.0 END), 6) AS idcg,
+               round(sum(CASE WHEN pos <= 10
+                   THEN gain / log2(CAST(pos + 1 AS DOUBLE))
+                   ELSE 0.0 END)
+                 / nullif(sum(CASE WHEN ipos <= 10
+                   THEN gain / log2(CAST(ipos + 1 AS DOUBLE))
+                   ELSE 0.0 END), 0.0), 6) AS ndcg
+        FROM r GROUP BY source
+    """
+    # integer-sufficient-statistic Brier/reliability bins
+    o["ml_calibration"] = """
+        WITH per AS (
+          SELECT n_chars % 1000 AS pi,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+        )
+        SELECT CAST(pi // 100 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(pi) AS DOUBLE) / (999.0 * count(*)), 6)
+                 AS mean_p,
+               round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS frac_pos,
+               round((CAST(sum(pi * pi) AS DOUBLE)
+                   - 2.0 * 999 * sum(pi * y) + 999.0 * 999 * sum(y))
+                 / (999.0 * 999 * count(*)), 6) AS brier
+        FROM per GROUP BY 1
+    """
+    # corpus-derived keyword dict -> salted-hash topics -> doc coverage
+    o["ts_taxonomy"] = """
+        WITH tok AS (
+          SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, w
+          FROM (SELECT doc_id,
+                       unnest(string_split(lower(text), ' ')) AS w
+                FROM documents)
+          WHERE regexp_full_match(w, '[a-z]{4,}')
+        ),
+        top AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS df
+          FROM tok GROUP BY w
+          ORDER BY df DESC, w ASC LIMIT 40
+        ),
+        dict AS (
+          SELECT w,
+                 ('0x' || substr(sha256('tax-v1' || w), 1, 15))::BIGINT
+                   % 6 AS topic
+          FROM top
+        ),
+        tagged AS (
+          SELECT DISTINCT doc_id, topic FROM tok JOIN dict USING (w)
+        ),
+        cnt AS (
+          SELECT topic, CAST(count(*) AS BIGINT) AS n_docs
+          FROM tagged GROUP BY topic
+        ),
+        kw AS (
+          SELECT topic, CAST(count(*) AS BIGINT) AS n_keywords
+          FROM dict GROUP BY topic
+        )
+        SELECT topic, n_keywords,
+               CAST(coalesce(n_docs, 0) AS BIGINT) AS n_docs,
+               round(CAST(coalesce(n_docs, 0) AS DOUBLE)
+                 / (SELECT count(DISTINCT doc_id) FROM documents), 6)
+                 AS doc_share
+        FROM kw LEFT JOIN cnt USING (topic)
+    """
     return o
 
 
@@ -12238,3 +12328,50 @@ def q_mm_modality_mix(spark, sf_dir):
             " as audio_doc_share",
         )
     )
+
+
+def q_ml_ndcg(spark, sf_dir):
+    """Per-source NDCG@10 (mlstats.py:ndcg_at_k) of the doc-length
+    ranking against graded relevance doc_id % 4 — the offline retrieval
+    quality metric (gain 2^g - 1, 1/log2 discount, ideal ranking by
+    grade). Grouped windows only (never a global sort); k-term float
+    sums under the 6-dp contract."""
+    from knowledgegraphbuilder_spark.operators.mlstats import ndcg_at_k
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("source"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("score"),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(4)).alias("grade"),
+    )
+    return ndcg_at_k(d, k=10, group_col="source")
+
+
+def q_ml_calibration(spark, sf_dir):
+    """Reliability-diagram bins + per-bin Brier score
+    (mlstats.py:calibration_bins) for the integer pseudo-probability
+    n_chars % 1000 against lang='en' — every statistic an exact integer
+    sum until one final divide, so both engines divide identical
+    integers (the ml_auc midrank contract applied to calibration)."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        calibration_bins,
+    )
+
+    return calibration_bins(
+        _t(spark, sf_dir, "documents"),
+        p_int_expr="n_chars % 1000",
+        y_expr="cast(lang = 'en' as int)",
+    )
+
+
+def q_ts_taxonomy(spark, sf_dir):
+    """Broadcast-dictionary topic tagging (textstats.py:taxonomy_tags):
+    corpus-derived top-40 keyword dict hashed into 6 topics, per-topic
+    doc coverage — the domain-labeling stage of a training-data mixture
+    pipeline; the tag join broadcasts the dict, never shuffles the
+    corpus."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        taxonomy_tags,
+    )
+
+    return taxonomy_tags(_t(spark, sf_dir, "documents"))

@@ -1151,3 +1151,105 @@ def poisson_bootstrap_mean(
         "round(hi, 6) as boot_hi",
         "round(sqrt((smm - sm * sm / bn) / (bn - 1)), 6) as boot_se",
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    k: int = 10,
+    group_col: str = "group",
+    score_col: str = "score",
+    grade_col: str = "grade",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group NDCG@k of a ranking (``score_col`` desc, ``id_col`` asc)
+    against integer graded relevance ``grade_col`` (0..g): the standard
+    offline retrieval-quality metric. gain = 2^grade - 1 (exact integer),
+    discount = 1/log2(pos+1); IDCG ranks by (grade desc, id asc). Both
+    windows PARTITION BY the group — no global sort — and only the k
+    kept rows per group enter the float sum, so the double accumulation
+    is k-term and order-fixed by the grouped sum of at most k values
+    (6-dp round absorbs re-association). Scale shape: two grouped
+    windows + one grouped agg; output is group-cardinality-sized.
+    """
+    from pyspark.sql import Window as W
+
+    g = F.col(group_col)
+    ranked = df.select(
+        g.alias("g"),
+        F.col(id_col).alias("i"),
+        F.row_number().over(
+            W.partitionBy(group_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        ).alias("pos"),
+        F.row_number().over(
+            W.partitionBy(group_col)
+            .orderBy(F.col(grade_col).desc(), F.col(id_col).asc())
+        ).alias("ipos"),
+        # SQL shiftleft takes a column bit count (the python wrapper
+        # insists on a literal int): gain = 2^grade - 1 stays integer
+        F.expr(f"shiftleft(1L, cast({grade_col} as int)) - 1L")
+        .cast("long").alias("gain"),
+    )
+    per = ranked.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                F.col("pos") <= k,
+                F.col("gain") / F.log2(F.col("pos") + 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("dcg"),
+        F.sum(
+            F.when(
+                F.col("ipos") <= k,
+                F.col("gain") / F.log2(F.col("ipos") + 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("idcg"),
+    )
+    return per.selectExpr(
+        f"g as {group_col}",
+        "n_docs",
+        "round(dcg, 6) as dcg",
+        "round(idcg, 6) as idcg",
+        "round(dcg / nullif(idcg, 0.0d), 6) as ndcg",
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    p_int_expr: str,
+    y_expr: str,
+    scale: int = 999,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins + per-bin Brier score from an INTEGER
+    score ``p_int_expr`` in [0, scale] (probability p = pi/scale) and a
+    0/1 label ``y_expr``. Every statistic is an exact integer sum until
+    one final divide: mean_p = S(pi)/(scale*n), Brier expands as
+    (S(pi^2) - 2*scale*S(pi*y) + scale^2*S(y)) / (scale^2 * n) — so both
+    engines divide identical integers and the 6-dp values match bit-for-
+    bit. One map-side-combinable aggregate; output is n_bins rows.
+    """
+    w = (scale + 1 + n_bins - 1) // n_bins
+    per = df.selectExpr(
+        f"cast({p_int_expr} as bigint) as pi",
+        f"cast({y_expr} as bigint) as y",
+    ).selectExpr(f"pi div {w} as bin", "pi", "y")
+    return (
+        per.groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("pi").cast("long").alias("sp"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.expr("pi * pi")).cast("long").alias("spp"),
+            F.sum(F.expr("pi * y")).cast("long").alias("spy"),
+        )
+        .selectExpr(
+            "cast(bin as bigint) as bin",
+            "n",
+            f"round(cast(sp as double) / ({scale}.0d * n), 6) as mean_p",
+            "round(cast(sy as double) / n, 6) as frac_pos",
+            f"round((cast(spp as double) - 2.0d * {scale} * spy"
+            f" + {scale}.0d * {scale} * sy)"
+            f" / ({scale}.0d * {scale} * n), 6) as brier",
+        )
+    )

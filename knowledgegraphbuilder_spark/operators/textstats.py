@@ -647,3 +647,75 @@ def jsd_split(
             "na as n_a", "nb as n_b", "n_words", "round(s, 6) as jsd"
         )
     )
+
+
+def taxonomy_tags(
+    docs: DataFrame,
+    n_keywords: int = 40,
+    n_topics: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "tax-v1",
+) -> DataFrame:
+    """Broadcast-dictionary topic tagging — the domain-labeling stage of
+    a training-data mixture pipeline. The keyword dictionary is derived
+    from the corpus itself so the op stays self-contained and
+    deterministic: the ``n_keywords`` most document-frequent lowercase
+    alphabetic tokens (length > 3; ties broken by token asc) are each
+    assigned a topic by a salted 60-bit sha256 hash mod ``n_topics``
+    (in production this dict is a curated table — same plan shape).
+
+    Output per topic: keyword count, number of docs containing >= 1 of
+    its keywords, and that count as a share of the corpus. Scale shape:
+    one distinct (doc, token) projection feeds BOTH the frequency count
+    and the tagging join; the dictionary is vocabulary-top-k sized and
+    explicitly ``broadcast()`` — the tag join never shuffles the corpus.
+    """
+    from knowledgegraphbuilder_spark.operators.curation import _H60
+
+    tok = (
+        docs.select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]{4,}$"))
+        .distinct()
+    )
+    top = (
+        tok.groupBy("w")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.col("df").desc(), F.col("w").asc())
+        .limit(n_keywords)
+    )
+    dict_df = top.select(
+        "w",
+        F.pmod(
+            F.expr(_H60.format(s=f"concat('{salt}', w)")), F.lit(n_topics)
+        ).cast("long").alias("topic"),
+    )
+    tagged = (
+        tok.join(F.broadcast(dict_df), "w")
+        .select("doc_id", "topic")
+        .distinct()
+    )
+    n_docs_total = docs.select(F.col(id_col)).distinct().count()
+    return (
+        dict_df.groupBy("topic")
+        .agg(F.count("*").cast("long").alias("n_keywords"))
+        .join(
+            F.broadcast(
+                tagged.groupBy("topic").agg(
+                    F.count("*").cast("long").alias("n_docs")
+                )
+            ),
+            "topic",
+            "left",
+        )
+        .selectExpr(
+            "topic",
+            "n_keywords",
+            "coalesce(n_docs, 0L) as n_docs",
+            f"round(cast(coalesce(n_docs, 0L) as double)"
+            f" / {n_docs_total}, 6) as doc_share",
+        )
+    )
