@@ -3282,6 +3282,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_ndcg": q_ml_ndcg,
         "ml_calibration": q_ml_calibration,
         "ts_taxonomy": q_ts_taxonomy,
+        # tranche 44: interleaved-corpus media accounting
+        "mm_caption_stats": q_mm_caption_stats,
+        "mm_media_budget": q_mm_media_budget,
+        "mm_phash_buckets": q_mm_phash_buckets,
     }
 
 
@@ -10046,6 +10050,83 @@ def oracle_sql() -> dict[str, str]:
                  AS doc_share
         FROM kw LEFT JOIN cnt USING (topic)
     """
+    # span synthesis replay + the align windows, aggregated per media kind
+    o["mm_caption_stats"] = f"""
+        WITH {_SPANS_SQL},
+        cap AS (
+          SELECT doc_id, s.kind AS kind,
+                 last_value(CASE WHEN s.kind = 'text' THEN s.txt END
+                            IGNORE NULLS)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_t,
+                 first_value(CASE WHEN s.kind = 'text' THEN s.txt END
+                             IGNORE NULLS)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                   AS next_t
+          FROM ex
+        )
+        SELECT kind AS media_type,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(CASE WHEN prev_t IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_prev_caption,
+               CAST(sum(CASE WHEN prev_t IS NULL AND next_t IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_next_only,
+               CAST(sum(CASE WHEN prev_t IS NULL AND next_t IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_uncaptioned,
+               round(avg(length(coalesce(prev_t, next_t))), 6)
+                 AS mean_caption_len
+        FROM cap WHERE kind <> 'text' GROUP BY 1
+    """
+    # fetched size is deterministic: 256 + first byte of sha256(ref);
+    # corpus text chars = sum(length(text)) because the text spans
+    # PARTITION each document's text exactly (synthesis invariant)
+    o["mm_media_budget"] = """
+        WITH refs AS (
+          SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+                   AS ref, 'image' AS mt
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0',
+                 'audio'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        sz AS (
+          SELECT mt, 256 + ('0x' || substr(sha256(ref), 1, 2))::INT
+                   AS n_bytes
+          FROM refs
+        )
+        SELECT mt AS media_type,
+               CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               round(avg(n_bytes), 6) AS mean_bytes,
+               round(sum(n_bytes) * 1000.0
+                 / (SELECT sum(length(text)) FROM documents), 6)
+                 AS bytes_per_kilochar
+        FROM sz GROUP BY 1
+    """
+    # bucket histogram of the 8-bit content-hash prefix over distinct refs
+    o["mm_phash_buckets"] = """
+        WITH refs AS (
+          SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+                   AS ref
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        per AS (
+          SELECT ('0x' || substr(sha256(ref), 1, 2))::INT % 256 AS bucket,
+                 count(*) AS sz
+          FROM refs GROUP BY 1
+        )
+        SELECT CAST(sz AS BIGINT) AS bucket_size,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(count(*) * (sz * (sz - 1) // 2) AS BIGINT)
+                 AS n_candidate_pairs
+        FROM per GROUP BY sz
+    """
     return o
 
 
@@ -12375,3 +12456,36 @@ def q_ts_taxonomy(spark, sf_dir):
     )
 
     return taxonomy_tags(_t(spark, sf_dir, "documents"))
+
+
+def q_mm_caption_stats(spark, sf_dir):
+    """Caption-coverage profile of the interleaved spans table
+    (multimodal.py:caption_stats): per media kind, how many media spans
+    have a preceding text caption vs only a following one vs none, plus
+    mean caption length. Same two running windows as mm_align; the oracle
+    replays the span synthesis and the windows in SQL."""
+    from knowledgegraphbuilder_spark.operators.multimodal import caption_stats
+
+    return caption_stats(read_documents_parquet(spark, sf_dir))
+
+
+def q_mm_media_budget(spark, sf_dir):
+    """Media byte budget through the real fetch path
+    (multimodal.py:media_budget): distinct refs -> fetch_media
+    (mapInPandas, Arrow binary batches) -> per-kind size aggregates +
+    bytes-per-kilochar storage ratio. The oracle recomputes the
+    deterministic fetch size (256 + first sha256 byte) per ref in SQL."""
+    from knowledgegraphbuilder_spark.operators.multimodal import media_budget
+
+    return media_budget(read_documents_parquet(spark, sf_dir))
+
+
+def q_mm_phash_buckets(spark, sf_dir):
+    """LSH-candidate accounting for media near-dup
+    (multimodal.py:phash_buckets): 8-bit content-hash buckets over
+    distinct media refs, reported as a bucket-size histogram with the
+    candidate-pair count each size class implies — the pre-flight cost
+    estimate of a pHash dedup verify join."""
+    from knowledgegraphbuilder_spark.operators.multimodal import phash_buckets
+
+    return phash_buckets(read_documents_parquet(spark, sf_dir))

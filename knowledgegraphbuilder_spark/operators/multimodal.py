@@ -213,3 +213,123 @@ def modality_transitions(spans: DataFrame) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("cnt"))
     )
+
+
+def caption_stats(spans_df: DataFrame) -> DataFrame:
+    """Caption-coverage profile of an interleaved corpus, per media kind:
+    how many media spans are captioned by a PRECEDING text span (the
+    caption-above convention ``align_media_to_text`` prefers), how many
+    only by a FOLLOWING one, how many have no text span at all in their
+    document, plus the mean caption length. A mixture designer reads this
+    before harvesting image-text pairs — a corpus whose captions mostly
+    FOLLOW the image needs the opposite pairing convention.
+
+    Scale shape: identical to ``align_media_to_text`` — one posexplode +
+    two running windows partitioned by ``doc_id`` (per-doc state only,
+    single shuffle on the doc key), then one map-side-combinable aggregate
+    over media kind. Output is kind-cardinality-sized.
+    """
+    from pyspark.sql import Window
+
+    s = spans_df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    txt = F.when(F.col("s.kind") == "text", F.col("s.text"))
+    w_prev = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    m = (
+        s.withColumn("prev_t", F.last(txt, ignorenulls=True).over(w_prev))
+        .withColumn("next_t", F.first(txt, ignorenulls=True).over(w_next))
+        .filter(F.col("s.kind") != "text")
+    )
+    return (
+        m.groupBy(F.col("s.kind").alias("media_type"))
+        .agg(
+            F.count("*").cast("long").alias("n_media"),
+            F.sum(F.when(F.col("prev_t").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_prev_caption"),
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull() & F.col("next_t").isNotNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_next_only"),
+            F.sum(
+                F.when(
+                    F.col("prev_t").isNull() & F.col("next_t").isNull(), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_uncaptioned"),
+            F.round(
+                F.avg(F.length(F.coalesce("prev_t", "next_t"))), 6
+            ).alias("mean_caption_len"),
+        )
+    )
+
+
+def media_budget(spans_df: DataFrame) -> DataFrame:
+    """Per-kind media byte budget through the REAL fetch path: explode the
+    spans table to media refs, run ``fetch_media`` (mapInPandas, Arrow
+    binary batches), and aggregate fetched sizes — the accounting a 100 TB
+    pipeline does before deciding what it can afford to decode. Output per
+    media kind: ref count, total/mean fetched bytes, and bytes per
+    kilochar of corpus text (the media:text storage ratio).
+
+    Scale shape: refs are distinct-projected before the fetch (never fetch
+    a ref twice), the fetch is embarrassingly parallel per partition, and
+    both aggregates are map-side combinable; the corpus text size is a
+    scalar broadcast into the final projection.
+    """
+    sizes = fetch_media(media_refs(spans_df)).select(
+        "media_ref", "media_type", "n_bytes"
+    )
+    text_chars = (
+        spans_df.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text")
+        .agg(F.sum(F.length("s.text")).cast("long"))
+        .collect()[0][0]
+        or 1
+    )
+    return sizes.groupBy("media_type").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.round(F.avg("n_bytes"), 6).alias("mean_bytes"),
+        F.round(
+            F.sum("n_bytes") * 1000.0 / F.lit(float(text_chars)), 6
+        ).alias("bytes_per_kilochar"),
+    )
+
+
+def phash_buckets(spans_df: DataFrame, bits: int = 8) -> DataFrame:
+    """Perceptual-hash-bucket accounting for media near-dup: bucket every
+    distinct media ref by the top ``bits`` bits of a 64-bit content hash
+    (the stand-in for a real pHash — same key shape, same join plan) and
+    report the bucket-size histogram with the candidate-pair count each
+    size class would feed into a verify join (n_buckets * C(size, 2)).
+    This is the step-0 cost estimate of LSH media dedup: the histogram
+    says whether the bucketing is balanced BEFORE paying for the
+    quadratic-within-bucket verify.
+
+    Scale shape: two map-side-combinable aggregates (ref -> bucket ->
+    size, then size -> histogram); no joins, output is O(distinct bucket
+    sizes). The real pipeline swaps sha256 for a pHash UDF — the plan is
+    unchanged.
+    """
+    b = media_refs(spans_df).select(
+        (
+            F.conv(F.substring(F.sha2(F.col("media_ref"), 256), 1, 2), 16, 10)
+            .cast("long") % (1 << bits)
+        ).alias("bucket")
+    )
+    per = b.groupBy("bucket").agg(F.count("*").cast("long").alias("sz"))
+    return (
+        per.groupBy("sz")
+        .agg(F.count("*").cast("long").alias("n_buckets"))
+        .selectExpr(
+            "cast(sz as bigint) as bucket_size",
+            "n_buckets",
+            "cast(n_buckets * (sz * (sz - 1) div 2) as bigint) as n_candidate_pairs",
+        )
+    )
