@@ -3286,6 +3286,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_caption_stats": q_mm_caption_stats,
         "mm_media_budget": q_mm_media_budget,
         "mm_phash_buckets": q_mm_phash_buckets,
+        # tranche 45: streaming x interleaved — incremental alignment
+        "stream_align": q_stream_align,
+        "stream_transitions": q_stream_transitions,
     }
 
 
@@ -10127,6 +10130,10 @@ def oracle_sql() -> dict[str, str]:
                  AS n_candidate_pairs
         FROM per GROUP BY sz
     """
+    # streaming folds must reconstruct the batch alignment / transition
+    # tables exactly — same oracles as their batch twins
+    o["stream_align"] = o["mm_align"]
+    o["stream_transitions"] = o["mm_transitions"]
     return o
 
 
@@ -12489,3 +12496,70 @@ def q_mm_phash_buckets(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.multimodal import phash_buckets
 
     return phash_buckets(read_documents_parquet(spark, sf_dir))
+
+
+def _stream_span_files(spark, sf_dir, tag_prefix):
+    """Write the interleaved spans corpus as three doc_id-ranged parquet
+    files under a content-tagged /tmp dir (the stream input fixture shared
+    by the stream_* queries)."""
+    import hashlib
+    import shutil
+
+    spans = read_documents_parquet(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/{tag_prefix}_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    n = spans.agg(
+        F.max(F.expr("cast(substring(doc_id, 5, 10) as int)"))
+    ).first()[0]
+    for b in range(3):
+        lo, hi = b * (n + 1) // 3, (b + 1) * (n + 1) // 3
+        (spans.filter(F.expr(
+            f"cast(substring(doc_id, 5, 10) as int) >= {lo} and "
+            f"cast(substring(doc_id, 5, 10) as int) < {hi}"))
+         .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{b}"))
+    return base
+
+
+def q_stream_align(spark, sf_dir):
+    """STREAMING caption alignment under the value-exact gate: the
+    interleaved corpus drains as three files, each micro-batch aligns its
+    complete documents (streaming/ingest.py:run_align_available_now) and
+    MERGEs by the deterministic span key sha256(doc_id:pos) — then the
+    whole input REPLAYS against a fresh checkpoint, proving MERGE
+    idempotency. The final table must equal the batch mm_align output
+    (same span-synthesis oracle)."""
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        run_align_available_now,
+    )
+
+    base = _stream_span_files(spark, sf_dir, "kg_stream_align")
+    run_align_available_now(spark, f"{base}/in/*", f"{base}/out", f"{base}/ck")
+    run_align_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2"
+    )
+    return spark.read.parquet(f"{base}/out").select(
+        "doc_id", "pos", "media_ref", "media_type", "caption",
+        "caption_offset",
+    )
+
+
+def q_stream_transitions(spark, sf_dir):
+    """STREAMING modality-transition fold: per-batch partial bigram counts
+    MERGEd by a content-derived batch key (replays overwrite, never
+    double-count — streaming/ingest.py:run_transitions_available_now),
+    then folded to corpus totals. Input replays end-to-end; the total must
+    equal the batch mm_transitions result."""
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_transitions,
+        run_transitions_available_now,
+    )
+
+    base = _stream_span_files(spark, sf_dir, "kg_stream_transitions")
+    run_transitions_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck"
+    )
+    run_transitions_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2"
+    )
+    return read_transitions(spark, f"{base}/out")

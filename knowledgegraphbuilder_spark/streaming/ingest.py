@@ -1160,3 +1160,108 @@ def read_kmv(
         f" else ({kk} - 1.0d) * {two60}d / kth end"
         f" - {int(n_exact)}) / {int(n_exact)}, 6) as rel_err",
     )
+
+
+def run_align_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+) -> None:
+    """Incremental caption alignment over an interleaved-document stream:
+    drain the spans directory, align each micro-batch's media spans to
+    their nearest text span (multimodal.py:align_media_to_text), MERGE
+    into the alignment table keyed by the deterministic span identity
+    sha256(doc_id:pos).
+
+    Correctness rests on the same invariant as run_relations_available_now:
+    a file is the batch unit and one row carries a COMPLETE document's span
+    array, so the per-document alignment windows never need cross-batch
+    state, and replaying any batch rewrites identical rows (MERGE
+    idempotency — the resume story). Output equals the batch alignment
+    byte-for-byte (pinned by tests + the stream_align gate entry).
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        align_media_to_text,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    spans = read_span_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        aligned = align_media_to_text(batch_df).withColumn(
+            "align_id",
+            F.sha2(F.concat_ws(":", F.col("doc_id"), F.col("pos")), 256),
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, aligned, "align_id")
+
+    q = (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_transitions_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+) -> None:
+    """Streaming modality-transition fold: per micro-batch, count the
+    consecutive span-kind bigrams (multimodal.py:modality_transitions —
+    per-document windows, so batch-local counts are exact) and MERGE the
+    batch's partial counts keyed by a content-derived batch key — the same
+    replace-MERGE idempotency scheme as the sketch folds (run_cms): a
+    replayed batch overwrites its own rows instead of double-counting.
+    Read the total with read_transitions (sums partials per kind pair).
+    """
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        modality_transitions,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    spans = read_span_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            # bounded residue before the sum (same overflow guard as
+            # run_cms: raw 60-bit hash sums overflow long under ANSI)
+            F.sum(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000_007))
+                .cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if not agg["n"]:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        part = modality_transitions(batch_df).select(
+            F.sha2(F.lit(bkey), 256).alias("bkey"), "from_kind", "to_kind",
+            "cnt",
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, part.withColumn(
+            "row_id",
+            F.sha2(F.concat_ws("|", "bkey", "from_kind", "to_kind"), 256),
+        ), "row_id")
+
+    q = (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_transitions(spark: SparkSession, table_dir: str) -> "DataFrame":
+    """Fold the per-batch partial transition counts into corpus totals."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("from_kind", "to_kind")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

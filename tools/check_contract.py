@@ -70,6 +70,9 @@ def main():
     ap.add_argument("--window", type=int, default=0,
                     help="check only the FIRST N registry entries in order "
                          "(the driver gate checks the first 50)")
+    ap.add_argument("--json", default=None,
+                    help="also write per-query results (driver-style rows/"
+                         "schema/hash booleans) to this JSON file")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -89,28 +92,39 @@ def main():
         ap.error("--window and explicit query names are mutually exclusive")
     names = list(qs)[: args.window] if args.window else (args.names or list(qs))
     failures = []
+    record = {}
     for name in names:
         t0 = time.time()
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        record[name] = rec
         try:
             sdf = qs[name](spark, args.sf)
             scols, srows = frame_rows(sdf.toPandas())
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"spark error: {str(e)[:300]}"
             print(f"FAIL  {name}: spark error: {e}")
             continue
         if name not in oracles:
+            rec["err"] = "no oracle (rows-only)"
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
             res = con.sql(oracles[name])
             dcols, drows = frame_rows(res.df())
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
             failures.append(name)
+            rec["err"] = f"duckdb error: {str(e)[:300]}"
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             continue
         sc, sr = norm_rows(scols, srows)
         dc, dr = norm_rows(dcols, drows)
         ok = True
+        rec["rows_match"] = len(sr) == len(dr)
+        rec["schema_match"] = sc == dc
         if sc != dc:
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
             ok = False
@@ -122,10 +136,17 @@ def main():
             diff_b = [r for r in dr if r not in set(sr)][:3]
             print(f"FAIL  {name}: values differ; spark-only={diff_a} duck-only={diff_b}")
             ok = False
+        else:
+            rec["hash_match"] = True
         if ok:
             print(f"OK    {name}: {len(sr)} rows [{time.time()-t0:.1f}s]")
         else:
             failures.append(name)
+    if args.json:
+        import json as _json
+
+        with open(args.json, "w") as f:
+            _json.dump(record, f, indent=1)
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
     spark.stop()
     return 1 if failures else 0
