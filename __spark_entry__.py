@@ -3289,6 +3289,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 45: streaming x interleaved — incremental alignment
         "stream_align": q_stream_align,
         "stream_transitions": q_stream_transitions,
+        # tranche 46: CCNet tiers, KG reltype entropy, length survival
+        "ts_ccnet_buckets": q_ts_ccnet_buckets,
+        "kg_reltype_entropy": q_kg_reltype_entropy,
+        "ts_length_survival": q_ts_length_survival,
     }
 
 
@@ -10134,6 +10138,58 @@ def oracle_sql() -> dict[str, str]:
     # tables exactly — same oracles as their batch twins
     o["stream_align"] = o["mm_align"]
     o["stream_transitions"] = o["mm_transitions"]
+    # nested full ts_perplexity replay -> same (ppl, id) ntile cut;
+    # mean over DECIMAL(18,4) perplexities is exact in both engines
+    o["ts_ccnet_buckets"] = f"""
+        WITH pp AS ({o["ts_perplexity"]}),
+        t AS (
+          SELECT n_tokens, ppl,
+                 ntile(3) OVER (ORDER BY ppl, CAST(doc_id AS BIGINT))
+                   AS tier
+          FROM pp
+        )
+        SELECT CAST(tier AS INT) AS tier,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(ppl) AS min_ppl,
+               max(ppl) AS max_ppl,
+               round(CAST(sum(CAST(ppl AS DECIMAL(18,4))) AS DOUBLE)
+                 / count(*), 6) AS mean_ppl
+        FROM t GROUP BY tier
+    """
+    # kg_j2_edges replay -> the ts_entropy formula per head node
+    o["kg_reltype_entropy"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        cc AS (
+          SELECT head_node_id, rel_type, count(*) AS c
+          FROM kge GROUP BY 1, 2
+        ),
+        g AS (
+          SELECT head_node_id AS grp, CAST(sum(c) AS BIGINT) AS n,
+                 CAST(count(*) AS BIGINT) AS n_classes,
+                 sum(c * ln(c)) AS clogc
+          FROM cc GROUP BY 1
+        )
+        SELECT grp, n, n_classes,
+               round(ln(n) - clogc / n, 6) AS entropy,
+               round(CASE WHEN n_classes > 1
+                          THEN (ln(n) - clogc / n) / ln(n_classes)
+                          ELSE 0.0 END, 6) AS norm_entropy
+        FROM g
+    """
+    o["ts_length_survival"] = """
+        WITH d AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents),
+        e AS (
+          SELECT k, CASE WHEN x >= power(2, k) THEN 1 ELSE 0 END AS hit
+          FROM d, generate_series(0, 14) g(k)
+        )
+        SELECT CAST(k AS INT) AS log2_threshold,
+               CAST(power(2, k) AS BIGINT) AS threshold,
+               CAST(sum(hit) AS BIGINT) AS n_surviving,
+               round(CAST(sum(hit) AS DOUBLE)
+                 / (SELECT count(*) FROM documents), 6) AS survival
+        FROM e GROUP BY k
+    """
     return o
 
 
@@ -12563,3 +12619,42 @@ def q_stream_transitions(spark, sf_dir):
         spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2"
     )
     return read_transitions(spark, f"{base}/out")
+
+
+def q_ts_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail quality tiers (textstats.py:ccnet_buckets):
+    the corpus ranked by self-trained bigram perplexity and cut into 3
+    ntile tiers over the total order (ppl, doc_id); per tier doc count,
+    token mass, perplexity range and DECIMAL-exact mean. The oracle nests
+    the full ts_perplexity replay and applies the same ntile."""
+    from knowledgegraphbuilder_spark.operators.textstats import ccnet_buckets
+
+    return ccnet_buckets(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_reltype_entropy(spark, sf_dir):
+    """Per-head-node Shannon entropy of the outgoing relation-type
+    distribution (textstats.py:shannon_entropy applied to the KG edge
+    table) — which canonical entities fan out across many relation types
+    vs hub a single one. Oracle composes the kg_j2_edges replay with the
+    same exact-integer entropy formula."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        shannon_entropy,
+    )
+
+    return shannon_entropy(
+        _kg(spark, sf_dir).edges, group_col="head_node_id",
+        class_col="rel_type",
+    )
+
+
+def q_ts_length_survival(spark, sf_dir):
+    """Doc-length survival curve at power-of-two thresholds
+    (textstats.py:length_survival): n and share of docs with n_chars >=
+    2^k — the curve a seq_len/packing decision reads. Integer counts,
+    one divide."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        length_survival,
+    )
+
+    return length_survival(_t(spark, sf_dir, "documents"))

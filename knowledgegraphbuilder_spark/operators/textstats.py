@@ -719,3 +719,95 @@ def taxonomy_tags(
             f" / {n_docs_total}, 6) as doc_share",
         )
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    n_tiers: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet's head/middle/tail quality tiers (Wenzek et al., LREC 2020):
+    rank every document by its LM perplexity (``bigram_perplexity``) and
+    cut the corpus into ``n_tiers`` equal tiers — tier 1 = head (reads
+    most like the corpus), tier ``n_tiers`` = tail (noise). CCNet keeps
+    head+middle for LM training; this emits the per-tier profile that
+    decision reads: doc count, token mass, and the perplexity range.
+
+    Exactness: the rank orders by (ppl, doc_id) — a TOTAL order, so ntile
+    is deterministic in both engines; per-tier mean ppl sums the 4-dp
+    perplexities as DECIMAL(18,4) (exact, order-independent) and divides
+    once. Scale shape: one global range-sort of (ppl, id) pairs — the
+    intrinsic cost of a corpus-wide ranking, Spark's range-partitioned
+    exchange is the distributed algorithm for it — then tier-cardinality
+    aggregates.
+    """
+    from pyspark.sql import Window as W
+
+    pp = bigram_perplexity(docs, text_col=text_col, id_col=id_col).select(
+        F.col("doc_id").cast("long").alias("id"),
+        "n_tokens",
+        "ppl",
+    )
+    t = pp.select(
+        "n_tokens",
+        "ppl",
+        F.ntile(n_tiers).over(W.orderBy("ppl", "id")).alias("tier"),
+    )
+    return (
+        t.groupBy("tier")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("ppl").alias("min_ppl"),
+            F.max("ppl").alias("max_ppl"),
+            F.sum(F.col("ppl").cast("decimal(18,4)")).alias("sp"),
+        )
+        .selectExpr(
+            "cast(tier as int) as tier",
+            "n_docs",
+            "total_tokens",
+            "min_ppl",
+            "max_ppl",
+            "round(cast(sp as double) / n_docs, 6) as mean_ppl",
+        )
+    )
+
+
+def length_survival(
+    docs: DataFrame,
+    value_expr: str = "cast(n_chars as bigint)",
+    max_pow: int = 14,
+) -> DataFrame:
+    """Doc-length survival curve at power-of-two thresholds: for each
+    t = 2^k (k = 0..max_pow), how many documents have length >= t and
+    what corpus share that is — the curve a packing/truncation design
+    reads before fixing seq_len (what fraction of docs will split? what
+    mass sits past the window?).
+
+    Exactness: integer counts + one final divide. Scale shape: one
+    explode to (doc x max_pow) rows — constant fan-out, map-side
+    combinable count straight after, output is max_pow+1 rows; no doc
+    ever shuffles more than its threshold flags.
+    """
+    n_docs = docs.count() or 1
+    d = docs.selectExpr(f"{value_expr} as x")
+    e = d.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {max_pow}), k -> "
+                f"named_struct('k', k, 'hit', case when x >= power(2, k) "
+                f"then 1 else 0 end))"
+            )
+        ).alias("s")
+    )
+    return (
+        e.groupBy(F.col("s.k").cast("int").alias("log2_threshold"))
+        .agg(F.sum("s.hit").cast("long").alias("n_surviving"))
+        .selectExpr(
+            "log2_threshold",
+            "cast(power(2, log2_threshold) as bigint) as threshold",
+            "n_surviving",
+            f"round(cast(n_surviving as double) / {n_docs}, 6) as survival",
+        )
+    )
