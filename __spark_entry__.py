@@ -3293,6 +3293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ccnet_buckets": q_ts_ccnet_buckets,
         "kg_reltype_entropy": q_kg_reltype_entropy,
         "ts_length_survival": q_ts_length_survival,
+        # tranche 47: agreement + paired-test eval stats, per-source dup
+        "ml_kappa": q_ml_kappa,
+        "ml_mcnemar": q_ml_mcnemar,
+        "dd_dup_by_source": q_dd_dup_by_source,
     }
 
 
@@ -10190,6 +10194,70 @@ def oracle_sql() -> dict[str, str]:
                  / (SELECT count(*) FROM documents), 6) AS survival
         FROM e GROUP BY k
     """
+    # langid replay joined to gold labels -> exact-integer kappa
+    o["ml_kappa"] = f"""
+        WITH pred AS ({o["ts_langid"]}),
+        j AS (
+          SELECT d.lang AS t, pred.pred_lang AS p
+          FROM pred JOIN documents d
+            ON CAST(d.doc_id AS VARCHAR) = pred.doc_id
+        ),
+        ct AS (SELECT t, p, CAST(count(*) AS BIGINT) AS c
+               FROM j GROUP BY 1, 2),
+        rl AS (SELECT t, sum(c) AS rl FROM ct GROUP BY t),
+        cl AS (SELECT p, sum(c) AS cl FROM ct GROUP BY p),
+        s AS (SELECT CAST(sum(rl * cl) AS BIGINT) AS s
+              FROM rl JOIN cl ON rl.t = cl.p),
+        base AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN t = p THEN c ELSE 0 END) AS BIGINT)
+                   AS n_agree
+          FROM ct
+        )
+        SELECT n, n_agree,
+               round(CAST(n_agree AS DOUBLE) / n, 6) AS accuracy,
+               round(CAST(n * n_agree - s AS DOUBLE) / (n * n - s), 6)
+                 AS kappa
+        FROM base, s
+    """
+    o["ml_mcnemar"] = """
+        WITH m AS (
+          SELECT (event_type = 'purchase') AS y,
+                 (value > 0.5) AS a, (value > 0.7) AS b
+          FROM events
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS b_only_a,
+                 CAST(sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+                      AS BIGINT) AS c_only_b
+          FROM m
+        )
+        SELECT n, b_only_a, c_only_b,
+               CASE WHEN b_only_a + c_only_b = 0 THEN 0.0
+                    ELSE round(CAST((b_only_a - c_only_b)
+                               * (b_only_a - c_only_b) AS DOUBLE)
+                           / (b_only_a + c_only_b), 6) END AS mcnemar_chi2
+        FROM agg
+    """
+    o["dd_dup_by_source"] = """
+        WITH d AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, source AS grp,
+                 sha256(coalesce(text, '')) AS h
+          FROM documents
+        ),
+        freq AS (SELECT h, CAST(count(*) AS BIGINT) AS n_h
+                 FROM d GROUP BY h)
+        SELECT grp,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_docs,
+               round(CAST(sum(CASE WHEN n_h > 1 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / count(*), 6) AS dup_share
+        FROM d JOIN freq USING (h)
+        GROUP BY grp
+    """
     return o
 
 
@@ -12658,3 +12726,46 @@ def q_ts_length_survival(spark, sf_dir):
     )
 
     return length_survival(_t(spark, sf_dir, "documents"))
+
+
+def q_ml_kappa(spark, sf_dir):
+    """Cohen's kappa of the stopword-vote langid against the gold lang
+    label (mlstats.py:cohens_kappa over textstats.py:language_id) — the
+    chance-corrected companion to ts_langconfusion's raw matrix. Every
+    term exact-integer until one final divide."""
+    from knowledgegraphbuilder_spark.operators.mlstats import cohens_kappa
+    from knowledgegraphbuilder_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    joined = language_id(docs).join(
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("lang").alias("true_lang"),
+        ),
+        "doc_id",
+    )
+    return cohens_kappa(joined, "true_lang", "pred_lang")
+
+
+def q_ml_mcnemar(spark, sf_dir):
+    """McNemar's paired test comparing two purchase-detector cutoffs
+    (value > 0.5 vs value > 0.7) against event_type = 'purchase' on the
+    same events (mlstats.py:mcnemar): discordant counts are exact
+    integers, the chi-square statistic is one divide."""
+    from knowledgegraphbuilder_spark.operators.mlstats import mcnemar
+
+    return mcnemar(
+        _t(spark, sf_dir, "events"),
+        "event_type = 'purchase'",
+        "value > 0.5",
+        "value > 0.7",
+    )
+
+
+def q_dd_dup_by_source(spark, sf_dir):
+    """Per-source exact-duplicate exposure (dedup.py:dup_rate_by_group):
+    share of each source's docs whose sha256(text) repeats corpus-wide —
+    the which-source-needs-dedup dashboard."""
+    from knowledgegraphbuilder_spark.operators.dedup import dup_rate_by_group
+
+    return dup_rate_by_group(_t(spark, sf_dir, "documents"))

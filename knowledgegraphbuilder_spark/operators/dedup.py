@@ -1079,3 +1079,41 @@ def cross_dedup(
             " when is_near is not null then 'near' end as reason",
         )
     )
+
+
+def dup_rate_by_group(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group exact-duplicate exposure: for each group (source, crawl,
+    domain...), how many of its documents have a text whose sha256 appears
+    MORE THAN ONCE corpus-wide — the per-source contamination dashboard a
+    curation run reads to decide which sources need aggressive dedup
+    (a source can be 2% of the corpus and 80% of the duplicates).
+
+    Scale shape: one groupBy(content hash) count (map-side combinable) is
+    the corpus-wide dup table; docs re-join it ON THE HASH (equi-join,
+    dup-table side is distinct-hash-sized) and one grouped count per
+    source follows. Exact integers + one divide.
+    """
+    d = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(group_col).alias("grp"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+    )
+    freq = d.groupBy("h").agg(F.count("*").cast("long").alias("n_h"))
+    return (
+        d.join(freq, "h")
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_h") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_docs"),
+        )
+        .selectExpr(
+            "grp", "n_docs", "n_dup_docs",
+            "round(cast(n_dup_docs as double) / n_docs, 6) as dup_share",
+        )
+    )

@@ -1253,3 +1253,80 @@ def calibration_bins(
             f" / ({scale}.0d * {scale} * n), 6) as brier",
         )
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    truth_expr: str,
+    pred_expr: str,
+) -> DataFrame:
+    """Cohen's kappa — chance-corrected agreement between two categorical
+    labelers (the standard inter-annotator / model-vs-gold agreement
+    statistic an eval pipeline reports next to raw accuracy).
+
+    Exactness: kappa = (N*sum_diag - S) / (N^2 - S) with
+    S = sum_l row_l * col_l — EVERY term is an exact integer (one
+    map-side-combinable count per (truth, pred) cell, then marginals),
+    so both engines perform one identical final divide. Output one row:
+    (n, n_agree, accuracy, kappa). Scale shape: two tiny grouped counts
+    over the cell table; nothing larger than the label-cardinality
+    square ever shuffles.
+    """
+    ct = (
+        df.selectExpr(f"{truth_expr} as t", f"{pred_expr} as p")
+        .groupBy("t", "p")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    rows = ct.groupBy("t").agg(F.sum("c").alias("rl"))
+    cols = ct.groupBy("p").agg(F.sum("c").alias("cl"))
+    s = (
+        rows.join(cols, rows["t"] == cols["p"])
+        .agg(F.sum(F.expr("rl * cl")).cast("long").alias("s"))
+    )
+    base = ct.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("t") == F.col("p"), F.col("c")).otherwise(0))
+        .cast("long").alias("n_agree"),
+    )
+    return base.crossJoin(F.broadcast(s)).selectExpr(
+        "n",
+        "n_agree",
+        "round(cast(n_agree as double) / n, 6) as accuracy",
+        "round(cast(n * n_agree - s as double) / (n * n - s), 6) as kappa",
+    )
+
+
+def mcnemar(
+    df: DataFrame,
+    truth_expr: str,
+    pred_a_expr: str,
+    pred_b_expr: str,
+) -> DataFrame:
+    """McNemar's paired test — do two classifiers (or two cutoffs of one
+    score) disagree more than chance on the SAME examples? The test an
+    eval pipeline runs before declaring model B better than model A on a
+    shared eval set. Only the discordant pairs matter: b = A right & B
+    wrong, c = A wrong & B right, statistic (b - c)^2 / (b + c)
+    (chi-square, 1 df; null -> b ~ c).
+
+    Exactness: b and c are exact integer counts from one
+    map-side-combinable aggregate; the statistic is one divide. Output
+    one row: (n, b_only_a, c_only_b, mcnemar_chi2).
+    """
+    m = df.selectExpr(
+        f"cast({truth_expr} as boolean) as y",
+        f"cast({pred_a_expr} as boolean) as a",
+        f"cast({pred_b_expr} as boolean) as b",
+    )
+    return m.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.expr("case when a = y and b <> y then 1 else 0 end"))
+        .cast("long").alias("b_only_a"),
+        F.sum(F.expr("case when a <> y and b = y then 1 else 0 end"))
+        .cast("long").alias("c_only_b"),
+    ).selectExpr(
+        "n", "b_only_a", "c_only_b",
+        "case when b_only_a + c_only_b = 0 then 0.0d else "
+        "round(cast((b_only_a - c_only_b) * (b_only_a - c_only_b) as double)"
+        " / (b_only_a + c_only_b), 6) end as mcnemar_chi2",
+    )
