@@ -3297,6 +3297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_kappa": q_ml_kappa,
         "ml_mcnemar": q_ml_mcnemar,
         "dd_dup_by_source": q_dd_dup_by_source,
+        # tranche 48: interleave granularity, packing waste, power law
+        "mm_context_profile": q_mm_context_profile,
+        "ts_pack_efficiency": q_ts_pack_efficiency,
+        "ml_powerlaw": q_ml_powerlaw,
     }
 
 
@@ -10258,6 +10262,72 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN freq USING (h)
         GROUP BY grp
     """
+    # span synthesis replay + the same running-sum / lag windows
+    o["mm_context_profile"] = f"""
+        WITH {_SPANS_SQL},
+        cum AS (
+          SELECT doc_id, p, s.kind AS kind,
+                 coalesce(sum(CASE WHEN s.kind = 'text'
+                                   THEN length(s.txt) ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING), 0) AS chars_before
+          FROM ex
+        ),
+        m AS (
+          SELECT kind,
+                 chars_before
+                 - coalesce(lag(chars_before)
+                     OVER (PARTITION BY doc_id ORDER BY p), 0)
+                   AS context_chars
+          FROM cum WHERE kind <> 'text'
+        )
+        SELECT kind AS media_type,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(min(context_chars) AS BIGINT) AS min_context,
+               CAST(max(context_chars) AS BIGINT) AS max_context,
+               round(CAST(sum(context_chars) AS DOUBLE) / count(*), 6)
+                 AS mean_context
+        FROM m GROUP BY 1
+    """
+    # ts_packing replay -> per-shard ceil-divide fill accounting
+    o["ts_pack_efficiency"] = f"""
+        WITH packed AS ({o["ts_packing"]}),
+        agg AS (
+          SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+          FROM packed GROUP BY shard
+        )
+        SELECT shard, n_docs, total_tokens,
+               CAST((total_tokens + 255) // 256 AS BIGINT) AS n_seqs,
+               CAST((total_tokens + 255) // 256 * 256 - total_tokens
+                    AS BIGINT) AS pad_tokens,
+               round(CAST(total_tokens AS DOUBLE)
+                 / ((total_tokens + 255) // 256 * 256), 6) AS fill_ratio
+        FROM agg
+    """
+    # per-user counts -> (value, multiplicity) -> sorted log fold
+    o["ml_powerlaw"] = """
+        WITH cnts AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS x
+          FROM events GROUP BY user_id
+        ),
+        per AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS m
+          FROM cnts WHERE x >= 1 GROUP BY x
+        ),
+        folded AS (
+          SELECT CAST(sum(m) AS BIGINT) AS n,
+                 list({'x': x, 'm': m} ORDER BY x, m) AS arr
+          FROM per
+        )
+        SELECT n, CAST(1 AS BIGINT) AS x_min,
+               round(1.0 + n / list_reduce(
+                   list_prepend(0.0, list_transform(
+                       arr, t -> t.m * ln(t.x / 0.5))),
+                   (a, v) -> a + v), 6) AS alpha
+        FROM folded
+    """
     return o
 
 
@@ -12769,3 +12839,47 @@ def q_dd_dup_by_source(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.dedup import dup_rate_by_group
 
     return dup_rate_by_group(_t(spark, sf_dir, "documents"))
+
+
+def q_mm_context_profile(spark, sf_dir):
+    """Interleaving-granularity profile of the spans table
+    (multimodal.py:context_profile): per media kind, the distribution of
+    text chars accumulated since the previous media span (or doc start)
+    — exact integer context sizes from one running window + one lag.
+    Oracle replays the span synthesis and both windows."""
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        context_profile,
+    )
+
+    return context_profile(read_documents_parquet(spark, sf_dir))
+
+
+def q_ts_pack_efficiency(spark, sf_dir):
+    """Packing-efficiency report (curation.py:pack_efficiency) over the
+    ts_packing stream (seq_len=256, 8 shards): per shard the sequence
+    count, pad-token waste and fill ratio — exact integers + one
+    divide."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        pack_efficiency,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=256, n_shards=8
+    )
+    return pack_efficiency(packed, seq_len=256)
+
+
+def q_ml_powerlaw(spark, sf_dir):
+    """Discrete power-law MLE exponent (mlstats.py:powerlaw_alpha,
+    Clauset-Shalizi-Newman) of the per-user event-count distribution —
+    the heavy-tail summary behind skew planning. Sorted-array log fold
+    pins the float association order in both engines."""
+    from knowledgegraphbuilder_spark.operators.mlstats import powerlaw_alpha
+
+    per_user = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return powerlaw_alpha(per_user, "cnt", x_min=1)

@@ -859,3 +859,36 @@ def inference_batches(
         )
         .orderBy("bucket", "batch")
     )
+
+
+def pack_efficiency(packed: DataFrame, seq_len: int) -> DataFrame:
+    """Packing-efficiency report over a ``pack_sequences`` output: per
+    shard, how many fixed-length training sequences the token stream
+    fills, how many pad tokens the final partial sequence wastes, and the
+    fill ratio — the number a data-loader design reads before choosing
+    seq_len and shard count (a shard whose fill ratio sags is wasting
+    accelerator steps on padding).
+
+    Exactness: total tokens and the ceil-divide sequence count are exact
+    integers; fill ratio is one divide. Scale shape: one
+    map-side-combinable aggregate over the packed table, output is
+    shard-cardinality-sized.
+    """
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            f"cast((total_tokens + {seq_len} - 1) div {seq_len} as bigint)"
+            " as n_seqs",
+            f"cast((total_tokens + {seq_len} - 1) div {seq_len}"
+            f" * {seq_len} - total_tokens as bigint) as pad_tokens",
+            f"round(cast(total_tokens as double) / ((total_tokens"
+            f" + {seq_len} - 1) div {seq_len} * {seq_len}), 6) as fill_ratio",
+        )
+    )

@@ -1330,3 +1330,45 @@ def mcnemar(
         "round(cast((b_only_a - c_only_b) * (b_only_a - c_only_b) as double)"
         " / (b_only_a + c_only_b), 6) end as mcnemar_chi2",
     )
+
+
+def powerlaw_alpha(
+    df: DataFrame,
+    value_expr: str,
+    x_min: int = 1,
+) -> DataFrame:
+    """Discrete power-law exponent by the Clauset-Shalizi-Newman MLE
+    approximation: alpha = 1 + n / sum(ln(x_i / (x_min - 1/2))) over all
+    x_i >= x_min — the one-number summary of a heavy-tailed distribution
+    (user activity, node degree, doc length) that decides whether skew
+    mitigation is worth building. alpha <= 2 means the mean itself is
+    tail-dominated.
+
+    Determinism: the log-sum folds the (value, multiplicity) pairs in
+    sorted value order — multiplicities are exact integers, each distinct
+    value contributes one m*ln(x/(x_min-0.5)) term, and the fold order is
+    pinned by array_sort, so both engines add the same doubles in the
+    same order. Scale shape: one grouped count (distinct-value-sized),
+    one sorted-array fold on a single row.
+    """
+    per = (
+        df.selectExpr(f"cast({value_expr} as bigint) as x")
+        .filter(F.col("x") >= x_min)
+        .groupBy("x")
+        .agg(F.count("*").cast("long").alias("m"))
+    )
+    fold = (
+        f"aggregate(arr, 0.0d, (a, t) -> "
+        f"a + t.m * ln(t.x / ({x_min} - 0.5d)))"
+    )
+    return (
+        per.agg(
+            F.sum("m").cast("long").alias("n"),
+            F.array_sort(F.collect_list(F.struct("x", "m"))).alias("arr"),
+        )
+        .selectExpr(
+            "n",
+            f"cast({x_min} as bigint) as x_min",
+            f"round(1.0d + n / ({fold}), 6) as alpha",
+        )
+    )

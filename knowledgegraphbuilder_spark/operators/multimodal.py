@@ -333,3 +333,49 @@ def phash_buckets(spans_df: DataFrame, bits: int = 8) -> DataFrame:
             "cast(n_buckets * (sz * (sz - 1) div 2) as bigint) as n_candidate_pairs",
         )
     )
+
+
+def context_profile(spans_df: DataFrame) -> DataFrame:
+    """Interleaving-granularity profile: for every media span, how many
+    TEXT characters accumulated since the previous media span (or the
+    document start) — the context-window-before-each-image distribution
+    that decides whether an interleaved corpus supports long-context
+    image-text training or degenerates into caption pairs. Output per
+    media kind: span count and the min/mean/max context size.
+
+    Exactness: context sizes are exact integer char sums (one running
+    window over the span sequence, one lag over the media subsequence);
+    the mean divides two exact integers. Scale shape: posexplode + two
+    per-doc windows (single shuffle on doc_id) + a kind-sized aggregate.
+    """
+    from pyspark.sql import Window
+
+    s = spans_df.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = s.withColumn(
+        "chars_before",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("s.kind") == "text", F.length("s.text"))
+                .otherwise(F.lit(0))
+            ).over(w_run),
+            F.lit(0),
+        ),
+    ).filter(F.col("s.kind") != "text")
+    w_media = Window.partitionBy("doc_id").orderBy("pos")
+    ctx = cum.withColumn(
+        "context_chars",
+        F.col("chars_before")
+        - F.coalesce(F.lag("chars_before").over(w_media), F.lit(0)),
+    )
+    return ctx.groupBy(F.col("s.kind").alias("media_type")).agg(
+        F.count("*").cast("long").alias("n_media"),
+        F.min("context_chars").cast("long").alias("min_context"),
+        F.max("context_chars").cast("long").alias("max_context"),
+        F.round(
+            F.sum("context_chars") / F.count("*").cast("double"), 6
+        ).alias("mean_context"),
+    )
