@@ -3301,6 +3301,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_context_profile": q_mm_context_profile,
         "ts_pack_efficiency": q_ts_pack_efficiency,
         "ml_powerlaw": q_ml_powerlaw,
+        # tranche 49: degree Gini, Good-Turing coverage, dup savings
+        "kg_degree_gini": q_kg_degree_gini,
+        "ts_goodturing": q_ts_goodturing,
+        "dd_cluster_hist": q_dd_cluster_hist,
     }
 
 
@@ -10328,6 +10332,60 @@ def oracle_sql() -> dict[str, str]:
                    (a, v) -> a + v), 6) AS alpha
         FROM folded
     """
+    # kg_j2_edges replay -> head out-degrees -> (value, id)-ranked Gini
+    o["kg_degree_gini"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        deg AS (
+          SELECT head_node_id AS id, CAST(count(*) AS BIGINT) AS x
+          FROM kge GROUP BY 1
+        ),
+        r AS (
+          SELECT x, row_number() OVER (ORDER BY x, id) AS i FROM deg
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS total,
+               round(2.0 * sum(CAST(i AS HUGEINT) * x)
+                       / (count(*) * CAST(sum(x) AS DOUBLE))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM r
+    """
+    o["ts_goodturing"] = """
+        WITH w AS (
+          SELECT unnest(string_split(lower(text), ' ')) AS w
+          FROM documents
+        ),
+        per AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS c
+          FROM w WHERE w <> '' GROUP BY w
+        ),
+        agg AS (
+          SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS vocab,
+                 CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+                 CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dis
+          FROM per
+        )
+        SELECT n_tokens, vocab, n_hapax, n_dis,
+               round(CAST(n_hapax AS DOUBLE) / n_tokens, 6) AS p_unseen,
+               round(1.0 - CAST(n_hapax AS DOUBLE) / n_tokens, 6)
+                 AS coverage
+        FROM agg
+    """
+    o["dd_cluster_hist"] = """
+        WITH per AS (
+          SELECT sha256(coalesce(text, '')) AS h,
+                 CAST(count(*) AS BIGINT) AS sz,
+                 CAST(min(length(coalesce(text, ''))) AS BIGINT) AS len
+          FROM documents GROUP BY h
+        )
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sz * count(*) AS BIGINT) AS n_docs,
+               CAST(sum((sz - 1) * len) AS BIGINT) AS saved_bytes
+        FROM per GROUP BY sz
+    """
     return o
 
 
@@ -12883,3 +12941,43 @@ def q_ml_powerlaw(spark, sf_dir):
         .agg(F.count("*").alias("cnt"))
     )
     return powerlaw_alpha(per_user, "cnt", x_min=1)
+
+
+def q_kg_degree_gini(spark, sf_dir):
+    """Gini coefficient of the KG out-degree distribution
+    (mlstats.py:gini_coefficient over the kg_j2_edges head counts) —
+    the skew scalar behind the salting decision in canonicalization.
+    Ranked by (degree, node) total order; exact decimal sums."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        gini_coefficient,
+    )
+
+    deg = (
+        _kg(spark, sf_dir).edges
+        .groupBy("head_node_id")
+        .agg(F.count("*").alias("deg"))
+    )
+    return gini_coefficient(deg, "deg", "head_node_id")
+
+
+def q_ts_goodturing(spark, sf_dir):
+    """Good-Turing vocabulary coverage (textstats.py:good_turing_coverage):
+    hapax share estimates the unseen-word mass — the saturation check
+    behind 'do we need more data or more epochs'. Exact integer counts,
+    two final divides."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        good_turing_coverage,
+    )
+
+    return good_turing_coverage(_t(spark, sf_dir, "documents"))
+
+
+def q_dd_cluster_hist(spark, sf_dir):
+    """Exact-dup cluster-size histogram + realized byte savings
+    (dedup.py:dup_cluster_histogram): the before/after storage summary of
+    an exact dedup pass, all integers."""
+    from knowledgegraphbuilder_spark.operators.dedup import (
+        dup_cluster_histogram,
+    )
+
+    return dup_cluster_histogram(_t(spark, sf_dir, "documents"))

@@ -1117,3 +1117,46 @@ def dup_rate_by_group(
             "round(cast(n_dup_docs as double) / n_docs, 6) as dup_share",
         )
     )
+
+
+def dup_cluster_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-duplicate cluster-size histogram with the byte savings a
+    dedup pass would realize: group docs by sha256(text), then group the
+    clusters by size — (cluster_size, n_clusters, n_docs, saved_bytes)
+    where saved_bytes keeps ONE copy per cluster. The before/after
+    storage story a curation report leads with, and the shape check that
+    catches a pathological mega-cluster before resolution runs.
+
+    Exactness: all integers (identical texts share one length) + zero
+    divides. Scale shape: two map-side-combinable grouped counts; the
+    histogram is O(distinct cluster sizes).
+    """
+    per = (
+        docs.select(
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
+            F.length(F.coalesce(F.col(text_col), F.lit("")))
+            .cast("long").alias("len"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").cast("long").alias("sz"),
+            F.first("len").alias("len"),
+        )
+    )
+    return (
+        per.groupBy("sz")
+        .agg(
+            F.count("*").cast("long").alias("n_clusters"),
+            F.sum(F.expr("(sz - 1) * len")).cast("long")
+            .alias("saved_bytes"),
+        )
+        .selectExpr(
+            "cast(sz as bigint) as cluster_size",
+            "n_clusters",
+            "cast(sz * n_clusters as bigint) as n_docs",
+            "saved_bytes",
+        )
+    )

@@ -1372,3 +1372,38 @@ def powerlaw_alpha(
             f"round(1.0d + n / ({fold}), 6) as alpha",
         )
     )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_expr: str,
+    id_expr: str,
+) -> DataFrame:
+    """Gini coefficient of a non-negative integer quantity — THE scalar
+    skew summary (0 = uniform, ->1 = one key carries everything) read
+    before choosing a partitioning / salting strategy. G =
+    (2 * sum(i * x_(i)) / (n * sum(x))) - (n + 1) / n over values ranked
+    ascending by (value, id) — a TOTAL order, so ranks are deterministic
+    in both engines.
+
+    Exactness: sum(i * x_i) and sum(x) are exact integers (decimal(38)
+    against overflow); the formula is two final divides. Scale shape: one
+    global range-sort (the intrinsic cost of ranking) + one aggregate.
+    """
+    from pyspark.sql import Window as W
+
+    d = df.selectExpr(f"cast({value_expr} as bigint) as x",
+                      f"{id_expr} as id")
+    r = d.select(
+        "x", F.row_number().over(W.orderBy("x", "id")).alias("i")
+    )
+    return r.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum(F.expr("cast(i as decimal(38,0)) * x")).alias("six"),
+    ).selectExpr(
+        "n",
+        "cast(sx as bigint) as total",
+        "round(2.0d * cast(six as double) / (n * cast(sx as double))"
+        " - (n + 1.0d) / n, 6) as gini",
+    )

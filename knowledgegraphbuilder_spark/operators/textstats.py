@@ -811,3 +811,38 @@ def length_survival(
             f"round(cast(n_surviving as double) / {n_docs}, 6) as survival",
         )
     )
+
+
+def good_turing_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Good-Turing vocabulary-coverage estimate: the probability mass of
+    UNSEEN words is estimated by the hapax share p_unseen = n1 / N
+    (Good 1953) — the one-number answer to "has this corpus saturated its
+    vocabulary, or does every new shard still bring new words?" that
+    complements the Heaps-law curve (ts_heaps). Also reports the
+    dis-legomena count n2 and the Good-Turing adjusted hapax mass
+    n1* = 2 * n2 / n1 per occurrence.
+
+    Exactness: N, V, n1, n2 are exact integer counts from two grouped
+    aggregates; the two probabilities are final divides. Scale shape:
+    token explode -> count per word (map-side combinable) -> one scalar
+    aggregate over the frequency-of-frequencies table.
+    """
+    w = docs.select(
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per = w.groupBy("w").agg(F.count("*").cast("long").alias("c"))
+    return per.agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long").alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("long").alias("n_dis"),
+    ).selectExpr(
+        "n_tokens", "vocab", "n_hapax", "n_dis",
+        "round(cast(n_hapax as double) / n_tokens, 6) as p_unseen",
+        "round(1.0d - cast(n_hapax as double) / n_tokens, 6) as coverage",
+    )
