@@ -3305,6 +3305,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degree_gini": q_kg_degree_gini,
         "ts_goodturing": q_ts_goodturing,
         "dd_cluster_hist": q_dd_cluster_hist,
+        # tranche 50: KG integrity gate + 2-hop reachability
+        "kg_integrity_audit": q_kg_integrity_audit,
+        "kg_two_hop": q_kg_two_hop,
     }
 
 
@@ -10386,6 +10389,72 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum((sz - 1) * len) AS BIGINT) AS saved_bytes
         FROM per GROUP BY sz
     """
+    # every FK check recomputed over the replayed mention/relation/edge
+    # CTEs; membership node ids use the same sha derivation as kg_j2_edges
+    o["kg_integrity_audit"] = f"""
+        WITH {_REL_CTE},
+        kge AS (
+          SELECT r.relation_id,
+                 sha256(concat_ws(chr(31), 'node', r.head_text))
+                   AS head_node_id,
+                 sha256(concat_ws(chr(31), 'node', r.tail_text))
+                   AS tail_node_id
+          FROM rels_id r
+        ),
+        memb AS (
+          SELECT sha256(concat_ws(chr(31), 'node', text)) AS node_id,
+                 mention_id
+          FROM mentions_id
+        ),
+        mkeys AS (SELECT DISTINCT mention_id AS k FROM mentions_id),
+        rkeys AS (SELECT DISTINCT relation_id AS k FROM rels_id),
+        nkeys AS (SELECT DISTINCT node_id AS k FROM memb)
+        SELECT 'rel_head_mention' AS "check",
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans
+        FROM rels_id LEFT JOIN mkeys ON head_mention_id = k
+        UNION ALL
+        SELECT 'rel_tail_mention', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM rels_id LEFT JOIN mkeys ON tail_mention_id = k
+        UNION ALL
+        SELECT 'edge_relation', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM kge LEFT JOIN rkeys ON relation_id = k
+        UNION ALL
+        SELECT 'edge_head_node', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM kge LEFT JOIN nkeys ON head_node_id = k
+        UNION ALL
+        SELECT 'edge_tail_node', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM kge LEFT JOIN nkeys ON tail_node_id = k
+        UNION ALL
+        SELECT 'prov_relation', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM rels_id LEFT JOIN rkeys ON relation_id = k
+        UNION ALL
+        SELECT 'membership_mention', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        FROM memb LEFT JOIN mkeys ON mention_id = k
+    """
+    # kg_j2_edges replay -> distinct digraph -> union of 1- and 2-paths
+    o["kg_two_hop"] = f"""
+        WITH kge AS ({o["kg_j2_edges"]}),
+        e AS (
+          SELECT DISTINCT head_node_id AS s, tail_node_id AS d
+          FROM kge WHERE head_node_id <> tail_node_id
+        ),
+        reach AS (
+          SELECT s, d FROM e
+          UNION
+          SELECT a.s, b.d FROM e a JOIN e b ON a.d = b.s
+          WHERE a.s <> b.d
+        )
+        SELECT s AS node_id, CAST(count(*) AS BIGINT) AS n_reach_2hop
+        FROM reach GROUP BY s
+    """
     return o
 
 
@@ -12981,3 +13050,31 @@ def q_dd_cluster_hist(spark, sf_dir):
     )
 
     return dup_cluster_histogram(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit of the materialized graph tables
+    (graph_build.py:integrity_audit): 7 FK checks (relation->mention,
+    edge->relation/node, provenance->relation, membership->mention), one
+    (check, n_rows, n_orphans) row each — the post-MERGE data-quality
+    gate. Oracle recomputes every check over the replayed CTEs."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        integrity_audit,
+    )
+
+    kg = _kg(spark, sf_dir)
+    return integrity_audit(
+        kg.mentions, kg.relations, kg.edges, kg.membership, kg.provenance
+    )
+
+
+def q_kg_two_hop(spark, sf_dir):
+    """Exact directed <=2-hop reachability count per KG node
+    (graphstats.py:two_hop_reach) — the neighborhood-size profile behind
+    multi-hop retrieval fan-out planning. One self-join on the middle
+    node; oracle replays with the same union-distinct."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        two_hop_reach,
+    )
+
+    return two_hop_reach(_kg(spark, sf_dir).edges)

@@ -76,3 +76,60 @@ def build_provenance(relations: DataFrame, stage: str = "s5_relations") -> DataF
         F.lit(stage).alias("stage"),
         F.spark_partition_id().alias("partition_id"),
     )
+
+
+def integrity_audit(
+    mentions: DataFrame,
+    relations: DataFrame,
+    edges: DataFrame,
+    membership: DataFrame,
+    provenance: DataFrame,
+) -> DataFrame:
+    """Referential-integrity audit across the materialized graph tables —
+    the data-quality gate a KG sink runs after every incremental MERGE:
+    every relation's mention FKs resolve, every edge's relation and node
+    FKs resolve, every provenance row points at a live relation, every
+    membership row at a live mention. One row per check:
+    (check, n_rows, n_orphans) — a non-zero orphan count means a partial
+    write or a resolution regression escaped the pipeline.
+
+    Scale shape: each check is one equi-join of the child FK column
+    against the parent's DISTINCT key projection (broadcastable — key
+    sets are node/mention-sized, far below the fact tables) + a
+    map-side-combinable count; checks are independent and union lazily
+    into one plan.
+    """
+    checks = [
+        ("rel_head_mention", relations, "head_mention_id",
+         mentions, "mention_id"),
+        ("rel_tail_mention", relations, "tail_mention_id",
+         mentions, "mention_id"),
+        ("edge_relation", edges, "relation_id", relations, "relation_id"),
+        ("edge_head_node", edges, "head_node_id", membership, "node_id"),
+        ("edge_tail_node", edges, "tail_node_id", membership, "node_id"),
+        ("prov_relation", provenance, "triple_id",
+         relations, "relation_id"),
+        ("membership_mention", membership, "mention_id",
+         mentions, "mention_id"),
+    ]
+    parts = []
+    for name, child, fk, parent, pk in checks:
+        keys = (
+            parent.select(F.col(pk).alias("k"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        parts.append(
+            child.select(F.col(fk).alias("k"))
+            .join(F.broadcast(keys), "k", "left")
+            .agg(
+                F.count("*").cast("long").alias("n_rows"),
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("check"), "n_rows", "n_orphans")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

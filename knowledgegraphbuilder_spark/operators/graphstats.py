@@ -1674,3 +1674,42 @@ def coreness(
     for s in shells[1:]:
         out = out.unionByName(s)
     return out
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    src_col: str = "head_node_id",
+    dst_col: str = "tail_node_id",
+) -> DataFrame:
+    """Exact directed <=2-hop reachability count per node: how many
+    DISTINCT nodes each node reaches in one or two hops (self excluded) —
+    the neighborhood-size profile behind fan-out planning for multi-hop
+    KG retrieval (a node whose 2-hop ball is the whole graph makes PPR
+    truncation pointless).
+
+    Scale shape: one distinct edge projection feeds both sides of ONE
+    self-equi-join on the middle node; union 1-hop and 2-hop ends,
+    distinct, count per source — cost tracks the 2-path count (capped by
+    the same degree logic the wedge queries use), never nodes^2.
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s"),
+            F.col(dst_col).cast("string").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    one = e
+    two = (
+        e.alias("a")
+        .join(e.alias("b"), F.col("a.d") == F.col("b.s"))
+        .select(F.col("a.s").alias("s"), F.col("b.d").alias("d"))
+        .filter(F.col("s") != F.col("d"))
+    )
+    return (
+        one.unionByName(two)
+        .distinct()
+        .groupBy(F.col("s").alias("node_id"))
+        .agg(F.count("*").cast("long").alias("n_reach_2hop"))
+    )
