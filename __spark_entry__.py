@@ -3308,6 +3308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 50: KG integrity gate + 2-hop reachability
         "kg_integrity_audit": q_kg_integrity_audit,
         "kg_two_hop": q_kg_two_hop,
+        # tranche 51: snapshot growth CDC + streaming media budget
+        "kg_snapshot_growth": q_kg_snapshot_growth,
+        "mm_stream_budget": q_mm_stream_budget,
     }
 
 
@@ -10455,6 +10458,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT s AS node_id, CAST(count(*) AS BIGINT) AS n_reach_2hop
         FROM reach GROUP BY s
     """
+    # v1 = sha-even multiset, v2 = full: added_2 = n_full - n_even exactly
+    o["kg_snapshot_growth"] = f"""
+        WITH {_REL_CTE},
+        t AS (
+          SELECT head_text AS subj,
+                 CASE WHEN ('0x' || substr(sha256(head_text), 1, 15))
+                      ::BIGINT % 2 = 0 THEN 1 ELSE 0 END AS even
+          FROM rels_id
+        ),
+        c AS (
+          SELECT CAST(count(*) AS BIGINT) AS nf,
+                 CAST(sum(even) AS BIGINT) AS ne
+          FROM t
+        )
+        SELECT CAST(1 AS BIGINT) AS version, ne AS n_rows, ne AS n_added,
+               CAST(0 AS BIGINT) AS n_removed FROM c
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), nf, nf - ne, CAST(0 AS BIGINT) FROM c
+    """
+    # streaming fold must equal the batch byte accounting (sums only)
+    o["mm_stream_budget"] = """
+        WITH refs AS (
+          SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+                   AS ref, 'image' AS mt
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0',
+                 'audio'
+          FROM documents WHERE doc_id % 10 = 0
+        )
+        SELECT mt AS media_type,
+               CAST(count(*) AS BIGINT) AS n_refs,
+               CAST(sum(256 + ('0x' || substr(sha256(ref), 1, 2))::INT)
+                    AS BIGINT) AS total_bytes
+        FROM refs GROUP BY 1
+    """
     return o
 
 
@@ -13078,3 +13117,50 @@ def q_kg_two_hop(spark, sf_dir):
     )
 
     return two_hop_reach(_kg(spark, sf_dir).edges)
+
+
+def q_kg_snapshot_growth(spark, sf_dir):
+    """Per-version growth report over the snapshot log
+    (sinks.py:snapshot_growth): v1 = the sha-even triple subset, v2 = the
+    full table; each version reports its row count and the MULTISET rows
+    added/removed vs the previous version. The oracle computes both
+    versions' multiset cardinalities directly from the relation replay."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        snapshot_growth, write_graph_snapshot,
+    )
+
+    kg = _kg(spark, sf_dir)
+    t = kg.triples.select("subj", "pred", "obj", "doc_id")
+    keep = F.expr(
+        "cast(conv(substring(sha2(subj, 256), 1, 15), 16, 10) as bigint) % 2"
+    ) == 0
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_snap_growth_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    write_graph_snapshot(base, {"triples": t.filter(keep)})
+    write_graph_snapshot(base, {"triples": t})
+    return snapshot_growth(spark, base, "triples")
+
+
+def q_mm_stream_budget(spark, sf_dir):
+    """STREAMING media-byte accounting
+    (streaming/ingest.py:run_media_budget_available_now): per-batch
+    fetch-path partials MERGEd by content-derived batch key, replayed
+    end-to-end against a fresh checkpoint (no double count), folded to
+    per-kind totals — must equal the batch mm_media_budget sums."""
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_media_budget,
+        run_media_budget_available_now,
+    )
+
+    base = _stream_span_files(spark, sf_dir, "kg_stream_budget")
+    run_media_budget_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck"
+    )
+    run_media_budget_available_now(
+        spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2"
+    )
+    return read_media_budget(spark, f"{base}/out")

@@ -290,3 +290,37 @@ def merge_bitor(spark: SparkSession, table_dir: str, updates: DataFrame,
     else:
         merged = updates
     _commit_table(merged, table_dir)
+
+
+def snapshot_growth(spark: SparkSession, base_dir: str,
+                    table: str) -> DataFrame:
+    """Per-version growth report over the snapshot log — the table a KG
+    operations dashboard plots after every incremental run: for each
+    committed version of ``table``, the row count plus the MULTISET rows
+    added and removed vs the previous version (exceptAll both ways, so a
+    duplicated row counts as many times as it appears — the same
+    semantics as ``snapshot_diff``).
+
+    Scale shape: consecutive snapshots diff pairwise (each diff is one
+    hash-aggregate exceptAll over the two versions); the report is
+    version-count-sized. With Iceberg this reads the manifest-level
+    added/deleted counts instead of diffing data — the parquet sink pays
+    one scan per version pair.
+    """
+    log = read_snapshot_log(base_dir)
+    versions = [e["snapshot_id"] for e in log]
+    rows = []
+    prev = None
+    for v in versions:
+        cur = read_graph_snapshot(spark, base_dir, snapshot_id=v)[table]
+        n = cur.count()
+        if prev is None:
+            added, removed = n, 0
+        else:
+            added = cur.exceptAll(prev).count()
+            removed = prev.exceptAll(cur).count()
+        rows.append((int(v), int(n), int(added), int(removed)))
+        prev = cur
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, n_added long, n_removed long"
+    )

@@ -1265,3 +1265,75 @@ def read_transitions(spark: SparkSession, table_dir: str) -> "DataFrame":
         .groupBy("from_kind", "to_kind")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+def run_media_budget_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+) -> None:
+    """Streaming media-byte accounting: per micro-batch, explode the
+    batch's spans to distinct media refs, run the real fetch path
+    (multimodal.py:fetch_media) and MERGE the batch's per-kind partial
+    (n_refs, total_bytes) keyed by a content-derived batch key — the same
+    replace-MERGE idempotency scheme as the transition fold. Read totals
+    with read_media_budget. Refs are per-document in this corpus, so
+    batch partials sum exactly (the batch unit carries whole docs)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        fetch_media,
+        media_refs,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    spans = read_span_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.sum(
+                F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1_000_000_007))
+                .cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if not agg["n"]:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        part = (
+            fetch_media(media_refs(batch_df))
+            .groupBy("media_type")
+            .agg(
+                F.count("*").cast("long").alias("n_refs"),
+                F.sum("n_bytes").cast("long").alias("total_bytes"),
+            )
+            .select(
+                F.sha2(F.lit(bkey), 256).alias("bkey"), "media_type",
+                "n_refs", "total_bytes",
+            )
+        )
+        merge_upsert(batch_df.sparkSession, table_dir, part.withColumn(
+            "row_id", F.sha2(F.concat_ws("|", "bkey", "media_type"), 256)
+        ), "row_id")
+
+    q = (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_media_budget(spark: SparkSession, table_dir: str) -> "DataFrame":
+    """Fold the per-batch media-budget partials into corpus totals."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("media_type")
+        .agg(
+            F.sum("n_refs").cast("long").alias("n_refs"),
+            F.sum("total_bytes").cast("long").alias("total_bytes"),
+        )
+    )
