@@ -10220,7 +10220,7 @@ def oracle_sql() -> dict[str, str]:
                FROM j GROUP BY 1, 2),
         rl AS (SELECT t, sum(c) AS rl FROM ct GROUP BY t),
         cl AS (SELECT p, sum(c) AS cl FROM ct GROUP BY p),
-        s AS (SELECT CAST(sum(rl * cl) AS BIGINT) AS s
+        s AS (SELECT sum(CAST(rl AS HUGEINT) * cl) AS s
               FROM rl JOIN cl ON rl.t = cl.p),
         base AS (
           SELECT CAST(sum(c) AS BIGINT) AS n,
@@ -10230,8 +10230,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n, n_agree,
                round(CAST(n_agree AS DOUBLE) / n, 6) AS accuracy,
-               round(CAST(n * n_agree - s AS DOUBLE) / (n * n - s), 6)
-                 AS kappa
+               round(CAST(CAST(n AS HUGEINT) * n_agree - s AS DOUBLE)
+                 / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6) AS kappa
         FROM base, s
     """
     o["ml_mcnemar"] = """

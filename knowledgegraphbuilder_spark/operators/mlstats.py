@@ -1281,18 +1281,21 @@ def cohens_kappa(
     cols = ct.groupBy("p").agg(F.sum("c").alias("cl"))
     s = (
         rows.join(cols, rows["t"] == cols["p"])
-        .agg(F.sum(F.expr("rl * cl")).cast("long").alias("s"))
+        .agg(F.sum(F.expr("cast(rl as decimal(38,0)) * cl")).alias("s"))
     )
     base = ct.agg(
         F.sum("c").cast("long").alias("n"),
         F.sum(F.when(F.col("t") == F.col("p"), F.col("c")).otherwise(0))
         .cast("long").alias("n_agree"),
     )
+    # products widen to decimal(38,0): n ~ 1e12 rows makes n*n overflow
+    # a long, and ANSI mode turns that into a job-killing error
     return base.crossJoin(F.broadcast(s)).selectExpr(
         "n",
         "n_agree",
         "round(cast(n_agree as double) / n, 6) as accuracy",
-        "round(cast(n * n_agree - s as double) / (n * n - s), 6) as kappa",
+        "round(cast(cast(n as decimal(38,0)) * n_agree - s as double)"
+        " / cast(cast(n as decimal(38,0)) * n - s as double), 6) as kappa",
     )
 
 
@@ -1326,8 +1329,11 @@ def mcnemar(
         .cast("long").alias("c_only_b"),
     ).selectExpr(
         "n", "b_only_a", "c_only_b",
+        # square in decimal(38,0): discordant counts at corpus scale
+        # would overflow a long product under ANSI
         "case when b_only_a + c_only_b = 0 then 0.0d else "
-        "round(cast((b_only_a - c_only_b) * (b_only_a - c_only_b) as double)"
+        "round(cast(cast(b_only_a - c_only_b as decimal(38,0))"
+        " * (b_only_a - c_only_b) as double)"
         " / (b_only_a + c_only_b), 6) end as mcnemar_chi2",
     )
 
