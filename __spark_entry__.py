@@ -12869,9 +12869,10 @@ def _stream_span_files(spark, sf_dir, tag_prefix):
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/{tag_prefix}_{tag}"
     shutil.rmtree(base, ignore_errors=True)
+    # empty corpus -> three empty batch files (the fold must flow zeros)
     n = spans.agg(
         F.max(F.expr("cast(substring(doc_id, 5, 10) as int)"))
-    ).first()[0]
+    ).first()[0] or 0
     for b in range(3):
         lo, hi = b * (n + 1) // 3, (b + 1) * (n + 1) // 3
         (spans.filter(F.expr(

@@ -473,7 +473,14 @@ def knn_graph(
     hyperplanes (``hyperplane``), so the oracle rebuilds the same graph.
     """
     if dim is None:
-        dim = len(embs.select(vec_col).first()[0])
+        first = embs.select(vec_col).first()
+        if first is None:
+            # empty corpus: the kNN graph is empty, with the same schema —
+            # empty partitions/filter results must flow through at scale
+            return embs.sparkSession.createDataFrame(
+                [], "src string, dst string, score double, rank int"
+            )
+        dim = len(first[0])
     v = _as_double(embs, vec_col, id_col)
     tb = F.explode(F.array(*[
         F.struct(F.lit(t).alias("t"),

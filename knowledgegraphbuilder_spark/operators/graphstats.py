@@ -1670,6 +1670,11 @@ def coreness(
     # nodes that survive every peel end when edges hit 0: they were
     # dropped (all nodes leave when the edge set empties), so every node
     # is in exactly one shell
+    if not shells:
+        # empty graph: no node ever peels — empty result, same schema
+        return edges.sparkSession.createDataFrame(
+            [], "node string, coreness long"
+        )
     out = shells[0]
     for s in shells[1:]:
         out = out.unionByName(s)

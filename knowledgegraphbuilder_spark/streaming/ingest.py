@@ -1257,9 +1257,17 @@ def run_transitions_available_now(
 
 
 def read_transitions(spark: SparkSession, table_dir: str) -> "DataFrame":
-    """Fold the per-batch partial transition counts into corpus totals."""
+    """Fold the per-batch partial transition counts into corpus totals.
+    A table dir that was never created (every batch empty) folds to an
+    empty result rather than a read error."""
+    import os
+
     from pyspark.sql import functions as F
 
+    if not os.path.exists(table_dir):
+        return spark.createDataFrame(
+            [], "from_kind string, to_kind string, cnt long"
+        )
     return (
         spark.read.parquet(table_dir)
         .groupBy("from_kind", "to_kind")
@@ -1326,9 +1334,16 @@ def run_media_budget_available_now(
 
 
 def read_media_budget(spark: SparkSession, table_dir: str) -> "DataFrame":
-    """Fold the per-batch media-budget partials into corpus totals."""
+    """Fold the per-batch media-budget partials into corpus totals (empty
+    fold when no batch ever carried media)."""
+    import os
+
     from pyspark.sql import functions as F
 
+    if not os.path.exists(table_dir):
+        return spark.createDataFrame(
+            [], "media_type string, n_refs long, total_bytes long"
+        )
     return (
         spark.read.parquet(table_dir)
         .groupBy("media_type")
