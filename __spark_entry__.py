@@ -3311,6 +3311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 51: snapshot growth CDC + streaming media budget
         "kg_snapshot_growth": q_kg_snapshot_growth,
         "mm_stream_budget": q_mm_stream_budget,
+        # tranche 52: MIPS top-k + radius search
+        "ann_mips": q_ann_mips,
+        "ann_range": q_ann_range,
     }
 
 
@@ -10494,6 +10497,38 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS total_bytes
         FROM refs GROUP BY 1
     """
+    o["ann_mips"] = """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ),
+        v AS (
+          SELECT CAST(vec_id AS VARCHAR) AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )
+        SELECT id, round(list_dot_product(e, qv), 4) AS dot
+        FROM v, q ORDER BY dot DESC, id LIMIT 10
+    """
+    o["ann_range"] = """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ),
+        v AS (
+          SELECT CAST(vec_id AS VARCHAR) AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        s AS (
+          SELECT id,
+                 round(list_dot_product(e, qv)
+                   / (greatest(sqrt(list_dot_product(e, e)), 1e-100)
+                      * sqrt(list_dot_product(qv, qv))), 4) AS score
+          FROM v, q
+        )
+        SELECT id, score FROM s WHERE score >= 0.2
+    """
     return o
 
 
@@ -13165,3 +13200,27 @@ def q_mm_stream_budget(spark, sf_dir):
         spark, f"{base}/in/*", f"{base}/out", f"{base}/ck2"
     )
     return read_media_budget(spark, f"{base}/out")
+
+
+def q_ann_mips(spark, sf_dir):
+    """Exact max-inner-product top-10 (ann.py:topk_mips) for the vec_id=0
+    probe — the two-tower recommendation scoring variant where magnitude
+    is signal and cosine returns the wrong items. One corpus scan,
+    map-side dot products."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ops.topk_mips(embs, list(q), k=10)
+
+
+def q_ann_range(spark, sf_dir):
+    """Radius search (ann.py:range_search): every vector with cosine >=
+    0.2 to the vec_id=0 probe — the full similarity ball a near-dup audit
+    needs where top-k truncates. Map-side scores, filter before any
+    shuffle."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ops.range_search(embs, list(q), threshold=0.2)

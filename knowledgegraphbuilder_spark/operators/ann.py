@@ -611,3 +611,51 @@ def scalar_quantize(
             F.round(F.expr(recon_err), 10).alias("mse"),
         )
     )
+
+
+def topk_mips(embs: DataFrame, query: list[float], k: int = 10,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by MAX INNER PRODUCT (no normalization) — the
+    recommendation-scoring variant of topk_bruteforce: a two-tower
+    retrieval model ranks by raw dot product, where a vector's magnitude
+    IS part of the signal, so cosine top-k returns the wrong items. Same
+    one-scan shape as the cosine path (the query broadcasts as a literal
+    array; every score is a map-side fold); at scale this is the exact
+    rescorer behind a norm-augmented LSH probe (the
+    [x, sqrt(M^2-|x|^2)] reduction of MIPS to cosine keeps the plan of
+    ann_lsh unchanged). Deterministic tie-break on id.
+
+    Output: (id, dot) with the dot product rounded 4dp.
+    """
+    qlit = "array(" + ", ".join(f"{float(x)!r}d" for x in query) + ")"
+    v = _as_double(embs, vec_col, id_col)
+    return (
+        v.select(
+            "id",
+            F.round(
+                F.expr(
+                    f"aggregate(zip_with(v, {qlit}, (x, y) -> x * y), "
+                    f"0.0d, (a, x) -> a + x)"
+                ),
+                4,
+            ).alias("dot"),
+        )
+        .orderBy(F.desc("dot"), F.col("id"))
+        .limit(k)
+    )
+
+
+def range_search(embs: DataFrame, query: list[float], threshold: float,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Radius (range) search: ALL vectors whose cosine to the query is >=
+    ``threshold`` — the dedup/recall-sweep companion to top-k (a top-k
+    cannot answer "everything at least this similar", and a
+    near-duplicate audit needs the full ball, not the k best). One corpus
+    scan, map-side scores, the filter prunes before any shuffle; output
+    is result-sized, ordered nowhere (a ball has no rank).
+
+    Output: (id, score) for every hit.
+    """
+    return cosine_scores(embs, query, id_col, vec_col).filter(
+        F.col("score") >= threshold
+    )
