@@ -3314,6 +3314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 52: MIPS top-k + radius search
         "ann_mips": q_ann_mips,
         "ann_range": q_ann_range,
+        "g33_pathrecon": q_g33_pathrecon,
+        "ann_filtered": q_ann_filtered,
     }
 
 
@@ -10529,6 +10531,63 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id, score FROM s WHERE score >= 0.2
     """
+    # BFS path reconstruction: unrolled per-round min-path recurrence —
+    # f_r(v) = min over round-(r-1) frontier parents u of (path(u)||'>'||v)
+    # — the exact contract shortest_paths() documents (recurrence min, not
+    # global min over all path strings). MATERIALIZED like _bfs_oracle.
+    o["g33_pathrecon"] = f"""
+        WITH {_COPURCHASE_CTES},
+        seed AS MATERIALIZED (
+          SELECT node FROM (SELECT DISTINCT u AS node FROM sym)
+          ORDER BY sha256(node) LIMIT 1
+        ),
+        d0 AS MATERIALIZED (SELECT node, 0 AS hop, node AS path FROM seed),
+        f1 AS MATERIALIZED (
+          SELECT s.v AS node, min(d.path || '>' || s.v) AS path
+          FROM sym s JOIN d0 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM d0) GROUP BY s.v
+        ),
+        d1 AS MATERIALIZED (
+          SELECT node, hop, path FROM d0
+          UNION ALL SELECT node, 1, path FROM f1
+        ),
+        f2 AS MATERIALIZED (
+          SELECT s.v AS node, min(d.path || '>' || s.v) AS path
+          FROM sym s JOIN f1 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM d1) GROUP BY s.v
+        ),
+        d2 AS MATERIALIZED (
+          SELECT node, hop, path FROM d1
+          UNION ALL SELECT node, 2, path FROM f2
+        ),
+        f3 AS MATERIALIZED (
+          SELECT s.v AS node, min(d.path || '>' || s.v) AS path
+          FROM sym s JOIN f2 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM d2) GROUP BY s.v
+        ),
+        d3 AS MATERIALIZED (
+          SELECT node, hop, path FROM d2
+          UNION ALL SELECT node, 3, path FROM f3
+        )
+        SELECT node, CAST(hop AS INTEGER) AS hop, path FROM d3
+    """
+    # filtered vector search: same scoring as ann_topk, predicate applied
+    # before scoring (the pre-filter contract topk_filtered documents)
+    o["ann_filtered"] = """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ),
+        v AS (
+          SELECT CAST(vec_id AS VARCHAR) AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE label IN (2, 5, 7)
+        )
+        SELECT id, round(list_dot_product(e, qv)
+                         / (sqrt(list_dot_product(e, e))
+                            * sqrt(list_dot_product(qv, qv))), 4) AS score
+        FROM v, q ORDER BY score DESC, id LIMIT 10
+    """
     return o
 
 
@@ -13224,3 +13283,38 @@ def q_ann_range(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
     return ann_ops.range_search(embs, list(q), threshold=0.2)
+
+
+def q_g33_pathrecon(spark, sf_dir):
+    """BFS with path reconstruction (graphstats.py:shortest_paths): hop
+    distance <= 3 from the sha256-smallest co-purchase node PLUS a
+    canonical '>'-joined witness path per node — the how-is-it-connected
+    explanation surface a distance-only BFS (g7_bfs) can't answer. The
+    oracle replays the identical per-round min-path recurrence unrolled."""
+    from knowledgegraphbuilder_spark.operators.graphstats import shortest_paths
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy(F.sha2(F.col("node"), 256))
+        .limit(1)
+        .collect()[0][0]
+    )
+    return shortest_paths(edges, seed, max_hops=3)
+
+
+def q_ann_filtered(spark, sf_dir):
+    """Metadata-filtered vector search (ann.py:topk_filtered): exact
+    cosine top-10 for the vec_id=0 probe restricted to label IN (2,5,7)
+    — the pre-filter plan (predicate pushed into the parquet scan before
+    any scoring) that post-filtering a top-k can't replicate without
+    losing hits."""
+    from knowledgegraphbuilder_spark.operators import ann as ann_ops
+
+    embs = _t(spark, sf_dir, "embeddings")
+    q = embs.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return ann_ops.topk_filtered(
+        embs, list(q), F.col("label").isin(2, 5, 7), k=10
+    )

@@ -659,3 +659,26 @@ def range_search(embs: DataFrame, query: list[float], threshold: float,
     return cosine_scores(embs, query, id_col, vec_col).filter(
         F.col("score") >= threshold
     )
+
+
+def topk_filtered(embs: DataFrame, query: list[float], predicate,
+                  k: int = 10, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Predicate-FILTERED exact top-k by cosine — the metadata-filtered
+    vector search every production vector store exposes ("top-k most
+    similar docs WHERE lang = 'en' AND source = 'web'"): ``predicate``
+    is any Column/SQL-string filter over the embedding table's metadata
+    columns.
+
+    Plan contract (pre-filter, not post-filter): the predicate is applied
+    BEFORE scoring, so Catalyst pushes it into the parquet scan
+    (PushedFilters) and only the surviving fraction pays the
+    dot-product fold — at 100 TB a 1% selective filter makes this 100x
+    cheaper than top-k-then-filter, and unlike post-filtering it can
+    never return fewer than k hits when k matches exist. Same one-scan
+    map-side shape as topk_bruteforce; deterministic tie-break on id.
+
+    Output: (id, score), score rounded 4dp.
+    """
+    flt = embs.filter(predicate)
+    return topk_bruteforce(flt, query, k=k, id_col=id_col, vec_col=vec_col)

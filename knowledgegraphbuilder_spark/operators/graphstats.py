@@ -1718,3 +1718,78 @@ def two_hop_reach(
         .groupBy(F.col("s").alias("node_id"))
         .agg(F.count("*").cast("long").alias("n_reach_2hop"))
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    seed: str,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Single-source BFS with PATH RECONSTRUCTION: for every node within
+    ``max_hops`` of ``seed`` (undirected, symmetrized like bfs_hops), the
+    exact hop distance plus one canonical witness path rendered
+    ``a>b>c`` — the "HOW is this entity connected" answer that a
+    distance-only BFS (bfs_hops) can't give, and the explanation surface
+    a KG retrieval UI shows next to a multi-hop hit.
+
+    Canonical path contract (shared verbatim with the SQL oracle): the
+    round-h path of node v is ``min over frontier parents u of
+    (path(u) || '>' || v)`` where path(u) is the stored round-(h-1)
+    minimum — i.e. the per-round lexicographic-min RECURRENCE, applied to
+    the '>'-joined rendering. (With variable-width node ids the recurrence
+    min can differ from the global min over all shortest-path strings —
+    prefix-vs-'>' ordering — so the recurrence itself is the contract;
+    it is deterministic, both sides replay it exactly, and hop is always
+    the true BFS distance.)
+
+    Scale shape: identical to bfs_hops — each round is frontier ⋈
+    adjacency (equi-join on the node key) + a groupBy(node).min(path)
+    (map-side combinable) + an anti-join against the settled set; the
+    only growth vs distance-BFS is the O(hop) path string carried per
+    frontier row, bounded by max_hops. Lineage truncated per round with
+    eager localCheckpoint.
+
+    Output: (node, hop, path) for every node within max_hops (seed
+    included at hop 0).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(
+            F.col(src_col).cast("string").alias("u"),
+            F.col(dst_col).cast("string").alias("v"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst_col).cast("string").alias("u"),
+                F.col(src_col).cast("string").alias("v"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seed = str(seed)
+    dist = spark.createDataFrame(
+        [(seed, 0, seed)], "node string, hop int, path string"
+    ).localCheckpoint(eager=True)
+    frontier = dist.select("node", "path")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            sym.join(frontier.withColumnRenamed("node", "u"), "u")
+            .select(
+                F.col("v").alias("node"),
+                F.concat_ws(">", F.col("path"), F.col("v")).alias("path"),
+            )
+            .groupBy("node")
+            .agg(F.min("path").alias("path"))
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"), "path")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node", "path")
+    return dist.select("node", F.col("hop").cast("int").alias("hop"), "path")

@@ -1,0 +1,112 @@
+"""Unit tests for the tranche-53 operators: BFS path reconstruction
+(shortest_paths) and metadata-filtered vector top-k (topk_filtered)."""
+
+import pyspark.sql.functions as F
+
+
+class TestShortestPaths:
+    def test_line_graph_paths(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            shortest_paths,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        got = {
+            r["node"]: (r["hop"], r["path"])
+            for r in shortest_paths(edges, "a", max_hops=3).collect()
+        }
+        assert got == {
+            "a": (0, "a"),
+            "b": (1, "a>b"),
+            "c": (2, "a>b>c"),
+            "d": (3, "a>b>c>d"),
+        }
+
+    def test_min_path_recurrence_tiebreak(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            shortest_paths,
+        )
+
+        # two 2-hop routes s->m1->t and s->m2->t: the stored path must be
+        # the lexicographic min over parents at the frontier round
+        edges = spark.createDataFrame(
+            [("s", "m1"), ("s", "m2"), ("m1", "t"), ("m2", "t")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: (r["hop"], r["path"])
+            for r in shortest_paths(edges, "s", max_hops=2).collect()
+        }
+        assert got["t"] == (2, "s>m1>t")
+        assert got["m1"] == (1, "s>m1")
+        assert got["m2"] == (1, "s>m2")
+
+    def test_hop_cap_and_undirected(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            shortest_paths,
+        )
+
+        # directed input b->a must still reach a from seed a's perspective
+        edges = spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("d", "c")], "src string, dst string"
+        )
+        rows = shortest_paths(edges, "a", max_hops=2).collect()
+        got = {r["node"]: r["hop"] for r in rows}
+        assert got == {"a": 0, "b": 1, "c": 2}  # d is 3 hops: capped out
+
+    def test_isolated_seed(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            shortest_paths,
+        )
+
+        edges = spark.createDataFrame(
+            [("x", "y")], "src string, dst string"
+        )
+        rows = shortest_paths(edges, "z", max_hops=3).collect()
+        assert [(r["node"], r["hop"], r["path"]) for r in rows] == [
+            ("z", 0, "z")
+        ]
+
+
+class TestTopkFiltered:
+    def test_prefilter_keeps_k_hits(self, spark):
+        from knowledgegraphbuilder_spark.operators.ann import topk_filtered
+
+        # vectors 0..9: ids 0-4 label 0, ids 5-9 label 1. Query == vec 0.
+        rows = [
+            (i, [1.0, 0.0] if i < 5 else [0.9, 0.1], i // 5)
+            for i in range(10)
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        # post-filtering a global top-3 for label=1 could return fewer
+        # than 3 (labels 0 dominate); the pre-filter contract returns 3
+        got = topk_filtered(
+            embs, [1.0, 0.0], F.col("label") == 1, k=3
+        ).collect()
+        assert len(got) == 3
+        assert all(g["id"] in {"5", "6", "7", "8", "9"} for g in got)
+        # deterministic tie-break on id among equal scores
+        assert [g["id"] for g in got] == ["5", "6", "7"]
+
+    def test_filter_matches_manual_subset(self, spark):
+        from knowledgegraphbuilder_spark.operators.ann import (
+            topk_bruteforce, topk_filtered,
+        )
+
+        rows = [
+            (i, [float(i % 3) + 1.0, float(i % 7)], i % 2)
+            for i in range(40)
+        ]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        q = [1.0, 2.0]
+        a = topk_filtered(embs, q, "label = 0", k=5).collect()
+        b = topk_bruteforce(embs.filter("label = 0"), q, k=5).collect()
+        assert [(r["id"], r["score"]) for r in a] == [
+            (r["id"], r["score"]) for r in b
+        ]
