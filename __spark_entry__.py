@@ -3316,6 +3316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_range": q_ann_range,
         "g33_pathrecon": q_g33_pathrecon,
         "ann_filtered": q_ann_filtered,
+        "g34_betweenness": q_g34_betweenness,
     }
 
 
@@ -10588,6 +10589,88 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(qv, qv))), 4) AS score
         FROM v, q ORDER BY score DESC, id LIMIT 10
     """
+    # Brandes 3-hop: forward = unrolled integer path counts; backward =
+    # unrolled dependency accumulation with the SAME order-stable left
+    # fold (0.0-seeded, terms ordered by successor id) the Spark operator
+    # uses, so the doubles match bitwise before the 6dp display round.
+    o["g34_betweenness"] = f"""
+        WITH {_COPURCHASE_CTES},
+        seed AS MATERIALIZED (
+          SELECT node FROM (SELECT DISTINCT u AS node FROM sym)
+          ORDER BY sha256(node) LIMIT 1
+        ),
+        l0 AS MATERIALIZED (SELECT node, CAST(1 AS BIGINT) AS sigma FROM seed),
+        l1 AS MATERIALIZED (
+          SELECT s.v AS node, CAST(sum(d.sigma) AS BIGINT) AS sigma
+          FROM sym s JOIN l0 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM l0) GROUP BY s.v
+        ),
+        l2 AS MATERIALIZED (
+          SELECT s.v AS node, CAST(sum(d.sigma) AS BIGINT) AS sigma
+          FROM sym s JOIN l1 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM l0)
+            AND s.v NOT IN (SELECT node FROM l1)
+          GROUP BY s.v
+        ),
+        l3 AS MATERIALIZED (
+          SELECT s.v AS node, CAST(sum(d.sigma) AS BIGINT) AS sigma
+          FROM sym s JOIN l2 d ON s.u = d.node
+          WHERE s.v NOT IN (SELECT node FROM l0)
+            AND s.v NOT IN (SELECT node FROM l1)
+            AND s.v NOT IN (SELECT node FROM l2)
+          GROUP BY s.v
+        ),
+        d3 AS MATERIALIZED (
+          SELECT node, sigma, CAST(0.0 AS DOUBLE) AS delta FROM l3
+        ),
+        d2 AS MATERIALIZED (
+          SELECT l.node, l.sigma, coalesce(t.delta, 0.0) AS delta
+          FROM l2 l LEFT JOIN (
+            SELECT s.u AS node,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(lu.sigma AS DOUBLE) / CAST(dv.sigma AS DOUBLE)
+                            * (1.0 + dv.delta) ORDER BY s.v)),
+                     (a, b) -> a + b) AS delta
+            FROM sym s JOIN l2 lu ON s.u = lu.node JOIN d3 dv ON s.v = dv.node
+            GROUP BY s.u
+          ) t ON t.node = l.node
+        ),
+        d1 AS MATERIALIZED (
+          SELECT l.node, l.sigma, coalesce(t.delta, 0.0) AS delta
+          FROM l1 l LEFT JOIN (
+            SELECT s.u AS node,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(lu.sigma AS DOUBLE) / CAST(dv.sigma AS DOUBLE)
+                            * (1.0 + dv.delta) ORDER BY s.v)),
+                     (a, b) -> a + b) AS delta
+            FROM sym s JOIN l1 lu ON s.u = lu.node JOIN d2 dv ON s.v = dv.node
+            GROUP BY s.u
+          ) t ON t.node = l.node
+        ),
+        d0 AS MATERIALIZED (
+          SELECT l.node, l.sigma, coalesce(t.delta, 0.0) AS delta
+          FROM l0 l LEFT JOIN (
+            SELECT s.u AS node,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(CAST(lu.sigma AS DOUBLE) / CAST(dv.sigma AS DOUBLE)
+                            * (1.0 + dv.delta) ORDER BY s.v)),
+                     (a, b) -> a + b) AS delta
+            FROM sym s JOIN l0 lu ON s.u = lu.node JOIN d1 dv ON s.v = dv.node
+            GROUP BY s.u
+          ) t ON t.node = l.node
+        )
+        SELECT node, CAST(lvl AS INTEGER) AS lvl, sigma,
+               round(delta, 6) AS delta
+        FROM (
+          SELECT node, 0 AS lvl, sigma, delta FROM d0
+          UNION ALL SELECT node, 1, sigma, delta FROM d1
+          UNION ALL SELECT node, 2, sigma, delta FROM d2
+          UNION ALL SELECT node, 3, sigma, delta FROM d3
+        )
+    """
     return o
 
 
@@ -13318,3 +13401,26 @@ def q_ann_filtered(spark, sf_dir):
     return ann_ops.topk_filtered(
         embs, list(q), F.col("label").isin(2, 5, 7), k=10
     )
+
+
+def q_g34_betweenness(spark, sf_dir):
+    """Brandes single-source betweenness contributions, 3-hop truncated
+    (graphstats.py:betweenness_contrib), from the sha256-smallest
+    co-purchase node: forward BFS path counts (exact integers) + backward
+    dependency accumulation with an ORDER-STABLE sorted float fold, so
+    the doubles are bitwise-replayable by the oracle's
+    list(term ORDER BY v) fold."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        betweenness_contrib,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seed = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .orderBy(F.sha2(F.col("node"), 256))
+        .limit(1)
+        .collect()[0][0]
+    )
+    return betweenness_contrib(edges, seed, max_hops=3)

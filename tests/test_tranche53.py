@@ -110,3 +110,65 @@ class TestTopkFiltered:
         assert [(r["id"], r["score"]) for r in a] == [
             (r["id"], r["score"]) for r in b
         ]
+
+
+class TestBetweenness:
+    def test_diamond_hand_computed(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            betweenness_contrib,
+        )
+
+        # a-b-c, a-d-c: sigma(c)=2; delta(b)=delta(d)=0.5, delta(a)=3.0
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("a", "d"), ("d", "c")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: (r["lvl"], r["sigma"], r["delta"])
+            for r in betweenness_contrib(edges, "a", max_hops=3).collect()
+        }
+        assert got == {
+            "a": (0, 1, 3.0),
+            "b": (1, 1, 0.5),
+            "d": (1, 1, 0.5),
+            "c": (2, 2, 0.0),
+        }
+
+    def test_truncation_drops_deeper_dependency(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            betweenness_contrib,
+        )
+
+        # line a-b-c-d with max_hops=2: d is outside the horizon, so b's
+        # delta counts only c (1.0), not c+d (2.0 in untruncated Brandes)
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        got = {
+            r["node"]: (r["lvl"], r["sigma"], r["delta"])
+            for r in betweenness_contrib(edges, "a", max_hops=2).collect()
+        }
+        assert got == {
+            "a": (0, 1, 2.0),
+            "b": (1, 1, 1.0),
+            "c": (2, 1, 0.0),
+        }
+
+    def test_sigma_counts_parallel_shortest_paths(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            betweenness_contrib,
+        )
+
+        # k=3 middle nodes: sigma(t)=3, each middle delta=1/3
+        edges = spark.createDataFrame(
+            [("s", m) for m in ("m1", "m2", "m3")]
+            + [(m, "t") for m in ("m1", "m2", "m3")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: (r["sigma"], r["delta"])
+            for r in betweenness_contrib(edges, "s", max_hops=2).collect()
+        }
+        assert got["t"] == (3, 0.0)
+        assert got["m1"] == (1, round(1.0 / 3.0, 6))
+        assert got["s"][1] == round(3 * (1 + 1.0 / 3.0), 6)
