@@ -3317,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g33_pathrecon": q_g33_pathrecon,
         "ann_filtered": q_ann_filtered,
         "g34_betweenness": q_g34_betweenness,
+        "g35_matching": q_g35_matching,
     }
 
 
@@ -10671,6 +10672,44 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT node, 3, sigma, delta FROM d3
         )
     """
+    # handshake matching: unrolled propose -> mutual-proposal join ->
+    # residual anti-filter, identical recurrence to greedy_matching()
+    o["g35_matching"] = f"""
+        WITH {_COPURCHASE_CTES},
+        p1 AS MATERIALIZED (SELECT u, min(v) AS p FROM sym GROUP BY u),
+        m1 AS MATERIALIZED (
+          SELECT a.u AS u, a.p AS v FROM p1 a JOIN p1 b
+            ON a.p = b.u AND b.p = a.u
+          WHERE a.u < a.p
+        ),
+        mn1 AS MATERIALIZED (SELECT u AS n FROM m1 UNION SELECT v FROM m1),
+        live1 AS MATERIALIZED (
+          SELECT u, v FROM sym
+          WHERE u NOT IN (SELECT n FROM mn1) AND v NOT IN (SELECT n FROM mn1)
+        ),
+        p2 AS MATERIALIZED (SELECT u, min(v) AS p FROM live1 GROUP BY u),
+        m2 AS MATERIALIZED (
+          SELECT a.u AS u, a.p AS v FROM p2 a JOIN p2 b
+            ON a.p = b.u AND b.p = a.u
+          WHERE a.u < a.p
+        ),
+        mn2 AS MATERIALIZED (SELECT u AS n FROM m2 UNION SELECT v FROM m2),
+        live2 AS MATERIALIZED (
+          SELECT u, v FROM live1
+          WHERE u NOT IN (SELECT n FROM mn2) AND v NOT IN (SELECT n FROM mn2)
+        ),
+        p3 AS MATERIALIZED (SELECT u, min(v) AS p FROM live2 GROUP BY u),
+        m3 AS MATERIALIZED (
+          SELECT a.u AS u, a.p AS v FROM p3 a JOIN p3 b
+            ON a.p = b.u AND b.p = a.u
+          WHERE a.u < a.p
+        )
+        SELECT u, v, CAST(r AS INTEGER) AS round FROM (
+          SELECT u, v, 1 AS r FROM m1
+          UNION ALL SELECT u, v, 2 FROM m2
+          UNION ALL SELECT u, v, 3 FROM m3
+        )
+    """
     return o
 
 
@@ -13424,3 +13463,15 @@ def q_g34_betweenness(spark, sf_dir):
         .collect()[0][0]
     )
     return betweenness_contrib(edges, seed, max_hops=3)
+
+
+def q_g35_matching(spark, sf_dir):
+    """3-round handshake greedy matching over the co-purchase graph
+    (graphstats.py:greedy_matching) — the pair-collapse primitive behind
+    multilevel graph coarsening; oracle = unrolled propose/handshake/
+    residual replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        greedy_matching,
+    )
+
+    return greedy_matching(_copurchase_edges(spark, sf_dir), rounds=3)

@@ -1914,3 +1914,81 @@ def betweenness_contrib(
         "sigma",
         F.round("delta", 6).alias("delta"),
     )
+
+
+def greedy_matching(
+    edges: DataFrame,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Distributed handshake matching (the deterministic core of Luby-style
+    greedy maximal matching): per round, every live node proposes to its
+    MINIMUM live neighbor (string order); an edge is matched exactly when
+    the proposals shake hands (u proposes v AND v proposes u); matched
+    endpoints leave the graph and the next round repeats on the residual.
+    This is the standard coarsening primitive — multilevel partitioners and
+    graph contractions at 10^12-edge scale pair-collapse via exactly this
+    loop, because each round is pure equi-joins + a map-side-combinable
+    min aggregate (no global sequential dependency like the textbook
+    greedy-by-sorted-weight scan).
+
+    Fixed-``rounds`` contract (like label_propagation/sssp_hops): the
+    output is the union of the per-round handshakes, NOT a certified
+    maximal matching — each round matches a constant expected fraction of
+    live edges, so a handful of rounds is the production setting and the
+    cap bounds cost deterministically. Per-round cost: one min-agg over
+    live edges + one self-join of the proposal table on the handshake
+    + two anti-joins to drop matched endpoints; lineage truncated with
+    eager localCheckpoint.
+
+    Output: (u, v, round) with u < v, one row per matched pair.
+    """
+    spark = edges.sparkSession
+    live = (
+        edges.select(
+            F.col(src_col).cast("string").alias("u"),
+            F.col(dst_col).cast("string").alias("v"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst_col).cast("string").alias("u"),
+                F.col(src_col).cast("string").alias("v"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out = spark.createDataFrame([], "u string, v string, round int")
+    for r in range(1, rounds + 1):
+        prop = live.groupBy("u").agg(F.min("v").alias("p"))
+        m = (
+            prop.alias("a")
+            .join(
+                prop.alias("b"),
+                (F.col("a.p") == F.col("b.u")) & (F.col("b.p") == F.col("a.u")),
+            )
+            .filter(F.col("a.u") < F.col("a.p"))
+            .select(
+                F.col("a.u").alias("u"),
+                F.col("a.p").alias("v"),
+                F.lit(r).alias("round"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if m.isEmpty():
+            break
+        out = out.unionByName(m)
+        mn = m.select(F.col("u").alias("n")).unionAll(
+            m.select(F.col("v").alias("n"))
+        )
+        live = (
+            live.join(mn.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(mn.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        if live.isEmpty():
+            break
+    return out.select("u", "v", F.col("round").cast("int").alias("round"))

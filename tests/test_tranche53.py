@@ -172,3 +172,47 @@ class TestBetweenness:
         assert got["t"] == (3, 0.0)
         assert got["m1"] == (1, round(1.0 / 3.0, 6))
         assert got["s"][1] == round(3 * (1 + 1.0 / 3.0), 6)
+
+
+class TestGreedyMatching:
+    def test_path4_matches_in_two_rounds(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            greedy_matching,
+        )
+
+        # a-b-c-d: round 1 handshake (a,b); residual c-d matches round 2
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        got = sorted(
+            (r["u"], r["v"], r["round"])
+            for r in greedy_matching(edges, rounds=3).collect()
+        )
+        assert got == [("a", "b", 1), ("c", "d", 2)]
+
+    def test_is_a_matching_no_repeated_endpoint(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            greedy_matching,
+        )
+
+        import itertools
+
+        # K5 on nodes n0..n4: any output must be a matching
+        nodes = [f"n{i}" for i in range(5)]
+        edges = spark.createDataFrame(
+            list(itertools.combinations(nodes, 2)), "src string, dst string"
+        )
+        rows = greedy_matching(edges, rounds=3).collect()
+        ends = [x for r in rows for x in (r["u"], r["v"])]
+        assert len(ends) == len(set(ends))
+        assert len(rows) == 2  # K5 perfect-minus-one: 2 pairs, 1 leftover
+
+    def test_empty_graph_schema_stable(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            greedy_matching,
+        )
+
+        edges = spark.createDataFrame([], "src string, dst string")
+        got = greedy_matching(edges, rounds=3)
+        assert got.columns == ["u", "v", "round"]
+        assert got.count() == 0
