@@ -3318,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_filtered": q_ann_filtered,
         "g34_betweenness": q_g34_betweenness,
         "g35_matching": q_g35_matching,
+        "g36_contract": q_g36_contract,
     }
 
 
@@ -10710,6 +10711,29 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL SELECT u, v, 3 FROM m3
         )
     """
+    # contraction: matching replay -> representative map -> re-key the
+    # canonical (a<b, distinct) edge list, drop self-loops, sum weights
+    _MATCH_CTES = o["g35_matching"].split("SELECT u, v, CAST(r AS INTEGER)")[0]
+    o["g36_contract"] = f"""{_MATCH_CTES}
+        , mall AS MATERIALIZED (
+          SELECT u, v FROM m1
+          UNION ALL SELECT u, v FROM m2
+          UNION ALL SELECT u, v FROM m3
+        ),
+        rep AS MATERIALIZED (
+          SELECT least(u, v) AS r, u AS n FROM mall
+          UNION SELECT least(u, v), v FROM mall
+        ),
+        keyed AS (
+          SELECT coalesce(ra.r, e.a) AS ca, coalesce(rb.r, e.b) AS cb
+          FROM e0 e
+          LEFT JOIN rep ra ON ra.n = e.a
+          LEFT JOIN rep rb ON rb.n = e.b
+        )
+        SELECT least(ca, cb) AS u, greatest(ca, cb) AS v,
+               CAST(count(*) AS BIGINT) AS weight
+        FROM keyed WHERE ca <> cb GROUP BY 1, 2
+    """
     return o
 
 
@@ -13475,3 +13499,16 @@ def q_g35_matching(spark, sf_dir):
     )
 
     return greedy_matching(_copurchase_edges(spark, sf_dir), rounds=3)
+
+
+def q_g36_contract(spark, sf_dir):
+    """One coarsening level over the co-purchase graph: contract the
+    3-round handshake matching into supernodes and re-aggregate edges
+    (graphstats.py:contract_graph) — the multilevel halving step; oracle
+    composes the matching replay with the same representative-map rewrite."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        contract_graph, greedy_matching,
+    )
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return contract_graph(edges, greedy_matching(edges, rounds=3))

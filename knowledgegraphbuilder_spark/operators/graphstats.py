@@ -1992,3 +1992,74 @@ def greedy_matching(
         if live.isEmpty():
             break
     return out.select("u", "v", F.col("round").cast("int").alias("round"))
+
+
+def contract_graph(
+    edges: DataFrame,
+    matching: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """One multilevel-coarsening contraction: collapse every matched pair
+    from ``matching`` (u, v rows, as produced by greedy_matching) into a
+    supernode named by the pair's MIN endpoint, re-key the original edge
+    list through that representative map, drop intra-supernode self-loops,
+    and sum parallel edges into an integer weight. Iterating
+    greedy_matching + contract_graph halves the graph per level — the
+    standard multilevel pipeline (partitioners, coarse-to-fine layouts,
+    hierarchical community detection) that makes 10^12-edge algorithms
+    tractable by running the expensive step on a shrunken graph.
+
+    Scale shape: the representative map is at most node-sized (2 rows per
+    matched pair) — orders of magnitude under the edge list, so the two
+    re-key joins broadcast here (hinted); when a matching ever outgrows
+    the broadcast threshold the same plan degrades gracefully to a
+    shuffle-hash join on the node key. Then one groupBy on the re-keyed
+    endpoint pair with a map-side-combinable count. No all-pairs
+    anything; cost is one pass over the edges.
+
+    Output: (u, v, weight) with u < v, weight = number of parallel
+    original (symmetrized, deduped) edges collapsed into the coarse edge.
+    """
+    sym = (
+        edges.select(
+            F.col(src_col).cast("string").alias("a"),
+            F.col(dst_col).cast("string").alias("b"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst_col).cast("string").alias("a"),
+                F.col(src_col).cast("string").alias("b"),
+            )
+        )
+        .filter(F.col("a") != F.col("b"))
+        .selectExpr("least(a, b) as a", "greatest(a, b) as b")
+        .distinct()
+    )
+    rep = matching.select(
+        F.least("u", "v").alias("r"), F.col("u").alias("n")
+    ).unionByName(
+        matching.select(F.least("u", "v").alias("r"), F.col("v").alias("n"))
+    ).distinct()
+    keyed = (
+        sym.join(
+            F.broadcast(rep).withColumnRenamed("n", "a").withColumnRenamed("r", "ra"),
+            "a",
+            "left",
+        )
+        .join(
+            F.broadcast(rep).withColumnRenamed("n", "b").withColumnRenamed("r", "rb"),
+            "b",
+            "left",
+        )
+        .selectExpr(
+            "coalesce(ra, a) as ca",
+            "coalesce(rb, b) as cb",
+        )
+        .filter(F.col("ca") != F.col("cb"))
+    )
+    return (
+        keyed.selectExpr("least(ca, cb) as u", "greatest(ca, cb) as v")
+        .groupBy("u", "v")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )

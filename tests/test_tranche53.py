@@ -216,3 +216,57 @@ class TestGreedyMatching:
         got = greedy_matching(edges, rounds=3)
         assert got.columns == ["u", "v", "round"]
         assert got.count() == 0
+
+
+class TestContractGraph:
+    def test_path4_contracts_to_single_edge(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            contract_graph, greedy_matching,
+        )
+
+        # a-b-c-d matches {(a,b),(c,d)}; both b-c endpoints re-key to the
+        # pair minima -> one coarse edge (a, c) with weight 1
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+        )
+        got = [
+            (r["u"], r["v"], r["weight"])
+            for r in contract_graph(edges, greedy_matching(edges)).collect()
+        ]
+        assert got == [("a", "c", 1)]
+
+    def test_parallel_edges_sum_weights(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            contract_graph,
+        )
+
+        # matching (a,b) and (c,d): original edges a-c, a-d, b-c all
+        # collapse onto coarse pair (a, c) -> weight 3; b-a self-loop drops
+        edges = spark.createDataFrame(
+            [("a", "c"), ("a", "d"), ("b", "c"), ("b", "a")],
+            "src string, dst string",
+        )
+        matching = spark.createDataFrame(
+            [("a", "b", 1), ("c", "d", 1)], "u string, v string, round int"
+        )
+        got = [
+            (r["u"], r["v"], r["weight"])
+            for r in contract_graph(edges, matching).collect()
+        ]
+        assert got == [("a", "c", 3)]
+
+    def test_empty_matching_is_identity_with_weights(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            contract_graph,
+        )
+
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+        )
+        matching = spark.createDataFrame([], "u string, v string, round int")
+        got = sorted(
+            (r["u"], r["v"], r["weight"])
+            for r in contract_graph(edges, matching).collect()
+        )
+        # a-b and b-a dedupe to one canonical edge of weight 1
+        assert got == [("a", "b", 1), ("b", "c", 1)]
