@@ -3319,6 +3319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g34_betweenness": q_g34_betweenness,
         "g35_matching": q_g35_matching,
         "g36_contract": q_g36_contract,
+        "kg_schema": q_kg_schema,
     }
 
 
@@ -10734,6 +10735,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS weight
         FROM keyed WHERE ca <> cb GROUP BY 1, 2
     """
+    # schema induction: relation replay joined to mention labels twice,
+    # integer signature counts, one window-ratio division at the end
+    o["kg_schema"] = f"""
+        WITH {_REL_CTE},
+        lab AS (SELECT mid, label FROM repid),
+        sig AS (
+          SELECT h.label AS head_label, r.rel_type, t.label AS tail_label,
+                 CAST(count(*) AS BIGINT) AS n_rels,
+                 CAST(count(DISTINCT r.doc_id) AS BIGINT) AS n_docs
+          FROM rels_id r
+          JOIN lab h ON r.head_mention_id = h.mid
+          JOIN lab t ON r.tail_mention_id = t.mid
+          GROUP BY 1, 2, 3
+        )
+        SELECT head_label, rel_type, tail_label, n_rels, n_docs,
+               round(CAST(n_rels AS DOUBLE)
+                     / CAST(sum(n_rels) OVER (PARTITION BY head_label)
+                            AS DOUBLE), 6) AS share_head
+        FROM sig
+    """
     return o
 
 
@@ -13512,3 +13533,18 @@ def q_g36_contract(spark, sf_dir):
 
     edges = _copurchase_edges(spark, sf_dir)
     return contract_graph(edges, greedy_matching(edges, rounds=3))
+
+
+def q_kg_schema(spark, sf_dir):
+    """Bottom-up schema induction over the extracted KG
+    (graph_build.py:schema_induction): typed relation signatures
+    (head_label, rel_type, tail_label) with support counts and the
+    conditional share per head label — the which-predicates-connect-
+    which-types ontology surface; oracle joins the relation replay to the
+    mention-label replay and repeats the integer-ratio share."""
+    kg = _kg(spark, sf_dir)
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        schema_induction,
+    )
+
+    return schema_induction(kg.relations, kg.mentions)

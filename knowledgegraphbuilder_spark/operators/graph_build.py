@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def build_edges(
@@ -133,3 +134,58 @@ def integrity_audit(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def schema_induction(
+    relations: DataFrame,
+    mentions: DataFrame,
+) -> DataFrame:
+    """Ontology/schema discovery over the extracted KG: the typed relation
+    signatures (head NER label, rel_type, tail NER label) with support
+    counts and the conditional share P(signature | head label) — the
+    bottom-up schema a KG built from open extraction needs before anyone
+    can write a typed query against it (which predicates connect which
+    entity types, and how dominantly).
+
+    Plan: two equi-joins of the relation table against the mention table's
+    (mention_id, label) projection — node-keyed, broadcastable when the
+    mention projection is dim-sized, shuffle-hash otherwise — then ONE
+    groupBy over the signature with integer counts; the share is a single
+    window-sum division per signature row (integer/integer, one rounding
+    at the end), so no order-dependent float folds anywhere.
+
+    Output: (head_label, rel_type, tail_label, n_rels, n_docs,
+    share_head) — share_head = n_rels / total rels with that head label,
+    rounded 6dp.
+    """
+    lab = mentions.select("mention_id", "label")
+    sig = (
+        relations.select("doc_id", "head_mention_id", "tail_mention_id", "rel_type")
+        .join(
+            lab.withColumnRenamed("mention_id", "head_mention_id")
+            .withColumnRenamed("label", "head_label"),
+            "head_mention_id",
+        )
+        .join(
+            lab.withColumnRenamed("mention_id", "tail_mention_id")
+            .withColumnRenamed("label", "tail_label"),
+            "tail_mention_id",
+        )
+        .groupBy("head_label", "rel_type", "tail_label")
+        .agg(
+            F.count("*").cast("long").alias("n_rels"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("head_label")
+    return sig.select(
+        "head_label",
+        "rel_type",
+        "tail_label",
+        "n_rels",
+        "n_docs",
+        F.round(
+            F.col("n_rels").cast("double") / F.sum("n_rels").over(w).cast("double"),
+            6,
+        ).alias("share_head"),
+    )

@@ -270,3 +270,34 @@ class TestContractGraph:
         )
         # a-b and b-a dedupe to one canonical edge of weight 1
         assert got == [("a", "b", 1), ("b", "c", 1)]
+
+
+class TestSchemaInduction:
+    def test_counts_and_conditional_share(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            schema_induction,
+        )
+
+        mentions = spark.createDataFrame(
+            [("m1", "PER"), ("m2", "ORG"), ("m3", "PER"), ("m4", "LOC")],
+            "mention_id string, label string",
+        )
+        relations = spark.createDataFrame(
+            [
+                ("d1", "m1", "m2", "works_at"),
+                ("d2", "m3", "m2", "works_at"),
+                ("d2", "m1", "m4", "born_in"),
+            ],
+            "doc_id string, head_mention_id string,"
+            " tail_mention_id string, rel_type string",
+        )
+        got = {
+            (r["head_label"], r["rel_type"], r["tail_label"]): (
+                r["n_rels"], r["n_docs"], r["share_head"]
+            )
+            for r in schema_induction(relations, mentions).collect()
+        }
+        assert got == {
+            ("PER", "works_at", "ORG"): (2, 2, round(2 / 3, 6)),
+            ("PER", "born_in", "LOC"): (1, 1, round(1 / 3, 6)),
+        }
