@@ -3320,6 +3320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g35_matching": q_g35_matching,
         "g36_contract": q_g36_contract,
         "kg_schema": q_kg_schema,
+        "ml_woe_iv": q_ml_woe_iv,
     }
 
 
@@ -10755,6 +10756,53 @@ def oracle_sql() -> dict[str, str]:
                             AS DOUBLE), 6) AS share_head
         FROM sig
     """
+    # WOE/IV: exact min/max bin edges, integer cells, Laplace +0.5,
+    # order-stable IV fold (list ... ORDER BY bin, 0.0-seeded left fold)
+    o["ml_woe_iv"] = """
+        WITH d AS (
+          SELECT CAST(value AS DOUBLE) AS x,
+                 CAST(event_type = 'purchase' AS INT) AS y
+          FROM events
+        ),
+        mm AS (SELECT min(x) AS lo, max(x) AS hi FROM d),
+        binned AS (
+          SELECT CASE WHEN mm.hi > mm.lo THEN least(9,
+                   CAST(floor(10 * (d.x - mm.lo) / (mm.hi - mm.lo)) AS INT))
+                 ELSE 0 END AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+          FROM d, mm GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n_pos) AS BIGINT) AS g,
+                 CAST(sum(n_neg) AS BIGINT) AS b,
+                 CAST(count(*) AS BIGINT) AS k
+          FROM binned
+        ),
+        scored AS (
+          SELECT bin, n, n_pos, n_neg,
+                 ln(((n_pos + 0.5) / (g + 0.5 * k))
+                    / ((n_neg + 0.5) / (b + 0.5 * k))) AS woe_raw,
+                 ((n_pos + 0.5) / (g + 0.5 * k)
+                  - (n_neg + 0.5) / (b + 0.5 * k))
+                 * ln(((n_pos + 0.5) / (g + 0.5 * k))
+                      / ((n_neg + 0.5) / (b + 0.5 * k))) AS iv_raw
+          FROM binned, tot
+        ),
+        iv AS (
+          SELECT list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                                list(iv_raw ORDER BY bin)),
+                   (a, b) -> a + b) AS iv_total_raw
+          FROM scored
+        )
+        SELECT CAST(bin AS INTEGER) AS bin, n, n_pos, n_neg,
+               round(woe_raw, 6) AS woe,
+               round(iv_raw, 6) AS iv_term,
+               round(iv_total_raw, 6) AS iv_total
+        FROM scored, iv
+    """
     return o
 
 
@@ -13548,3 +13596,15 @@ def q_kg_schema(spark, sf_dir):
     )
 
     return schema_induction(kg.relations, kg.mentions)
+
+
+def q_ml_woe_iv(spark, sf_dir):
+    """Weight-of-Evidence / Information Value screening of event value
+    against the purchase target (mlstats.py:woe_iv): equal-width bins
+    from the exact global min/max, Laplace-smoothed integer cell counts,
+    order-stable IV fold — the does-this-feature-separate gauge run
+    before any model training."""
+    from knowledgegraphbuilder_spark.operators.mlstats import woe_iv
+
+    ev = _t(spark, sf_dir, "events")
+    return woe_iv(ev, "value", "event_type = 'purchase'", n_bins=10)

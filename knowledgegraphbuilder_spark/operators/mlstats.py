@@ -1413,3 +1413,85 @@ def gini_coefficient(
         "round(2.0d * cast(six as double) / (n * cast(sx as double))"
         " - (n + 1.0d) / n, 6) as gini",
     )
+
+
+def woe_iv(
+    df: DataFrame,
+    value_expr: str,
+    target_expr: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Weight-of-Evidence binning + Information Value — the classic
+    feature-screening transform (credit scoring, churn models): bin a
+    numeric feature into equal-width bins, score each bin by
+    woe = ln(P(bin|positive) / P(bin|negative)) with Laplace +0.5
+    smoothing (so empty cells never hit ln(0)), and summarize the
+    feature's separating power as IV = sum over bins of
+    (P(bin|pos) - P(bin|neg)) * woe.
+
+    Determinism: bin edges come from the exact global (min, max) —
+    bin = least(n_bins-1, floor(n_bins * (x-min)/(max-min))) in double,
+    bit-identical on both engines; all per-bin statistics are INTEGER
+    counts; woe/iv_term are a fixed expression over those integers; the
+    IV total is an ORDER-STABLE fold of iv_term sorted by bin (the
+    betweenness discipline), never a shuffled float sum.
+
+    Scale shape: one min/max agg (map-side combinable), one pass to bin
+    + one grouped count — two scans total, no joins on the fact table;
+    the n_bins-row result broadcasts back onto itself for the total.
+
+    Output: (bin, n, n_pos, n_neg, woe, iv_term, iv_total), woe/iv 6dp.
+    """
+    d = df.selectExpr(
+        f"cast({value_expr} as double) as x",
+        f"cast(({target_expr}) as int) as y",
+    )
+    mm = d.agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi"),
+        F.count("*").alias("n_all"),
+    )
+    binned = (
+        d.crossJoin(F.broadcast(mm))
+        .selectExpr(
+            f"case when hi > lo then least({n_bins} - 1,"
+            f" cast(floor({n_bins} * (x - lo) / (hi - lo)) as int))"
+            " else 0 end as bin",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .withColumn("n_neg", (F.col("n") - F.col("n_pos")).cast("long"))
+    )
+    tot = binned.agg(
+        F.sum("n_pos").cast("long").alias("g"),
+        F.sum("n_neg").cast("long").alias("b"),
+        F.count("*").cast("long").alias("k"),
+    )
+    scored = binned.crossJoin(F.broadcast(tot)).selectExpr(
+        "bin", "n", "n_pos", "n_neg",
+        "(n_pos + 0.5d) / (g + 0.5d * k) as pg",
+        "(n_neg + 0.5d) / (b + 0.5d * k) as pb",
+    ).selectExpr(
+        "bin", "n", "n_pos", "n_neg",
+        "ln(pg / pb) as woe_raw",
+        "(pg - pb) * ln(pg / pb) as iv_raw",
+    )
+    iv = scored.agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(bin, iv_raw))),"
+            " cast(0.0 as double), (a, x) -> a + x.iv_raw)"
+        ).alias("iv_total_raw")
+    )
+    return (
+        scored.crossJoin(F.broadcast(iv))
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n", "n_pos", "n_neg",
+            F.round("woe_raw", 6).alias("woe"),
+            F.round("iv_raw", 6).alias("iv_term"),
+            F.round("iv_total_raw", 6).alias("iv_total"),
+        )
+    )

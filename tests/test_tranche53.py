@@ -301,3 +301,37 @@ class TestSchemaInduction:
             ("PER", "works_at", "ORG"): (2, 2, round(2 / 3, 6)),
             ("PER", "born_in", "LOC"): (1, 1, round(1 / 3, 6)),
         }
+
+
+class TestWoeIv:
+    def test_hand_computed_two_bins(self, spark):
+        import math
+
+        from knowledgegraphbuilder_spark.operators.mlstats import woe_iv
+
+        # x<5 -> bin 0 (3 pos, 1 neg); x>=5 -> bin 1 (1 pos, 3 neg)
+        rows = [(0.0, 1), (1.0, 1), (2.0, 1), (3.0, 0),
+                (7.0, 0), (8.0, 0), (9.0, 0), (10.0, 1)]
+        df = spark.createDataFrame(rows, "value double, y int")
+        got = {
+            r["bin"]: r for r in woe_iv(df, "value", "y = 1", n_bins=2).collect()
+        }
+        g, b, k = 4, 4, 2
+        pg0, pb0 = (3 + 0.5) / (g + 0.5 * k), (1 + 0.5) / (b + 0.5 * k)
+        woe0 = math.log(pg0 / pb0)
+        assert got[0]["n"] == 4 and got[0]["n_pos"] == 3
+        assert got[0]["woe"] == round(woe0, 6)
+        assert got[0]["iv_term"] == round((pg0 - pb0) * woe0, 6)
+        # symmetric bins: iv_total = 2 * |iv_term|
+        assert got[0]["iv_total"] == round(2 * (pg0 - pb0) * woe0, 6)
+        assert got[1]["iv_total"] == got[0]["iv_total"]
+
+    def test_constant_feature_single_bin_zero_iv(self, spark):
+        from knowledgegraphbuilder_spark.operators.mlstats import woe_iv
+
+        df = spark.createDataFrame(
+            [(5.0, i % 2) for i in range(10)], "value double, y int"
+        )
+        rows = woe_iv(df, "value", "y = 1", n_bins=10).collect()
+        assert len(rows) == 1 and rows[0]["bin"] == 0
+        assert rows[0]["woe"] == 0.0 and rows[0]["iv_total"] == 0.0
