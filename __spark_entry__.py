@@ -2943,25 +2943,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
     # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
     # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: the round-4 additions now number 62
-    # (ts_temperature, ann_recall, dd_calibration, ts_profile,
-    # g15_modularity, dd_rewrite, g16_node2vec, stream_ann, sql_tpch_q1,
-    # g17_anf, ts_adaptive_filter, ann_sq8, g17_effdiam, ts_dsir, ann_knn,
-    # ann_knn_cc, stream_edges, dd_cdc, dd_normalize, sk_heavy,
-    # ts_reservoir, sql_tpch_q5, stream_heavy, sql_tpch_q14, dd_winnow,
-    # ts_mad, stream_quantile, sql_tpch_q4, sql_tpch_q19, sql_cube,
-    # sql_funnel, sql_retention, ts_moving, sql_tpch_q7/q8/q10/q15/q18,
-    # ts_entropy, ts_winsorize, ml_ols, ml_corr, g18_adamicadar,
-    # dd_bloomjoin, stream_minhash, sql_tpch_q13/q17/q22,
-    # g19_trusssupport, stream_bloom, sql_tpch_q2/q9/q11/q12/q16/q20/q21,
-    # g20_assortativity, g21_edgejaccard, ml_histogram, ts_infer_batches,
-    # g22_ktruss) — the window is 50, so rotate in the 50 that cover the
-    # NOVEL operator families first (every ml_*, g15-g22, stream_*, dd_*,
-    # ts_*, ann_* addition — none of these families have a driver row yet
-    # for these members) and leave out 12 of the TPC-H adaptations whose
-    # plan/oracle shape is already driver-covered by checked TPC-H rows
-    # (q1/q4/q5/q6-style pure aggregates); every one already passes
-    # tools/check_contract.py.
+    # ROUND-5 ROTATION TODO: every registry entry past position 50 that
+    # was added in round 4 (everything from ts_dsir onward — the round-4
+    # additions section below) has NO driver row yet; all pass the strict
+    # dtype-aware local gate (GATE_LOCAL_r4.json, full registry). Rotate
+    # the 50-window to cover the NOVEL operator families first (ml_*,
+    # g15-g36, stream_*, dd_*, ts_*, ann_*, mm_*, kg_* additions) and
+    # leave out TPC-H adaptations whose plan/oracle shape is already
+    # driver-covered by checked TPC-H rows (pure-aggregate q1/q4/q5/q6
+    # style).
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in
@@ -3321,6 +3311,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g36_contract": q_g36_contract,
         "kg_schema": q_kg_schema,
         "ml_woe_iv": q_ml_woe_iv,
+        "g37_mis": q_g37_mis,
+        "kg_funcviol": q_kg_funcviol,
+        "ml_target_enc": q_ml_target_enc,
     }
 
 
@@ -10803,6 +10796,77 @@ def oracle_sql() -> dict[str, str]:
                round(iv_total_raw, 6) AS iv_total
         FROM scored, iv
     """
+    # Luby-by-min-id MIS: unrolled pick (local min or isolated-in-residual)
+    # -> remove picked + neighborhoods -> residual, 4 rounds
+    _mis = ["n0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym)",
+            "e0m AS MATERIALIZED (SELECT u, v FROM sym)"]
+    for _r in range(1, 5):
+        _p = _r - 1
+        _mis.append(
+            f"mins{_r} AS MATERIALIZED (SELECT u AS node, min(v) AS mn"
+            f" FROM e{_p}m GROUP BY u)")
+        _mis.append(
+            f"p{_r} AS MATERIALIZED (SELECT n.node FROM n{_p} n"
+            f" LEFT JOIN mins{_r} m USING (node)"
+            f" WHERE m.mn IS NULL OR n.node < m.mn)")
+        _mis.append(
+            f"gone{_r} AS MATERIALIZED (SELECT node AS n FROM p{_r}"
+            f" UNION SELECT s.v FROM e{_p}m s JOIN p{_r} ON s.u = p{_r}.node)")
+        _mis.append(
+            f"n{_r} AS MATERIALIZED (SELECT node FROM n{_p}"
+            f" WHERE node NOT IN (SELECT n FROM gone{_r}))")
+        _mis.append(
+            f"e{_r}m AS MATERIALIZED (SELECT u, v FROM e{_p}m"
+            f" WHERE u NOT IN (SELECT n FROM gone{_r})"
+            f" AND v NOT IN (SELECT n FROM gone{_r}))")
+    o["g37_mis"] = f"""
+        WITH {_COPURCHASE_CTES},
+        {', '.join(_mis)}
+        SELECT node, CAST(r AS INTEGER) AS round FROM (
+          SELECT node, 1 AS r FROM p1
+          UNION ALL SELECT node, 2 FROM p2
+          UNION ALL SELECT node, 3 FROM p3
+          UNION ALL SELECT node, 4 FROM p4
+        )
+    """
+    # functional-violation audit over the triple replay: sorted bounded
+    # example list, same groupBy discipline as the Spark operator
+    o["kg_funcviol"] = f"""
+        WITH {_REL_CTE},
+        t AS (
+          SELECT rel_type AS pred, head_text AS subj, tail_text AS obj
+          FROM rels_id
+        ),
+        g AS (
+          SELECT pred, subj,
+                 CAST(count(DISTINCT obj) AS BIGINT) AS n_objs,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 array_to_string(list_sort(list(DISTINCT obj))[1:5], ',')
+                   AS example_objs
+          FROM t GROUP BY pred, subj
+        )
+        SELECT * FROM g WHERE n_objs > 1
+    """
+    # smoothed target encoding: integer cells, one prior, one shrink
+    o["ml_target_enc"] = """
+        WITH per AS (
+          SELECT CAST(source AS VARCHAR) AS category,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(lang = 'en' AS INT)) AS BIGINT) AS n_pos
+          FROM documents GROUP BY 1
+        ),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS nt,
+                 CAST(sum(n_pos) AS BIGINT) AS gt
+          FROM per
+        )
+        SELECT category, n, n_pos,
+               round(CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS prior,
+               round((CAST(n_pos AS DOUBLE)
+                      + 10.0 * (CAST(gt AS DOUBLE) / CAST(nt AS DOUBLE)))
+                     / (CAST(n AS DOUBLE) + 10.0), 6) AS enc
+        FROM per, tot
+    """
     return o
 
 
@@ -13608,3 +13672,40 @@ def q_ml_woe_iv(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     return woe_iv(ev, "value", "event_type = 'purchase'", n_bins=10)
+
+
+def q_g37_mis(spark, sf_dir):
+    """Deterministic Luby-style maximal independent set over the
+    co-purchase graph (graphstats.py:maximal_independent_set, 4 local-min
+    rounds) — the distributed symmetry-breaking primitive; oracle =
+    unrolled pick/remove-neighborhood replay."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        maximal_independent_set,
+    )
+
+    return maximal_independent_set(_copurchase_edges(spark, sf_dir), rounds=4)
+
+
+def q_kg_funcviol(spark, sf_dir):
+    """Functional-predicate violation audit over the KG triples
+    (graph_build.py:functional_violations): every (pred, subj) with more
+    than one distinct object, with bounded sorted example objects — the
+    curation-queue quality gate; oracle groups the triple replay the
+    same way."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        functional_violations,
+    )
+
+    return functional_violations(_kg(spark, sf_dir).triples)
+
+
+def q_ml_target_enc(spark, sf_dir):
+    """Smoothed target encoding of document source against the
+    is-English target (mlstats.py:target_encoding, alpha=10): exact
+    integer cells shrunk toward the global prior — the
+    high-cardinality-categorical transform; oracle repeats the integer
+    arithmetic."""
+    from knowledgegraphbuilder_spark.operators.mlstats import target_encoding
+
+    docs = _t(spark, sf_dir, "documents")
+    return target_encoding(docs, "source", "lang = 'en'", alpha=10.0)

@@ -189,3 +189,36 @@ def schema_induction(
             6,
         ).alias("share_head"),
     )
+
+
+def functional_violations(
+    triples: DataFrame,
+    max_examples: int = 5,
+) -> DataFrame:
+    """Functional-predicate violation audit: for every (pred, subj) pair
+    with MORE than one distinct object, the violation row a KG curation
+    queue reviews — predicates that are functional in the domain
+    (born_in, headquartered_in, capital_of) must map each subject to one
+    object, and multi-object subjects are either extraction errors or
+    entity-resolution misses, so this audit is the standard post-build
+    quality gate alongside the referential-integrity audit.
+
+    One groupBy(pred, subj) with a distinct-count — map-side combinable,
+    output violation-sized. The example objects are the SORTED first
+    ``max_examples`` distinct objects (deterministic CSV, bounded per
+    row so a pathological subject can't blow up the report).
+
+    Output: (pred, subj, n_objs, n_rows, example_objs).
+    """
+    return (
+        triples.groupBy("pred", "subj")
+        .agg(
+            F.countDistinct("obj").cast("long").alias("n_objs"),
+            F.count("*").cast("long").alias("n_rows"),
+            F.concat_ws(
+                ",",
+                F.slice(F.array_sort(F.collect_set("obj")), 1, max_examples),
+            ).alias("example_objs"),
+        )
+        .filter(F.col("n_objs") > 1)
+    )

@@ -2063,3 +2063,83 @@ def contract_graph(
         .groupBy("u", "v")
         .agg(F.count("*").cast("long").alias("weight"))
     )
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Deterministic Luby-style maximal independent set: per round, every
+    live node that is a LOCAL MINIMUM among its live neighbors (string
+    order) — or has no live neighbor left at all — joins the set; joined
+    nodes AND their neighbors leave the graph; repeat on the residual.
+    This is Luby's algorithm with the random priorities replaced by the
+    node id — fully deterministic and oracle-replayable, at the cost of
+    Luby's O(log n) expected round bound (adversarial orderings can need
+    more rounds; ``rounds`` caps cost, the fixed-rounds contract of
+    label_propagation/greedy_matching — run to the cap, the output is an
+    independent set; at fixpoint it is maximal).
+
+    MIS is THE distributed symmetry-breaking primitive — conflict-free
+    update scheduling, coloring frontiers, landmark selection — and this
+    shape (per round: one grouped min over live edges + a null-or-less
+    filter + anti-joins) is exactly how it runs at 10^12 edges: no
+    sequential scan, cost per round proportional to the live edge count.
+
+    Output: (node, round) — the round each node joined the MIS. Nodes
+    isolated in the ORIGINAL edge list never appear (there are no edge
+    rows to carry them); callers union them in from a node table.
+    """
+    spark = edges.sparkSession
+    live_e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("u"),
+            F.col(dst_col).cast("string").alias("v"),
+        )
+        .unionAll(
+            edges.select(
+                F.col(dst_col).cast("string").alias("u"),
+                F.col(src_col).cast("string").alias("v"),
+            )
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    live_n = live_e.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+    out = spark.createDataFrame([], "node string, round int")
+    for r in range(1, rounds + 1):
+        if live_n.isEmpty():
+            break
+        mins = live_e.groupBy(F.col("u").alias("node")).agg(
+            F.min("v").alias("mn")
+        )
+        picked = (
+            live_n.join(mins, "node", "left")
+            .filter(F.col("mn").isNull() | (F.col("node") < F.col("mn")))
+            .select("node", F.lit(r).alias("round"))
+            .localCheckpoint(eager=True)
+        )
+        if picked.isEmpty():
+            break
+        out = out.unionByName(picked)
+        gone = (
+            picked.select(F.col("node").alias("n"))
+            .unionAll(
+                live_e.join(
+                    picked.withColumnRenamed("node", "u").select("u"), "u"
+                ).select(F.col("v").alias("n"))
+            )
+            .distinct()
+        )
+        live_n = live_n.join(
+            gone.withColumnRenamed("n", "node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        live_e = (
+            live_e.join(gone.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(gone.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+    return out.select("node", F.col("round").cast("int").alias("round"))

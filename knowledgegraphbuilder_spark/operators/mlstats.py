@@ -1495,3 +1495,48 @@ def woe_iv(
             F.round("iv_total_raw", 6).alias("iv_total"),
         )
     )
+
+
+def target_encoding(
+    df: DataFrame,
+    category_expr: str,
+    target_expr: str,
+    alpha: float = 10.0,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical feature — the
+    standard high-cardinality-categorical transform for tabular models:
+    enc(c) = (n_pos_c + alpha * prior) / (n_c + alpha), shrinking rare
+    categories toward the global prior so one-row categories don't
+    memorize their label.
+
+    Determinism: per-category n/n_pos and the global totals are exact
+    integers; prior and enc are single fixed expressions over those
+    integers (no float folds over shuffled rows), rounded 6dp at the end.
+
+    Scale shape: one grouped integer count + one global rollup of that
+    (category-sized) table broadcast back — two map-side-combinable
+    aggregates, no joins against the fact table.
+
+    Output: (category, n, n_pos, prior, enc).
+    """
+    per = (
+        df.selectExpr(
+            f"cast({category_expr} as string) as category",
+            f"cast(({target_expr}) as int) as y",
+        )
+        .groupBy("category")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_pos").cast("long").alias("gt"),
+    )
+    return per.crossJoin(F.broadcast(tot)).selectExpr(
+        "category", "n", "n_pos",
+        "round(cast(gt as double) / cast(nt as double), 6) as prior",
+        f"round((cast(n_pos as double) + {alpha!r} * (cast(gt as double) / cast(nt as double)))"
+        f" / (cast(n as double) + {alpha!r}), 6) as enc",
+    )

@@ -335,3 +335,108 @@ class TestWoeIv:
         rows = woe_iv(df, "value", "y = 1", n_bins=10).collect()
         assert len(rows) == 1 and rows[0]["bin"] == 0
         assert rows[0]["woe"] == 0.0 and rows[0]["iv_total"] == 0.0
+
+
+class TestMaximalIndependentSet:
+    def test_path5_picks_isolated_residual_node(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            maximal_independent_set,
+        )
+
+        # a-b-c-d-e: round1 picks a (gone a,b); round2 picks c (gone c,d);
+        # e is then ISOLATED in the residual and must join in round 3
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+            "src string, dst string",
+        )
+        got = {
+            r["node"]: r["round"]
+            for r in maximal_independent_set(edges, rounds=4).collect()
+        }
+        assert got == {"a": 1, "c": 2, "e": 3}
+
+    def test_star_picks_all_leaves_one_round(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            maximal_independent_set,
+        )
+
+        # center 'z' loses every local-min contest; both leaves join at once
+        edges = spark.createDataFrame(
+            [("z", "a"), ("z", "b")], "src string, dst string"
+        )
+        got = {
+            r["node"]: r["round"]
+            for r in maximal_independent_set(edges, rounds=4).collect()
+        }
+        assert got == {"a": 1, "b": 1}
+
+    def test_independence_and_maximality_on_k33(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import (
+            maximal_independent_set,
+        )
+
+        left, right = ["a1", "a2", "a3"], ["b1", "b2", "b3"]
+        edges = spark.createDataFrame(
+            [(l, r) for l in left for r in right], "src string, dst string"
+        )
+        mis = {r["node"] for r in maximal_independent_set(edges, rounds=4).collect()}
+        # K3,3: MIS is one full side; local-min picks the 'a' side
+        assert mis == set(left)
+
+
+class TestFunctionalViolations:
+    def test_multi_object_subject_flagged(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            functional_violations,
+        )
+
+        triples = spark.createDataFrame(
+            [
+                ("alice", "born_in", "paris", "d1"),
+                ("alice", "born_in", "lyon", "d2"),
+                ("alice", "born_in", "paris", "d3"),
+                ("bob", "born_in", "rome", "d1"),
+                ("alice", "works_at", "acme", "d1"),
+            ],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        rows = functional_violations(triples).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["pred"], r["subj"]) == ("born_in", "alice")
+        assert r["n_objs"] == 2 and r["n_rows"] == 3
+        assert r["example_objs"] == "lyon,paris"
+
+    def test_example_list_bounded(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            functional_violations,
+        )
+
+        triples = spark.createDataFrame(
+            [("s", "p", f"o{i}", "d") for i in range(9)],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        r = functional_violations(triples, max_examples=3).collect()[0]
+        assert r["n_objs"] == 9
+        assert r["example_objs"] == "o0,o1,o2"
+
+
+class TestTargetEncoding:
+    def test_shrinks_rare_category_toward_prior(self, spark):
+        from knowledgegraphbuilder_spark.operators.mlstats import (
+            target_encoding,
+        )
+
+        # cat 'big': 50 rows, 40 pos; cat 'rare': 1 row, 1 pos
+        rows = [("big", 1 if i < 40 else 0) for i in range(50)] + [("rare", 1)]
+        df = spark.createDataFrame(rows, "cat string, y int")
+        got = {
+            r["category"]: r
+            for r in target_encoding(df, "cat", "y = 1", alpha=10.0).collect()
+        }
+        prior = 41 / 51
+        assert got["big"]["prior"] == round(prior, 6)
+        assert got["big"]["enc"] == round((40 + 10 * prior) / 60, 6)
+        # the one-row category lands near the prior, not at 1.0
+        assert got["rare"]["enc"] == round((1 + 10 * prior) / 11, 6)
+        assert abs(got["rare"]["enc"] - prior) < 0.02
