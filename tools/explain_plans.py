@@ -1009,6 +1009,42 @@ def main() -> None:
         entry.q_ml_bootstrap(spark, args.sf),
     )
 
+    add(
+        "Filtered vector search: predicate reaches the scan before scoring",
+        "topk_filtered applies the metadata predicate BEFORE the cosine "
+        "fold, so the label filter shows up as PushedFilters on the "
+        "embeddings scan and only the surviving fraction pays the "
+        "dot product — post-filtering a top-k would scan everything and "
+        "could return fewer than k hits.",
+        entry.q_ann_filtered(spark, args.sf),
+    )
+    add(
+        "Brandes betweenness: integer path counts + sorted-fold backward sweep",
+        "Forward levels are equi-join + map-side-combinable BIGINT sums "
+        "(exact sigma); the backward dependency sum is an "
+        "aggregate(array_sort(collect_list(...))) fold, so the only "
+        "floats are summed in a deterministic order — no shuffled float "
+        "fold anywhere in the plan.",
+        entry.q_g34_betweenness(spark, args.sf),
+    )
+    add(
+        "Handshake matching: proposal agg + mutual-min self-join per round",
+        "Each round is one groupBy(u).min(v) over live edges, one "
+        "self-equi-join of the proposal table on the handshake "
+        "condition, and two left-anti joins to drop matched endpoints — "
+        "cost tracks the live edge count, and localCheckpoint truncates "
+        "lineage so round N's plan never replays rounds 1..N-1.",
+        entry.q_g35_matching(spark, args.sf),
+    )
+    add(
+        "KG schema induction: two dim joins + one signature aggregate",
+        "The relation table joins the (mention_id, label) projection "
+        "twice — broadcastable dims — then a single hash aggregate on "
+        "the typed signature; the conditional share is one window sum "
+        "over the signature-sized result, never over the fact table.",
+        entry.q_kg_schema(spark, args.sf),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
