@@ -3314,6 +3314,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g37_mis": q_g37_mis,
         "kg_funcviol": q_kg_funcviol,
         "ml_target_enc": q_ml_target_enc,
+        "ts_keyness": q_ts_keyness,
+        "ts_bigram_next": q_ts_bigram_next,
+        "kg_growth": q_kg_growth,
     }
 
 
@@ -10867,6 +10870,111 @@ def oracle_sql() -> dict[str, str]:
                      / (CAST(n AS DOUBLE) + 10.0), 6) AS enc
         FROM per, tot
     """
+    # Dunning G2 keyness: integer 2x2 cells, ln once per output row,
+    # decimal-widened cross-multiply, top-20 by RAW g2 before rounding
+    o["ts_keyness"] = """
+        WITH toks AS (
+          SELECT w AS token,
+                 CAST(sum(CASE WHEN focus THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                 CAST(sum(CASE WHEN focus THEN 0 ELSE 1 END) AS BIGINT) AS b
+          FROM (
+            SELECT source = 'src0' AS focus,
+                   UNNEST(string_split(text, ' ')) AS w
+            FROM documents
+          ) WHERE w <> '' GROUP BY w
+        ),
+        marg AS (
+          SELECT CAST(sum(a) AS BIGINT) AS c, CAST(sum(b) AS BIGINT) AS d
+          FROM toks
+        ),
+        scored AS (
+          SELECT token, a, b,
+                 CASE WHEN CAST(a AS DECIMAL(38, 0)) * d
+                           >= CAST(b AS DECIMAL(38, 0)) * c
+                      THEN 1 ELSE -1 END AS direction,
+                 2.0 * (CASE WHEN a > 0 THEN
+                          a * ln(a / (CAST(c AS DOUBLE) * (a + b) / (c + d)))
+                        ELSE 0.0 END
+                      + CASE WHEN b > 0 THEN
+                          b * ln(b / (CAST(d AS DOUBLE) * (a + b) / (c + d)))
+                        ELSE 0.0 END) AS g2_raw
+          FROM toks, marg
+        )
+        SELECT token, a AS n_focus, b AS n_rest,
+               CAST(direction AS INTEGER) AS direction,
+               round(g2_raw, 6) AS g2
+        FROM scored ORDER BY g2_raw DESC, token LIMIT 20
+    """
+    # bigram argmax: counts -> per-head max cnt -> min next on ties
+    o["ts_bigram_next"] = """
+        WITH ws AS (
+          SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          FROM documents
+        ),
+        ws2 AS (SELECT ws FROM ws WHERE len(ws) >= 2),
+        bi AS (
+          SELECT UNNEST([struct_pack(w1 := ws[i], w2 := ws[i + 1])
+                         FOR i IN range(1, len(ws))]) AS p
+          FROM ws2
+        ),
+        bic AS (
+          SELECT p.w1 AS w1, p.w2 AS w2, CAST(count(*) AS BIGINT) AS cnt
+          FROM bi GROUP BY 1, 2
+        ),
+        heads AS (
+          SELECT w1, CAST(sum(cnt) AS BIGINT) AS total
+          FROM bic GROUP BY 1 ORDER BY total DESC, w1 LIMIT 20
+        ),
+        mx AS (SELECT w1, max(cnt) AS cnt FROM bic GROUP BY 1),
+        best AS (
+          SELECT b.w1, b.cnt, min(b.w2) AS next_tok
+          FROM bic b JOIN mx USING (w1, cnt) GROUP BY b.w1, b.cnt
+        )
+        SELECT h.w1 AS head, best.next_tok, best.cnt, h.total,
+               round(CAST(best.cnt AS DOUBLE) / h.total, 6) AS prob
+        FROM heads h JOIN best ON best.w1 = h.w1
+    """
+    # KG saturation: first-appearance decile histograms + integer cumsums
+    o["kg_growth"] = f"""
+        WITH {_REL_CTE},
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        t AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 least(9, CAST(floor(10 * CAST(regexp_extract(r.doc_id,
+                        '([0-9]+)', 1) AS BIGINT) / nd.n) AS INT)) AS bucket
+          FROM rels_id r, nd
+        ),
+        nodes AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_nodes FROM (
+            SELECT node, min(bucket) AS bucket FROM (
+              SELECT subj AS node, bucket FROM t
+              UNION ALL SELECT obj, bucket FROM t
+            ) GROUP BY node
+          ) GROUP BY bucket
+        ),
+        trip AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n_new_triples FROM (
+            SELECT subj, pred, obj, min(bucket) AS bucket
+            FROM t GROUP BY subj, pred, obj
+          ) GROUP BY bucket
+        ),
+        shell AS (SELECT UNNEST(range(10)) AS bucket),
+        j AS (
+          SELECT shell.bucket AS bucket,
+                 CAST(coalesce(n_new_nodes, 0) AS BIGINT) AS n_new_nodes,
+                 CAST(coalesce(n_new_triples, 0) AS BIGINT) AS n_new_triples
+          FROM shell
+          LEFT JOIN nodes ON nodes.bucket = shell.bucket
+          LEFT JOIN trip ON trip.bucket = shell.bucket
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket, n_new_nodes,
+               CAST(sum(n_new_nodes) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nodes,
+               n_new_triples,
+               CAST(sum(n_new_triples) OVER (ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_triples
+        FROM j
+    """
     return o
 
 
@@ -13709,3 +13817,34 @@ def q_ml_target_enc(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return target_encoding(docs, "source", "lang = 'en'", alpha=10.0)
+
+
+def q_ts_keyness(spark, sf_dir):
+    """Dunning log-likelihood keyness of src0 vs the rest of the corpus
+    (textstats.py:keyness_llr, top-20 by raw G2): exact integer 2x2
+    cells, ln once per output row, decimal-widened cross-multiply for the
+    direction flag — the what-characterizes-this-source keyword report."""
+    from knowledgegraphbuilder_spark.operators.textstats import keyness_llr
+
+    return keyness_llr(_t(spark, sf_dir, "documents"), "source = 'src0'")
+
+
+def q_ts_bigram_next(spark, sf_dir):
+    """Bigram-LM argmax table (textstats.py:bigram_next): for the 20 most
+    frequent head tokens, the most likely next token with its conditional
+    probability — two-phase max-then-min-tie-break aggregates, never a
+    sorted window over the corpus."""
+    from knowledgegraphbuilder_spark.operators.textstats import bigram_next
+
+    return bigram_next(_t(spark, sf_dir, "documents"))
+
+
+def q_kg_growth(spark, sf_dir):
+    """KG saturation curve (graph_build.py:growth_curve): new canonical
+    nodes / new distinct triples per doc-id decile with running
+    cumulative totals — the Heaps-for-graphs diagnostic; oracle repeats
+    the bucketed first-appearance histogram over the relation replay."""
+    from knowledgegraphbuilder_spark.operators.graph_build import growth_curve
+
+    n_docs = _t(spark, sf_dir, "documents").count()
+    return growth_curve(_kg(spark, sf_dir).triples, n_docs)

@@ -265,6 +265,10 @@ def main() -> None:
         "ml_cramersv", "stream_cusum", "dd_crossdedup", "sk_kmv",
         "stream_kmv", "ts_oov", "kg_entity_pmi", "mm_audit", "kg_wcc",
         "ts_langconfusion", "ml_permtest",
+        "ann_mips", "ann_range", "ann_filtered", "g33_pathrecon",
+        "g34_betweenness", "g35_matching", "g36_contract", "g37_mis",
+        "kg_schema", "kg_funcviol", "kg_growth", "ml_woe_iv",
+        "ml_target_enc", "ts_keyness", "ts_bigram_next",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

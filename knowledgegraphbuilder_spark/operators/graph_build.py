@@ -222,3 +222,69 @@ def functional_violations(
         )
         .filter(F.col("n_objs") > 1)
     )
+
+
+def growth_curve(
+    triples: DataFrame,
+    n_docs: int,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """KG saturation curve: split the corpus into ``n_buckets`` equal
+    doc-id deciles and report, per decile, how many NEW canonical nodes
+    and NEW distinct triples first appear there, with running cumulative
+    totals — the Heaps-law-for-graphs diagnostic that answers "is the KG
+    still growing linearly with corpus size, or saturating?" (drives
+    how much more crawl a 10^12-doc build actually needs).
+
+    Determinism: bucket = floor(n_buckets * doc_int / n_docs) over exact
+    integers; first-appearance = min(bucket) per entity/triple; the
+    cumulative is an integer window sum over the bucket total order.
+
+    Scale shape: one pass to bucket, two grouped min/count aggregates
+    (map-side combinable), and a window over the n_buckets-row result —
+    never over the fact table.
+
+    Output: (bucket, n_new_nodes, cum_nodes, n_new_triples, cum_triples).
+    """
+    b = triples.selectExpr(
+        "subj", "pred", "obj",
+        f"least({n_buckets} - 1, cast(floor({n_buckets} *"
+        f" cast(regexp_extract(doc_id, '([0-9]+)', 1) as bigint)"
+        f" / {n_docs}) as int)) as bucket",
+    )
+    nodes = (
+        b.selectExpr("subj as node", "bucket")
+        .unionAll(b.selectExpr("obj as node", "bucket"))
+        .groupBy("node")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_nodes"))
+    )
+    trip = (
+        b.groupBy("subj", "pred", "obj")
+        .agg(F.min("bucket").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_new_triples"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # full bucket shell: a saturating KG's flat tail (zero new per decile)
+    # must be VISIBLE in the curve, not absent from it
+    shell = triples.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    return (
+        shell.join(nodes, "bucket", "left")
+        .join(trip, "bucket", "left")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.coalesce("n_new_nodes", F.lit(0)).cast("long").alias("n_new_nodes"),
+            F.coalesce("n_new_triples", F.lit(0)).cast("long").alias("n_new_triples"),
+        )
+        .withColumn("cum_nodes", F.sum("n_new_nodes").over(w).cast("long"))
+        .withColumn("cum_triples", F.sum("n_new_triples").over(w).cast("long"))
+        .select("bucket", "n_new_nodes", "cum_nodes",
+                "n_new_triples", "cum_triples")
+    )

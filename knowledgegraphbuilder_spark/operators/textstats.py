@@ -846,3 +846,131 @@ def good_turing_coverage(
         "round(cast(n_hapax as double) / n_tokens, 6) as p_unseen",
         "round(1.0d - cast(n_hapax as double) / n_tokens, 6) as coverage",
     )
+
+
+def keyness_llr(
+    docs: DataFrame,
+    focus_expr: str,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Dunning log-likelihood (G2) keyness: which tokens are
+    over/under-represented in a FOCUS slice of the corpus vs the rest
+    (Dunning 1993) — the standard corpus-comparison keyword extractor
+    (what characterizes this source/domain/split?), and the
+    signal-vs-rest test behind domain-tag vocabularies.
+
+    G2 = 2 * (a*ln(a/E1) + b*ln(b/E2)) over the 2x2 token table, with
+    a = focus count, b = rest count, E = expected under pooling. Every
+    cell and margin is an exact integer; ln/divide happen once per
+    OUTPUT row (no folds over shuffled rows). Zero cells contribute 0
+    (the lim x->0 of x ln x). direction = +1 when the token is
+    over-represented in focus (integer cross-multiply a*d >= b*c, no
+    division). Top-k selected by RAW g2 (desc, token asc tie-break) so
+    both engines pick the identical set before display rounding.
+
+    Scale shape: one explode + two map-side-combinable grouped counts
+    (token x in_focus, then the global margins broadcast back onto the
+    vocabulary-sized table); TakeOrderedAndProject for the top-k, never
+    a full sort.
+
+    Output: (token, n_focus, n_rest, direction, g2) — g2 rounded 6dp.
+    """
+    toks = (
+        docs.selectExpr(
+            f"cast(({focus_expr}) as int) as in_focus",
+            f"explode(split({text_col}, ' ')) as token",
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.sum("in_focus").cast("long").alias("a"),
+            F.sum(F.expr("1 - in_focus")).cast("long").alias("b"),
+        )
+    )
+    marg = toks.agg(
+        F.sum("a").cast("long").alias("c"), F.sum("b").cast("long").alias("d")
+    )
+    scored = toks.crossJoin(F.broadcast(marg)).selectExpr(
+        "token", "a", "b",
+        "case when cast(a as decimal(38, 0)) * d >= cast(b as decimal(38, 0)) * c"
+        " then 1 else -1 end as direction",
+        "2.0d * ("
+        " case when a > 0 then a * ln(a / (cast(c as double) * (a + b) / (c + d)))"
+        "      else 0.0d end"
+        " + case when b > 0 then b * ln(b / (cast(d as double) * (a + b) / (c + d)))"
+        "        else 0.0d end) as g2_raw",
+    )
+    return (
+        scored.orderBy(F.desc("g2_raw"), F.col("token"))
+        .limit(top_k)
+        .select(
+            "token",
+            F.col("a").alias("n_focus"),
+            F.col("b").alias("n_rest"),
+            F.col("direction").cast("int").alias("direction"),
+            F.round("g2_raw", 6).alias("g2"),
+        )
+    )
+
+
+def bigram_next(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_heads: int = 20,
+) -> DataFrame:
+    """Bigram language-model head: for the ``top_heads`` most frequent
+    tokens, the single most likely NEXT token with its conditional
+    probability — the argmax table of the same bigram LM the perplexity
+    filter trains, and the cheapest possible next-token predictor
+    (type-ahead, OOV repair, synthetic-text sanity checks).
+
+    Determinism: bigram and unigram counts are exact integers; the
+    per-head argmax is max(struct(cnt, reversed-token)) — an AGGREGATE,
+    not a sorted window, so hub heads cost their degree — with ties
+    broken toward the lexicographically smallest next token; heads are
+    the top unigram counts with (count desc, token) order. prob is the
+    single integer ratio cnt/total, rounded 6dp.
+
+    Output: (head, next_tok, cnt, total, prob).
+    """
+    ws = docs.selectExpr(
+        f"filter(split({text_col}, ' '), x -> x <> '') as ws"
+    ).filter(F.expr("size(ws) >= 2"))
+    bi = (
+        ws.selectExpr(
+            "explode(transform(sequence(1, size(ws) - 1),"
+            " i -> struct(ws[i - 1] as w1, ws[i] as w2))) as b"
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    heads = (
+        bi.groupBy("w1")
+        .agg(F.sum("cnt").cast("long").alias("total"))
+        .orderBy(F.desc("total"), F.col("w1"))
+        .limit(top_heads)
+    )
+    # argmax as an aggregate: max cnt, then MIN w2 on ties — encode the
+    # tie-break by negating nothing: max(struct(cnt, w2)) would prefer the
+    # LARGEST w2; aggregate a min over the cnt-maximal set instead via
+    # two-phase: max cnt per head, then min w2 at that cnt.
+    mx = bi.groupBy("w1").agg(F.max("cnt").alias("cnt"))
+    best = (
+        bi.join(mx, ["w1", "cnt"])
+        .groupBy("w1", "cnt")
+        .agg(F.min("w2").alias("next_tok"))
+    )
+    return (
+        heads.join(best, "w1")
+        .select(
+            F.col("w1").alias("head"),
+            "next_tok",
+            "cnt",
+            "total",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total").cast("double"), 6
+            ).alias("prob"),
+        )
+    )

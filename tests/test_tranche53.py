@@ -440,3 +440,112 @@ class TestTargetEncoding:
         # the one-row category lands near the prior, not at 1.0
         assert got["rare"]["enc"] == round((1 + 10 * prior) / 11, 6)
         assert abs(got["rare"]["enc"] - prior) < 0.02
+
+
+class TestKeynessLlr:
+    def test_overused_token_positive_direction(self, spark):
+        import math
+
+        from knowledgegraphbuilder_spark.operators.textstats import (
+            keyness_llr,
+        )
+
+        # focus docs say 'spark' a lot; rest says 'duck'
+        docs = spark.createDataFrame(
+            [("f", "spark spark spark common"),
+             ("r", "duck duck common common")],
+            "source string, text string",
+        )
+        got = {r["token"]: r for r in
+               keyness_llr(docs, "source = 'f'", top_k=10).collect()}
+        assert got["spark"]["direction"] == 1
+        assert got["duck"]["direction"] == -1
+        # hand-check G2 for 'spark': a=3,b=0,c=4,d=4 -> E1=1.5
+        g2 = 2 * (3 * math.log(3 / 1.5))
+        assert got["spark"]["g2"] == round(g2, 6)
+        # balanced token carries ~zero keyness ('common': a=1,b=2 vs c=4,d=4)
+        assert abs(got["common"]["g2"]) < got["spark"]["g2"]
+
+    def test_zero_cells_contribute_zero(self, spark):
+        from knowledgegraphbuilder_spark.operators.textstats import (
+            keyness_llr,
+        )
+
+        docs = spark.createDataFrame(
+            [("f", "only"), ("r", "other")], "source string, text string"
+        )
+        rows = keyness_llr(docs, "source = 'f'", top_k=10).collect()
+        assert all(r["g2"] is not None for r in rows)
+
+
+class TestBigramNext:
+    def test_argmax_and_tiebreak(self, spark):
+        from knowledgegraphbuilder_spark.operators.textstats import (
+            bigram_next,
+        )
+
+        # 'a b' x2, 'a c' x2 (tie -> min next 'b'), 'b z' x1
+        docs = spark.createDataFrame(
+            [(1, "a b z"), (2, "a b"), (3, "a c"), (4, "a c")],
+            "doc_id long, text string",
+        )
+        got = {r["head"]: r for r in bigram_next(docs).collect()}
+        assert got["a"]["next_tok"] == "b"
+        assert got["a"]["cnt"] == 2 and got["a"]["total"] == 4
+        assert got["a"]["prob"] == 0.5
+        assert got["b"]["next_tok"] == "z" and got["b"]["total"] == 1
+
+    def test_single_token_docs_ignored(self, spark):
+        from knowledgegraphbuilder_spark.operators.textstats import (
+            bigram_next,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "solo"), (2, "x y")], "doc_id long, text string"
+        )
+        got = {r["head"]: r["next_tok"] for r in bigram_next(docs).collect()}
+        assert got == {"x": "y"}
+
+
+class TestGrowthCurve:
+    def test_first_appearance_and_cumsum(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            growth_curve,
+        )
+
+        # 10 docs, 2 buckets of 5 with n_buckets=2: doc_0..4 -> b0, 5..9 -> b1
+        triples = spark.createDataFrame(
+            [
+                ("a", "p", "b", "doc_0"),
+                ("a", "p", "b", "doc_7"),   # triple NOT new in b1
+                ("a", "p", "c", "doc_8"),   # new triple, new node c
+                ("d", "q", "a", "doc_9"),   # new triple, new node d
+            ],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        got = {
+            r["bucket"]: r
+            for r in growth_curve(triples, n_docs=10, n_buckets=2).collect()
+        }
+        assert got[0]["n_new_nodes"] == 2 and got[0]["n_new_triples"] == 1
+        assert got[1]["n_new_nodes"] == 2 and got[1]["n_new_triples"] == 2
+        assert got[1]["cum_nodes"] == 4 and got[1]["cum_triples"] == 3
+
+    def test_last_bucket_clamped(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            growth_curve,
+        )
+
+        triples = spark.createDataFrame(
+            [("x", "p", "y", "doc_9")],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        # n_docs=10, n_buckets=10: doc_9 -> floor(10*9/10)=9, clamp no-op;
+        # doc_id beyond range would clamp to 9 as well. The shell keeps
+        # all 10 buckets visible with zero-new flat segments.
+        rows = {r["bucket"]: r for r in
+                growth_curve(triples, n_docs=10, n_buckets=10).collect()}
+        assert sorted(rows) == list(range(10))
+        assert rows[9]["n_new_nodes"] == 2 and rows[9]["n_new_triples"] == 1
+        assert rows[0]["n_new_nodes"] == 0 and rows[0]["cum_nodes"] == 0
+        assert rows[9]["cum_nodes"] == 2 and rows[9]["cum_triples"] == 1
