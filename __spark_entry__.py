@@ -3317,6 +3317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_keyness": q_ts_keyness,
         "ts_bigram_next": q_ts_bigram_next,
         "kg_growth": q_kg_growth,
+        "link_cosine": q_link_cosine,
     }
 
 
@@ -10975,6 +10976,73 @@ def oracle_sql() -> dict[str, str]:
                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_triples
         FROM j
     """
+    # north-star linker: LSH banding replay (raw surfaces, no Jaccard
+    # filter) + trigram-hash embedding replay + cosine at 0.5
+    o["link_cosine"] = f"""
+        WITH {_KG_CTE},
+        t00 AS (SELECT DISTINCT text FROM mentions),
+        t0 AS (
+          SELECT DISTINCT text FROM (
+            SELECT text FROM t00
+            UNION ALL SELECT upper(text) FROM t00
+            UNION ALL SELECT '_' || text FROM t00
+            UNION ALL SELECT text || 's' FROM t00
+          )
+        ),
+        nrmx AS (
+          SELECT text,
+                 lower(trim(regexp_replace(text, '[\\s_\\-]+', ' ', 'g'))) AS norm
+          FROM t0
+        ),
+        shn AS (
+          SELECT text,
+                 list_distinct([substr(norm, i, 3)
+                                FOR i IN generate_series(1, greatest(length(norm) - 2, 1))]) AS shingles
+          FROM nrmx
+        ),
+        hsh AS (
+          SELECT text,
+                 [('0x' || substr(sha256(s), 1, 15))::BIGINT FOR s IN shingles] AS hh
+          FROM shn
+        ),
+        sig AS (
+          SELECT text,
+                 [list_min([('0x' || substr(sha256(CAST(h AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 15))::BIGINT
+                            FOR h IN hh])
+                  FOR i IN generate_series(0, 31)] AS sg
+          FROM hsh
+        ),
+        bkt AS (
+          SELECT text, g.b AS band,
+                 ('0x' || substr(sha256(array_to_string(
+                    list_transform(sg[g.b * 4 + 1 : g.b * 4 + 4],
+                                   x -> CAST(x AS VARCHAR)), ',')), 1, 15))::BIGINT AS key
+          FROM sig, generate_series(0, 7) g(b)
+        ),
+        cand AS (
+          SELECT DISTINCT x.text AS src, y.text AS dst
+          FROM bkt x JOIN bkt y
+            ON x.band = y.band AND x.key = y.key AND x.text < y.text
+        ),
+        alltxt AS (SELECT text AS txt, 0 AS is_q FROM t0),
+        {_EMBED_FEAT_CTE},
+        vn AS (SELECT txt, sqrt(sum(val * val)) AS n FROM vec GROUP BY txt),
+        dotp AS (
+          SELECT c.src, c.dst, sum(a.val * b.val) AS dp
+          FROM cand c
+          JOIN vec a ON a.txt = c.src
+          JOIN vec b ON b.txt = c.dst AND b.bucket = a.bucket
+          GROUP BY c.src, c.dst
+        )
+        SELECT src, dst, cosine FROM (
+          SELECT c.src, c.dst,
+                 round(coalesce(d.dp, 0.0) / (na.n * nb.n), 4) AS cosine
+          FROM cand c
+          LEFT JOIN dotp d ON d.src = c.src AND d.dst = c.dst
+          JOIN vn na ON na.txt = c.src
+          JOIN vn nb ON nb.txt = c.dst
+        ) WHERE cosine >= 0.3
+    """
     return o
 
 
@@ -13848,3 +13916,23 @@ def q_kg_growth(spark, sf_dir):
 
     n_docs = _t(spark, sf_dir, "documents").count()
     return growth_curve(_kg(spark, sf_dir).triples, n_docs)
+
+
+def q_link_cosine(spark, sf_dir):
+    """North-star entity-linking chain (link.py:cosine_link_edges):
+    MinHash-LSH blocked candidates over the mention surfaces (augmented
+    with the same deterministic planted variants link_edges uses, so
+    blocking collisions exist at this sf), rescored by cosine over the
+    trigram feature-hash embedding column (float32 stored convention),
+    kept at cosine >= 0.3. Oracle replays the banding, the embedding
+    (sparse bucket replay, same float32 cast), and the cosine verbatim."""
+    from knowledgegraphbuilder_spark.operators.link import cosine_link_edges
+
+    t = _kg(spark, sf_dir).mentions.select("text").distinct()
+    planted = (
+        t.select(F.upper("text").alias("text"))
+        .unionAll(t.select(F.concat(F.lit("_"), F.col("text")).alias("text")))
+        .unionAll(t.select(F.concat(F.col("text"), F.lit("s")).alias("text")))
+    )
+    return cosine_link_edges(t.unionAll(planted).distinct(), CFG,
+                             cos_threshold=0.3)

@@ -61,13 +61,19 @@ def _h60(expr: str) -> str:
 
 def lsh_similarity_edges(
     texts: DataFrame, config: KGConfig | None = None, threshold: float | None = None,
+    verify_threshold: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH blocking over char-k shingles of normalized surface forms +
     exact Jaccard verification at ``synonym_threshold`` (reference config.py:17
     uses 0.8 for synonym similarity). Input: distinct (text); output:
-    (src, dst, jaccard) edges between *original* surface forms."""
+    (src, dst, jaccard) edges between *original* surface forms.
+
+    ``threshold`` shapes the banding (recall target); ``verify_threshold``
+    (default: same) is the final Jaccard filter — pass 0.0 to get the RAW
+    blocked candidate set for a downstream rescorer (cosine_link_edges)."""
     cfg = config or KGConfig()
     thr = threshold if threshold is not None else cfg.synonym_threshold
+    vthr = verify_threshold if verify_threshold is not None else thr
     n_perm, k = cfg.minhash_perm, cfg.shingle_size
     # derive the band shape from the threshold: a (bands, rows) split has
     # implicit candidate threshold tau = (1/bands)^(1/rows); pick the split
@@ -132,8 +138,59 @@ def lsh_similarity_edges(
             "jaccard",
             F.round(F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb")), 6),
         )
-        .filter(F.col("jaccard") >= thr)
+        .filter(F.col("jaccard") >= vthr)
         .select("src", "dst", "jaccard")
+    )
+
+
+def cosine_link_edges(
+    mentions: DataFrame,
+    config: KGConfig | None = None,
+    cos_threshold: float = 0.5,
+    dim: int = 64,
+) -> DataFrame:
+    """The north-star entity-linking scorer end-to-end: MinHash-LSH
+    blocking over the distinct mention surface forms (candidate
+    generation — never an all-pairs join) followed by COSINE-similarity
+    scoring over an embedding column (the trigram feature-hash encoder
+    retrieval.py uses, float32 stored-index convention), keeping pairs
+    at ``cos_threshold``. This is the "MinHash-LSH blocking +
+    cosine-similarity scoring over embedding columns" stage of
+    BASELINE.json's north star as one callable — the linker that feeds
+    canonicalization when surface Jaccard is too coarse (abbreviations,
+    transliterations) but embeddings agree.
+
+    Scale shape: blocking cost = surfaces x bands (equi-join on band
+    key); the embedding join touches only candidate endpoints
+    (mention-vocabulary-sized, broadcastable); per-pair cosine is one
+    zip_with fold over dense dim-length arrays. Output:
+    (src, dst, cosine) with cosine rounded 4dp.
+    """
+    from knowledgegraphbuilder_spark.operators.retrieval import embed_column
+
+    texts = mentions.select("text").distinct()
+    cand = lsh_similarity_edges(
+        texts, config, verify_threshold=0.0
+    ).select("src", "dst")
+    embs = embed_column(texts, "text", "embedding", dim)
+    a = embs.selectExpr(
+        "text as src", "transform(embedding, x -> cast(x as double)) as ea"
+    )
+    b = embs.selectExpr(
+        "text as dst", "transform(embedding, x -> cast(x as double)) as eb"
+    )
+    dot = "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0.0d, (a, x) -> a + x)"
+    na = "sqrt(aggregate(ea, 0.0d, (a, x) -> a + x * x))"
+    nb = "sqrt(aggregate(eb, 0.0d, (a, x) -> a + x * x))"
+    return (
+        cand.join(a, "src")
+        .join(b, "dst")
+        .selectExpr(
+            "src", "dst",
+            f"round({dot} / ({na} * {nb}), 4) as cosine",
+        )
+        .filter(F.col("cosine") >= cos_threshold)
+        .select("src", "dst", "cosine")
     )
 
 

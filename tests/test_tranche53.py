@@ -549,3 +549,34 @@ class TestGrowthCurve:
         assert rows[9]["n_new_nodes"] == 2 and rows[9]["n_new_triples"] == 1
         assert rows[0]["n_new_nodes"] == 0 and rows[0]["cum_nodes"] == 0
         assert rows[9]["cum_nodes"] == 2 and rows[9]["cum_triples"] == 1
+
+
+class TestCosineLinkEdges:
+    def test_variant_surfaces_link_with_high_cosine(self, spark):
+        from knowledgegraphbuilder_spark.operators.link import (
+            cosine_link_edges,
+        )
+
+        mentions = spark.createDataFrame(
+            [("anthropic corp",), ("anthropic corps",), ("_anthropic corp",),
+             ("zzz qqq xxx",)],
+            "text string",
+        )
+        rows = cosine_link_edges(mentions, cos_threshold=0.3).collect()
+        pairs = {(r["src"], r["dst"]): r["cosine"] for r in rows}
+        assert ("anthropic corp", "anthropic corps") in pairs
+        assert pairs[("anthropic corp", "anthropic corps")] > 0.8
+        # the unrelated surface never shares a band with the variants
+        assert not any("zzz" in a or "zzz" in b for a, b in pairs)
+
+    def test_threshold_filters(self, spark):
+        from knowledgegraphbuilder_spark.operators.link import (
+            cosine_link_edges,
+        )
+
+        mentions = spark.createDataFrame(
+            [("anthropic corp",), ("anthropic corps",)], "text string"
+        )
+        hi = cosine_link_edges(mentions, cos_threshold=0.999).collect()
+        lo = cosine_link_edges(mentions, cos_threshold=0.0).collect()
+        assert len(lo) >= 1 and len(hi) <= len(lo)
