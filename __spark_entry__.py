@@ -3318,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_bigram_next": q_ts_bigram_next,
         "kg_growth": q_kg_growth,
         "link_cosine": q_link_cosine,
+        "kg_query_2hop": q_kg_query_2hop,
     }
 
 
@@ -11043,6 +11044,36 @@ def oracle_sql() -> dict[str, str]:
           JOIN vn nb ON nb.txt = c.dst
         ) WHERE cosine >= 0.3
     """
+    # typed 2-hop instance query: distinct doc-supported edges, one
+    # middle-node join, preds = top-2 by (count desc, name)
+    o["kg_query_2hop"] = f"""
+        WITH {_REL_CTE},
+        t AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 doc_id
+          FROM rels_id
+        ),
+        e AS (
+          SELECT subj, pred, obj,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM t GROUP BY 1, 2, 3
+        ),
+        ed AS (SELECT DISTINCT subj, pred, obj FROM t),
+        census AS (
+          SELECT x.pred AS p1, y.pred AS p2,
+                 row_number() OVER (ORDER BY count(*) DESC,
+                                    x.pred, y.pred) AS rn
+          FROM ed x JOIN ed y ON x.obj = y.subj
+          WHERE x.subj <> y.obj
+          GROUP BY x.pred, y.pred
+        )
+        SELECT x.subj AS a, x.obj AS b, y.obj AS c,
+               x.n_docs AS docs_ab, y.n_docs AS docs_bc
+        FROM e x JOIN e y ON x.obj = y.subj
+        WHERE x.pred = (SELECT p1 FROM census WHERE rn = 1)
+          AND y.pred = (SELECT p2 FROM census WHERE rn = 1)
+          AND x.subj <> y.obj
+    """
     return o
 
 
@@ -13936,3 +13967,31 @@ def q_link_cosine(spark, sf_dir):
     )
     return cosine_link_edges(t.unionAll(planted).distinct(), CFG,
                              cos_threshold=0.3)
+
+
+def q_kg_query_2hop(spark, sf_dir):
+    """Typed 2-hop instance query (graph_build.py:query_2hop) over the
+    most frequent COMPOSABLE metapath (the top (pred1, pred2) by path
+    count, tie-broken by name — derived identically by the oracle): the
+    find-every-(a,b,c) multi-hop query a KG user runs after the
+    kg_metapaths census says which pattern is worth asking for, with
+    per-hop doc support."""
+    from knowledgegraphbuilder_spark.operators.graph_build import query_2hop
+
+    t = _kg(spark, sf_dir).triples
+    e = t.select("subj", "pred", "obj").distinct()
+    census = (
+        e.alias("x")
+        .join(e.alias("y"), F.col("x.obj") == F.col("y.subj"))
+        .filter(F.col("x.subj") != F.col("y.obj"))
+        .groupBy(
+            F.col("x.pred").alias("p1"), F.col("y.pred").alias("p2")
+        )
+        .count()
+        .orderBy(F.desc("count"), F.col("p1"), F.col("p2"))
+        .limit(1)
+        .collect()
+    )
+    if not census:
+        return query_2hop(t, "__none__", "__none__")
+    return query_2hop(t, census[0]["p1"], census[0]["p2"])

@@ -288,3 +288,40 @@ def growth_curve(
         .select("bucket", "n_new_nodes", "cum_nodes",
                 "n_new_triples", "cum_triples")
     )
+
+
+def query_2hop(
+    triples: DataFrame,
+    pred1: str,
+    pred2: str,
+) -> DataFrame:
+    """Instance-level typed 2-hop path query — "find every (a, b, c) with
+    a -pred1-> b -pred2-> c" — the workhorse multi-hop KG query a user
+    runs after schema induction tells them which predicates exist (the
+    census ops kg_metapaths/kg_two_hop count these paths; this operator
+    RETURNS them, with per-hop document support for ranking/provenance).
+
+    Plan: distinct typed edges with doc-support counts first (the
+    kg_metapaths discipline — instance multiplicity never multiplies
+    through the join), then ONE equi-join on the middle node with both
+    predicate filters pushed to the scan; a != c drops trivial
+    round-trips. Cost tracks the result size, never nodes^2.
+
+    Output: (a, b, c, docs_ab, docs_bc).
+    """
+    e = triples.groupBy("subj", "pred", "obj").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs")
+    )
+    h1 = e.filter(F.col("pred") == pred1).select(
+        F.col("subj").alias("a"), F.col("obj").alias("b"),
+        F.col("n_docs").alias("docs_ab"),
+    )
+    h2 = e.filter(F.col("pred") == pred2).select(
+        F.col("subj").alias("b"), F.col("obj").alias("c"),
+        F.col("n_docs").alias("docs_bc"),
+    )
+    return (
+        h1.join(h2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "b", "c", "docs_ab", "docs_bc")
+    )

@@ -580,3 +580,40 @@ class TestCosineLinkEdges:
         hi = cosine_link_edges(mentions, cos_threshold=0.999).collect()
         lo = cosine_link_edges(mentions, cos_threshold=0.0).collect()
         assert len(lo) >= 1 and len(hi) <= len(lo)
+
+
+class TestQuery2Hop:
+    def test_typed_path_instances_with_support(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            query_2hop,
+        )
+
+        triples = spark.createDataFrame(
+            [
+                ("a", "works_at", "acme", "d1"),
+                ("a", "works_at", "acme", "d2"),   # 2 docs of support
+                ("acme", "located_in", "paris", "d1"),
+                ("b", "works_at", "acme", "d3"),
+                ("a", "knows", "b", "d1"),
+            ],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        rows = sorted(
+            (r["a"], r["b"], r["c"], r["docs_ab"], r["docs_bc"])
+            for r in query_2hop(triples, "works_at", "located_in").collect()
+        )
+        assert rows == [
+            ("a", "acme", "paris", 2, 1),
+            ("b", "acme", "paris", 1, 1),
+        ]
+
+    def test_round_trips_excluded(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import (
+            query_2hop,
+        )
+
+        triples = spark.createDataFrame(
+            [("a", "p", "b", "d1"), ("b", "q", "a", "d1")],
+            "subj string, pred string, obj string, doc_id string",
+        )
+        assert query_2hop(triples, "p", "q").count() == 0
