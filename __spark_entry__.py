@@ -3319,6 +3319,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_growth": q_kg_growth,
         "link_cosine": q_link_cosine,
         "kg_query_2hop": q_kg_query_2hop,
+        # tranche 62 (defs at end of file): RDF interchange export
+        "kg_export_nt": q_kg_export_nt,
+        "kg_export_nq": q_kg_export_nq,
     }
 
 
@@ -11074,6 +11077,52 @@ def oracle_sql() -> dict[str, str]:
           AND y.pred = (SELECT p2 FROM census WHERE rn = 1)
           AND x.subj <> y.obj
     """
+    # RDF interchange export: replay IRI assembly (content-hash node ids,
+    # [^A-Za-z0-9_]->_ predicate sanitize) and the 5 N-Triples ECHAR
+    # escapes in spec order (backslash first).
+    o["kg_export_nt"] = f"""
+        WITH {_REL_CTE},
+        tri AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred,
+                 tail_text AS obj
+          FROM rels_id
+        ),
+        txt AS (SELECT subj AS text FROM tri UNION SELECT obj FROM tri)
+        SELECT 'rel' AS kind,
+               '<urn:kg:node:' || sha256(concat_ws(chr(31), 'node', subj))
+               || '> <urn:kg:rel:'
+               || regexp_replace(pred, '[^A-Za-z0-9_]', '_', 'g')
+               || '> <urn:kg:node:' || sha256(concat_ws(chr(31), 'node', obj))
+               || '> .' AS nt
+        FROM tri
+        UNION ALL
+        SELECT 'label' AS kind,
+               '<urn:kg:node:' || sha256(concat_ws(chr(31), 'node', text))
+               || '> <http://www.w3.org/2000/01/rdf-schema#label> "'
+               || replace(replace(replace(replace(replace(text,
+                    chr(92), chr(92) || chr(92)),
+                    '"', chr(92) || '"'),
+                    chr(10), chr(92) || 'n'),
+                    chr(13), chr(92) || 'r'),
+                    chr(9), chr(92) || 't')
+               || '" .' AS nt
+        FROM txt
+    """
+    o["kg_export_nq"] = f"""
+        WITH {_REL_CTE},
+        t AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred,
+                 tail_text AS obj, doc_id
+          FROM rels_id
+        )
+        SELECT '<urn:kg:node:' || sha256(concat_ws(chr(31), 'node', subj))
+               || '> <urn:kg:rel:'
+               || regexp_replace(pred, '[^A-Za-z0-9_]', '_', 'g')
+               || '> <urn:kg:node:' || sha256(concat_ws(chr(31), 'node', obj))
+               || '> <urn:kg:doc:' || sha256(concat_ws(chr(31), 'doc', doc_id))
+               || '> .' AS nq
+        FROM t
+    """
     return o
 
 
@@ -13995,3 +14044,24 @@ def q_kg_query_2hop(spark, sf_dir):
     if not census:
         return query_2hop(t, "__none__", "__none__")
     return query_2hop(t, census[0]["p1"], census[0]["p2"])
+
+
+def q_kg_export_nt(spark, sf_dir):
+    """RDF N-Triples export of the KG (export.py:to_ntriples): one
+    <s> <p> <o> . line per distinct edge plus one rdfs:label literal per
+    node — the interchange surface the reference's Neo4j-only sink lacks.
+    Node IRIs embed the deterministic content ids (functions/ids.py), so
+    no join is needed; the only shuffle is the line distinct. Oracle
+    replays the IRI assembly and the 5 ECHAR literal escapes verbatim."""
+    from knowledgegraphbuilder_spark.operators.export import to_ntriples
+
+    return to_ntriples(_kg(spark, sf_dir).triples)
+
+
+def q_kg_export_nq(spark, sf_dir):
+    """RDF N-Quads export (export.py:to_nquads): the same statements with
+    the source document as the named graph — per-statement provenance as
+    a first-class RDF citizen instead of a side table."""
+    from knowledgegraphbuilder_spark.operators.export import to_nquads
+
+    return to_nquads(_kg(spark, sf_dir).triples)
