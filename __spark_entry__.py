@@ -3322,6 +3322,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 62 (defs at end of file): RDF interchange export
         "kg_export_nt": q_kg_export_nt,
         "kg_export_nq": q_kg_export_nq,
+        # tranche 63 (defs at end of file): SPARQL-style BGP matching
+        "kg_bgp": q_kg_bgp,
     }
 
 
@@ -11123,6 +11125,19 @@ def oracle_sql() -> dict[str, str]:
                || '> .' AS nq
         FROM t
     """
+    # BGP set semantics: distinct bindings over the distinct (s,p,o) view
+    o["kg_bgp"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT DISTINCT x.s AS a, x.o AS b, y.o AS c
+        FROM ed x JOIN ed y ON x.o = y.s
+        WHERE x.p = 'technology_near_organization'
+          AND y.p = 'organization_near_technology'
+          AND x.s <> y.o
+    """
     return o
 
 
@@ -14065,3 +14080,20 @@ def q_kg_export_nq(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.export import to_nquads
 
     return to_nquads(_kg(spark, sf_dir).triples)
+
+
+def q_kg_bgp(spark, sf_dir):
+    """SPARQL-style BGP query (bgp.py:bgp_match): the 2-hop pattern
+    { ?a technology_near_organization ?b .
+      ?b organization_near_technology ?c . } with a != c — the
+    declarative ask-the-graph surface the reference lacks. The compiler
+    orders patterns most-literal-first and joins on shared variables;
+    oracle replays the same two equi-joins under set semantics."""
+    from knowledgegraphbuilder_spark.operators.bgp import bgp_match
+
+    t = _kg(spark, sf_dir).triples
+    pats = [
+        ("?a", "technology_near_organization", "?b"),
+        ("?b", "organization_near_technology", "?c"),
+    ]
+    return bgp_match(t, pats).filter(F.col("a") != F.col("c"))

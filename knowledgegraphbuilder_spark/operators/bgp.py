@@ -1,0 +1,116 @@
+"""SPARQL-style basic graph pattern (BGP) matching over the triple table.
+
+The reference exposes its graph only through hand-written traversals
+(back/kgg/nodes/graph_answering.py retrieves by node weight; there is no
+declarative query surface). A KG a user can't ASK is a warehouse table,
+not a knowledge graph — this module adds the missing piece: a compiler
+from SPARQL-style triple patterns (terms are either literals or
+``?var`` variables) to a Catalyst join plan.
+
+Semantics: set semantics (SELECT DISTINCT bindings), the W3C BGP match
+over the distinct (subj, pred, obj) view. Each pattern row becomes a
+filtered projection of the triple table; shared variables become inner
+equi-joins; a variable repeated inside one pattern becomes a
+self-equality filter.
+
+Scale design (the part a naive per-pattern loop gets wrong):
+
+- **Selectivity ordering.** Patterns are joined most-literal-first,
+  restricted to patterns sharing a variable with the already-joined
+  prefix — so the intermediate binding table starts smallest and every
+  step is an equi-join, never an accidental cross join. Disconnected
+  pattern groups (no shared variable anywhere) are an explicit
+  ``crossJoin`` — the correct SPARQL product semantics, kept visible
+  instead of hidden behind a join on nothing.
+- **Partition pruning.** A literal predicate filter (`pred = '...'`)
+  reaches the parquet scan; against the sinked edges table (partitioned
+  by rel_type, sources/sinks.py) that is hive partition pruning — a
+  typed pattern reads only its type's files at 10^12-edge scale.
+- **Per-pattern dedup before the join.** Each projected pattern frame
+  is distinct()-ed first, so join inputs carry binding sets, not raw
+  edge multiplicity; AQE broadcasts the small pattern frames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+Pattern = tuple[str, str, str]
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_vars(p: Pattern) -> set[str]:
+    return {t[1:] for t in p if _is_var(t)}
+
+
+def _n_literals(p: Pattern) -> int:
+    return sum(0 if _is_var(t) else 1 for t in p)
+
+
+def plan_order(patterns: list[Pattern]) -> list[Pattern]:
+    """Greedy selectivity order: seed with the most-literal pattern, then
+    repeatedly take the most-literal pattern sharing a variable with the
+    bound prefix; fall back to any remaining pattern (disconnected group
+    -> product) only when nothing connects."""
+    remaining = list(patterns)
+    ordered: list[Pattern] = []
+    bound: set[str] = set()
+    while remaining:
+        connected = [p for p in remaining if not ordered or (_pattern_vars(p) & bound)]
+        pool = connected or remaining
+        # stable tie-break: original position
+        pick = max(pool, key=lambda p: (_n_literals(p), -remaining.index(p)))
+        remaining.remove(pick)
+        ordered.append(pick)
+        bound |= _pattern_vars(pick)
+    return ordered
+
+
+def bgp_match(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+    """Match a basic graph pattern; returns one column per distinct
+    variable (first-appearance order over the INPUT pattern order — the
+    join planning below never changes the output shape), set semantics."""
+    if not patterns:
+        raise ValueError("bgp_match needs at least one pattern")
+    input_order: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if _is_var(term) and term[1:] not in input_order:
+                input_order.append(term[1:])
+    t = triples.select("subj", "pred", "obj")
+    out: DataFrame | None = None
+    seen: list[str] = []
+    for s, p, o in plan_order(patterns):
+        df = t
+        src: dict[str, str] = {}
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if _is_var(term):
+                v = term[1:]
+                if v in src:  # same var twice in one pattern: ?x p ?x
+                    df = df.filter(F.col(col) == F.col(src[v]))
+                else:
+                    src[v] = col
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        if not src:
+            # fully-literal pattern: an existence guard (ASK semantics) —
+            # keep rows only if the pattern matches at least one triple
+            df = df.limit(1).select(F.lit(1).alias("__ask__"))
+            proj = df
+            shared: list[str] = []
+        else:
+            proj = df.select(*[F.col(c).alias(v) for v, c in src.items()]).distinct()
+            shared = [v for v in src if v in seen]
+        if out is None:
+            out = proj
+        else:
+            out = out.join(proj, on=shared) if shared else out.crossJoin(proj)
+        seen += [v for v in src if v not in seen]
+    assert out is not None
+    if not input_order:
+        return out.select(F.lit(True).alias("matched"))
+    return out.select(*input_order).distinct()
