@@ -3322,8 +3322,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tranche 62 (defs at end of file): RDF interchange export
         "kg_export_nt": q_kg_export_nt,
         "kg_export_nq": q_kg_export_nq,
-        # tranche 63 (defs at end of file): SPARQL-style BGP matching
+        # tranche 63 (defs at end of file): SPARQL-style BGP matching,
+        # property-path closure, rule inference
         "kg_bgp": q_kg_bgp,
+        "kg_pathplus": q_kg_pathplus,
+        "kg_infer": q_kg_infer,
     }
 
 
@@ -11138,6 +11141,45 @@ def oracle_sql() -> dict[str, str]:
           AND y.p = 'organization_near_technology'
           AND x.s <> y.o
     """
+    # bounded recursive closure: min over all walk lengths <= cap equals
+    # the BFS-minimal distance under the same cap
+    o["kg_pathplus"] = f"""
+        WITH RECURSIVE {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS src, tail_text AS dst
+          FROM rels_id
+          WHERE rel_type = 'technology_near_technology'
+        ),
+        r AS (
+          SELECT src, dst, 1 AS hops FROM ed
+          UNION ALL
+          SELECT r.src, e.dst, r.hops + 1
+          FROM r JOIN ed e ON r.dst = e.src
+          WHERE r.hops < 3
+        )
+        SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+        FROM r GROUP BY src, dst
+    """
+    o["kg_infer"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        b AS (
+          SELECT DISTINCT x.s AS a, y.o AS c
+          FROM ed x JOIN ed y ON x.o = y.s
+          WHERE x.p = 'technology_near_organization'
+            AND y.p = 'organization_near_technology'
+        )
+        SELECT a AS subj, 'inferred_tech_link' AS pred, c AS obj
+        FROM b
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ed
+          WHERE ed.s = b.a AND ed.p = 'inferred_tech_link'
+            AND ed.o = b.c
+        )
+    """
     return o
 
 
@@ -14097,3 +14139,37 @@ def q_kg_bgp(spark, sf_dir):
         ("?b", "organization_near_technology", "?c"),
     ]
     return bgp_match(t, pats).filter(F.col("a") != F.col("c"))
+
+
+def q_kg_pathplus(spark, sf_dir):
+    """SPARQL property path pred+ (bgp.py:path_closure): every node pair
+    reachable through 1..3 technology_near_technology edges with the
+    BFS-minimal hop count — semi-naive frontier extension, per-round cost
+    tracks the frontier, never the accumulated closure. Oracle: bounded
+    recursive CTE + min(hops) group-by (walk-length min == BFS distance
+    under the same cap)."""
+    from knowledgegraphbuilder_spark.operators.bgp import path_closure
+
+    return path_closure(
+        _kg(spark, sf_dir).triples, "technology_near_technology", max_hops=3
+    )
+
+
+def q_kg_infer(spark, sf_dir):
+    """Datalog-style forward inference (bgp.py:apply_rule): body
+    { ?a technology_near_organization ?b . ?b organization_near_technology
+    ?c . } => head (?a, inferred_tech_link, ?c), anti-joined against
+    statements the graph already holds — the CONSTRUCT / materialized-
+    inference step; oracle replays the joins + NOT EXISTS. The head uses
+    a fresh predicate because the 5-term gazetteer saturates every
+    existing tech-tech pair at this sf (a same-pred head derives 0 new
+    rows — the anti-join's set semantics are pinned by
+    tests/test_bgp.py:test_apply_rule_only_new instead)."""
+    from knowledgegraphbuilder_spark.operators.bgp import apply_rule
+
+    body = [
+        ("?a", "technology_near_organization", "?b"),
+        ("?b", "organization_near_technology", "?c"),
+    ]
+    head = ("?a", "inferred_tech_link", "?c")
+    return apply_rule(_kg(spark, sf_dir).triples, body, head)

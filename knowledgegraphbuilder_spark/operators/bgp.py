@@ -114,3 +114,73 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
     if not input_order:
         return out.select(F.lit(True).alias("matched"))
     return out.select(*input_order).distinct()
+
+
+def path_closure(triples: DataFrame, pred: str, max_hops: int = 4) -> DataFrame:
+    """SPARQL property-path ``pred+``: all (src, dst, hops) pairs reachable
+    through 1..max_hops edges of one predicate, hops = the BFS-minimal
+    count.
+
+    Semi-naive evaluation: each round extends only the NEWLY discovered
+    frontier by one typed hop (equi-join on the join node), anti-joined
+    against everything already reached — so per-round work tracks the
+    frontier, never the accumulated closure, and cycles terminate because
+    a pair is extended at most once. localCheckpoint truncates lineage
+    per round (the iterative-operator discipline of canonicalize.py's CC
+    loop). The typed edge scan prunes to one rel_type partition against
+    the sinked edges table.
+    """
+    edges = (
+        triples.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reached = edges.withColumn("hops", F.lit(1).cast("long"))
+    frontier = reached
+    for hop in range(2, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        step = (
+            frontier.select(F.col("src"), F.col("dst").alias("mid"))
+            .join(edges.select(F.col("src").alias("mid"), "dst"), "mid")
+            .select("src", "dst")
+            .distinct()
+            .join(reached.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("hops", F.lit(hop).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        reached = reached.unionAll(step).localCheckpoint(eager=True)
+        frontier = step
+    return reached
+
+
+def apply_rule(
+    triples: DataFrame,
+    body: list[Pattern],
+    head: Pattern,
+    only_new: bool = True,
+) -> DataFrame:
+    """One forward-chaining step of a datalog-style rule: match ``body``
+    as a BGP, project each binding through ``head`` into a (subj, pred,
+    obj) triple, and (with ``only_new``) anti-join away statements the
+    graph already holds — the CONSTRUCT / materialized-inference surface.
+    Chaining to fixpoint is a caller loop over this operator.
+    """
+    bindings = bgp_match(triples, body)
+
+    def term_col(term: str):
+        return F.col(term[1:]) if _is_var(term) else F.lit(term)
+
+    derived = bindings.select(
+        term_col(head[0]).alias("subj"),
+        term_col(head[1]).alias("pred"),
+        term_col(head[2]).alias("obj"),
+    ).distinct()
+    if only_new:
+        derived = derived.join(
+            triples.select("subj", "pred", "obj"),
+            ["subj", "pred", "obj"],
+            "left_anti",
+        )
+    return derived

@@ -80,3 +80,61 @@ def test_ask_literal_pattern_gates(triples):
 def test_set_semantics_dedup(triples):
     got = bgp_match(triples, [("?p", "knows", "b1")])
     assert rows(got) == [("a1",), ("a2",)]
+
+
+@pytest.fixture(scope="module")
+def chain_triples(spark):
+    # chain 1->2->3->4->5 plus cycle 3->1 and a shortcut 1->4, one pred
+    rows = [("n1", "p", "n2"), ("n2", "p", "n3"), ("n3", "p", "n4"),
+            ("n4", "p", "n5"), ("n3", "p", "n1"), ("n1", "p", "n4"),
+            ("n1", "q", "n9")]
+    return spark.createDataFrame(
+        [(s, p, o, "d") for s, p, o in rows],
+        "subj string, pred string, obj string, doc_id string")
+
+
+def test_path_closure_min_hops(chain_triples):
+    from knowledgegraphbuilder_spark.operators.bgp import path_closure
+
+    got = {(r["src"], r["dst"]): r["hops"]
+           for r in path_closure(chain_triples, "p", max_hops=3).collect()}
+    assert got[("n1", "n2")] == 1
+    assert got[("n1", "n4")] == 1      # shortcut beats the 3-hop chain
+    assert got[("n1", "n5")] == 2      # via the shortcut
+    assert got[("n1", "n3")] == 2
+    assert got[("n3", "n3")] == 3      # cycle closes at minimal length 3
+    assert got[("n1", "n1")] == 3
+    assert ("n1", "n9") not in got     # other predicate excluded
+    # cap respected: nothing needs more than max_hops
+    assert max(got.values()) <= 3
+
+
+def test_path_closure_terminates_on_cycle(chain_triples):
+    from knowledgegraphbuilder_spark.operators.bgp import path_closure
+
+    # a pure 2-cycle with a generous cap must still terminate (frontier
+    # empties once both pairs are known)
+    spark = chain_triples.sparkSession
+    cyc = spark.createDataFrame(
+        [("a", "p", "b", "d"), ("b", "p", "a", "d")],
+        "subj string, pred string, obj string, doc_id string")
+    got = {(r["src"], r["dst"]): r["hops"]
+           for r in path_closure(cyc, "p", max_hops=10).collect()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("a", "a"): 2, ("b", "b"): 2}
+
+
+def test_apply_rule_only_new(chain_triples):
+    from knowledgegraphbuilder_spark.operators.bgp import apply_rule
+
+    # rule: x -p-> y -p-> z  =>  x -p2-> z
+    body = [("?x", "p", "?y"), ("?y", "p", "?z")]
+    got = rows(apply_rule(chain_triples, body, ("?x", "p2", "?z")))
+    assert ("n1", "p2", "n3") in got
+    # with head pred 'p', existing edges must be anti-joined away:
+    # n1->n4 is derivable (n1->n3? no: 2-hop n1..) n2->n4 is derivable and absent
+    got_p = rows(apply_rule(chain_triples, body, ("?x", "p", "?z")))
+    assert ("n2", "p", "n4") in got_p
+    assert ("n1", "p", "n4") not in got_p  # already in the graph
+    # every derived statement is genuinely absent from the input
+    existing = {(r["subj"], r["pred"], r["obj"]) for r in chain_triples.collect()}
+    assert not (set(got_p) & existing)
