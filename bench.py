@@ -175,11 +175,26 @@ def main() -> None:
         # a dedicated-executor cluster, which is what the scaling rule is
         # about. Every individual run is recorded next to the min in
         # t_n_runs/t_4n_runs so the spread stays visible in the artifact.
+        # Scale legs get a FIXED, PRE-TOUCHED heap (Xms=Xmx, AlwaysPreTouch,
+        # 12g instead of the interactive 32g): with a growable heap the 4N
+        # leg's page faults + kernel reclaim of the previous subprocess JVM's
+        # pages land inside the timed window of whichever leg runs next —
+        # measured as an 81-97 s drift across otherwise-identical 4N runs.
+        # Pre-touching moves the whole fault storm into JVM startup (before
+        # the timed section), and 12g is ample for the amplified sf0.1 run.
+        # Caller overrides still win.
+        scale_env = os.environ.copy()
+        scale_env.setdefault("KG_SPARK_DRIVER_MEM", "12g")
+        scale_env.setdefault(
+            "KG_SPARK_JAVA_OPTS",
+            "-XX:ParallelGCThreads=4 -XX:ConcGCThreads=2"
+            " -Xms12g -XX:+AlwaysPreTouch",
+        )
         for rep in range(reps):
             for par, key in ((n_small, "t_n"), (4 * n_small, "t_4n")):
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__), "--scale-run", str(par)],
-                    capture_output=True, text=True, env=os.environ.copy(),
+                    capture_output=True, text=True, env=scale_env,
                 )
                 line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
                 if line:
