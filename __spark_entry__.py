@@ -3327,6 +3327,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp": q_kg_bgp,
         "kg_pathplus": q_kg_pathplus,
         "kg_infer": q_kg_infer,
+        "kg_import_nt": q_kg_import_nt,
+        "kg_bgp_optional": q_kg_bgp_optional,
+        "layout_edgecut": q_layout_edgecut,
+        "g38_lp_eval": q_g38_lp_eval,
+        "kg_entity_profile": q_kg_entity_profile,
     }
 
 
@@ -11180,6 +11185,190 @@ def oracle_sql() -> dict[str, str]:
             AND ed.o = b.c
         )
     """
+    # N-Triples round-trip: parse(serialize(triples)) must be the identity
+    # on the distinct triple set, so the oracle IS the distinct original —
+    # any parser/escaper defect shows as a diff against ground truth.
+    o["kg_import_nt"] = f"""
+        WITH {_REL_CTE}
+        SELECT DISTINCT head_text AS subj, rel_type AS pred,
+               tail_text AS obj
+        FROM rels_id
+    """
+    # SPARQL OPTIONAL = left join of the two distinct binding sets
+    o["kg_bgp_optional"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        req AS (
+          SELECT DISTINCT s AS a, o AS b FROM ed
+          WHERE p = 'technology_near_organization'
+        ),
+        opt AS (
+          SELECT DISTINCT s AS b, o AS sys FROM ed
+          WHERE p = 'organization_near_system'
+        )
+        SELECT req.a, req.b, opt.sys
+        FROM req LEFT JOIN opt ON req.b = opt.b
+    """
+    # hash-placement audit over the co-purchase projection: same sha-bucket
+    # as the Spark side (top 60 bits of sha256 mod k)
+    o["layout_edgecut"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+          GROUP BY 1, 2
+        ),
+        h AS (
+          SELECT a, b,
+                 ('0x' || substr(sha256(a), 1, 15))::BIGINT % 32 AS part,
+                 ('0x' || substr(sha256(b), 1, 15))::BIGINT % 32 AS dpart
+          FROM e
+        )
+        SELECT part,
+               CAST(count(DISTINCT a) AS BIGINT) AS n_nodes,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN part <> dpart THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cut,
+               round(CAST(sum(CASE WHEN part <> dpart THEN 1 ELSE 0 END)
+                          AS BIGINT) / count(*), 6) AS cut_frac
+        FROM h GROUP BY part
+    """
+    # filtered-ranking link-prediction eval: sha-holdout split, RA scores
+    # on the training graph (g12's wedge CTEs), per-source row_number
+    # rank, integer-micro-unit reciprocal ranks
+    o["g38_lp_eval"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e AS (
+          SELECT a, b FROM (
+            SELECT x.item AS a, y.item AS b, count(*) AS w
+            FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+            GROUP BY 1, 2
+          ) WHERE w >= 2
+        ),
+        tagged AS (
+          SELECT a AS s, b AS d,
+                 (('0x' || substr(sha256(a || '|' || b), 1, 15))::BIGINT
+                  % 5 = 0) AS is_test
+          FROM e
+        ),
+        train AS (SELECT s, d FROM tagged WHERE NOT is_test),
+        test AS (SELECT s AS src, d AS dst FROM tagged WHERE is_test),
+        adj AS (SELECT s AS z, d AS n FROM train
+                UNION ALL SELECT d, s FROM train),
+        deg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+                FROM adj GROUP BY z),
+        center AS (
+          SELECT adj.z, adj.n, 1000000000000 // deg AS ra1
+          FROM adj JOIN deg USING (z) WHERE deg <= 10
+        ),
+        w AS (
+          SELECT x.n AS src, y.n AS dst, x.ra1
+          FROM center x JOIN center y ON x.z = y.z AND x.n < y.n
+        ),
+        cand0 AS (
+          SELECT src, dst, CAST(sum(ra1) AS BIGINT) AS ra_units
+          FROM w GROUP BY 1, 2
+        ),
+        cand AS (
+          SELECT cand0.* FROM cand0
+          LEFT JOIN train ON cand0.src = train.s AND cand0.dst = train.d
+          WHERE train.s IS NULL
+        ),
+        ranked AS (
+          SELECT src, dst,
+                 CAST(row_number() OVER (PARTITION BY src
+                      ORDER BY ra_units DESC, dst) AS BIGINT) AS rnk
+          FROM cand
+        ),
+        hit AS (
+          SELECT t.src, t.dst, r.rnk
+          FROM test t LEFT JOIN ranked r
+            ON t.src = r.src AND t.dst = r.dst
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_test,
+               CAST(count(rnk) AS BIGINT) AS n_ranked,
+               round(CAST(sum(CASE WHEN rnk IS NOT NULL
+                                   THEN 1000000000000 // rnk
+                                   ELSE 0 END) AS BIGINT)
+                     / 1e12 / count(*), 6) AS mrr,
+               CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits1,
+               CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits3,
+               CAST(sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS hits10
+        FROM hit
+    """
+    # per-entity star row: node-keyed aggs + row_number()=1 top type
+    o["kg_entity_profile"] = f"""
+        WITH {_REL_CTE},
+        t AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 doc_id
+          FROM rels_id
+        ),
+        bt AS (
+          SELECT subj AS node, pred, CAST(count(*) AS BIGINT) AS cnt
+          FROM t GROUP BY 1, 2
+        ),
+        outs AS (
+          SELECT node, CAST(sum(cnt) AS BIGINT) AS out_deg,
+                 CAST(count(*) AS BIGINT) AS n_rel_types_out
+          FROM bt GROUP BY node
+        ),
+        top AS (
+          SELECT node, pred AS top_out_rel FROM (
+            SELECT node, pred,
+                   row_number() OVER (PARTITION BY node
+                        ORDER BY cnt DESC, pred) AS rn
+            FROM bt
+          ) WHERE rn = 1
+        ),
+        ins AS (
+          SELECT obj AS node, CAST(count(*) AS BIGINT) AS in_deg
+          FROM t GROUP BY 1
+        ),
+        d AS (
+          SELECT subj AS node, doc_id FROM t
+          UNION ALL SELECT obj, doc_id FROM t
+        ),
+        docs AS (
+          SELECT node, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+          FROM d GROUP BY node
+        )
+        SELECT docs.node,
+               CAST(COALESCE(outs.out_deg, 0) AS BIGINT) AS out_deg,
+               CAST(COALESCE(ins.in_deg, 0) AS BIGINT) AS in_deg,
+               CAST(COALESCE(outs.n_rel_types_out, 0) AS BIGINT)
+                 AS n_rel_types_out,
+               docs.n_docs,
+               top.top_out_rel
+        FROM docs
+        LEFT JOIN outs ON docs.node = outs.node
+        LEFT JOIN ins ON docs.node = ins.node
+        LEFT JOIN top ON docs.node = top.node
+    """
     return o
 
 
@@ -14173,3 +14362,73 @@ def q_kg_infer(spark, sf_dir):
     ]
     head = ("?a", "inferred_tech_link", "?c")
     return apply_rule(_kg(spark, sf_dir).triples, body, head)
+
+
+def q_kg_import_nt(spark, sf_dir):
+    """RDF N-Triples IMPORT (rdfio.py:from_ntriples): serialize the KG
+    with export.py:to_ntriples, then parse the lines back — statement
+    lines destructured by regexp_extract, rdfs:label lines ECHAR-
+    unescaped (backslash-sentinel order), node texts recovered by
+    joining the content-hash IRIs. parse . serialize == identity on the
+    distinct triple set, so the oracle is simply the distinct original
+    triples — the strongest round-trip contract available."""
+    from knowledgegraphbuilder_spark.operators.export import to_ntriples
+    from knowledgegraphbuilder_spark.operators.rdfio import from_ntriples
+
+    return from_ntriples(to_ntriples(_kg(spark, sf_dir).triples))
+
+
+def q_kg_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL (bgp.py:optional_match): mandatory
+    { ?a technology_near_organization ?b } with OPTIONAL
+    { ?b organization_near_system ?sys } — W3C left-join semantics, so
+    every mandatory binding survives, with NULL ?sys where the org has
+    no system edge. Oracle: LEFT JOIN of the two distinct binding sets
+    on the shared variable."""
+    from knowledgegraphbuilder_spark.operators.bgp import optional_match
+
+    return optional_match(
+        _kg(spark, sf_dir).triples,
+        [("?a", "technology_near_organization", "?b")],
+        [("?b", "organization_near_system", "?sys")],
+    )
+
+
+def q_layout_edgecut(spark, sf_dir):
+    """Hash-placement audit of the co-purchase graph
+    (layout.py:edge_cut_stats): home each edge on its source's sha-mod-32
+    partition and report per-partition internal-vs-cut edge counts — the
+    per-superstep network volume of every BSP algorithm in this repo
+    (PageRank/BFS/LPA), and the number a 1000-executor placement is
+    judged by. Engine-portable content hash, one groupBy, no joins."""
+    from knowledgegraphbuilder_spark.operators.layout import edge_cut_stats
+
+    return edge_cut_stats(_copurchase_edges(spark, sf_dir), k=32,
+                          src_col="src", dst_col="dst")
+
+
+def q_g38_lp_eval(spark, sf_dir):
+    """Link-prediction ranking EVAL (graphstats.py:lp_rank_eval):
+    sha-holdout 1/5 of the weight>=2 co-purchase edges, score candidates
+    by Resource Allocation on the training remainder (same wedge
+    machinery + hub cap 10 as g12_linkpred), rank each held-out edge in
+    its source's candidate list, report (n_test, n_ranked, MRR,
+    Hits@1/3/10) — the filtered-ranking protocol of the KG-embedding
+    literature with integer-micro-unit reciprocal ranks so the fold is
+    order-exact."""
+    from knowledgegraphbuilder_spark.operators.graphstats import lp_rank_eval
+
+    edges = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    return lp_rank_eval(edges, holdout_mod=5, max_hub_degree=10)
+
+
+def q_kg_entity_profile(spark, sf_dir):
+    """Denormalized per-entity feature table
+    (graph_build.py:entity_profile): out/in degree, outgoing rel-type
+    diversity, dominant outgoing type (top-1 as a min(struct) aggregate,
+    ties lexicographic), distinct provenance docs — the entity-side
+    feature row a downstream ML join consumes. Oracle replays the three
+    node-keyed aggregations and the row_number()=1 top-type pick."""
+    from knowledgegraphbuilder_spark.operators.graph_build import entity_profile
+
+    return entity_profile(_kg(spark, sf_dir).triples)

@@ -116,6 +116,41 @@ def bgp_match(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
     return out.select(*input_order).distinct()
 
 
+def optional_match(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    optional: list[Pattern],
+) -> DataFrame:
+    """SPARQL ``OPTIONAL`` over one optional group: match the mandatory
+    BGP, then LEFT-join the optional group's bindings on their shared
+    variables — mandatory bindings survive with NULL optional columns
+    when the optional group has no match (W3C left-join semantics for a
+    single, non-nested OPTIONAL block; set semantics throughout).
+
+    Scale shape: both groups compile through :func:`bgp_match` (literal
+    predicate filters reach the scan / prune rel_type partitions), so
+    the only added cost over the mandatory match is one outer equi-join
+    on the shared variables; AQE broadcasts whichever binding table is
+    small. Column order: mandatory variables first (input order), then
+    the optional group's new variables.
+    """
+    if not optional:
+        return bgp_match(triples, patterns)
+    req = bgp_match(triples, patterns)
+    opt = bgp_match(triples, optional)
+    shared = [c for c in req.columns if c in set(opt.columns)]
+    if not shared:
+        raise ValueError(
+            "optional group shares no variable with the mandatory BGP "
+            "(would be a cross product of every binding with every "
+            "optional match — name the join variable explicitly)"
+        )
+    new_cols = [c for c in opt.columns if c not in shared]
+    return req.join(opt, on=shared, how="left").select(
+        *req.columns, *new_cols
+    )
+
+
 def path_closure(triples: DataFrame, pred: str, max_hops: int = 4) -> DataFrame:
     """SPARQL property-path ``pred+``: all (src, dst, hops) pairs reachable
     through 1..max_hops edges of one predicate, hops = the BFS-minimal

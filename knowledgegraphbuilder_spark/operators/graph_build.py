@@ -325,3 +325,63 @@ def query_2hop(
         .filter(F.col("a") != F.col("c"))
         .select("a", "b", "c", "docs_ab", "docs_bc")
     )
+
+
+def entity_profile(triples: DataFrame) -> DataFrame:
+    """Denormalized per-entity feature row — the star-schema "entity
+    table" a downstream ML pipeline joins features from, computed in two
+    map-side-combinable aggregations instead of N per-feature scans:
+
+    ``(node, out_deg, in_deg, n_rel_types_out, n_docs, top_out_rel)``
+
+    - out/in degree: statement counts with the node as subject/object;
+    - n_rel_types_out / top_out_rel: relation-type diversity and the
+      dominant outgoing type (max count, ties broken lexicographically
+      smallest — a deterministic ``max_by`` via max(struct));
+    - n_docs: distinct source documents touching the node in either
+      role (provenance reach).
+
+    Scale shape: one groupBy over (node, rel_type) for the outgoing
+    side folded to per-node with a max(struct) aggregate (top-1 as an
+    aggregate, not a sorted window — hub cost is degree, not
+    degree*log), one groupBy for the incoming side, one distinct-doc
+    union agg; three shuffles on the node key, no windows, no joins
+    bigger than |V|.
+    """
+    t = triples.select("subj", "pred", "obj", "doc_id")
+    by_type = t.groupBy(F.col("subj").alias("node"), F.col("pred")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    # max(struct(cnt, neg-lexicographic tiebreak)) -> top-1 as aggregate.
+    # String order can't be negated directly, so rank types by cnt DESC
+    # then pred ASC via min(struct(-cnt, pred)).
+    out_side = by_type.groupBy("node").agg(
+        F.sum("cnt").cast("long").alias("out_deg"),
+        F.count("*").cast("long").alias("n_rel_types_out"),
+        F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("pred"))).alias("m"),
+    ).select(
+        "node", "out_deg", "n_rel_types_out", F.col("m.pred").alias("top_out_rel")
+    )
+    in_side = t.groupBy(F.col("obj").alias("node")).agg(
+        F.count("*").cast("long").alias("in_deg")
+    )
+    docs = (
+        t.select(F.col("subj").alias("node"), "doc_id")
+        .unionAll(t.select(F.col("obj").alias("node"), "doc_id"))
+        .groupBy("node")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    )
+    return (
+        docs.join(out_side, "node", "left")
+        .join(in_side, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).cast("long").alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).cast("long").alias("in_deg"),
+            F.coalesce("n_rel_types_out", F.lit(0)).cast("long").alias(
+                "n_rel_types_out"
+            ),
+            "n_docs",
+            "top_out_rel",
+        )
+    )

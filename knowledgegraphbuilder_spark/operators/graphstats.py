@@ -2143,3 +2143,108 @@ def maximal_independent_set(
             .localCheckpoint(eager=True)
         )
     return out.select("node", F.col("round").cast("int").alias("round"))
+
+
+def lp_rank_eval(
+    edges: DataFrame,
+    holdout_mod: int = 5,
+    max_hub_degree: int = 10_000,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-prediction EVALUATION harness: hold out a deterministic slice
+    of the edges, score every candidate pair by Resource Allocation on
+    the remaining training graph, and report ranking metrics (MRR,
+    Hits@1/3/10) of the held-out true edges among all scored candidates
+    that share their source — the standard filtered-ranking protocol of
+    the KG-embedding literature (Bordes et al. 2013), here applied to
+    the neighborhood scorer so the whole eval replays exactly in SQL.
+
+    Split: an edge (s, d) with ``('top-60-bits of sha256(s|d)) %
+    holdout_mod == 0`` goes to TEST (content hash — reproducible on any
+    engine, uncorrelated with degree); everything else is TRAIN.
+
+    Ranking: candidates are the RA-scored non-TRAIN pairs from the
+    training-graph wedge enumeration (same machinery and hub cap as
+    :func:`link_prediction`); each candidate's rank is its row_number
+    within its source's candidate list ordered by (ra_units DESC, dst) —
+    a deterministic total order. A test edge whose endpoints share no
+    training neighbor never appears as a candidate: it contributes 0 to
+    MRR and Hits (counted in n_test, not n_ranked) — the honest
+    convention, since the model genuinely cannot rank it.
+
+    Exactness: reciprocal ranks are summed as integer micro-units
+    (``10^12 div rank``) so the fold is order-independent; the single
+    final division is the only float op. Output: ONE row
+    ``(n_test, n_ranked, mrr, hits1, hits3, hits10)``.
+
+    Scale shape: split + wedge join + per-source window + one global
+    aggregate. The window partitions by source node (bounded by the hub
+    cap), never globally; nothing collects.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("s"),
+        F.col(dst_col).cast("string").alias("d"),
+    ).distinct()
+    hv = (
+        "pmod(cast(conv(substring(sha2(concat(s, '|', d), 256), 1, 15), "
+        f"16, 10) as bigint), {int(holdout_mod)})"
+    )
+    tagged = e.withColumn("is_test", F.expr(hv) == 0)
+    train = tagged.filter(~F.col("is_test")).select("s", "d")
+    test = tagged.filter(F.col("is_test")).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    )
+    adj = train.unionAll(
+        train.select(F.col("d").alias("s"), F.col("s").alias("d"))
+    ).select(F.col("s").alias("z"), F.col("d").alias("n"))
+    deg = adj.groupBy("z").agg(F.count("*").cast("long").alias("deg"))
+    center = (
+        adj.join(deg, "z")
+        .filter(F.col("deg") <= F.lit(int(max_hub_degree)))
+        .withColumn("ra1", F.expr("CAST(1000000000000 AS BIGINT) div deg"))
+        .select("z", "n", "ra1")
+    )
+    cand = (
+        center.alias("x")
+        .join(center.alias("y"), "z")
+        .filter(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("src"), F.col("y.n").alias("dst"),
+            F.col("x.ra1").alias("ra1"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("ra1").cast("long").alias("ra_units"))
+        .join(
+            train,
+            (F.col("src") == F.col("s")) & (F.col("dst") == F.col("d")),
+            "left_anti",
+        )
+    )
+    from pyspark.sql import Window
+
+    ranked = cand.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(F.desc("ra_units"), "dst")
+        ).cast("long"),
+    )
+    hit = test.join(ranked.select("src", "dst", "rnk"), ["src", "dst"], "left")
+    return hit.agg(
+        F.count("*").cast("long").alias("n_test"),
+        F.count("rnk").cast("long").alias("n_ranked"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rnk").isNotNull(),
+                    F.expr("CAST(1000000000000 AS BIGINT) div rnk"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / F.lit(1.0e12)
+            / F.count("*"),
+            6,
+        ).alias("mrr"),
+        F.sum(F.when(F.col("rnk") <= 1, 1).otherwise(0)).cast("long").alias("hits1"),
+        F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0)).cast("long").alias("hits3"),
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0)).cast("long").alias("hits10"),
+    )

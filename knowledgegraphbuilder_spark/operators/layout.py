@@ -82,3 +82,63 @@ def zorder_bucket_stats(
             F.min("y").alias("y_min"), F.max("y").alias("y_max"),
         )
     )
+
+
+def hash_partition_bucket(expr: str, k: int) -> Column:
+    """Deterministic node->partition assignment by content hash: the top
+    60 bits of sha256 mod ``k``. Engine-portable on purpose (unlike
+    Spark's Murmur3 ``hash()``): DuckDB replays it as
+    ``('0x' || substr(sha256(x), 1, 15))::BIGINT % k``, so placement
+    audits verify cross-engine. Uniform over real key distributions —
+    the property the edge-cut audit below is measuring against."""
+    return F.expr(
+        f"pmod(cast(conv(substring(sha2({expr}, 256), 1, 15), 16, 10) "
+        f"as bigint), {int(k)})"
+    )
+
+
+def edge_cut_stats(
+    edges: DataFrame,
+    k: int = 32,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Placement audit for a hash-partitioned graph: home each edge on
+    its source's partition and report, per partition, how many of its
+    edges stay internal vs cross to another worker — the communication
+    volume every BSP superstep (PageRank/BFS/LPA here) pays per
+    iteration, and THE number that decides whether a 1000-executor run
+    is compute- or network-bound. Vertex-cut systems and layout papers
+    (PowerGraph, OSDI'12) optimize exactly this quantity; this operator
+    makes it observable for our layout.
+
+    Output: one row per non-empty home partition —
+    ``(part, n_nodes, n_edges, n_cut, cut_frac)`` where ``n_nodes``
+    counts distinct sources homed there. Expected cut_frac for uniform
+    hash is (k-1)/k, so anything below that documents exploitable
+    locality (and a skewed n_edges distribution flags placement
+    hot-spots before they become stragglers).
+
+    Scale shape: two codegen hash columns + one groupBy on the home
+    partition (k groups, map-side combinable) — one pass, one tiny
+    shuffle, no joins.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("s"),
+        F.col(dst_col).cast("string").alias("d"),
+    ).withColumn("part", hash_partition_bucket("s", k)).withColumn(
+        "dpart", hash_partition_bucket("d", k)
+    )
+    return (
+        e.groupBy("part")
+        .agg(
+            F.countDistinct("s").cast("long").alias("n_nodes"),
+            F.count("*").cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("part") != F.col("dpart"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cut"),
+        )
+        .withColumn(
+            "cut_frac", F.round(F.col("n_cut") / F.col("n_edges"), 6)
+        )
+    )
