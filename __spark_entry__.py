@@ -3332,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_edgecut": q_layout_edgecut,
         "g38_lp_eval": q_g38_lp_eval,
         "kg_entity_profile": q_kg_entity_profile,
+        "stream_nt": q_stream_nt,
     }
 
 
@@ -11194,6 +11195,8 @@ def oracle_sql() -> dict[str, str]:
                tail_text AS obj
         FROM rels_id
     """
+    # streamed parse . serialize is the same identity as the batch parse
+    o["stream_nt"] = o["kg_import_nt"]
     # SPARQL OPTIONAL = left join of the two distinct binding sets
     o["kg_bgp_optional"] = f"""
         WITH {_REL_CTE},
@@ -14432,3 +14435,39 @@ def q_kg_entity_profile(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.graph_build import entity_profile
 
     return entity_profile(_kg(spark, sf_dir).triples)
+
+
+def q_stream_nt(spark, sf_dir):
+    """STREAMING N-Triples ingest under the value-exact gate: the KG is
+    exported to N-Triples, the lines are split into 3 text files by a
+    content hash (statements and labels land in DIFFERENT files — the
+    out-of-order shard interleave of a real RDF dump), each micro-batch
+    parks parsed statements/labels into keyed first-wins state tables
+    (streaming/ingest.py:run_nt_ingest_available_now), the whole feed
+    REPLAYS against a fresh checkpoint (no-op), and the read-time join
+    (read_nt_triples) resolves hashes to surface triples — equal to the
+    batch parser and to the original distinct triple set, so the
+    kg_import_nt identity oracle checks it directly."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.operators.export import to_ntriples
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_nt_triples, run_nt_ingest_available_now,
+    )
+
+    nt = to_ntriples(_kg(spark, sf_dir).triples).select("nt")
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_nt_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    bucket = F.expr(
+        "pmod(cast(conv(substring(sha2(nt, 256), 1, 15), 16, 10) as bigint), 3)"
+    )
+    for i in range(3):
+        (nt.filter(bucket == i).coalesce(1)
+         .write.mode("overwrite").text(f"{base}/in/b{i}"))
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck")
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck2")
+    return read_nt_triples(spark, f"{base}/st")

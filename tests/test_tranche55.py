@@ -231,3 +231,64 @@ def test_entity_profile_exact(spark):
     assert (b["out_deg"], b["in_deg"], b["top_out_rel"]) == (1, 2, "r2")
     assert (c["out_deg"], c["in_deg"], c["top_out_rel"]) == (0, 2, None)
     assert c["n_docs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# streaming N-Triples ingest — out-of-order shards, replay idempotency
+# ---------------------------------------------------------------------------
+
+
+def test_stream_nt_out_of_order_and_replay(spark, tmp_path):
+    from knowledgegraphbuilder_spark.operators.export import to_ntriples
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_nt_triples, run_nt_ingest_available_now,
+    )
+
+    t = spark.createDataFrame(NASTY, "subj string, pred string, obj string")
+    nt = to_ntriples(t)
+    base = str(tmp_path / "nt")
+    # shard 0: ALL statements, shard 1: ALL labels — every statement's
+    # labels arrive in a later micro-batch, so per-batch resolution would
+    # yield zero triples; read-time resolution must yield all of them
+    nt.filter("kind = 'rel'").select("nt").coalesce(1).write.mode(
+        "overwrite").text(f"{base}/in/b0")
+    nt.filter("kind = 'label'").select("nt").coalesce(1).write.mode(
+        "overwrite").text(f"{base}/in/b1")
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck")
+    got = {tuple(r) for r in read_nt_triples(spark, f"{base}/st").collect()}
+    assert got == set(NASTY[:-1])
+    # full replay against a fresh checkpoint is a no-op
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck2")
+    again = {tuple(r) for r in read_nt_triples(spark, f"{base}/st").collect()}
+    assert again == got
+
+
+def test_stream_nt_partial_labels_resolve_late(spark, tmp_path):
+    """A statement whose object label never arrived stays invisible, then
+    appears when the missing shard lands — no partial/corrupt rows."""
+    from knowledgegraphbuilder_spark.operators.export import to_ntriples
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_nt_triples, run_nt_ingest_available_now,
+    )
+
+    t = spark.createDataFrame([("x", "r", "y")],
+                              "subj string, pred string, obj string")
+    nt = to_ntriples(t)
+    base = str(tmp_path / "ntp")
+    nt.filter("kind = 'rel'").select("nt").coalesce(1).write.mode(
+        "overwrite").text(f"{base}/in/b0")
+    # only the subject's label in the first feed
+    nt.filter("kind = 'label' and nt like '%\"x\"%'").select(
+        "nt").coalesce(1).write.mode("overwrite").text(f"{base}/in/b1")
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck")
+    assert read_nt_triples(spark, f"{base}/st").count() == 0
+    # late shard with the object label -> the statement resolves
+    nt.filter("kind = 'label' and nt like '%\"y\"%'").select(
+        "nt").coalesce(1).write.mode("overwrite").text(f"{base}/in/b2")
+    run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
+                                f"{base}/ck2")
+    rows = {tuple(r) for r in read_nt_triples(spark, f"{base}/st").collect()}
+    assert rows == {("x", "r", "y")}
