@@ -273,3 +273,41 @@ class TestRound4OperatorsDegenerate:
         empty_pairs = spark.createDataFrame([], "id_a long, id_b long, jaccard double")
         row = _run(dd.pair_metrics(empty_pairs, empty_pairs))[0]
         assert (row["n_gold"], row["precision"], row["recall"], row["f1"]) == (0, 0.0, 0.0, 0.0)
+
+
+class TestTranche55Degenerate:
+    def test_edge_cut_and_lp_eval_empty(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import lp_rank_eval
+        from knowledgegraphbuilder_spark.operators.layout import edge_cut_stats
+
+        empty = spark.createDataFrame([], "src string, dst string")
+        assert edge_cut_stats(empty, k=4).collect() == []
+        row = lp_rank_eval(empty).collect()[0]
+        # empty agg: counts 0, metric sums NULL on both engines (no ANSI
+        # divide-by-zero — the numerator is already NULL)
+        assert (row["n_test"], row["n_ranked"], row["mrr"]) == (0, 0, None)
+
+    def test_lp_eval_no_test_edges(self, spark):
+        from knowledgegraphbuilder_spark.operators.graphstats import lp_rank_eval
+
+        one = spark.createDataFrame([("a", "b")], "src string, dst string")
+        row = lp_rank_eval(one, holdout_mod=10**9).collect()[0]
+        assert (row["n_test"], row["n_ranked"]) == (0, 0)
+
+    def test_from_ntriples_empty_and_optional_empty_graph(self, spark):
+        from knowledgegraphbuilder_spark.operators.bgp import optional_match
+        from knowledgegraphbuilder_spark.operators.rdfio import from_ntriples
+
+        assert from_ntriples(
+            spark.createDataFrame([], "nt string")).count() == 0
+        t = spark.createDataFrame([], "subj string, pred string, obj string")
+        assert optional_match(
+            t, [("?a", "p", "?b")], [("?b", "q", "?c")]).count() == 0
+
+    def test_entity_profile_empty(self, spark):
+        from knowledgegraphbuilder_spark.operators.graph_build import entity_profile
+
+        t = spark.createDataFrame(
+            [], "subj string, pred string, obj string, doc_id string"
+        )
+        assert entity_profile(t).collect() == []

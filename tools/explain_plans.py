@@ -1045,6 +1045,41 @@ def main() -> None:
         entry.q_kg_schema(spark, args.sf),
     )
 
+    add(
+        "Edge-cut placement audit: two codegen hash columns + one aggregate",
+        "Both partition assignments are pure sha-expression columns inside "
+        "whole-stage codegen; the only shuffle is the k-group hash "
+        "aggregate (map-side combinable). No joins — the audit costs one "
+        "pass over the edge list regardless of graph size.",
+        entry.q_layout_edgecut(spark, args.sf),
+    )
+    add(
+        "LP ranking eval: training-wedge join + per-source bounded window",
+        "The sha-holdout split is a codegen filter; candidate scoring is "
+        "the same hub-capped wedge self-join as g12_linkpred; the "
+        "row_number window partitions by source node (bounded by the hub "
+        "cap), never globally; the metrics collapse in one final "
+        "aggregate with integer-micro-unit reciprocal ranks.",
+        entry.q_g38_lp_eval(spark, args.sf),
+    )
+    add(
+        "N-Triples import: regexp destructure + two uniform-key hash joins",
+        "Statement and label lines split by one rlike filter and "
+        "destructure via regexp_extract — all JVM codegen, zero Python. "
+        "Surface texts re-attach through two equi-joins on 64-hex "
+        "content-hash keys (uniform, skew-free); AQE broadcasts the "
+        "label side when |V| fits.",
+        entry.q_kg_import_nt(spark, args.sf),
+    )
+    add(
+        "Entity profile: three node-keyed aggregates, top-1 as aggregate",
+        "Dominant outgoing type is min(struct(-cnt, pred)) — an "
+        "aggregate, not a sorted window, so hub cost is degree, not "
+        "degree*log(degree); in-degree and provenance reach are "
+        "independent node-keyed aggs joined at |V| size.",
+        entry.q_kg_entity_profile(spark, args.sf),
+    )
+
     header = (
         "# PLANS — physical-plan evidence\n\n"
         f"Generated by `python tools/explain_plans.py --sf {args.sf}` "
