@@ -3333,6 +3333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g38_lp_eval": q_g38_lp_eval,
         "kg_entity_profile": q_kg_entity_profile,
         "stream_nt": q_stream_nt,
+        "kg_bgp_union": q_kg_bgp_union,
+        "g39_percolation": q_g39_percolation,
     }
 
 
@@ -11197,6 +11199,72 @@ def oracle_sql() -> dict[str, str]:
     """
     # streamed parse . serialize is the same identity as the batch parse
     o["stream_nt"] = o["kg_import_nt"]
+    # SPARQL UNION: set union of the two distinct binding selects, NULL
+    # padding for variables a branch doesn't bind
+    o["kg_bgp_union"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT DISTINCT a, b, x FROM (
+          SELECT s AS a, o AS b, CAST(NULL AS VARCHAR) AS x FROM ed
+          WHERE p = 'technology_near_organization'
+          UNION
+          SELECT o AS a, CAST(NULL AS VARCHAR) AS b, s AS x FROM ed
+          WHERE p = 'organization_near_technology'
+        )
+    """
+    # bond percolation: one recursive min-reach CC closure per threshold
+    # over the weighted co-purchase projection, folded to a 1-row profile
+    _perc_blocks = []
+    for _t_ in (3, 4, 5):
+        _perc_blocks.append(f"""
+        e{_t_} AS (SELECT a, b FROM ew WHERE w >= {_t_}),
+        ed{_t_} AS (SELECT a AS s, b AS d FROM e{_t_}
+                    UNION SELECT b, a FROM e{_t_}),
+        v{_t_} AS (SELECT DISTINCT s AS v FROM ed{_t_}),
+        r{_t_} AS (
+          SELECT v, v AS r FROM v{_t_}
+          UNION
+          SELECT e.d AS v, r{_t_}.r FROM r{_t_} JOIN ed{_t_} e
+            ON e.s = r{_t_}.v
+        ),
+        c{_t_} AS (SELECT v, min(r) AS comp FROM r{_t_} GROUP BY v),
+        s{_t_} AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+                   FROM c{_t_} GROUP BY comp),
+        p{_t_} AS (
+          SELECT CAST({_t_} AS BIGINT) AS threshold,
+                 CAST(sum(sz) AS BIGINT) AS n_nodes,
+                 (SELECT CAST(count(*) AS BIGINT) FROM e{_t_}) AS n_edges,
+                 CAST(count(*) AS BIGINT) AS n_components,
+                 CAST(coalesce(max(sz), 0) AS BIGINT) AS largest
+          FROM s{_t_}
+        )""")
+    o["g39_percolation"] = (
+        """
+        WITH RECURSIVE gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        ew AS (
+          SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS w
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+          GROUP BY 1, 2
+        ),"""
+        + ",".join(_perc_blocks)
+        + """
+        SELECT * FROM p3
+        UNION ALL SELECT * FROM p4
+        UNION ALL SELECT * FROM p5
+    """
+    )
     # SPARQL OPTIONAL = left join of the two distinct binding sets
     o["kg_bgp_optional"] = f"""
         WITH {_REL_CTE},
@@ -14471,3 +14539,38 @@ def q_stream_nt(spark, sf_dir):
     run_nt_ingest_available_now(spark, f"{base}/in/*", f"{base}/st",
                                 f"{base}/ck2")
     return read_nt_triples(spark, f"{base}/st")
+
+
+def q_kg_bgp_union(spark, sf_dir):
+    """SPARQL UNION (bgp.py:union_match): branch 1 binds (?a, ?b) via
+    technology_near_organization, branch 2 binds (?x, ?a) via
+    organization_near_technology — the output carries the union of the
+    variable sets with NULL where a branch doesn't bind (W3C union +
+    DISTINCT under set semantics). Oracle: UNION of the two distinct
+    binding selects with explicit NULL padding."""
+    from knowledgegraphbuilder_spark.operators.bgp import union_match
+
+    return union_match(
+        _kg(spark, sf_dir).triples,
+        [
+            [("?a", "technology_near_organization", "?b")],
+            [("?x", "organization_near_technology", "?a")],
+        ],
+    )
+
+
+def q_g39_percolation(spark, sf_dir):
+    """Bond-percolation profile (graphstats.py:percolation_sweep): CC
+    structure of the co-purchase graph at min-weight thresholds 3/4/5 —
+    the multi-resolution clustering view that picks a production dedup/
+    ER threshold (watch the giant component dissolve). Each threshold is
+    a pure filter into the shared large-star/small-star CC; the oracle
+    replays three recursive min-reach closures."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        cooccurrence_edges, percolation_sweep,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group_size=50)
+    return percolation_sweep(edges, [3, 4, 5])

@@ -219,3 +219,38 @@ def apply_rule(
             "left_anti",
         )
     return derived
+
+
+def union_match(
+    triples: DataFrame, groups: list[list[Pattern]]
+) -> DataFrame:
+    """SPARQL ``UNION`` of pattern groups: match each group as its own
+    BGP and take the set union of the binding tables. Groups may bind
+    different variable sets — the output carries the union of all
+    variables (first-appearance order across groups) and a group that
+    doesn't bind a variable contributes NULL there, exactly the W3C
+    multiset-union-then-DISTINCT semantics under set semantics.
+
+    Scale shape: each branch compiles independently (its literal
+    predicate filters still prune rel_type partitions); the union is a
+    narrow concatenation with one final distinct exchange.
+    """
+    if not groups:
+        raise ValueError("union_match needs at least one group")
+    branches = [bgp_match(triples, g) for g in groups]
+    all_vars: list[str] = []
+    for b in branches:
+        for c in b.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    out = None
+    for b in branches:
+        padded = b.select(
+            *[
+                F.col(v) if v in b.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in all_vars
+            ]
+        )
+        out = padded if out is None else out.unionByName(padded)
+    return out.distinct()

@@ -2248,3 +2248,58 @@ def lp_rank_eval(
         F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0)).cast("long").alias("hits3"),
         F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0)).cast("long").alias("hits10"),
     )
+
+
+def percolation_sweep(
+    edges: DataFrame,
+    thresholds: list[int],
+    weight_col: str = "weight",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Bond-percolation profile of a weighted graph: connected-component
+    structure at several minimum edge weights —
+
+    ``(threshold, n_nodes, n_edges, n_components, largest)``
+
+    This is the multi-resolution view of similarity clustering: in a
+    dedup or entity-resolution graph, sweeping the evidence threshold
+    shows where the giant component dissolves into clean clusters — the
+    quantity that picks the production threshold (choose the knee,
+    avoid percolation-regime merges that fuse everything into one
+    blob). One row per threshold.
+
+    Scale shape: each threshold is a pure filter over the SAME edge
+    list feeding the shared large-star/small-star CC operator
+    (canonicalize.py — per-round cost |E|, logarithmic rounds), then a
+    two-level aggregate (component sizes -> profile). Thresholds run
+    sequentially but each reuses the filtered scan; nothing collects
+    but the per-threshold 1-row profiles.
+    """
+    from knowledgegraphbuilder_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    e = edges.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(dst_col).cast("string").alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    out = None
+    for t in thresholds:
+        et = e.filter(F.col("w") >= int(t)).select("src", "dst")
+        cc = connected_components(et)
+        sizes = cc.groupBy("component").agg(
+            F.count("*").cast("long").alias("sz")
+        )
+        prof = sizes.agg(
+            F.lit(int(t)).cast("long").alias("threshold"),
+            F.sum("sz").cast("long").alias("n_nodes"),
+            F.count("*").cast("long").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("largest"),
+        ).join(
+            et.distinct().agg(F.count("*").cast("long").alias("n_edges")),
+            how="cross",
+        ).select("threshold", "n_nodes", "n_edges", "n_components", "largest")
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -292,3 +292,65 @@ def test_stream_nt_partial_labels_resolve_late(spark, tmp_path):
                                 f"{base}/ck2")
     rows = {tuple(r) for r in read_nt_triples(spark, f"{base}/st").collect()}
     assert rows == {("x", "r", "y")}
+
+
+# ---------------------------------------------------------------------------
+# bgp.union_match — variable-set union with NULL padding
+# ---------------------------------------------------------------------------
+
+
+def test_union_match_null_padding(spark):
+    from knowledgegraphbuilder_spark.operators.bgp import union_match
+
+    t = spark.createDataFrame(GRAPH, "subj string, pred string, obj string")
+    out = union_match(
+        t, [[("?a", "uses", "?b")], [("?x", "runs", "?a")]]
+    )
+    assert out.columns == ["a", "b", "x"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("t1", "org1", None),
+        ("t2", "org2", None),
+        ("sys1", None, "org1"),
+        ("sys2", None, "org1"),
+    }
+
+
+def test_union_match_dedups_across_branches(spark):
+    from knowledgegraphbuilder_spark.operators.bgp import union_match
+
+    t = spark.createDataFrame(GRAPH, "subj string, pred string, obj string")
+    # identical branches -> same result as one branch (set semantics)
+    two = union_match(t, [[("?a", "uses", "?b")], [("?a", "uses", "?b")]])
+    one = union_match(t, [[("?a", "uses", "?b")]])
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, one.collect()))
+
+
+def test_union_match_empty_groups_raises(spark):
+    from knowledgegraphbuilder_spark.operators.bgp import union_match
+
+    t = spark.createDataFrame(GRAPH, "subj string, pred string, obj string")
+    with pytest.raises(ValueError):
+        union_match(t, [])
+
+
+# ---------------------------------------------------------------------------
+# graphstats.percolation_sweep — hand-built threshold structure
+# ---------------------------------------------------------------------------
+
+
+def test_percolation_sweep_exact(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import percolation_sweep
+
+    # chain a-b-c at weight 3, bridge c-d at weight 2, pair e-f at weight 5
+    edges = [
+        ("a", "b", 3), ("b", "c", 3), ("c", "d", 2), ("e", "f", 5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, weight long")
+    got = {r["threshold"]: (r["n_nodes"], r["n_edges"], r["n_components"],
+                            r["largest"])
+           for r in percolation_sweep(df, [2, 3, 4, 6]).collect()}
+    assert got[2] == (6, 4, 2, 4)   # {a,b,c,d} + {e,f}
+    assert got[3] == (5, 3, 2, 3)   # bridge gone: {a,b,c} + {e,f}
+    assert got[4] == (2, 1, 1, 2)   # only {e,f}
+    assert got[6] == (None, 0, 0, 0)  # empty graph: NULL node sum, 0 comps
