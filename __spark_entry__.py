@@ -25,6 +25,7 @@ from knowledgegraphbuilder_spark.operators import dedup as dd
 from knowledgegraphbuilder_spark.operators import textstats as ts
 from knowledgegraphbuilder_spark.operators.canonicalize import connected_components
 from knowledgegraphbuilder_spark.operators.clustering import kmeans_oracle_sql as _kmeans_oracle_sql
+from knowledgegraphbuilder_spark.operators.clustering import silhouette_oracle_sql as _silhouette_oracle_sql
 from knowledgegraphbuilder_spark.functions.hashing import duckdb_word_shingles
 from knowledgegraphbuilder_spark.operators.sketches import _bloom_positions
 from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
@@ -3335,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_nt": q_stream_nt,
         "kg_bgp_union": q_kg_bgp_union,
         "g39_percolation": q_g39_percolation,
+        "ml_silhouette": q_ml_silhouette,
     }
 
 
@@ -5665,6 +5667,7 @@ def oracle_sql() -> dict[str, str]:
             FROM hll JOIN ex USING (l_returnflag)
         """,
         "ml_kmeans": _kmeans_oracle_sql(k=8, iters=2, dim=64),
+        "ml_silhouette": _silhouette_oracle_sql(k=8, iters=2, dim=64),
         # same sha256-derived bit positions, same 63-bit words, same bit_or
         # fold and all-bits-set probe — the filter itself is replayed
         "sk_bloom": f"""
@@ -14574,3 +14577,15 @@ def q_g39_percolation(spark, sf_dir):
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
                                max_group_size=50)
     return percolation_sweep(edges, [3, 4, 5])
+
+
+def q_ml_silhouette(spark, sf_dir):
+    """Clustering-quality eval (clustering.py:silhouette_profile): per-
+    cluster simplified (centroid, squared-distance) silhouette of the
+    ml_kmeans fit — integer micro-unit ratios so the per-cluster fold is
+    an exact BIGINT sum; the oracle replays the full Lloyd fit plus the
+    same fold (clustering.py:silhouette_oracle_sql). The number that
+    says whether k was right BEFORE a 100 TB re-cluster."""
+    from knowledgegraphbuilder_spark.operators.clustering import silhouette_profile
+
+    return silhouette_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=2)

@@ -284,6 +284,10 @@ def main() -> None:
         "g34_betweenness", "g35_matching", "g36_contract", "g37_mis",
         "kg_schema", "kg_funcviol", "kg_growth", "ml_woe_iv",
         "ml_target_enc", "ts_keyness", "ts_bigram_next",
+        "kg_export_nt", "kg_export_nq", "kg_import_nt",
+        "kg_bgp", "kg_bgp_optional", "kg_bgp_union", "kg_pathplus",
+        "kg_infer", "kg_entity_profile", "layout_edgecut",
+        "g38_lp_eval", "g39_percolation", "ml_silhouette",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

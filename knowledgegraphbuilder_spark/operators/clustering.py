@@ -79,6 +79,15 @@ def kmeans_quantized(
     Output: (id, cluster, d2) — d2 is the exact integer squared distance in
     quantized units (no floats anywhere in the output)."""
     vq = _quantize(embs, id_col, vec_col)
+    cents = _fit_centroids(vq, k, iters)
+    return _assign(vq, cents).select(
+        "id", F.col("cid").alias("cluster"), "d2"
+    )
+
+
+def _fit_centroids(vq: DataFrame, k: int, iters: int) -> DataFrame:
+    """The Lloyd loop of :func:`kmeans_quantized`, factored out so
+    centroid consumers (silhouette below) share the exact fit."""
     cents = (
         vq.orderBy(F.sha2(F.col("id"), 256))
         .limit(k)
@@ -105,9 +114,7 @@ def kmeans_quantized(
             )
             .localCheckpoint(eager=True)
         )
-    return _assign(vq, cents).select(
-        "id", F.col("cid").alias("cluster"), "d2"
-    )
+    return cents
 
 
 def kmeans_oracle_sql(
@@ -166,4 +173,151 @@ def kmeans_oracle_sql(
                  ) AS rn
           FROM vq a CROSS JOIN c{iters} c
         ) WHERE rn = 1
+    """
+
+
+# silhouette ratio resolution: (b2 - a2) * _SIL_UNITS div max(a2, b2).
+# d2 < 2**48 (module-header bound), so the product stays < 2**62 — no
+# BIGINT overflow — and the 1e-4 ratio resolution is far below any
+# clustering-quality signal. Integer div keeps the per-cluster fold an
+# exact BIGINT sum (order-independent), the module's no-float-folds rule.
+_SIL_UNITS = 10_000
+
+
+def silhouette_profile(
+    embs: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Clustering-quality evaluation: simplified (centroid) silhouette of
+    the :func:`kmeans_quantized` fit, per cluster —
+
+    ``(cluster, n, mean_sil)`` with ``sil = (b2 - a2) / max(a2, b2)``
+
+    where a2 is the exact integer squared distance to the OWN centroid
+    and b2 the min over OTHER centroids (the squared-distance variant of
+    the classic score — same sign and ordering, no sqrt, so it stays in
+    exact integers until one final division). Near +1: well-separated;
+    near 0: on a boundary; negative: probably mis-assigned — the number
+    that says whether k was right BEFORE a 100 TB re-cluster.
+
+    Scale shape: one broadcast of the k centroids into a per-point
+    argmin/second-min (corpus scanned once, k small), then a k-row
+    aggregate of integer micro-unit ratios — order-exact, replayed
+    bit-identically by :func:`silhouette_oracle_sql`.
+    """
+    vq = _quantize(embs, id_col, vec_col)
+    cents = _fit_centroids(vq, k, iters)
+    d = vq.crossJoin(F.broadcast(cents)).select(
+        "id", "cid", F.expr(f"CAST({_D2} AS BIGINT)").alias("d2")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("id").orderBy("d2", "cid")
+    asg = (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("cid").alias("cluster"), F.col("d2").alias("a2"))
+    )
+    alt = (
+        d.join(asg, "id")
+        .filter(F.col("cid") != F.col("cluster"))
+        .groupBy("id")
+        .agg(F.min("d2").alias("b2"))
+    )
+    su = asg.join(alt, "id").select(
+        "cluster",
+        F.expr(
+            f"CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE (b2 - a2) * {_SIL_UNITS} div greatest(a2, b2) END"
+        ).alias("s"),
+    )
+    return su.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum("s").cast("long") / F.lit(float(_SIL_UNITS)) / F.count("*"), 6
+        ).alias("mean_sil"),
+    )
+
+
+def silhouette_oracle_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB replay of :func:`silhouette_profile`: same quantization,
+    seed pick and Lloyd rounds as :func:`kmeans_oracle_sql`, then the
+    same integer micro-unit silhouette fold."""
+    d2 = (
+        f"list_sum([(a.v[i] - c.cv[i]) * (a.v[i] - c.cv[i]) "
+        f"FOR i IN generate_series(1, {dim})])"
+    )
+    ctes = [
+        f"""vq AS (
+          SELECT CAST({id_col} AS VARCHAR) AS id,
+                 [CAST(floor(CAST(x AS DOUBLE) * {_SCALE!r}) AS BIGINT)
+                  FOR x IN {vec_col}] AS v
+          FROM {table}
+        )""",
+        f"""c0 AS MATERIALIZED (
+          SELECT id AS cid, v AS cv FROM vq ORDER BY sha256(id) LIMIT {k}
+        )""",
+    ]
+    for r in range(1, iters + 1):
+        p = r - 1
+        ctes.append(f"""a{r} AS MATERIALIZED (
+          SELECT id, v, cid FROM (
+            SELECT a.id, a.v, c.cid,
+                   row_number() OVER (
+                     PARTITION BY a.id ORDER BY {d2} ASC, c.cid ASC
+                   ) AS rn
+            FROM vq a CROSS JOIN c{p} c
+          ) WHERE rn = 1
+        )""")
+        ctes.append(f"""c{r} AS MATERIALIZED (
+          SELECT cid, list(c ORDER BY pos) AS cv FROM (
+            SELECT cid, pos,
+                   CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS c
+            FROM (
+              SELECT cid, i AS pos, v[i] AS x
+              FROM a{r} CROSS JOIN generate_series(1, {dim}) t(i)
+            ) GROUP BY cid, pos
+          ) GROUP BY cid
+        )""")
+    return f"""
+        WITH {', '.join(ctes)},
+        d AS (
+          SELECT a.id, c.cid, CAST({d2} AS BIGINT) AS d2
+          FROM vq a CROSS JOIN c{iters} c
+        ),
+        asg AS (
+          SELECT id, cid AS cluster, d2 AS a2 FROM (
+            SELECT id, cid, d2,
+                   row_number() OVER (
+                     PARTITION BY id ORDER BY d2 ASC, cid ASC
+                   ) AS rn
+            FROM d
+          ) WHERE rn = 1
+        ),
+        alt AS (
+          SELECT d.id, min(d.d2) AS b2
+          FROM d JOIN asg ON d.id = asg.id AND d.cid <> asg.cluster
+          GROUP BY d.id
+        ),
+        su AS (
+          SELECT asg.cluster,
+                 CASE WHEN greatest(a2, b2) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((b2 - a2) * {_SIL_UNITS} AS BIGINT)
+                           // greatest(a2, b2) END AS s
+          FROM asg JOIN alt ON asg.id = alt.id
+        )
+        SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+               round(CAST(sum(s) AS BIGINT) / {float(_SIL_UNITS)!r}
+                     / count(*), 6) AS mean_sil
+        FROM su GROUP BY cluster
     """

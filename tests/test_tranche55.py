@@ -354,3 +354,58 @@ def test_percolation_sweep_exact(spark):
     assert got[3] == (5, 3, 2, 3)   # bridge gone: {a,b,c} + {e,f}
     assert got[4] == (2, 1, 1, 2)   # only {e,f}
     assert got[6] == (None, 0, 0, 0)  # empty graph: NULL node sum, 0 comps
+
+
+# ---------------------------------------------------------------------------
+# clustering.silhouette_profile — separation signal on constructed clusters
+# ---------------------------------------------------------------------------
+
+
+def test_silhouette_separated_clusters(spark):
+    from knowledgegraphbuilder_spark.operators.clustering import (
+        kmeans_quantized, silhouette_profile,
+    )
+
+    # two tight, well-separated blobs in 4-d. Membership follows the
+    # sha256 order of the ids so the k=2 seed pick (the two sha-smallest
+    # vectors, clustering.py:_fit_centroids) lands one seed per blob —
+    # with both seeds in one blob, Lloyd legitimately converges to a
+    # split-the-blob solution and the 10/10 assertion would test the
+    # init, not the silhouette.
+    ids = sorted((f"p{i}" for i in range(20)),
+                 key=lambda x: hashlib.sha256(x.encode()).hexdigest())
+    rows = []
+    for j, pid in enumerate(ids):
+        blob = 1.0 if (j % 2 == 0) else -1.0
+        rows.append((pid, [blob, blob, 0.0, j * 1e-4]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    prof = silhouette_profile(df, k=2, iters=2).collect()
+    assert len(prof) == 2
+    for r in prof:
+        assert r["n"] == 10
+        assert r["mean_sil"] > 0.95  # tight blobs, far apart
+    # consistency: cluster ids and sizes match the kmeans assignment
+    km = kmeans_quantized(df, k=2, iters=2)
+    sizes = {r["cluster"]: r["count"]
+             for r in km.groupBy("cluster").count().collect()}
+    assert sizes == {r["cluster"]: r["n"] for r in prof}
+
+
+def test_silhouette_boundary_point_low_score(spark):
+    from knowledgegraphbuilder_spark.operators.clustering import silhouette_profile
+
+    # two blobs + a point exactly between them; sha-ordered membership
+    # (see above) keeps one k=2 seed per blob, and "mid" is pushed past
+    # the seed window by construction
+    ids = sorted((f"q{i}" for i in range(10)),
+                 key=lambda x: hashlib.sha256(x.encode()).hexdigest())
+    rows = [(pid, [1.0 if j % 2 == 0 else -1.0, 0.0])
+            for j, pid in enumerate(ids)]
+    rows.append(("mid", [0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    prof = {r["cluster"]: r for r in silhouette_profile(df, k=2, iters=1).collect()}
+    # the boundary point drags its cluster's mean strictly below the
+    # pure cluster's (which stays near 1)
+    scores = sorted(r["mean_sil"] for r in prof.values())
+    assert scores[0] < scores[1]
+    assert scores[1] > 0.9
