@@ -3337,6 +3337,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bgp_union": q_kg_bgp_union,
         "g39_percolation": q_g39_percolation,
         "ml_silhouette": q_ml_silhouette,
+        # tranche 64 (defs at end of file): SPARQL surface completion
+        # (FILTER / MINUS / GROUP BY aggregates / ASK / DESCRIBE),
+        # SHACL-style shape validation, WL color refinement
+        "kg_bgp_filter": q_kg_bgp_filter,
+        "kg_bgp_minus": q_kg_bgp_minus,
+        "kg_bgp_agg": q_kg_bgp_agg,
+        "kg_ask": q_kg_ask,
+        "kg_describe": q_kg_describe,
+        "kg_shacl": q_kg_shacl,
+        "g40_wl": q_g40_wl,
+        "kg_rdfs_types": q_kg_rdfs_types,
+        "kg_path_alt": q_kg_path_alt,
     }
 
 
@@ -11443,6 +11455,202 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ins ON docs.node = ins.node
         LEFT JOIN top ON docs.node = top.node
     """
+    # SPARQL FILTER: the same WHERE over the distinct binding set
+    o["kg_bgp_filter"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT DISTINCT s AS a, o AS b FROM ed
+        WHERE p = 'technology_near_organization'
+          AND length(s) > 5 AND s <> o
+    """
+    # SPARQL MINUS: NOT EXISTS on the shared variables (a, b)
+    o["kg_bgp_minus"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT DISTINCT e1.s AS a, e1.p AS p, e1.o AS b
+        FROM ed e1
+        WHERE NOT EXISTS (
+          SELECT 1 FROM ed e2
+          WHERE e2.p = 'technology_near_technology'
+            AND e2.s = e1.s AND e2.o = e1.o
+        )
+    """
+    # SPARQL GROUP BY aggregates over the distinct binding table
+    o["kg_bgp_agg"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        b AS (
+          SELECT DISTINCT s AS t, o FROM ed
+          WHERE p = 'technology_near_organization'
+        )
+        SELECT o, CAST(count(*) AS BIGINT) AS n_bindings,
+               min(t) AS first_tech
+        FROM b GROUP BY o
+    """
+    # SPARQL ASK: existence of any solution, one boolean row
+    o["kg_ask"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT EXISTS(
+          SELECT 1 FROM ed WHERE p = 'technology_near_resource'
+        ) AS matched
+    """
+    # SPARQL DESCRIBE: one-hop star of the entity, role-tagged; an
+    # s = o = entity statement appears once per role in both engines
+    o["kg_describe"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT 'subject' AS role, s AS subj, p AS pred, o AS obj
+        FROM ed WHERE s = 'customer'
+        UNION ALL
+        SELECT 'object' AS role, s AS subj, p AS pred, o AS obj
+        FROM ed WHERE o = 'customer'
+    """
+    # SHACL cardinality shapes: same distinct-statement counts, same
+    # broadcast shape table, same NULL-bound conformance logic
+    o["kg_shacl"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        ty AS (SELECT DISTINCT text AS entity, label FROM mentions),
+        sh(focus_label, path, direction, min_count, max_count) AS (VALUES
+          ('technology', 'technology_near_organization', 'out',
+           CAST(1 AS BIGINT), CAST(NULL AS BIGINT)),
+          ('organization', 'organization_near_technology', 'out',
+           CAST(NULL AS BIGINT), CAST(1 AS BIGINT)),
+          ('system', 'technology_near_system', 'in',
+           CAST(2 AS BIGINT), CAST(NULL AS BIGINT)),
+          ('resource', 'resource_near_resource', 'out',
+           CAST(NULL AS BIGINT), CAST(0 AS BIGINT))),
+        oc AS (
+          SELECT s AS entity, p AS path, 'out' AS direction,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM ed GROUP BY 1, 2
+        ),
+        ic AS (
+          SELECT o AS entity, p AS path, 'in' AS direction,
+                 CAST(count(*) AS BIGINT) AS observed
+          FROM ed GROUP BY 1, 2
+        ),
+        cnts AS (SELECT * FROM oc UNION ALL SELECT * FROM ic),
+        focus AS (
+          SELECT ty.entity, sh.focus_label, sh.path, sh.direction,
+                 sh.min_count, sh.max_count
+          FROM ty JOIN sh ON ty.label = sh.focus_label
+        )
+        SELECT f.entity, f.focus_label, f.path, f.direction,
+               CAST(COALESCE(c.observed, 0) AS BIGINT) AS observed,
+               concat_ws(',',
+                 CASE WHEN f.min_count IS NOT NULL
+                      THEN 'min=' || CAST(f.min_count AS VARCHAR) END,
+                 CASE WHEN f.max_count IS NOT NULL
+                      THEN 'max=' || CAST(f.max_count AS VARCHAR) END
+               ) AS bound,
+               ((f.min_count IS NULL
+                 OR COALESCE(c.observed, 0) >= f.min_count)
+                AND (f.max_count IS NULL
+                 OR COALESCE(c.observed, 0) <= f.max_count)) AS conforms
+        FROM focus f
+        LEFT JOIN cnts c ON c.entity = f.entity AND c.path = f.path
+                         AND c.direction = f.direction
+    """
+    # WL refinement: both rounds unrolled, identical sha256 byte stream
+    # (color '#' comma-joined sorted (dir|pred|color) multiset)
+    o["g40_wl"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        nodes AS (SELECT s AS node FROM ed UNION SELECT o FROM ed),
+        c0 AS (SELECT node, 'wl0' AS color FROM nodes),
+        m1 AS (
+          SELECT e.s AS node, '>' || '|' || e.p || '|' || c.color AS sig
+          FROM ed e JOIN c0 c ON c.node = e.o
+          UNION ALL
+          SELECT e.o AS node, '<' || '|' || e.p || '|' || c.color AS sig
+          FROM ed e JOIN c0 c ON c.node = e.s
+        ),
+        s1 AS (
+          SELECT node, list_sort(list(sig)) AS sigl FROM m1 GROUP BY node
+        ),
+        c1 AS (
+          SELECT c0.node,
+                 sha256(c0.color || '#' ||
+                        coalesce(array_to_string(s1.sigl, ','), '')) AS color
+          FROM c0 LEFT JOIN s1 USING (node)
+        ),
+        m2 AS (
+          SELECT e.s AS node, '>' || '|' || e.p || '|' || c.color AS sig
+          FROM ed e JOIN c1 c ON c.node = e.o
+          UNION ALL
+          SELECT e.o AS node, '<' || '|' || e.p || '|' || c.color AS sig
+          FROM ed e JOIN c1 c ON c.node = e.s
+        ),
+        s2 AS (
+          SELECT node, list_sort(list(sig)) AS sigl FROM m2 GROUP BY node
+        )
+        SELECT c1.node,
+               sha256(c1.color || '#' ||
+                      coalesce(array_to_string(s2.sigl, ','), '')) AS color
+        FROM c1 LEFT JOIN s2 USING (node)
+    """
+    # rdfs9 entailment: recursive reflexive-transitive subclass closure
+    # over the VALUES hierarchy, joined to the mention-label typing
+    o["kg_rdfs_types"] = f"""
+        WITH RECURSIVE {_KG_CTE},
+        ty AS (SELECT DISTINCT text AS entity, label FROM mentions),
+        sub(child, parent) AS (VALUES
+          ('technology', 'artifact'), ('system', 'artifact'),
+          ('resource', 'artifact'), ('organization', 'agent'),
+          ('artifact', 'thing'), ('agent', 'thing')),
+        cls AS (SELECT child AS c FROM sub UNION SELECT parent FROM sub),
+        closure AS (
+          SELECT c AS child, c AS ancestor FROM cls
+          UNION
+          SELECT closure.child, sub.parent
+          FROM closure JOIN sub ON closure.ancestor = sub.child
+        )
+        SELECT DISTINCT entity, type FROM (
+          SELECT entity, label AS type FROM ty
+          UNION ALL
+          SELECT ty.entity, closure.ancestor AS type
+          FROM ty JOIN closure ON ty.label = closure.child
+        )
+    """
+    # alternation | inverse: three pruned selects under one DISTINCT
+    o["kg_path_alt"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        )
+        SELECT DISTINCT src, dst FROM (
+          SELECT s AS src, o AS dst FROM ed
+          WHERE p IN ('technology_near_organization',
+                      'technology_near_system')
+          UNION ALL
+          SELECT o AS src, s AS dst FROM ed
+          WHERE p = 'organization_near_technology'
+        )
+    """
     return o
 
 
@@ -14589,3 +14797,156 @@ def q_ml_silhouette(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.clustering import silhouette_profile
 
     return silhouette_profile(_t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+def q_kg_bgp_filter(spark, sf_dir):
+    """SPARQL FILTER (bgp.py:filter_match): the tech->org pattern
+    restricted by a boolean expression over the bound variables
+    (length(a) > 5 AND a <> b) — the expression lands inside the
+    compiled join plan where Catalyst pushes sargable conjuncts to the
+    pattern scans. Oracle: same WHERE over the distinct binding set."""
+    from knowledgegraphbuilder_spark.operators.bgp import filter_match
+
+    return filter_match(
+        _kg(spark, sf_dir).triples,
+        [("?a", "technology_near_organization", "?b")],
+        "length(a) > 5 AND a <> b",
+    )
+
+
+def q_kg_bgp_minus(spark, sf_dir):
+    """SPARQL MINUS (bgp.py:minus_match): all (a, p, b) statements minus
+    bindings compatible with { ?a technology_near_technology ?b } on the
+    shared variables (a, b) — W3C set-difference semantics as one
+    left_anti equi-join. Oracle: NOT EXISTS on the shared variables."""
+    from knowledgegraphbuilder_spark.operators.bgp import minus_match
+
+    return minus_match(
+        _kg(spark, sf_dir).triples,
+        [("?a", "?p", "?b")],
+        [("?a", "technology_near_technology", "?b")],
+    )
+
+
+def q_kg_bgp_agg(spark, sf_dir):
+    """SPARQL GROUP BY + aggregates (bgp.py:agg_match): per organization,
+    how many distinct tech->org bindings land on it and the
+    lexicographically first such technology — one map-side-combinable
+    hash aggregate over the distinct binding table. Oracle: the same
+    GROUP BY over the distinct binding select."""
+    from knowledgegraphbuilder_spark.operators.bgp import agg_match
+
+    return agg_match(
+        _kg(spark, sf_dir).triples,
+        [("?t", "technology_near_organization", "?o")],
+        ["o"],
+        [("count", "*", "n_bindings"), ("min", "t", "first_tech")],
+    )
+
+
+def q_kg_ask(spark, sf_dir):
+    """SPARQL ASK (bgp.py:ask_match): does any technology sit adjacent
+    to a resource? Single boolean row; the compiled plan short-circuits
+    under LIMIT 1. Completes the four W3C query forms together with
+    SELECT (kg_bgp), CONSTRUCT (kg_infer) and DESCRIBE (kg_describe).
+    Oracle: SELECT EXISTS over the same pattern."""
+    from knowledgegraphbuilder_spark.operators.bgp import ask_match
+
+    return ask_match(
+        _kg(spark, sf_dir).triples,
+        [("?a", "technology_near_resource", "?b")],
+    )
+
+
+def q_kg_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (bgp.py:describe_entity): the one-hop star of
+    'customer' — every distinct statement holding it as subject or
+    object, tagged with the role. Two predicate-pushed scans + a narrow
+    union. Oracle: the same two selects unioned."""
+    from knowledgegraphbuilder_spark.operators.bgp import describe_entity
+
+    return describe_entity(_kg(spark, sf_dir).triples, "customer")
+
+
+_SHACL_SHAPES = [
+    # every technology must touch at least one organization
+    ("technology", "technology_near_organization", "out", 1, None),
+    # an organization fanning to more than one technology is suspect
+    ("organization", "organization_near_technology", "out", None, 1),
+    # a system should be reached by at least two technologies
+    ("system", "technology_near_system", "in", 2, None),
+    # resources should not chain to each other
+    ("resource", "resource_near_resource", "out", None, 0),
+]
+
+
+def q_kg_shacl(spark, sf_dir):
+    """SHACL-style shape validation (shapes.py:shacl_validate): four
+    cardinality shapes (min/max count on a predicate path, out/in)
+    targeted by NER label, evaluated set-wise over the distinct
+    statement view — the extraction-QA layer an open-extraction KG
+    lacks. Output is the full per-(entity, shape) report with observed
+    counts and conformance. Oracle replays the same counts + broadcast
+    shape table as SQL."""
+    from knowledgegraphbuilder_spark.operators.shapes import shacl_validate
+
+    kg = _kg(spark, sf_dir)
+    types = kg.mentions.select(
+        F.col("text").alias("entity"), "label"
+    ).distinct()
+    return shacl_validate(kg.triples, types, _SHACL_SHAPES)
+
+
+def q_g40_wl(spark, sf_dir):
+    """Edge-labeled Weisfeiler-Lehman refinement over the KG
+    (graphstats.py:wl_refine, 2 rounds): nodes share a color iff their
+    2-hop typed neighborhoods are WL-indistinguishable — the structural
+    fingerprint that buckets entities before any pairwise subgraph
+    comparison. Oracle unrolls both rounds with list_sort(list(...))
+    and the identical sha256 byte stream."""
+    from knowledgegraphbuilder_spark.operators.graphstats import wl_refine
+
+    return wl_refine(_kg(spark, sf_dir).triples, rounds=2)
+
+
+_ONTOLOGY = [
+    ("technology", "artifact"),
+    ("system", "artifact"),
+    ("resource", "artifact"),
+    ("organization", "agent"),
+    ("artifact", "thing"),
+    ("agent", "thing"),
+]
+
+
+def q_kg_rdfs_types(spark, sf_dir):
+    """RDFS rdfs9 entailment (ontology.py:rdfs_types): entity typing
+    under the closed subclass hierarchy technology/system/resource ⊑
+    artifact ⊑ thing, organization ⊑ agent ⊑ thing — the closure is
+    computed driver-side (ontologies are dim-sized by construction)
+    and entailed over the typing table with ONE broadcast equi-join.
+    Oracle: recursive closure over the VALUES hierarchy joined to the
+    mention-label replay."""
+    from knowledgegraphbuilder_spark.operators.ontology import rdfs_types
+
+    kg = _kg(spark, sf_dir)
+    types = kg.mentions.select(
+        F.col("text").alias("entity"), "label"
+    ).distinct()
+    return rdfs_types(types, _ONTOLOGY)
+
+
+def q_kg_path_alt(spark, sf_dir):
+    """SPARQL property-path alternation + inverse (bgp.py:path_alt):
+    pairs connected forward by technology_near_organization |
+    technology_near_system, or by the INVERSE of
+    organization_near_technology — i.e. everything a technology points
+    at plus everything that points back at it, as one pruned-scan
+    union. Oracle: the same three selects unioned under DISTINCT."""
+    from knowledgegraphbuilder_spark.operators.bgp import path_alt
+
+    return path_alt(
+        _kg(spark, sf_dir).triples,
+        preds=["technology_near_organization", "technology_near_system"],
+        inverse_preds=["organization_near_technology"],
+    )

@@ -254,3 +254,146 @@ def union_match(
         )
         out = padded if out is None else out.unionByName(padded)
     return out.distinct()
+
+
+def filter_match(
+    triples: DataFrame, patterns: list[Pattern], condition: str
+) -> DataFrame:
+    """SPARQL ``FILTER``: restrict BGP bindings by a boolean expression
+    over the bound variables (SQL syntax; variables are plain column
+    names). The filter is applied to the compiled binding table, so
+    Catalyst pushes sargable conjuncts below the final distinct and —
+    when they touch a single pattern's variables — below the joins into
+    that pattern's scan, exactly where a hand-written plan would put
+    them. Non-sargable expressions (regexp, arithmetic) still run
+    JVM-side in whole-stage codegen; nothing here leaves the optimizer's
+    reach."""
+    return bgp_match(triples, patterns).filter(F.expr(condition))
+
+
+def minus_match(
+    triples: DataFrame, patterns: list[Pattern], minus: list[Pattern]
+) -> DataFrame:
+    """SPARQL ``MINUS``: drop every binding of the mandatory BGP that is
+    compatible with (agrees on the shared variables of) some binding of
+    the minus group. W3C semantics with the standard caveat: if the two
+    groups share no variable, no binding is ever compatible and MINUS
+    removes nothing — kept explicit here rather than silently anti-joining
+    on nothing (which would delete everything whenever the minus group is
+    non-empty).
+
+    Scale shape: one ``left_anti`` equi-join on the shared variables —
+    Spark's dedicated no-payload anti-join, broadcast when the minus
+    binding table is small. The minus group compiles through
+    :func:`bgp_match`, so its literal predicates prune rel_type
+    partitions before the anti-join ever shuffles."""
+    req = bgp_match(triples, patterns)
+    if not minus:
+        return req
+    neg = bgp_match(triples, minus)
+    shared = [c for c in req.columns if c in set(neg.columns)]
+    if not shared:
+        return req
+    # equi-join output moves the key columns first: restore input order
+    return req.join(
+        neg.select(*shared).distinct(), on=shared, how="left_anti"
+    ).select(*req.columns)
+
+
+def agg_match(
+    triples: DataFrame,
+    patterns: list[Pattern],
+    group_vars: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """SPARQL ``GROUP BY`` + aggregates over BGP bindings: group the
+    binding table by ``group_vars`` and compute each ``(fn, var, alias)``
+    aggregate, where ``fn`` is one of ``count`` (count(*) when var is
+    ``"*"``), ``count_distinct``, ``min``, ``max``. Counts are BIGINT.
+
+    The binding table is already distinct (set semantics), so ``count``
+    here is the W3C count over the solution multiset after DISTINCT —
+    the common analytic ask ("how many distinct orgs per technology").
+    Scale shape: one hash aggregate over the binding table, partial
+    (map-side) combine for every supported fn; no window, no sort."""
+    b = bgp_match(triples, patterns)
+    exprs = []
+    for fn, var, alias in aggs:
+        if fn == "count":
+            c = F.count(F.lit(1)) if var == "*" else F.count(F.col(var))
+        elif fn == "count_distinct":
+            c = F.countDistinct(F.col(var))
+        elif fn == "min":
+            c = F.min(F.col(var))
+        elif fn == "max":
+            c = F.max(F.col(var))
+        else:
+            raise ValueError(f"unsupported aggregate: {fn}")
+        exprs.append(c.alias(alias))
+    return b.groupBy(*group_vars).agg(*exprs)
+
+
+def ask_match(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+    """SPARQL ``ASK``: does the BGP have at least one solution? Returns a
+    single-row (matched: boolean) frame. The compiled plan is the same
+    selectivity-ordered join as :func:`bgp_match` but under a global
+    LIMIT 1, so Catalyst plans every exchange with CollectLimit semantics
+    — on a hit, scans short-circuit after the first produced row instead
+    of materializing the full binding table."""
+    hit = bgp_match(triples, patterns).limit(1).count() > 0
+    return triples.sparkSession.createDataFrame(
+        [(bool(hit),)], "matched boolean"
+    )
+
+
+def describe_entity(triples: DataFrame, entity: str) -> DataFrame:
+    """SPARQL ``DESCRIBE``: every statement where the entity appears as
+    subject or object, with its role — the concise-bounded-description
+    surface (one-hop star) a KG browser renders. One predicate-pushed
+    scan per role over the distinct statement view; the union is narrow
+    and shuffle-free. Completes the four W3C query forms next to SELECT
+    (:func:`bgp_match`), CONSTRUCT (:func:`apply_rule`) and ASK
+    (:func:`ask_match`)."""
+    t = triples.select("subj", "pred", "obj").distinct()
+    as_subj = t.filter(F.col("subj") == entity).select(
+        F.lit("subject").alias("role"), "subj", "pred", "obj"
+    )
+    as_obj = t.filter(F.col("obj") == entity).select(
+        F.lit("object").alias("role"), "subj", "pred", "obj"
+    )
+    return as_subj.unionByName(as_obj)
+
+
+def path_alt(
+    triples: DataFrame,
+    preds: list[str] | None = None,
+    inverse_preds: list[str] | None = None,
+) -> DataFrame:
+    """SPARQL property-path alternation with inverses: the distinct
+    (src, dst) pairs connected by any predicate in ``preds`` (forward,
+    ``p1|p2``) or any in ``inverse_preds`` (reversed, ``^p``). Together
+    with :func:`path_closure` (``p+``) and BGP chaining (``p1/p2``)
+    this completes the property-path algebra a KG query layer needs.
+
+    Scale shape: an ``isin`` over a literal predicate list is a scan
+    predicate — against the rel_type-partitioned edges sink it prunes
+    to exactly the named partitions; the inverse branch is a column
+    swap on its own pruned scan; one narrow union + distinct."""
+    if not preds and not inverse_preds:
+        raise ValueError("path_alt needs at least one predicate")
+    t = triples.select("subj", "pred", "obj")
+    parts = []
+    if preds:
+        parts.append(
+            t.filter(F.col("pred").isin(list(preds)))
+            .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        )
+    if inverse_preds:
+        parts.append(
+            t.filter(F.col("pred").isin(list(inverse_preds)))
+            .select(F.col("obj").alias("src"), F.col("subj").alias("dst"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

@@ -2303,3 +2303,90 @@ def percolation_sweep(
         ).select("threshold", "n_nodes", "n_edges", "n_components", "largest")
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+def wl_refine(
+    triples: DataFrame,
+    rounds: int = 2,
+    src_col: str = "subj",
+    pred_col: str = "pred",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """Edge-labeled Weisfeiler-Lehman color refinement over the KG —
+    the canonical structural fingerprint (Shervashidze et al., JMLR
+    2011) used to dedup near-isomorphic subgraphs and to bucket
+    entities by neighborhood shape before any pairwise comparison.
+
+    Round 0 colors every node identically; each round rehashes a node's
+    color together with the lexicographically sorted multiset of its
+    (direction, predicate, neighbor color) signatures, so after R
+    rounds two nodes share a color iff their R-hop typed neighborhoods
+    are WL-indistinguishable. Directions are tagged (``>`` outgoing,
+    ``<`` incoming) — the KG is directed.
+
+    Scale shape: per round, ONE groupBy over the message table
+    (edges × 2 directions) building the sorted signature list with
+    ``array_sort(collect_list(...))`` — per-node cost is degree·log
+    (local sort of the node's own messages, never a global sort), then
+    a sha256 rehash in whole-stage codegen. Isolated-node safety: the
+    recolor LEFT-joins the previous color table, so colorless rounds
+    can't drop nodes. No windows, no driver collect; lineage is
+    truncated per round with localCheckpoint (the CC-loop discipline).
+
+    Returns (node, color) after ``rounds`` refinements; hash colors are
+    hex strings replayable in DuckDB (same sha256 byte stream).
+    """
+    t = (
+        triples.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(pred_col).cast("string").alias("pred"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        t.select(F.col("src").alias("node"))
+        .unionAll(t.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    colors = nodes.withColumn("color", F.lit("wl0"))
+    for _ in range(rounds):
+        # messages: each edge tells both endpoints (direction, pred, color)
+        out_msg = (
+            t.join(colors.withColumnRenamed("node", "dst"), "dst")
+            .select(
+                F.col("src").alias("node"),
+                F.concat_ws("|", F.lit(">"), "pred", "color").alias("sig"),
+            )
+        )
+        in_msg = (
+            t.join(colors.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.concat_ws("|", F.lit("<"), "pred", "color").alias("sig"),
+            )
+        )
+        sigs = (
+            out_msg.unionAll(in_msg)
+            .groupBy("node")
+            .agg(F.array_sort(F.collect_list("sig")).alias("sigl"))
+        )
+        colors = (
+            colors.join(sigs, "node", "left")
+            .select(
+                "node",
+                F.sha2(
+                    F.concat_ws(
+                        "#",
+                        F.col("color"),
+                        F.array_join(
+                            F.coalesce(F.col("sigl"), F.array()), ","
+                        ),
+                    ),
+                    256,
+                ).alias("color"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return colors

@@ -138,3 +138,123 @@ def test_apply_rule_only_new(chain_triples):
     # every derived statement is genuinely absent from the input
     existing = {(r["subj"], r["pred"], r["obj"]) for r in chain_triples.collect()}
     assert not (set(got_p) & existing)
+
+
+# --- tranche 64: FILTER / MINUS / aggregates / ASK / DESCRIBE -------------
+
+from knowledgegraphbuilder_spark.operators.bgp import (  # noqa: E402
+    agg_match, ask_match, describe_entity, filter_match, minus_match,
+)
+
+
+def test_filter_match_restricts_bindings(triples):
+    got = rows(filter_match(triples, [("?p", "knows", "?q")], "q = 'b1'"))
+    assert got == [("a1", "b1"), ("a2", "b1")]
+
+
+def test_filter_match_expression_over_two_vars(triples):
+    got = rows(filter_match(triples, [("?p", "knows", "?q")], "p < q"))
+    assert got == [("a1", "b1"), ("a1", "b2"), ("a2", "b1")]
+
+
+def test_minus_match_removes_compatible_bindings(triples):
+    # all knows-pairs minus those where the target works at org1
+    got = rows(
+        minus_match(
+            triples,
+            [("?p", "knows", "?q")],
+            [("?q", "works_at", "?w")],
+        )
+    )
+    # b1 and b2 both work somewhere -> all bindings with a workplace go
+    assert got == []
+
+
+def test_minus_match_literal_narrowing(triples):
+    got = rows(
+        minus_match(
+            triples,
+            [("?p", "knows", "?q")],
+            [("?q", "works_at", "org1")],
+        )
+    )
+    # only b1 works at org1; bindings targeting b2 survive
+    assert got == [("a1", "b2")]
+
+
+def test_minus_match_no_shared_vars_removes_nothing(triples):
+    req = rows(bgp_match(triples, [("?p", "knows", "?q")]))
+    got = rows(
+        minus_match(triples, [("?p", "knows", "?q")], [("?x", "self", "?y")])
+    )
+    assert got == req
+
+
+def test_minus_match_empty_minus_is_identity(triples):
+    req = rows(bgp_match(triples, [("?p", "knows", "?q")]))
+    assert rows(minus_match(triples, [("?p", "knows", "?q")], [])) == req
+
+
+def test_agg_match_count_and_min(triples):
+    got = rows(
+        agg_match(
+            triples,
+            [("?p", "knows", "?q")],
+            ["q"],
+            [("count", "*", "n"), ("min", "p", "first_p")],
+        )
+    )
+    assert got == [("b1", 2, "a1"), ("b2", 1, "a1")]
+
+
+def test_agg_match_count_distinct(triples):
+    got = rows(
+        agg_match(
+            triples,
+            [("?p", "knows", "?q")],
+            [],
+            [("count_distinct", "q", "n_targets")],
+        )
+    )
+    assert got == [(2,)]
+
+
+def test_ask_match_true_and_false(triples):
+    assert ask_match(triples, [("?a", "located_in", "?b")]).collect()[0][0] is True
+    assert ask_match(triples, [("?a", "nope", "?b")]).collect()[0][0] is False
+
+
+def test_describe_entity_both_roles(triples):
+    got = rows(describe_entity(triples, "b1"))
+    assert got == [
+        ("object", "a1", "knows", "b1"),
+        ("object", "a2", "knows", "b1"),
+        ("subject", "b1", "works_at", "org1"),
+    ]
+
+
+def test_describe_self_loop_appears_once_per_role(triples):
+    got = rows(describe_entity(triples, "loop"))
+    assert got == [
+        ("object", "loop", "self", "loop"),
+        ("subject", "loop", "self", "loop"),
+    ]
+
+
+def test_path_alt_forward_and_inverse(triples):
+    from knowledgegraphbuilder_spark.operators.bgp import path_alt
+
+    got = rows(path_alt(triples, preds=["works_at"],
+                        inverse_preds=["knows"]))
+    # forward works_at plus reversed knows, distinct
+    assert got == sorted([
+        ("b1", "org1"), ("b2", "org2"),
+        ("b1", "a1"), ("b2", "a1"), ("b1", "a2"),
+    ])
+
+
+def test_path_alt_requires_a_predicate(triples):
+    from knowledgegraphbuilder_spark.operators.bgp import path_alt
+
+    with pytest.raises(ValueError):
+        path_alt(triples)
