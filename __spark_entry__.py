@@ -3349,6 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g40_wl": q_g40_wl,
         "kg_rdfs_types": q_kg_rdfs_types,
         "kg_path_alt": q_kg_path_alt,
+        "ts_textrank": q_ts_textrank,
+        "ml_bcubed": q_ml_bcubed,
+        "g42_bipartite": q_g42_bipartite,
     }
 
 
@@ -11651,6 +11654,146 @@ def oracle_sql() -> dict[str, str]:
           WHERE p = 'organization_near_technology'
         )
     """
+    # TextRank: the ts_pmi bigram stream as a weighted word graph, every
+    # word a teleport source (uniform teleport == classic PageRank), the
+    # exact 30-iteration recursive PPR of g3_pagerank
+    o["ts_textrank"] = f"""
+        WITH RECURSIVE ws AS (
+          SELECT string_split(text, ' ') AS ws FROM documents
+        ),
+        big AS (
+          SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+            SELECT UNNEST([{{'w1': ws[i], 'w2': ws[i + 1]}}
+                           FOR i IN generate_series(1, len(ws) - 1)]) AS b
+            FROM ws
+          ) WHERE b.w1 <> '' AND b.w2 <> ''
+        ),
+        raw AS (
+          SELECT w1 AS s, w2 AS t2, CAST(count(*) AS DOUBLE) AS w
+          FROM big GROUP BY 1, 2
+        ),
+        srcs AS (
+          SELECT DISTINCT v FROM (
+            SELECT s AS v FROM raw UNION SELECT t2 FROM raw
+          )
+        ),
+        {_ppr_recursive(30)}
+        SELECT v AS word, round(score, 4) AS score FROM ranks
+        ORDER BY round(score, 4) DESC, v LIMIT 20
+    """
+    # B-cubed over the dd_resolve clustering vs exact-content gold:
+    # floor-scaled integer micro-unit ratios, order-independent sums
+    o["ml_bcubed"] = f"""
+        WITH RECURSIVE {_SHINGLE_CTE},
+        p AS (SELECT id_a, id_b FROM jacc WHERE jaccard >= 0.9),
+        edges AS (SELECT id_a AS s, id_b AS d FROM p
+                  UNION SELECT id_b, id_a FROM p),
+        verts AS (SELECT DISTINCT s AS v FROM edges),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+        ),
+        comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+        asg AS (
+          SELECT CAST(d.doc_id AS VARCHAR) AS item,
+                 coalesce(c.component, CAST(d.doc_id AS VARCHAR)) AS pred,
+                 sha256(d.text) AS gold
+          FROM documents d
+          LEFT JOIN comp c ON c.v = CAST(d.doc_id AS VARCHAR)
+        ),
+        inter AS (SELECT pred, gold, CAST(count(*) AS BIGINT) AS o
+                  FROM asg GROUP BY 1, 2),
+        cp AS (SELECT pred, CAST(count(*) AS BIGINT) AS cp
+               FROM asg GROUP BY 1),
+        cg AS (SELECT gold, CAST(count(*) AS BIGINT) AS cg
+               FROM asg GROUP BY 1),
+        per AS (
+          SELECT (i.o * 1000000) // cp.cp AS p_u,
+                 (i.o * 1000000) // cg.cg AS r_u
+          FROM asg a
+          JOIN inter i ON i.pred = a.pred AND i.gold = a.gold
+          JOIN cp ON cp.pred = a.pred
+          JOIN cg ON cg.gold = a.gold
+        ),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_items,
+                 CAST(sum(p_u) AS BIGINT) AS p_micro_sum,
+                 CAST(sum(r_u) AS BIGINT) AS r_micro_sum
+          FROM per
+        )
+        SELECT n_items, p_micro_sum, r_micro_sum,
+               round(p_micro_sum / (n_items * 1000000.0), 6)
+                 AS precision_b3,
+               round(r_micro_sum / (n_items * 1000000.0), 6) AS recall_b3,
+               round(2 * (p_micro_sum / (n_items * 1000000.0))
+                       * (r_micro_sum / (n_items * 1000000.0))
+                     / ((p_micro_sum / (n_items * 1000000.0))
+                        + (r_micro_sum / (n_items * 1000000.0))), 6)
+                 AS f1_b3
+        FROM agg
+    """
+    # bipartiteness audit of the weight>=3 co-purchase graph: recursive
+    # min-reach CC, recursive min-dist parity walk from each component's
+    # canonical (min-id) seed, edge parity self-join
+    o["g42_bipartite"] = """
+        WITH RECURSIVE gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        ew AS (
+          SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS w
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+          GROUP BY 1, 2
+        ),
+        e0 AS MATERIALIZED (SELECT a, b FROM ew WHERE w >= 2),
+        sym AS MATERIALIZED (
+          SELECT a AS u, b AS v FROM e0 UNION SELECT b, a FROM e0
+        ),
+        verts AS (SELECT DISTINCT u AS vx FROM sym),
+        reach AS (
+          SELECT vx, vx AS r FROM verts
+          UNION
+          SELECT s.v AS vx, reach.r FROM reach JOIN sym s ON s.u = reach.vx
+        ),
+        comp AS (SELECT vx, min(r) AS component FROM reach GROUP BY vx),
+        walk(node, component, d) AS (
+          SELECT component, component, 0
+          FROM (SELECT DISTINCT component FROM comp)
+          UNION
+          SELECT s.v, walk.component, walk.d + 1
+          FROM walk JOIN sym s ON s.u = walk.node
+          WHERE walk.d < 30
+        ),
+        par AS (
+          SELECT node, component, CAST(min(d) % 2 AS BIGINT) AS parity
+          FROM walk GROUP BY 1, 2
+        ),
+        odd AS (
+          SELECT pa.component, CAST(count(*) AS BIGINT) AS n_edges,
+                 CAST(sum(CASE WHEN pa.parity = pb.parity
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_odd
+          FROM e0
+          JOIN par pa ON pa.node = e0.a
+          JOIN par pb ON pb.node = e0.b
+          GROUP BY 1
+        ),
+        sizes AS (
+          SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM comp GROUP BY 1
+        )
+        SELECT s.component, s.n_nodes,
+               CAST(coalesce(o.n_edges, 0) AS BIGINT) AS n_edges,
+               CAST(coalesce(o.n_odd, 0) AS BIGINT) AS n_odd_edges,
+               coalesce(o.n_odd, 0) = 0 AS is_bipartite
+        FROM sizes s LEFT JOIN odd o USING (component)
+    """
     return o
 
 
@@ -14950,3 +15093,62 @@ def q_kg_path_alt(spark, sf_dir):
         preds=["technology_near_organization", "technology_near_system"],
         inverse_preds=["organization_near_technology"],
     )
+
+
+def q_ts_textrank(spark, sf_dir):
+    """TextRank keyword extraction (textstats.py:textrank_keywords):
+    PageRank over the corpus word co-occurrence graph — bigram counts as
+    edge weights, every word a teleport source (uniform teleport ==
+    classic PageRank), top-20 by 4dp-rounded salience. Composition of
+    the ts_pmi bigram machinery with the g3 PPR operator; oracle =
+    bigram CTE + the same 30-iteration recursive-CTE PageRank."""
+    from knowledgegraphbuilder_spark.operators.textstats import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(_t(spark, sf_dir, "documents"), top_k=20)
+
+
+def q_ml_bcubed(spark, sf_dir):
+    """B-cubed clustering evaluation (mlstats.py:bcubed_eval) of the
+    MinHash-LSH dedup resolution against exact-content gold clusters:
+    predicted cluster = dd_resolve's CC canonical, gold = sha256(text).
+    Per-item ratios are floor-scaled to integer micro-units so the
+    corpus fold is order-independent and exact (lp_rank_eval
+    discipline). The ER-quality number a production dedup pipeline
+    tracks release-over-release."""
+    from knowledgegraphbuilder_spark.operators.mlstats import bcubed_eval
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_pairs(docs, threshold=0.9, n_perm=32, bands=16, k=3)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    assign = (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .join(comp.withColumnRenamed("vertex", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("pred"),
+            F.sha2(F.col("text"), 256).alias("gold"),
+        )
+    )
+    return bcubed_eval(assign, "doc_id", "pred", "gold")
+
+
+def q_g42_bipartite(spark, sf_dir):
+    """Per-component bipartiteness audit
+    (graphstats.py:bipartite_check) of the weight>=2
+    co-purchase graph: CC + ONE multi-source parity BFS + a single
+    colored-edge self-join — is_bipartite iff no BFS level closes an
+    edge on itself (odd cycle). The 2-colorability check behind any
+    two-way partition of a conflict graph. Oracle: recursive min-reach
+    CC + recursive min-dist parity walk + the same edge parity audit."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        bipartite_check, cooccurrence_edges,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
+                               max_group_size=50)
+    return bipartite_check(edges.filter(F.col("weight") >= 2))

@@ -2390,3 +2390,99 @@ def wl_refine(
             .localCheckpoint(eager=True)
         )
     return colors
+
+
+def bipartite_check(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Per-component bipartiteness audit: 2-color every component by BFS
+    parity from its canonical (min-id) seed, then count the edges whose
+    endpoints share a parity — a graph is bipartite iff no BFS level
+    closes an edge within itself (odd cycle). The production use is
+    conflict/constraint graphs: a non-2-colorable component is exactly
+    where a proposed two-way partition (train/eval, A/B, shard pair)
+    cannot be consistent, and ``n_odd_edges`` localizes how far from
+    bipartite each component is.
+
+    Plan: one CC run (large/small-star, shared operator) provides both
+    the component key and the seed; ONE multi-source BFS colors every
+    component simultaneously (frontier = all seeds at parity 0 — rounds
+    scale with graph diameter, not component count); the audit is a
+    single self-equi-join of the colored edge list. Per-round work is
+    frontier-sized with left_anti dedup against the visited set,
+    lineage truncated by localCheckpoint (the CC-loop discipline).
+
+    Returns (component, n_nodes, n_edges, n_odd_edges, is_bipartite).
+    """
+    from knowledgegraphbuilder_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s0"),
+            F.col(dst_col).cast("string").alias("d0"),
+        )
+        .filter(F.col("s0") != F.col("d0"))
+        # canonical undirected pair: (a,b) and (b,a) are the same edge
+        .select(
+            F.least("s0", "d0").alias("src"),
+            F.greatest("s0", "d0").alias("dst"),
+        )
+        .distinct()
+    )
+    und = e.unionAll(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint(eager=True)
+    comp = connected_components(e).localCheckpoint(eager=True)  # (vertex, component)
+    # seeds: the component id IS its min vertex in this CC implementation
+    visited = comp.select(
+        F.col("component").alias("node"), F.col("component")
+    ).distinct().withColumn("parity", F.lit(0).cast("long"))
+    frontier = visited
+    for _ in range(max_iter):
+        if frontier.isEmpty():
+            break
+        step = (
+            frontier.join(und.withColumnRenamed("src", "node"), "node")
+            .select(
+                F.col("dst").alias("node"),
+                "component",
+                ((F.col("parity") + 1) % 2).alias("parity"),
+            )
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        # a node reached at both parities in the SAME round keeps min
+        step = step.groupBy("node", "component").agg(
+            F.min("parity").cast("long").alias("parity")
+        )
+        visited = visited.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    colored = e.join(
+        visited.select(F.col("node").alias("src"),
+                       F.col("parity").alias("p_src"), "component"), "src"
+    ).join(
+        visited.select(F.col("node").alias("dst"),
+                       F.col("parity").alias("p_dst")), "dst"
+    )
+    per_edge = colored.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(
+            F.when(F.col("p_src") == F.col("p_dst"), 1).otherwise(0)
+        ).cast("long").alias("n_odd_edges"),
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return sizes.join(per_edge, "component", "left").select(
+        "component",
+        "n_nodes",
+        F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+        F.coalesce("n_odd_edges", F.lit(0)).cast("long").alias("n_odd_edges"),
+        (F.coalesce("n_odd_edges", F.lit(0)) == 0).alias("is_bipartite"),
+    )

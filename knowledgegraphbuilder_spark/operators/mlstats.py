@@ -1540,3 +1540,67 @@ def target_encoding(
         f"round((cast(n_pos as double) + {alpha!r} * (cast(gt as double) / cast(nt as double)))"
         f" / (cast(n as double) + {alpha!r}), 6) as enc",
     )
+
+
+def bcubed_eval(
+    assign: DataFrame,
+    item_col: str = "item",
+    pred_col: str = "pred",
+    gold_col: str = "gold",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """B-cubed extrinsic clustering evaluation (Bagga & Baldwin 1998) —
+    THE standard entity-resolution / dedup-cluster quality metric:
+    per-item precision is the fraction of the item's predicted cluster
+    sharing its gold cluster, per-item recall the fraction of its gold
+    cluster the predicted cluster recovers; corpus scores are the
+    means. Unlike pairwise F1, B-cubed doesn't let one giant cluster
+    dominate — which is exactly the failure mode of over-merged dedup.
+
+    Integer-exact fold: per-item ratios are floor-scaled to micro-units
+    (``o * scale DIV cluster_size`` — BIGINT), so the corpus sums are
+    order-independent exact integers and the final doubles derive
+    deterministically from them (the lp_rank_eval discipline); no
+    float accumulates across rows.
+
+    Plan: three map-side-combinable counts (intersection cells keyed by
+    (pred, gold), predicted sizes, gold sizes), two dim-ish joins back
+    to the assignment table, ONE global aggregate. No windows, no
+    pairwise expansion — cost is |items|, never |items|² (the naive
+    pairwise-F1 formulation).
+
+    Returns one row: (n_items, p_micro_sum, r_micro_sum, precision_b3,
+    recall_b3, f1_b3).
+    """
+    a = assign.select(
+        F.col(item_col).cast("string").alias("item"),
+        F.col(pred_col).cast("string").alias("pred"),
+        F.col(gold_col).cast("string").alias("gold"),
+    ).distinct()
+    inter = a.groupBy("pred", "gold").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    cp = a.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("cp"))
+    cg = a.groupBy("gold").agg(F.count(F.lit(1)).cast("long").alias("cg"))
+    per = (
+        a.join(inter, ["pred", "gold"])
+        .join(cp, "pred")
+        .join(cg, "gold")
+        .select(
+            F.expr(f"o * CAST({scale} AS BIGINT) DIV cp").alias("p_u"),
+            F.expr(f"o * CAST({scale} AS BIGINT) DIV cg").alias("r_u"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("p_u").cast("long").alias("p_micro_sum"),
+        F.sum("r_u").cast("long").alias("r_micro_sum"),
+    )
+    p = F.col("p_micro_sum") / (F.col("n_items") * F.lit(float(scale)))
+    r = F.col("r_micro_sum") / (F.col("n_items") * F.lit(float(scale)))
+    return agg.select(
+        "n_items", "p_micro_sum", "r_micro_sum",
+        F.round(p, 6).alias("precision_b3"),
+        F.round(r, 6).alias("recall_b3"),
+        F.round(2 * p * r / (p + r), 6).alias("f1_b3"),
+    )

@@ -974,3 +974,73 @@ def bigram_next(
             ).alias("prob"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    top_k: int = 20,
+    damping: float = 0.85,
+    n_iter: int = 30,
+    tol: float = 1.0e-9,
+    text_col: str = "text",
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004) at
+    corpus scale: PageRank over the word co-occurrence graph, where
+    nodes are words and edge weights are corpus-wide adjacent-bigram
+    counts — the unsupervised keyword salience score that beats raw
+    frequency because it rewards words central to many contexts, not
+    merely frequent ones.
+
+    Composition, not reimplementation: the bigram stream is the exact
+    machinery of :func:`pmi_collocations` (including its size(ws) < 2
+    ANSI guard), and the ranking is
+    :func:`~knowledgegraphbuilder_spark.operators.pagerank.personalized_pagerank`
+    with EVERY word as a source — uniform teleport is classic PageRank,
+    so the same operator serves personalized retrieval and TextRank.
+    Scale shape: one map-side-combinable bigram count (vocab² bounded,
+    in practice Zipf-sparse), then the PPR loop's own adaptive
+    driver/distributed split — a vocab-sized graph runs vectorized on
+    the driver, a web-scale one in the distributed loop.
+
+    Output: (word, score) — top_k by 4dp-rounded score, word-tiebroken,
+    via TakeOrderedAndProject (never a full sort).
+    """
+    from knowledgegraphbuilder_spark.operators.pagerank import (
+        personalized_pagerank,
+    )
+
+    ws = docs.select(F.split(F.col(text_col), " ").alias("ws"))
+    big = ws.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN ws IS NULL OR size(ws) < 2 THEN array() ELSE "
+                "transform(sequence(1, size(ws) - 1), "
+                "i -> struct(ws[i-1] as w1, ws[i] as w2)) END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2").filter((F.col("w1") != "") & (F.col("w2") != ""))
+    edges = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    words = (
+        edges.select(F.col("w1").alias("node_id"))
+        .unionAll(edges.select(F.col("w2").alias("node_id")))
+        .distinct()
+    )
+    if words.isEmpty():
+        # no bigrams anywhere (empty / single-token corpus): no graph
+        return docs.sparkSession.createDataFrame(
+            [], "word string, score double"
+        )
+    ranks = personalized_pagerank(
+        edges, words, damping, n_iter, tol,
+        src_col="w1", dst_col="w2", weight_col="cnt",
+    )
+    return (
+        ranks.select(
+            F.col("node_id").alias("word"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("word"))
+        .limit(top_k)
+    )

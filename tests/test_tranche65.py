@@ -1,0 +1,140 @@
+"""TextRank keywords, B-cubed clustering eval, bipartiteness audit."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphbuilder_spark.operators.graphstats import bipartite_check
+from knowledgegraphbuilder_spark.operators.mlstats import bcubed_eval
+from knowledgegraphbuilder_spark.operators.textstats import textrank_keywords
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# --- TextRank --------------------------------------------------------------
+
+def test_textrank_central_word_wins(spark):
+    # 'hub' co-occurs with every other word; peripherals only with hub
+    docs = spark.createDataFrame(
+        [("hub a hub b hub c hub d",), ("a hub b hub c hub",)],
+        "text string",
+    )
+    got = textrank_keywords(docs, top_k=3)
+    top = got.collect()[0]
+    assert top["word"] == "hub"
+    assert top["score"] > got.collect()[1]["score"]
+
+
+def test_textrank_scores_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [("x y z x y",), ("z x q y",)], "text string"
+    )
+    got = textrank_keywords(docs, top_k=100)
+    total = sum(r["score"] for r in got.collect())
+    assert abs(total - 1.0) < 1e-2  # 4dp rounding over few words
+
+
+def test_textrank_empty_and_single_token_corpus(spark):
+    docs = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert textrank_keywords(docs).count() == 0
+
+
+def test_textrank_deterministic_under_repartition(spark):
+    docs = spark.createDataFrame(
+        [(f"w{i} w{(i * 7) % 13} w{(i * 3) % 13}",) for i in range(40)],
+        "text string",
+    )
+    a = rows(textrank_keywords(docs, top_k=10))
+    b = rows(textrank_keywords(docs.repartition(9), top_k=10))
+    assert a == b
+
+
+# --- B-cubed ---------------------------------------------------------------
+
+def test_bcubed_perfect_clustering(spark):
+    a = spark.createDataFrame(
+        [("1", "c1", "g1"), ("2", "c1", "g1"), ("3", "c2", "g2")],
+        "item string, pred string, gold string",
+    )
+    r = bcubed_eval(a).collect()[0]
+    assert r["precision_b3"] == 1.0 and r["recall_b3"] == 1.0
+    assert r["f1_b3"] == 1.0 and r["n_items"] == 3
+
+
+def test_bcubed_overmerged_cluster(spark):
+    # one predicted cluster over two gold clusters of sizes 2 and 2:
+    # per-item precision = 2/4, recall = 2/2 -> P=0.5, R=1.0
+    a = spark.createDataFrame(
+        [("1", "c", "g1"), ("2", "c", "g1"), ("3", "c", "g2"), ("4", "c", "g2")],
+        "item string, pred string, gold string",
+    )
+    r = bcubed_eval(a).collect()[0]
+    assert r["precision_b3"] == 0.5
+    assert r["recall_b3"] == 1.0
+    assert abs(r["f1_b3"] - 2 * 0.5 / 1.5) < 1e-6
+
+
+def test_bcubed_oversplit_cluster(spark):
+    # gold cluster of 2 split into singletons: P=1, per-item recall 1/2
+    a = spark.createDataFrame(
+        [("1", "c1", "g"), ("2", "c2", "g")],
+        "item string, pred string, gold string",
+    )
+    r = bcubed_eval(a).collect()[0]
+    assert r["precision_b3"] == 1.0
+    assert r["recall_b3"] == 0.5
+
+
+def test_bcubed_micro_sums_are_exact_integers(spark):
+    a = spark.createDataFrame(
+        [("1", "c", "g1"), ("2", "c", "g2"), ("3", "c", "g2")],
+        "item string, pred string, gold string",
+    )
+    r = bcubed_eval(a).collect()[0]
+    # p_u per item: 1*10^6 DIV 3, 2*10^6 DIV 3 (x2) -> 333333 + 666666*2
+    assert r["p_micro_sum"] == 333333 + 2 * 666666
+    assert r["r_micro_sum"] == 1_000_000 * 3
+
+
+# --- Bipartiteness ---------------------------------------------------------
+
+def test_bipartite_even_cycle(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "src string, dst string",
+    )
+    r = bipartite_check(e).collect()
+    assert len(r) == 1
+    assert r[0]["is_bipartite"] is True and r[0]["n_odd_edges"] == 0
+    assert r[0]["n_nodes"] == 4 and r[0]["n_edges"] == 4
+
+
+def test_bipartite_triangle_has_one_odd_edge(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "src string, dst string"
+    )
+    r = bipartite_check(e).collect()
+    assert r[0]["is_bipartite"] is False
+    # BFS from 'a': levels a=0, b=1, c=1 -> exactly edge (b,c) is odd
+    assert r[0]["n_odd_edges"] == 1
+
+
+def test_bipartite_mixed_components(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),        # triangle
+         ("x", "y"), ("y", "z")],                   # path
+        "src string, dst string",
+    )
+    got = {r["component"]: r["is_bipartite"] for r in bipartite_check(e).collect()}
+    assert got == {"a": False, "x": True}
+
+
+def test_bipartite_self_loop_and_duplicate_edges_ignored(spark):
+    e = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "a"), ("a", "b")],
+        "src string, dst string",
+    )
+    r = bipartite_check(e).collect()
+    assert len(r) == 1
+    assert r[0]["n_edges"] == 1 and r[0]["is_bipartite"] is True
