@@ -3352,6 +3352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_textrank": q_ts_textrank,
         "ml_bcubed": q_ml_bcubed,
         "g42_bipartite": q_g42_bipartite,
+        "layout_conductance": q_layout_conductance,
+        "ml_kanonymity": q_ml_kanonymity,
     }
 
 
@@ -11794,6 +11796,78 @@ def oracle_sql() -> dict[str, str]:
                coalesce(o.n_odd, 0) = 0 AS is_bipartite
         FROM sizes s LEFT JOIN odd o USING (component)
     """
+    # conductance of the sha-mod-32 placement: integer degree volumes,
+    # cut edges charged to both endpoint partitions, one final divide
+    o["layout_conductance"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        e0 AS (
+          SELECT DISTINCT x.item AS a, y.item AS b
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+        ),
+        deg AS (
+          SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+          ) GROUP BY 1
+        ),
+        degp AS (
+          SELECT node, deg,
+                 ('0x' || substr(sha256(node), 1, 15))::BIGINT % 32 AS part
+          FROM deg
+        ),
+        vol AS (
+          SELECT part, CAST(count(*) AS BIGINT) AS n_nodes,
+                 CAST(sum(deg) AS BIGINT) AS vol
+          FROM degp GROUP BY 1
+        ),
+        tv AS (SELECT CAST(sum(vol) AS BIGINT) AS tvol FROM vol),
+        cuts AS (
+          SELECT ('0x' || substr(sha256(a), 1, 15))::BIGINT % 32 AS ps,
+                 ('0x' || substr(sha256(b), 1, 15))::BIGINT % 32 AS pd
+          FROM e0
+        ),
+        chg AS (
+          SELECT part, CAST(count(*) AS BIGINT) AS n_cut FROM (
+            SELECT ps AS part FROM cuts WHERE ps <> pd
+            UNION ALL SELECT pd FROM cuts WHERE ps <> pd
+          ) GROUP BY 1
+        )
+        SELECT v.part, v.n_nodes, v.vol,
+               CAST(coalesce(c.n_cut, 0) AS BIGINT) AS n_cut,
+               CASE WHEN least(v.vol, tv.tvol - v.vol) = 0 THEN 0.0
+                    ELSE round(coalesce(c.n_cut, 0)
+                               / least(v.vol, tv.tvol - v.vol), 6)
+               END AS conductance
+        FROM vol v LEFT JOIN chg c USING (part) CROSS JOIN tv
+    """
+    # k-anonymity histogram over the behavioral quasi-identifier
+    o["ml_kanonymity"] = """
+        WITH sig AS (
+          SELECT user_id,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+                 CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+          FROM events GROUP BY 1
+        ),
+        cls AS (
+          SELECT n_events, n_types, n_days,
+                 CAST(count(*) AS BIGINT) AS class_size
+          FROM sig GROUP BY 1, 2, 3
+        )
+        SELECT class_size,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(class_size) AS BIGINT) AS n_rows,
+               class_size < 5 AS at_risk
+        FROM cls GROUP BY class_size
+    """
     return o
 
 
@@ -15152,3 +15226,40 @@ def q_g42_bipartite(spark, sf_dir):
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey",
                                max_group_size=50)
     return bipartite_check(edges.filter(F.col("weight") >= 2))
+
+
+def q_layout_conductance(spark, sf_dir):
+    """Conductance of the sha-mod-32 hash placement per partition
+    (layout.py:partition_conductance): cut volume over min(vol, rest) —
+    the load-balance-aware separation quality behind edge_cut_stats'
+    raw traffic counts; uniform hash should sit near (k-1)/k of the
+    normalized volume, and any partition materially below is
+    exploitable locality. Exact integer volumes/cuts, one divide at the
+    end; oracle replays the engine-portable sha bucket + the same
+    aggregates."""
+    from knowledgegraphbuilder_spark.operators.layout import (
+        partition_conductance,
+    )
+
+    return partition_conductance(_copurchase_edges(spark, sf_dir), k=32,
+                                 src_col="src", dst_col="dst")
+
+
+def q_ml_kanonymity(spark, sf_dir):
+    """k-anonymity audit (curation.py:k_anonymity_audit) of the
+    behavioral quasi-identifier (n_events, n_types, n_days) per user in
+    the events table — the re-identification-risk histogram a release
+    pipeline checks after pii_redact removes direct identifiers.
+    Classes below k=5 are at risk. Two shrinking-key aggregates, exact
+    integers; oracle is the same double groupBy."""
+    from knowledgegraphbuilder_spark.operators.curation import (
+        k_anonymity_audit,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    sig = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).cast("long").alias("n_days"),
+    )
+    return k_anonymity_audit(sig, ["n_events", "n_types", "n_days"], k=5)

@@ -892,3 +892,40 @@ def pack_efficiency(packed: DataFrame, seq_len: int) -> DataFrame:
             f" + {seq_len} - 1) div {seq_len} * {seq_len}), 6) as fill_ratio",
         )
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    qi_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (Sweeney 2002) —
+    the re-identification-risk check a training-data pipeline runs
+    BEFORE release, complementing pii_redact (which removes direct
+    identifiers; this measures whether the remaining attribute
+    combinations still single people out). A row's anonymity class is
+    the set of rows sharing its full QI tuple; classes smaller than
+    ``k`` are re-identifiable.
+
+    Output: one row per observed class size —
+    ``(class_size, n_classes, n_rows, at_risk)`` with ``at_risk =
+    class_size < k``; the released-data risk share is
+    sum(n_rows where at_risk) / sum(n_rows), recoverable from the
+    histogram without a second pass.
+
+    Scale shape: two map-side-combinable aggregates (rows -> classes,
+    classes -> histogram) — both shuffle only on shrinking keys (QI
+    tuple, then a scalar size); no windows, no joins. Exact integers
+    throughout.
+    """
+    classes = df.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("class_size")
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+        )
+        .withColumn("at_risk", F.col("class_size") < F.lit(int(k)))
+    )

@@ -138,3 +138,69 @@ def test_bipartite_self_loop_and_duplicate_edges_ignored(spark):
     r = bipartite_check(e).collect()
     assert len(r) == 1
     assert r[0]["n_edges"] == 1 and r[0]["is_bipartite"] is True
+
+
+# --- partition conductance -------------------------------------------------
+
+from knowledgegraphbuilder_spark.operators.curation import (  # noqa: E402
+    k_anonymity_audit,
+)
+from knowledgegraphbuilder_spark.operators.layout import (  # noqa: E402
+    partition_conductance,
+)
+
+
+def test_conductance_invariants(spark):
+    e = spark.createDataFrame(
+        [(f"n{i}", f"n{(i + 1) % 24}") for i in range(24)]
+        + [(f"n{i}", f"n{(i + 7) % 24}") for i in range(24)],
+        "src string, dst string",
+    )
+    got = partition_conductance(e, k=4).collect()
+    n_edges = 48
+    assert sum(r["n_nodes"] for r in got) == 24
+    assert sum(r["vol"] for r in got) == 2 * n_edges
+    # every cut edge is charged to exactly two partitions
+    assert sum(r["n_cut"] for r in got) % 2 == 0
+    assert all(0.0 <= r["conductance"] <= 1.0 for r in got)
+
+
+def test_conductance_single_partition_graph(spark):
+    # k=1: everything internal, no cuts, min(vol, tvol-vol) = 0 -> the
+    # operator must not divide by zero for the whole-graph partition
+    e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+    got = partition_conductance(e, k=1).collect()
+    assert len(got) == 1 and got[0]["n_cut"] == 0
+
+
+def test_conductance_deterministic(spark):
+    e = spark.createDataFrame(
+        [(f"x{i}", f"x{i * 3 % 17}") for i in range(1, 17)],
+        "src string, dst string",
+    )
+    a = rows(partition_conductance(e, k=8))
+    b = rows(partition_conductance(e.repartition(5), k=8))
+    assert a == b
+
+
+# --- k-anonymity -----------------------------------------------------------
+
+def test_kanonymity_histogram(spark):
+    df = spark.createDataFrame(
+        [("u1", 30, "a"), ("u2", 30, "a"), ("u3", 30, "a"),
+         ("u4", 40, "b"), ("u5", 40, "b"), ("u6", 50, "c")],
+        "uid string, age int, zip string",
+    )
+    got = {r["class_size"]: (r["n_classes"], r["n_rows"], r["at_risk"])
+           for r in k_anonymity_audit(df, ["age", "zip"], k=3).collect()}
+    assert got == {3: (1, 3, False), 2: (1, 2, True), 1: (1, 1, True)}
+
+
+def test_kanonymity_all_unique_is_fully_at_risk(spark):
+    df = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(5)], "uid string, age int"
+    )
+    got = k_anonymity_audit(df, ["age"], k=2).collect()
+    assert len(got) == 1
+    assert got[0]["class_size"] == 1 and got[0]["n_rows"] == 5
+    assert got[0]["at_risk"] is True
