@@ -3354,6 +3354,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g42_bipartite": q_g42_bipartite,
         "layout_conductance": q_layout_conductance,
         "ml_kanonymity": q_ml_kanonymity,
+        "g45_butterfly": q_g45_butterfly,
+        "kg_cardinality": q_kg_cardinality,
+        "kg_inverse_detect": q_kg_inverse_detect,
     }
 
 
@@ -11868,6 +11871,88 @@ def oracle_sql() -> dict[str, str]:
                class_size < 5 AS at_risk
         FROM cls GROUP BY class_size
     """
+    # butterflies: C(weight,2) over the capped co-occurrence pair table,
+    # credited to both endpoints — pure integer arithmetic
+    o["g45_butterfly"] = """
+        WITH gi AS (
+          SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS g,
+                          CAST(l_partkey AS VARCHAR) AS item
+          FROM lineitem
+        ),
+        kept AS (
+          SELECT g, item FROM (
+            SELECT g, item, count(*) OVER (PARTITION BY g) AS sz FROM gi
+          ) WHERE sz <= 50
+        ),
+        ew AS (
+          SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS w
+          FROM kept x JOIN kept y ON x.g = y.g AND x.item < y.item
+          GROUP BY 1, 2
+        ),
+        bf AS (SELECT a, b, (w * (w - 1)) // 2 AS bb FROM ew),
+        sides AS (
+          SELECT a AS item, bb FROM bf
+          UNION ALL SELECT b, bb FROM bf
+        )
+        SELECT item, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(bb) AS BIGINT) AS n_butterflies
+        FROM sides GROUP BY item
+    """
+    # cardinality typing: per-endpoint fan maxima over distinct statements
+    o["kg_cardinality"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        outf AS (
+          SELECT p, CAST(max(f) AS BIGINT) AS max_out_fan FROM (
+            SELECT p, s, count(*) AS f FROM ed GROUP BY 1, 2
+          ) GROUP BY p
+        ),
+        inf AS (
+          SELECT p, CAST(max(f) AS BIGINT) AS max_in_fan FROM (
+            SELECT p, o, count(*) AS f FROM ed GROUP BY 1, 2
+          ) GROUP BY p
+        ),
+        n AS (SELECT p, CAST(count(*) AS BIGINT) AS n_stmts
+              FROM ed GROUP BY 1)
+        SELECT n.p AS pred, n.n_stmts, outf.max_out_fan, inf.max_in_fan,
+               (CASE WHEN inf.max_in_fan > 1 THEN 'N' ELSE '1' END)
+               || ':' ||
+               (CASE WHEN outf.max_out_fan > 1 THEN 'N' ELSE '1' END)
+                 AS cardinality
+        FROM n JOIN outf ON outf.p = n.p JOIN inf ON inf.p = n.p
+    """
+    # inverse/symmetric axiom induction: reversed-vs-forward Jaccard per
+    # predicate pair via one (subj, obj) equi-join
+    o["kg_inverse_detect"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        inter AS (
+          SELECT r.p AS pred_a, f.p AS pred_b,
+                 CAST(count(*) AS BIGINT) AS n_overlap
+          FROM (SELECT o AS s, p, s AS o FROM ed) r
+          JOIN ed f ON f.s = r.s AND f.o = r.o
+          GROUP BY 1, 2
+        ),
+        sizes AS (SELECT p, CAST(count(*) AS BIGINT) AS n
+                  FROM ed GROUP BY 1)
+        SELECT i.pred_a, i.pred_b, sa.n AS n_a, sb.n AS n_b, i.n_overlap,
+               round(i.n_overlap * 1.0
+                     / (sa.n + sb.n - i.n_overlap), 6) AS jaccard,
+               CASE WHEN i.pred_a = i.pred_b THEN 'symmetric'
+                    ELSE 'inverse_of' END AS axiom
+        FROM inter i
+        JOIN sizes sa ON sa.p = i.pred_a
+        JOIN sizes sb ON sb.p = i.pred_b
+        WHERE round(i.n_overlap * 1.0 / (sa.n + sb.n - i.n_overlap), 6)
+                >= 0.5
+          AND i.pred_a <= i.pred_b
+    """
     return o
 
 
@@ -15263,3 +15348,47 @@ def q_ml_kanonymity(spark, sf_dir):
         F.countDistinct(F.to_date("ts")).cast("long").alias("n_days"),
     )
     return k_anonymity_audit(sig, ["n_events", "n_types", "n_days"], k=5)
+
+
+def q_g45_butterfly(spark, sf_dir):
+    """Per-item butterfly count (graphstats.py:butterfly_count) over
+    the orders x parts bipartite graph — the 2x2-biclique cohesion
+    metric (VLDB'19) computed from the capped co-occurrence pair table
+    with one integer aggregate: butterflies(a,b) = C(weight, 2).
+    Oracle replays the pair weights and the same integer formula."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        butterfly_count,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return butterfly_count(li, "l_orderkey", "l_partkey", max_group_size=50)
+
+
+def q_kg_cardinality(spark, sf_dir):
+    """Predicate cardinality typing (graph_build.py:
+    predicate_cardinality): 1:1 / 1:N / N:1 / N:M classification from
+    per-subject and per-object fan maxima over the distinct statement
+    view — the schema profile that picks join strategies (functional
+    predicates broadcast; N:M shuffles). Oracle: the same two fan
+    aggregates and CASE classification."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        predicate_cardinality,
+    )
+
+    return predicate_cardinality(_kg(spark, sf_dir).triples)
+
+
+def q_kg_inverse_detect(spark, sf_dir):
+    """owl:inverseOf / symmetry induction (graph_build.py:
+    inverse_predicate_detect): Jaccard of each predicate's reversed
+    statement set against every forward set via ONE (subj, obj)
+    equi-join — mirrored-extraction discovery (the gazetteer KG's
+    X_near_Y / Y_near_X pairs are exact inverses, so the operator must
+    find them at jaccard 1.0). Oracle replays the reversed join and
+    thresholding."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        inverse_predicate_detect,
+    )
+
+    return inverse_predicate_detect(_kg(spark, sf_dir).triples,
+                                    min_jaccard=0.5)

@@ -385,3 +385,95 @@ def entity_profile(triples: DataFrame) -> DataFrame:
             "top_out_rel",
         )
     )
+
+
+def predicate_cardinality(triples: DataFrame) -> DataFrame:
+    """Cardinality typing of every predicate — the 1:1 / 1:N / N:1 /
+    N:M classification a KG schema layer derives before choosing
+    storage layout and join strategy (a functional predicate joins as
+    a dim lookup; an N:M one shuffles). Computed over the distinct
+    statement view: max out-fan per subject and max in-fan per object,
+    classified by whether either exceeds 1.
+
+    Scale shape: two map-side-combinable fan aggregates keyed by
+    (pred, endpoint) folded to per-predicate maxima — cost is one pass
+    over the statement table, no joins, no windows.
+
+    Returns (pred, n_stmts, max_out_fan, max_in_fan, cardinality).
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    outf = t.groupBy("pred", "subj").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    ).groupBy("pred").agg(F.max("f").cast("long").alias("max_out_fan"))
+    inf = t.groupBy("pred", "obj").agg(
+        F.count(F.lit(1)).cast("long").alias("f")
+    ).groupBy("pred").agg(F.max("f").cast("long").alias("max_in_fan"))
+    n = t.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n_stmts"))
+    return (
+        n.join(outf, "pred").join(inf, "pred")
+        .select(
+            "pred", "n_stmts", "max_out_fan", "max_in_fan",
+            F.concat(
+                F.when(F.col("max_in_fan") > 1, F.lit("N")).otherwise(F.lit("1")),
+                F.lit(":"),
+                F.when(F.col("max_out_fan") > 1, F.lit("N")).otherwise(F.lit("1")),
+            ).alias("cardinality"),
+        )
+    )
+
+
+def inverse_predicate_detect(
+    triples: DataFrame, min_jaccard: float = 0.5
+) -> DataFrame:
+    """owl:inverseOf / symmetry discovery: for every predicate pair
+    (p, q), the Jaccard overlap between p's REVERSED statement set and
+    q's statement set — high overlap with q != p induces an inverse
+    axiom, with q == p a symmetric one. The schema-induction step that
+    lets a KG deduplicate mirrored extractions (X acquired_by Y vs
+    Y acquired X) instead of storing both directions forever.
+
+    Plan: ONE equi-join of the reversed distinct statements against
+    the forward ones on (subj, obj) produces all intersection cells
+    grouped by (p, q); predicate sizes are a dim-sized aggregate
+    joined back twice (broadcast). Cost tracks statements sharing an
+    entity pair — never |preds|² x statements.
+
+    Returns (pred_a, pred_b, n_a, n_b, n_overlap, jaccard, axiom)
+    for pairs with jaccard >= min_jaccard, axiom in
+    ('symmetric', 'inverse_of'), pred_a <= pred_b canonical order.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    rev = t.select(
+        F.col("obj").alias("subj"), F.col("pred").alias("p_rev"),
+        F.col("subj").alias("obj"),
+    )
+    inter = (
+        rev.join(t, ["subj", "obj"])
+        .groupBy(F.col("p_rev").alias("pred_a"), F.col("pred").alias("pred_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    sizes = t.groupBy("pred").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        inter.join(
+            F.broadcast(sizes.select(F.col("pred").alias("pred_a"),
+                                     F.col("n").alias("n_a"))), "pred_a")
+        .join(
+            F.broadcast(sizes.select(F.col("pred").alias("pred_b"),
+                                     F.col("n").alias("n_b"))), "pred_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_overlap")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(min_jaccard)))
+        # canonical unordered pair: keep pred_a <= pred_b once
+        .filter(F.col("pred_a") <= F.col("pred_b"))
+    )
+    return scored.select(
+        "pred_a", "pred_b", "n_a", "n_b", "n_overlap", "jaccard",
+        F.when(F.col("pred_a") == F.col("pred_b"), F.lit("symmetric"))
+        .otherwise(F.lit("inverse_of")).alias("axiom"),
+    )

@@ -2486,3 +2486,43 @@ def bipartite_check(
         F.coalesce("n_odd_edges", F.lit(0)).cast("long").alias("n_odd_edges"),
         (F.coalesce("n_odd_edges", F.lit(0)) == 0).alias("is_bipartite"),
     )
+
+
+def butterfly_count(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_group_size: int = 50,
+) -> DataFrame:
+    """Per-item butterfly count over a bipartite graph (Wang et al.,
+    VLDB 2019): a butterfly is a 2x2 biclique (two items sharing two
+    groups) — THE bipartite analogue of the triangle, and the cohesion
+    signal that predicts which co-occurrence edges survive projection
+    thresholds. Counting butterflies directly on the bipartite form is
+    how one avoids materializing the dense projection at all at
+    100 TB.
+
+    Identity used: the co-occurrence weight w(a,b) = |groups shared by
+    a,b| gives butterflies(a,b) = C(w,2), so the per-item count is
+    SUM over its co-occurrence pairs of C(w,2) — computed from the
+    capped pair table of :func:`cooccurrence_edges` (same group-size
+    cap, same quadratic-bounded projection) with ONE integer aggregate
+    on top; no new pairwise work beyond what the projection already
+    bounded.
+
+    Returns (item, n_pairs, n_butterflies) for every item with at
+    least one co-occurrence pair, exact BIGINTs.
+    """
+    e = cooccurrence_edges(df, group_col, item_col,
+                           max_group_size=max_group_size)
+    bf = e.withColumn(
+        # integer C(w,2): stay in BIGINT, no float round-trip
+        "b", F.expr("weight * (weight - 1) DIV 2").cast("long")
+    )
+    both = bf.select(F.col("src").alias("item"), "b").unionAll(
+        bf.select(F.col("dst").alias("item"), "b")
+    )
+    return both.groupBy("item").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("b").cast("long").alias("n_butterflies"),
+    )

@@ -204,3 +204,92 @@ def test_kanonymity_all_unique_is_fully_at_risk(spark):
     assert len(got) == 1
     assert got[0]["class_size"] == 1 and got[0]["n_rows"] == 5
     assert got[0]["at_risk"] is True
+
+
+# --- butterfly / cardinality / inverse detection ---------------------------
+
+from knowledgegraphbuilder_spark.operators.graph_build import (  # noqa: E402
+    inverse_predicate_detect, predicate_cardinality,
+)
+from knowledgegraphbuilder_spark.operators.graphstats import (  # noqa: E402
+    butterfly_count,
+)
+
+
+def test_butterfly_square_counts_one(spark):
+    # two items sharing two groups = exactly one butterfly each
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "b")],
+        "g string, item string",
+    )
+    got = {r["item"]: r["n_butterflies"]
+           for r in butterfly_count(df, "g", "item").collect()}
+    assert got == {"a": 1, "b": 1}
+
+
+def test_butterfly_three_shared_groups_is_c32(spark):
+    df = spark.createDataFrame(
+        [(f"g{i}", x) for i in range(3) for x in ("a", "b")],
+        "g string, item string",
+    )
+    got = {r["item"]: r["n_butterflies"]
+           for r in butterfly_count(df, "g", "item").collect()}
+    assert got == {"a": 3, "b": 3}  # C(3,2)
+
+
+def test_butterfly_single_shared_group_is_zero(spark):
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b")], "g string, item string"
+    )
+    got = butterfly_count(df, "g", "item").collect()
+    assert all(r["n_butterflies"] == 0 for r in got)
+    assert all(r["n_pairs"] == 1 for r in got)
+
+
+def test_predicate_cardinality_classes(spark):
+    t = spark.createDataFrame(
+        [
+            ("a", "one2one", "x"),
+            ("a", "one2many", "x"), ("a", "one2many", "y"),
+            ("a", "many2one", "z"), ("b", "many2one", "z"),
+            ("a", "many2many", "x"), ("a", "many2many", "y"),
+            ("b", "many2many", "x"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {r["pred"]: r["cardinality"]
+           for r in predicate_cardinality(t).collect()}
+    assert got == {"one2one": "1:1", "one2many": "1:N",
+                   "many2one": "N:1", "many2many": "N:N"}
+
+
+def test_inverse_detect_finds_exact_inverse_and_symmetric(spark):
+    t = spark.createDataFrame(
+        [
+            ("a", "parent_of", "b"), ("c", "parent_of", "d"),
+            ("b", "child_of", "a"), ("d", "child_of", "c"),
+            ("x", "sibling", "y"), ("y", "sibling", "x"),
+            ("a", "unrelated", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["pred_a"], r["pred_b"]): (r["jaccard"], r["axiom"])
+           for r in inverse_predicate_detect(t).collect()}
+    assert got[("child_of", "parent_of")] == (1.0, "inverse_of")
+    assert got[("sibling", "sibling")] == (1.0, "symmetric")
+    assert all("unrelated" not in k for pair in got for k in pair)
+
+
+def test_inverse_detect_partial_overlap_thresholded(spark):
+    # rev(p) and q share 1 of 3 statements -> jaccard 1/5 < 0.5: dropped
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"),
+            ("b", "q", "a"), ("z", "q", "w"), ("v", "q", "u"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = inverse_predicate_detect(t, min_jaccard=0.5).collect()
+    assert got == []
+    low = inverse_predicate_detect(t, min_jaccard=0.1).collect()
+    assert len(low) == 1 and low[0]["jaccard"] == 0.2
