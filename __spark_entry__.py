@@ -3357,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g45_butterfly": q_g45_butterfly,
         "kg_cardinality": q_kg_cardinality,
         "kg_inverse_detect": q_kg_inverse_detect,
+        "kg_rule_mine": q_kg_rule_mine,
     }
 
 
@@ -11953,6 +11954,44 @@ def oracle_sql() -> dict[str, str]:
                 >= 0.5
           AND i.pred_a <= i.pred_b
     """
+    # AMIE chain rules: distinct body pairs via the mid-entity join, CWA
+    # support via the (x,z) head join, integer-ratio confidence
+    o["kg_rule_mine"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        fan AS (
+          SELECT mid FROM (
+            SELECT mid, count(*) AS f FROM (
+              SELECT o AS mid FROM ed UNION ALL SELECT s FROM ed
+            ) GROUP BY mid
+          ) WHERE f <= 1000
+        ),
+        body AS (
+          SELECT DISTINCT l.p AS body_p, r.p AS body_q,
+                 l.s AS x, r.o AS z
+          FROM ed l
+          JOIN fan ON fan.mid = l.o
+          JOIN ed r ON r.s = l.o
+        ),
+        scored AS (
+          SELECT b.body_p, b.body_q, h.p AS head_r,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM body b JOIN ed h ON h.s = b.x AND h.o = b.z
+          GROUP BY 1, 2, 3
+        ),
+        nb AS (
+          SELECT body_p, body_q, CAST(count(*) AS BIGINT) AS n_body
+          FROM body GROUP BY 1, 2
+        )
+        SELECT s.body_p, s.body_q, s.head_r, nb.n_body, s.support,
+               round(s.support * 1.0 / nb.n_body, 6) AS confidence
+        FROM scored s JOIN nb USING (body_p, body_q)
+        WHERE s.support >= 2
+          AND round(s.support * 1.0 / nb.n_body, 6) >= 0.5
+    """
     return o
 
 
@@ -15392,3 +15431,18 @@ def q_kg_inverse_detect(spark, sf_dir):
 
     return inverse_predicate_detect(_kg(spark, sf_dir).triples,
                                     min_jaccard=0.5)
+
+
+def q_kg_rule_mine(spark, sf_dir):
+    """AMIE-style chain-rule mining (graph_build.py:
+    mine_composition_rules): score every p(x,y) ∧ q(y,z) → r(x,z) by
+    CWA support and confidence over the distinct statement view — the
+    miner feeding kg_infer's forward chaining; one mid-entity self-join
+    (fan-capped) + one (x,z) head join. Oracle replays both joins and
+    the integer ratio."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        mine_composition_rules,
+    )
+
+    return mine_composition_rules(_kg(spark, sf_dir).triples,
+                                  min_support=2, min_confidence=0.5)

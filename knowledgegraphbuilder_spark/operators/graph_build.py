@@ -477,3 +477,81 @@ def inverse_predicate_detect(
         F.when(F.col("pred_a") == F.col("pred_b"), F.lit("symmetric"))
         .otherwise(F.lit("inverse_of")).alias("axiom"),
     )
+
+
+def mine_composition_rules(
+    triples: DataFrame,
+    min_support: int = 2,
+    min_confidence: float = 0.5,
+    max_mid_fan: int = 1000,
+) -> DataFrame:
+    """AMIE-style composition-rule mining (Galárraga et al., WWW 2013,
+    restricted to the chain shape): for every ordered predicate triple
+    (p, q, r), the rule  p(x,y) ∧ q(y,z) → r(x,z)  scored by
+    support = |body pairs also asserted under r| and
+    confidence = support / |body pairs| (AMIE's standard confidence
+    under CWA). The miner that FEEDS :func:`bgp.apply_rule` /
+    forward inference — inverse_predicate_detect finds the length-1
+    axioms, this finds the length-2 ones.
+
+    Scale shape: the body is ONE self-equi-join of the distinct
+    statement table on the shared entity, grouped to distinct
+    (p, q, x, z) pairs — cost tracks join-node fan, which
+    ``max_mid_fan`` caps (the cooccurrence_edges discipline: a hub
+    entity with a million statements would otherwise emit fan² body
+    pairs; capped entities are skipped, documented, and counted by the
+    caller via the cap parameter, keeping worst-case work bounded and
+    deterministic). Support attaches with one LEFT join against r's
+    statements; predicate-level aggregates are dim-sized.
+
+    Returns (body_p, body_q, head_r, n_body, support, confidence),
+    confidence rounded 6dp, filtered to support >= min_support AND
+    confidence >= min_confidence.
+    """
+    t = triples.select("subj", "pred", "obj").distinct()
+    mid_fan = (
+        t.select(F.col("obj").alias("mid")).unionAll(
+            t.select(F.col("subj").alias("mid"))
+        )
+        .groupBy("mid")
+        .agg(F.count(F.lit(1)).cast("long").alias("fan"))
+        .filter(F.col("fan") <= int(max_mid_fan))
+        .select("mid")
+    )
+    left = t.select(
+        F.col("subj").alias("x"), F.col("pred").alias("body_p"),
+        F.col("obj").alias("mid"),
+    ).join(mid_fan, "mid")
+    right = t.select(
+        F.col("subj").alias("mid"), F.col("pred").alias("body_q"),
+        F.col("obj").alias("z"),
+    )
+    body = (
+        left.join(right, "mid")
+        .select("body_p", "body_q", "x", "z")
+        .distinct()
+    )
+    head = t.select(
+        F.col("pred").alias("head_r"), F.col("subj").alias("x"),
+        F.col("obj").alias("z"),
+    )
+    scored = (
+        body.join(head, ["x", "z"])
+        .groupBy("body_p", "body_q", "head_r")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+    )
+    n_body = body.groupBy("body_p", "body_q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_body")
+    )
+    return (
+        scored.join(n_body, ["body_p", "body_q"])
+        .withColumn(
+            "confidence", F.round(F.col("support") / F.col("n_body"), 6)
+        )
+        .filter(
+            (F.col("support") >= int(min_support))
+            & (F.col("confidence") >= float(min_confidence))
+        )
+        .select("body_p", "body_q", "head_r", "n_body", "support",
+                "confidence")
+    )

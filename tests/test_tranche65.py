@@ -293,3 +293,60 @@ def test_inverse_detect_partial_overlap_thresholded(spark):
     assert got == []
     low = inverse_predicate_detect(t, min_jaccard=0.1).collect()
     assert len(low) == 1 and low[0]["jaccard"] == 0.2
+
+
+# --- AMIE-style rule mining ------------------------------------------------
+
+from knowledgegraphbuilder_spark.operators.graph_build import (  # noqa: E402
+    mine_composition_rules,
+)
+
+
+def test_rule_mine_finds_perfect_composition(spark):
+    # parent_of . parent_of -> grandparent_of holds for both body pairs
+    t = spark.createDataFrame(
+        [
+            ("a", "parent_of", "b"), ("b", "parent_of", "c"),
+            ("x", "parent_of", "y"), ("y", "parent_of", "z"),
+            ("a", "grandparent_of", "c"), ("x", "grandparent_of", "z"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["body_p"], r["body_q"], r["head_r"]):
+           (r["n_body"], r["support"], r["confidence"])
+           for r in mine_composition_rules(t, 2, 0.5).collect()}
+    assert got[("parent_of", "parent_of", "grandparent_of")] == (2, 2, 1.0)
+
+
+def test_rule_mine_confidence_threshold(spark):
+    # composition holds for 1 of 2 body pairs -> confidence 0.5 kept,
+    # min_confidence 0.6 drops it
+    t = spark.createDataFrame(
+        [
+            ("a", "p", "b"), ("b", "q", "c"),
+            ("x", "p", "y"), ("y", "q", "w"),
+            ("a", "r", "c"),
+            ("d", "r", "e"), ("f", "r", "g"),  # pad r's support elsewhere
+        ],
+        "subj string, pred string, obj string",
+    )
+    kept = mine_composition_rules(t, min_support=1, min_confidence=0.5)
+    got = {(r["body_p"], r["body_q"], r["head_r"]): r["confidence"]
+           for r in kept.collect()}
+    assert got[("p", "q", "r")] == 0.5
+    strict = mine_composition_rules(t, min_support=1, min_confidence=0.6)
+    assert all(
+        (r["body_p"], r["body_q"], r["head_r"]) != ("p", "q", "r")
+        for r in strict.collect()
+    )
+
+
+def test_rule_mine_mid_fan_cap_skips_hubs(spark):
+    # hub entity with fan > cap contributes no body pairs
+    rows_in = [("s%d" % i, "p", "hub") for i in range(5)] + [
+        ("hub", "q", "t%d" % i) for i in range(5)
+    ]
+    t = spark.createDataFrame(rows_in, "subj string, pred string, obj string")
+    got = mine_composition_rules(t, min_support=1, min_confidence=0.0,
+                                 max_mid_fan=3).collect()
+    assert got == []
