@@ -3358,6 +3358,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cardinality": q_kg_cardinality,
         "kg_inverse_detect": q_kg_inverse_detect,
         "kg_rule_mine": q_kg_rule_mine,
+        # tranche 70 (defs at end of file): knowledge fusion & completion
+        # (noisy-OR extractor fusion, truth discovery, SPARQL CONSTRUCT,
+        # PRA features, owl:sameAs CC rewrite, eigenvector centrality,
+        # owl:disjointWith audit)
+        "kg_fuse": q_kg_fuse,
+        "kg_truth": q_kg_truth,
+        "kg_construct": q_kg_construct,
+        "kg_pra": q_kg_pra,
+        "kg_sameas": q_kg_sameas,
+        "g41_eigen": q_g41_eigen,
+        "kg_disjoint": q_kg_disjoint,
     }
 
 
@@ -11992,6 +12003,224 @@ def oracle_sql() -> dict[str, str]:
         WHERE s.support >= 2
           AND round(s.support * 1.0 / nb.n_body, 6) >= 0.5
     """
+
+    # ------------------------------------------------------------------
+    # tranche 70: knowledge fusion & completion
+    # ------------------------------------------------------------------
+    # noisy-OR fusion in saturating integer micro-units: residual
+    # 3^ka * 1^kb / 10^(ka+kb), exact while ka+kb <= 6, saturated above
+    o["kg_fuse"] = f"""
+        WITH {_REL_CTE},
+        ev AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred,
+                 tail_text AS obj, doc_id,
+                 CASE WHEN CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS c
+          FROM rels_id
+        ),
+        g AS (
+          SELECT subj, pred, obj,
+                 CAST(sum(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                 CAST(sum(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+          FROM ev GROUP BY 1, 2, 3
+        )
+        SELECT subj, pred, obj, k_a, k_b,
+               CAST(k_a + k_b AS BIGINT) AS n_events,
+               CAST(CASE WHEN k_a + k_b > 6 THEN 1000000
+                    ELSE 1000000
+                         - CAST(power(3, k_a) AS BIGINT)
+                           * CAST(power(1, k_b) AS BIGINT)
+                           * CAST(power(10, 6 - k_a - k_b) AS BIGINT)
+                    END AS BIGINT) AS p_fused_micro
+        FROM g
+    """
+    # majority-vote truth discovery: row_number replay of the
+    # min(struct(-votes, obj)) aggregate argmax
+    o["kg_truth"] = f"""
+        WITH {_REL_CTE},
+        v AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 CAST(count(DISTINCT doc_id) AS BIGINT) AS n_votes
+          FROM rels_id
+          WHERE rel_type IN ('technology_near_technology',
+                             'system_near_technology',
+                             'technology_near_organization')
+          GROUP BY 1, 2, 3
+        )
+        SELECT subj, pred, obj AS obj_resolved, n_votes,
+               n_candidates, n_total_votes
+        FROM (
+          SELECT subj, pred, obj, n_votes,
+                 row_number() OVER (PARTITION BY subj, pred
+                                    ORDER BY n_votes DESC, obj ASC) AS rn,
+                 CAST(count(*) OVER (PARTITION BY subj, pred) AS BIGINT)
+                   AS n_candidates,
+                 CAST(sum(n_votes) OVER (PARTITION BY subj, pred) AS BIGINT)
+                   AS n_total_votes
+          FROM v
+        ) WHERE rn = 1
+    """
+    # CONSTRUCT: one distinct binding set, three template projections;
+    # blank node = 'b:' || sha256 over (name, bindings in first-appearance
+    # order a, b, c)
+    o["kg_construct"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        bind AS (
+          SELECT DISTINCT l.s AS a, l.o AS b, r.o AS c
+          FROM ed l JOIN ed r ON r.s = l.o
+          WHERE l.p = 'technology_near_organization'
+            AND r.p = 'organization_near_technology'
+        ),
+        ev AS (
+          SELECT 'b:' || sha256(concat_ws(chr(31), 'ev', a, b, c)) AS evid,
+                 a, b, c
+          FROM bind
+        )
+        SELECT DISTINCT subj, pred, obj FROM (
+          SELECT evid AS subj, 'rdf_type' AS pred, 'TechLinkEvent' AS obj
+          FROM ev
+          UNION ALL SELECT evid, 'ev_subject', a FROM ev
+          UNION ALL SELECT evid, 'ev_object', c FROM ev
+        )
+    """
+    # PRA features: fan-capped mid join (kg_rule_mine's cap), head-pair
+    # restriction, multiset path counts
+    o["kg_pra"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        fan AS (
+          SELECT mid FROM (
+            SELECT mid, count(*) AS f FROM (
+              SELECT o AS mid FROM ed UNION ALL SELECT s FROM ed
+            ) GROUP BY mid
+          ) WHERE f <= 1000
+        ),
+        pos AS (
+          SELECT DISTINCT s AS x, o AS z FROM ed
+          WHERE p = 'technology_near_technology'
+        ),
+        paths AS (
+          SELECT l.s AS x, l.p AS body_p, r.p AS body_q, r.o AS z
+          FROM ed l
+          JOIN fan ON fan.mid = l.o
+          JOIN ed r ON r.s = l.o
+          WHERE l.s <> r.o
+        )
+        SELECT p.x, p.z, p.body_p, p.body_q,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM paths p JOIN pos USING (x, z)
+        GROUP BY 1, 2, 3, 4
+    """
+    # sameAs closure replayed algebraically: full-strip star edges make
+    # every variant chain a single component whose min vertex is the
+    # most-underscored surface of the base — repeat('_', max und) || base
+    o["kg_sameas"] = f"""
+        WITH {_REL_CTE},
+        tr AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 doc_id
+          FROM rels_id
+        ),
+        noisy AS (
+          SELECT subj, pred, obj FROM tr
+          UNION ALL SELECT '_' || subj, pred, obj FROM tr WHERE CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 3 = 0
+          UNION ALL SELECT '__' || subj, pred, obj FROM tr WHERE CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 9 = 0
+          UNION ALL SELECT subj, pred, '_' || obj FROM tr WHERE CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT) % 5 = 0
+        ),
+        surf AS (SELECT subj AS t FROM noisy UNION SELECT obj FROM noisy),
+        keyed AS (
+          SELECT t, regexp_replace(t, '^_+', '') AS base,
+                 length(t) - length(regexp_replace(t, '^_+', '')) AS und
+          FROM surf
+        ),
+        grp AS (SELECT base, max(und) AS j FROM keyed GROUP BY base),
+        canon AS (
+          SELECT k.t, repeat('_', CAST(g.j AS INTEGER)) || k.base AS c
+          FROM keyed k JOIN grp g ON g.base = k.base WHERE g.j > 0
+        )
+        SELECT DISTINCT coalesce(cs.c, n.subj) AS subj, n.pred,
+                        coalesce(co.c, n.obj) AS obj
+        FROM noisy n
+        LEFT JOIN canon cs ON cs.t = n.subj
+        LEFT JOIN canon co ON co.t = n.obj
+    """
+    # eigenvector: 3 unrolled integer power-method rounds, infinity-norm
+    # fixed-point normalization by the round max (floor division)
+    o["g41_eigen"] = f"""
+        WITH {_DIRECTED_CTES},
+        de AS MATERIALIZED (
+          SELECT a AS s, b AS d FROM eu UNION ALL SELECT b, a FROM eu
+        ),
+        nodes AS (SELECT DISTINCT s AS node FROM de),
+        v0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes),
+        r1 AS MATERIALIZED (
+          SELECT de.d AS node, CAST(sum(v0.v) AS HUGEINT) AS raw
+          FROM de JOIN v0 ON v0.node = de.s GROUP BY de.d
+        ),
+        v1 AS MATERIALIZED (
+          SELECT node, (raw * 1000000) // (SELECT max(raw) FROM r1) AS v
+          FROM r1
+        ),
+        r2 AS MATERIALIZED (
+          SELECT de.d AS node, CAST(sum(v1.v) AS HUGEINT) AS raw
+          FROM de JOIN v1 ON v1.node = de.s GROUP BY de.d
+        ),
+        v2 AS MATERIALIZED (
+          SELECT node, (raw * 1000000) // (SELECT max(raw) FROM r2) AS v
+          FROM r2
+        ),
+        r3 AS MATERIALIZED (
+          SELECT de.d AS node, CAST(sum(v2.v) AS HUGEINT) AS raw
+          FROM de JOIN v2 ON v2.node = de.s GROUP BY de.d
+        ),
+        v3 AS MATERIALIZED (
+          SELECT node, (raw * 1000000) // (SELECT max(raw) FROM r3) AS v
+          FROM r3
+        )
+        SELECT n.node, CAST(coalesce(v3.v, 0) AS BIGINT) AS eig_micro
+        FROM nodes n LEFT JOIN v3 ON v3.node = n.node
+    """
+    # disjointness audit: rdfs closure (recursive) + planted cross-typing
+    # + broadcast pair probe, pair normalized (least, greatest)
+    o["kg_disjoint"] = f"""
+        WITH RECURSIVE {_KG_CTE},
+        ty0 AS (SELECT DISTINCT text AS entity, label FROM mentions),
+        ty AS (
+          SELECT entity, label FROM ty0
+          UNION
+          SELECT entity, 'organization' FROM ty0
+          WHERE label = 'technology' AND length(entity) % 2 = 1
+        ),
+        sub(child, parent) AS (VALUES
+          ('technology', 'artifact'), ('system', 'artifact'),
+          ('resource', 'artifact'), ('organization', 'agent'),
+          ('artifact', 'thing'), ('agent', 'thing')),
+        cls AS (SELECT child AS c FROM sub UNION SELECT parent FROM sub),
+        closure AS (
+          SELECT c AS child, c AS ancestor FROM cls
+          UNION
+          SELECT closure.child, sub.parent
+          FROM closure JOIN sub ON closure.ancestor = sub.child
+        ),
+        ent AS (
+          SELECT DISTINCT entity, type FROM (
+            SELECT entity, label AS type FROM ty
+            UNION ALL
+            SELECT ty.entity, closure.ancestor AS type
+            FROM ty JOIN closure ON ty.label = closure.child
+          )
+        )
+        SELECT DISTINCT a.entity, 'agent' AS class_a, 'artifact' AS class_b
+        FROM ent a JOIN ent b ON a.entity = b.entity
+        WHERE a.type = 'agent' AND b.type = 'artifact'
+    """
+
     return o
 
 
@@ -15446,3 +15675,160 @@ def q_kg_rule_mine(spark, sf_dir):
 
     return mine_composition_rules(_kg(spark, sf_dir).triples,
                                   min_support=2, min_confidence=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Tranche 70: knowledge fusion & completion (the Knowledge Vault line —
+# Dong et al. KDD 2014) + eigenvector centrality + owl:disjointWith audit
+# ---------------------------------------------------------------------------
+
+_FUNCTIONAL_PREDS = [
+    "technology_near_technology",
+    "system_near_technology",
+    "technology_near_organization",
+]
+
+
+def q_kg_fuse(spark, sf_dir):
+    """Noisy-OR extractor fusion (fusion.py:fuse_extractions, Knowledge
+    Vault §3.1): every distinct (statement, doc) extraction event is
+    assigned one of two extractor classes by doc parity (residual miss
+    rates 0.3 / 0.1) and folded into a per-statement posterior in exact
+    saturating micro-units — the confidence column the reference's graph
+    never has (back/kgg/nodes/relation_extraction.py keeps presence
+    only). Oracle replays the integer arithmetic row-for-row."""
+    from knowledgegraphbuilder_spark.operators.fusion import fuse_extractions
+
+    return fuse_extractions(
+        _kg(spark, sf_dir).triples,
+        "CASE WHEN cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint) % 2 = 0 THEN 'a' ELSE 'b' END",
+        {"a": 3, "b": 1},
+    )
+
+
+def q_kg_truth(spark, sf_dir):
+    """Truth discovery for functional predicates (fusion.py:
+    resolve_functional): deterministic majority vote per (subj, pred)
+    over distinct supporting docs, tie-broken by smallest object — the
+    resolution step that consumes kg_funcviol's audit queue. Argmax is
+    min(struct(-votes, obj)) — an aggregate, never a corpus window."""
+    from knowledgegraphbuilder_spark.operators.fusion import resolve_functional
+
+    return resolve_functional(_kg(spark, sf_dir).triples, _FUNCTIONAL_PREDS)
+
+
+def q_kg_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT with blank-node skolemization (fusion.py:
+    construct_graph, W3C SPARQL 1.1 §16.2): the tech->org->tech pattern
+    reified into an event node per binding ('b:' + sha256 of the full
+    binding) carrying rdf_type / ev_subject / ev_object triples — the
+    n-ary reification surface N-Triples export needs. One planned BGP
+    join, three projections of the same binding set."""
+    from knowledgegraphbuilder_spark.operators.fusion import construct_graph
+
+    body = [
+        ("?a", "technology_near_organization", "?b"),
+        ("?b", "organization_near_technology", "?c"),
+    ]
+    heads = [
+        ("_:ev", "rdf_type", "TechLinkEvent"),
+        ("_:ev", "ev_subject", "?a"),
+        ("_:ev", "ev_object", "?c"),
+    ]
+    return construct_graph(_kg(spark, sf_dir).triples, body, heads)
+
+
+def q_kg_pra(spark, sf_dir):
+    """Path Ranking Algorithm features (fusion.py:pra_path_features, Lao
+    & Cohen ECML 2010): per-(x, z) counts of 2-hop typed paths for every
+    pair the graph asserts technology_near_technology about — the
+    KG-completion feature table. Fan-capped mid join (same bound as
+    kg_rule_mine; STRESS_WL_RULES_r4.json is the blowup artifact)."""
+    from knowledgegraphbuilder_spark.operators.fusion import pra_path_features
+
+    return pra_path_features(
+        _kg(spark, sf_dir).triples, "technology_near_technology", max_fan=1000
+    )
+
+
+def q_kg_sameas(spark, sf_dir):
+    """owl:sameAs fusion (fusion.py:sameas_rewrite): the triple store is
+    polluted with deterministic underscore-variant surface forms ('_x',
+    '__x' on doc_id % 3 / % 9 subjects, '_x' on % 5 objects), sameAs
+    evidence is mined as full-strip normalization edges, closed with the
+    REAL large/small-star CC (transitive merges across variants that
+    never co-occur), and the graph is rewritten onto component
+    representatives. Oracle replays the closure algebraically: the
+    component min is always the most-underscored surface of each base."""
+    from knowledgegraphbuilder_spark.operators.fusion import sameas_rewrite
+
+    t = _kg(spark, sf_dir).triples.select("subj", "pred", "obj", "doc_id")
+    noisy = (
+        t.select("subj", "pred", "obj")
+        .unionAll(
+            t.filter("cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint) % 3 = 0").select(
+                F.concat(F.lit("_"), F.col("subj")).alias("subj"), "pred", "obj"
+            )
+        )
+        .unionAll(
+            t.filter("cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint) % 9 = 0").select(
+                F.concat(F.lit("__"), F.col("subj")).alias("subj"), "pred", "obj"
+            )
+        )
+        .unionAll(
+            t.filter("cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint) % 5 = 0").select(
+                "subj", "pred", F.concat(F.lit("_"), F.col("obj")).alias("obj")
+            )
+        )
+    )
+    surface = (
+        noisy.select(F.col("subj").alias("t"))
+        .union(noisy.select(F.col("obj").alias("t")))
+        .distinct()
+    )
+    sameas = surface.filter(F.col("t").startswith("_")).select(
+        F.col("t").alias("src"),
+        F.regexp_replace(F.col("t"), "^_+", "").alias("dst"),
+    )
+    return sameas_rewrite(noisy, sameas)
+
+
+def q_g41_eigen(spark, sf_dir):
+    """Eigenvector centrality by 3 exact-integer power-method rounds over
+    the symmetrized co-purchase graph (graphstats.py:
+    eigenvector_centrality): per-round infinity-norm fixed-point
+    normalization via integer floor-division by the round max (a 1-row
+    broadcast, not a collect), so the oracle unrolls the identical
+    rounds bit-for-bit — the katz_units discipline applied to the power
+    method."""
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        eigenvector_centrality,
+    )
+
+    return eigenvector_centrality(
+        _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2), iters=3
+    )
+
+
+def q_kg_disjoint(spark, sf_dir):
+    """owl:disjointWith consistency audit (ontology.py:
+    disjointness_violations): entities typed with both classes of the
+    declared-disjoint (artifact, agent) pair AFTER rdfs9 entailment —
+    disjointness inherited through the closed hierarchy. Typing noise is
+    planted deterministically (odd-length technology surfaces also typed
+    organization) so the audit has real rows; both probe joins are
+    broadcast-dim."""
+    from knowledgegraphbuilder_spark.operators.ontology import (
+        disjointness_violations,
+    )
+
+    kg = _kg(spark, sf_dir)
+    types = kg.mentions.select(
+        F.col("text").alias("entity"), "label"
+    ).distinct()
+    planted = types.filter(
+        (F.col("label") == "technology") & (F.length("entity") % 2 == 1)
+    ).select("entity", F.lit("organization").alias("label"))
+    return disjointness_violations(
+        types.unionAll(planted).distinct(), _ONTOLOGY, [("artifact", "agent")]
+    )

@@ -1,0 +1,284 @@
+"""Knowledge fusion & completion over the extracted KG.
+
+The reference stops at extraction: every relation the LLM emits lands in
+the graph once (first-seen dedup, back/kgg/nodes/relation_extraction.py),
+with no notion of how MANY independent extractions support a statement,
+no conflict resolution for functional predicates, and no identity fusion
+beyond exact surface-form matching (back/kgg/kg_generator.py builds nodes
+by exact text). At 100 TB those gaps are the difference between a triple
+store and a knowledge base — the Knowledge Vault line of work (Dong et
+al., KDD 2014) is the public blueprint this module follows:
+
+- :func:`fuse_extractions` — per-statement noisy-OR fusion of extraction
+  events across extractor classes (Knowledge Vault §3: combine extractor
+  confidences into a statement posterior).
+- :func:`resolve_functional` — truth discovery for functional predicates
+  by deterministic majority vote (the resolution step behind
+  graph_build.functional_violations' audit).
+- :func:`construct_graph` — SPARQL CONSTRUCT: materialize a new graph
+  from BGP matches through multi-triple head templates with
+  content-hash blank nodes (W3C SPARQL 1.1 §16.2).
+- :func:`pra_path_features` — Path Ranking Algorithm features (Lao &
+  Cohen, ECML 2010): per-pair counts of 2-hop typed paths for a target
+  relation — the feature table a KG-completion ranker trains on.
+- :func:`sameas_rewrite` — owl:sameAs fusion: close an equivalence edge
+  set with the large/small-star connected-components operator and
+  rewrite the graph onto canonical representatives.
+
+Every fold here is exact-integer (counts, saturating micro-unit
+probabilities) so the DuckDB oracles replay bit-for-bit; no float
+accumulates across rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .bgp import Pattern, bgp_match, _is_var
+
+
+def fuse_extractions(
+    triples: DataFrame,
+    class_expr: str,
+    residual_tenths: dict[str, int],
+) -> DataFrame:
+    """Noisy-OR fusion of extraction events into a per-statement
+    confidence (Knowledge Vault, Dong et al. KDD 2014 §3.1).
+
+    Each distinct (subj, pred, obj, doc_id) row is one extraction event;
+    ``class_expr`` (a SQL expression over the input columns) assigns the
+    event to an extractor class, and ``residual_tenths[c]`` is the class's
+    per-event FAILURE probability in tenths (3 -> the extractor misses a
+    true statement with p = 0.3). The fused confidence is
+
+        P = 1 - prod_c (residual_c) ** k_c
+
+    held in saturating integer micro-units: with residuals n_c/10 the
+    product is prod(n_c**k_c) / 10**(sum k_c), so
+
+        p_micro = 10**6 - prod(n_c**k_c) * 10**(6 - sum k_c)
+
+    which is exact BIGINT arithmetic while sum(k_c) <= 6 and saturates at
+    10**6 (certainty at micro resolution) beyond — a fixed-point
+    saturation, not a float: the fold never multiplies doubles, so the
+    oracle replays it exactly at any row order or partitioning.
+
+    At scale: one distinct + two map-side-combinable aggregates over the
+    statement key — no join, no window, shuffle = |distinct statements|.
+    """
+    classes = sorted(residual_tenths)
+    ev = (
+        triples.selectExpr(
+            "subj", "pred", "obj", "doc_id", f"({class_expr}) AS ex_class"
+        )
+        .distinct()
+    )
+    counts = [
+        F.sum(F.when(F.col("ex_class") == c, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        .alias(f"k_{c}")
+        for c in classes
+    ]
+    g = ev.groupBy("subj", "pred", "obj").agg(*counts)
+    total = "(" + " + ".join(f"k_{c}" for c in classes) + ")"
+    prod = " * ".join(
+        f"CAST(power({residual_tenths[c]}, k_{c}) AS BIGINT)" for c in classes
+    )
+    # power() on integer base/exponent is exact in binary64 well past the
+    # 10**6 saturation bound (residual**6 <= 9**6 = 531441 < 2**53)
+    p_micro = (
+        f"CASE WHEN {total} > 6 THEN CAST(1000000 AS BIGINT) "
+        f"ELSE CAST(1000000 - ({prod}) * CAST(power(10, 6 - {total}) AS BIGINT) "
+        f"AS BIGINT) END"
+    )
+    return g.selectExpr(
+        "subj", "pred", "obj",
+        *[f"k_{c}" for c in classes],
+        f"CAST({total} AS BIGINT) AS n_events",
+        f"{p_micro} AS p_fused_micro",
+    )
+
+
+def resolve_functional(
+    triples: DataFrame, functional_preds: list[str]
+) -> DataFrame:
+    """Truth discovery for functional predicates by majority vote: per
+    (subj, pred in ``functional_preds``), keep the object with the most
+    supporting extraction events (distinct docs), tie-broken by smallest
+    object string — the resolution step that turns
+    graph_build.functional_violations' audit queue into a clean graph
+    (simplest instance of the vote-based truth-discovery family, see
+    Li et al., VLDB 2012 survey).
+
+    Deterministic argmax as an AGGREGATE — min(struct(-votes, obj)) —
+    never a sorted window over the corpus, so hub subjects cost their
+    degree, not degree**2. Two map-side-combinable groupBys; shuffle =
+    |votes| then |subjects|.
+    """
+    votes = (
+        triples.filter(F.col("pred").isin(functional_preds))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.countDistinct("doc_id").cast("long").alias("n_votes"))
+    )
+    best = (
+        votes.groupBy("subj", "pred")
+        .agg(
+            F.min(
+                F.struct((-F.col("n_votes")).alias("neg"), F.col("obj"))
+            ).alias("w"),
+            F.countDistinct("obj").cast("long").alias("n_candidates"),
+            F.sum("n_votes").cast("long").alias("n_total_votes"),
+        )
+    )
+    return best.select(
+        "subj",
+        "pred",
+        F.col("w.obj").alias("obj_resolved"),
+        (-F.col("w.neg")).cast("long").alias("n_votes"),
+        "n_candidates",
+        "n_total_votes",
+    )
+
+
+def construct_graph(
+    triples: DataFrame,
+    body: list[Pattern],
+    heads: list[Pattern],
+) -> DataFrame:
+    """SPARQL CONSTRUCT (W3C SPARQL 1.1 §16.2): match ``body`` as a BGP
+    and instantiate EVERY head template per binding, returning the
+    constructed graph as distinct (subj, pred, obj).
+
+    Head terms may be variables ('?x'), literals, or blank nodes
+    ('_:name'): a blank node becomes a deterministic content-hash IRI
+    ('b:' + sha256 over the full binding + its name), so the same
+    binding always mints the same node — the skolemization that keeps
+    CONSTRUCT idempotent under replay (same contract as
+    functions/ids.py deterministic ids).
+
+    The BGP join is planned by bgp.plan_order (selectivity-first);
+    each head is a projection of the SAME binding set, so the pattern
+    match runs once however many triples the template emits.
+    """
+    bindings = bgp_match(triples, body)
+    vars_in_order = bindings.columns
+
+    def term_col(term: str):
+        if _is_var(term):
+            return F.col(term[1:])
+        if term.startswith("_:"):
+            return F.concat(
+                F.lit("b:"),
+                F.sha2(
+                    F.concat_ws(
+                        "\x1f", F.lit(term[2:]), *[F.col(v) for v in vars_in_order]
+                    ),
+                    256,
+                ),
+            )
+        return F.lit(term)
+
+    out: DataFrame | None = None
+    for h in heads:
+        proj = bindings.select(
+            term_col(h[0]).alias("subj"),
+            term_col(h[1]).alias("pred"),
+            term_col(h[2]).alias("obj"),
+        )
+        out = proj if out is None else out.unionAll(proj)
+    assert out is not None
+    return out.distinct()
+
+
+def pra_path_features(
+    triples: DataFrame,
+    head_rel: str,
+    max_fan: int = 1000,
+) -> DataFrame:
+    """Path Ranking Algorithm feature extraction (Lao & Cohen, ECML
+    2010; the feature family Knowledge Vault's path-prior uses): for
+    every entity pair (x, z) the graph asserts ``head_rel`` about, count
+    the 2-hop typed paths x -p-> m -q-> z per metapath (p, q) — the
+    per-pair feature table a KG-completion ranker consumes.
+
+    Same scale shape as graph_build.mine_composition_rules: the only
+    quadratic risk is the mid-entity self-join, capped by ``max_fan``
+    (hubs above the cap carry no discriminative signal and are the
+    fan**2 blowup — see STRESS_WL_RULES_r4.json for the artifact); the
+    head join is an equi-join on (x, z). Path counts are multiset
+    (n_paths counts paths, not witnesses) so the feature is the actual
+    random-walk numerator, exact BIGINT.
+    """
+    ed = triples.select("subj", "pred", "obj").distinct()
+    pos = (
+        ed.filter(F.col("pred") == head_rel)
+        .select(F.col("subj").alias("x"), F.col("obj").alias("z"))
+        .distinct()
+    )
+    deg = (
+        ed.select(F.col("obj").alias("mid"))
+        .unionAll(ed.select(F.col("subj").alias("mid")))
+        .groupBy("mid")
+        .agg(F.count("*").alias("fan"))
+        .filter(F.col("fan") <= max_fan)
+        .select("mid")
+    )
+    left = ed.select(
+        F.col("subj").alias("x"), F.col("pred").alias("body_p"),
+        F.col("obj").alias("mid"),
+    ).join(deg, "mid")
+    right = ed.select(
+        F.col("subj").alias("mid"), F.col("pred").alias("body_q"),
+        F.col("obj").alias("z"),
+    )
+    paths = left.join(right, "mid").filter(
+        # PRA walks exclude the trivial self-pair
+        F.col("x") != F.col("z")
+    )
+    return (
+        paths.join(pos, ["x", "z"])
+        .groupBy("x", "z", "body_p", "body_q")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
+def sameas_rewrite(
+    triples: DataFrame,
+    sameas: DataFrame,
+) -> DataFrame:
+    """owl:sameAs fusion: close the equivalence edge set ``sameas``
+    (src, dst) with the large/small-star connected-components operator
+    (canonicalize.connected_components — the same O(log n)-round CC that
+    backs dedup resolution), then rewrite every triple's subject and
+    object onto the component representative and take the distinct
+    canonical graph.
+
+    This is the identity-fusion step the reference lacks entirely (its
+    nodes are exact surface strings, back/kgg/kg_generator.py): sameAs
+    evidence is TRANSITIVE — a—b and b—c merge {a,b,c} even when a—c was
+    never observed — so the closure must be a real CC, not a groupBy on
+    a blocking key. The rewrite is two broadcast-size equi-joins (the
+    assignment table is |entities|, dim-sized relative to |triples|),
+    and the final distinct is the only full shuffle.
+    """
+    from .canonicalize import connected_components
+
+    assign = connected_components(sameas)
+    sub_map = assign.select(
+        F.col("vertex").alias("subj"), F.col("component").alias("subj_c")
+    )
+    obj_map = assign.select(
+        F.col("vertex").alias("obj"), F.col("component").alias("obj_c")
+    )
+    return (
+        triples.select("subj", "pred", "obj")
+        .join(F.broadcast(sub_map), "subj", "left")
+        .join(F.broadcast(obj_map), "obj", "left")
+        .select(
+            F.coalesce(F.col("subj_c"), F.col("subj")).alias("subj"),
+            F.col("pred"),
+            F.coalesce(F.col("obj_c"), F.col("obj")).alias("obj"),
+        )
+        .distinct()
+    )

@@ -2526,3 +2526,59 @@ def butterfly_count(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum("b").cast("long").alias("n_butterflies"),
     )
+
+
+def eigenvector_centrality(
+    edges: DataFrame,
+    iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Eigenvector centrality by ``iters`` rounds of the power method
+    over the symmetrized graph, held entirely in exact integers: start
+    at v0 = 10**6 per node, each round is v' = A v (one equi-join + one
+    map-side-combinable decimal sum) followed by infinity-norm
+    fixed-point normalization
+
+        v = (v_raw * 10**6) div max(v_raw)
+
+    — integer floor-division by the round's maximum, so the scale stays
+    pinned at [0, 10**6] and NOTHING in the fold is a float: the oracle
+    unrolls the same rounds and matches bit-for-bit (the katz_centrality
+    discipline; full eigenvector is the fixed point, bounded rounds are
+    the exactly-replayable contract). On BIPARTITE graphs the undamped
+    power method oscillates with period 2 (the -lambda eigenvalue is
+    equally extreme), so bounded-round output there reflects the round
+    parity, not a limit — the classic caveat; add damping/self-loops
+    upstream if a bipartite substrate needs a fixed point.
+
+    The per-round max is a 1-row broadcast (crossJoin of an aggregate
+    scalar — never a driver collect in the loop body), so the plan stays
+    fully distributed; per-round cost is the sparse mat-vec equi-join,
+    shuffle = |E| on the join key. Degree growth is absorbed by the
+    normalization, so decimal(38,0) never overflows (v <= 10**6,
+    sum over deg <= 10**6 * deg_max).
+
+    Output: (node, eig_micro) for every node incident to an edge.
+    """
+    e = edges.select(
+        F.col(src_col).cast("string").alias("s"),
+        F.col(dst_col).cast("string").alias("d"),
+    )
+    sym = e.unionAll(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    nodes = sym.select(F.col("s").alias("node")).distinct()
+    v = nodes.select("node", F.expr("cast(1000000 as decimal(38,0))").alias("v"))
+    for _ in range(iters):
+        raw = (
+            sym.join(v.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.expr("cast(sum(v) as decimal(38,0))").alias("raw"))
+        )
+        mx = raw.agg(F.expr("cast(max(raw) as decimal(38,0))").alias("mx"))
+        v = raw.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr("cast((raw * 1000000) div mx as decimal(38,0))").alias("v"),
+        )
+    return nodes.join(v, "node", "left").select(
+        "node", F.expr("cast(coalesce(v, 0) as bigint)").alias("eig_micro")
+    )

@@ -72,3 +72,40 @@ def rdfs_types(
     )
     own = t.select("entity", F.col("label").alias("type"))
     return own.unionByName(inherited).distinct()
+
+
+def disjointness_violations(
+    types: DataFrame,
+    subclass_of: list[tuple[str, str]],
+    disjoint_pairs: list[tuple[str, str]],
+) -> DataFrame:
+    """owl:disjointWith consistency audit: entities typed (after rdfs9
+    entailment) with BOTH classes of a declared-disjoint pair — the
+    ontology-level curation queue that catches extraction noise the
+    per-predicate audits (graph_build.functional_violations) can't see,
+    e.g. one surface form extracted as both an agent and an artifact.
+
+    Disjointness in OWL is inherited by subclasses, so the check runs
+    over the ENTAILED typing (rdfs_types), not the raw labels: declaring
+    artifact disjointWith agent flags an entity typed technology+
+    organization even though neither raw label appears in the pair list.
+
+    Plan: the entailed typing table joined to itself through the
+    broadcast (dim-sized) pair list — both probe joins are broadcast, so
+    the cost is two scans of the typing table and a final distinct;
+    nothing quadratic in entities. Pairs are normalized (least, greatest)
+    so a violation reports once. Output: distinct
+    (entity, class_a, class_b) with class_a < class_b.
+    """
+    spark = types.sparkSession
+    entailed = rdfs_types(types, subclass_of)
+    norm = sorted({(min(a, b), max(a, b)) for a, b in disjoint_pairs})
+    dp = spark.createDataFrame(norm, "class_a string, class_b string")
+    ta = entailed.select("entity", F.col("type").alias("class_a"))
+    tb = entailed.select("entity", F.col("type").alias("class_b"))
+    return (
+        ta.join(F.broadcast(dp), "class_a")
+        .join(tb, ["entity", "class_b"])
+        .select("entity", "class_a", "class_b")
+        .distinct()
+    )
