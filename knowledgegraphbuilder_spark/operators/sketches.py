@@ -509,6 +509,24 @@ def misra_gries_heavy_hitters(
 
 
 MINHASH_GROUP_PERMS = 16     # permutations per group signature
+MINHASH_GROUP_PRIME = (1 << 31) - 1  # Mersenne prime for the a*x+b family
+
+
+def minhash_ab(n_perm: int = MINHASH_GROUP_PERMS) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) constants for the Carter-Wegman MinHash
+    permutation family, sha256-derived so any replayer (the DuckDB
+    oracles) can re-generate them: a_i in [1, p-1], b_i in [0, p-1]."""
+    import hashlib
+
+    p = MINHASH_GROUP_PRIME
+
+    def h60(tag: str) -> int:
+        return int(hashlib.sha256(tag.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h60(f"mh-a-{i}") % (p - 1) + 1, h60(f"mh-b-{i}") % p)
+        for i in range(n_perm)
+    ]
 
 
 def minhash_group_signatures(
@@ -525,22 +543,31 @@ def minhash_group_signatures(
     MIN aggregate, and the resemblance of two SOURCES is estimated from
     2 * n_perm longs however many billions of docs each side holds.
 
-    Hashes are sha256-derived (functions/hashing.py contract: anything the
-    oracle must reproduce is sha256 or integer arithmetic), unlike the
-    per-DOC LSH signatures in dedup.py which use xxhash64 and are checked
-    against exact Jaccard instead.
+    Hash family: each shingle is sha256-hashed ONCE to a 60-bit integer
+    reduced mod the Mersenne prime p = 2^31 - 1, and the n_perm
+    permutations are the classic universal family h_i(x) = (a_i*x + b_i)
+    mod p (Carter-Wegman; the standard MinHash construction) with
+    (a_i, b_i) sha256-derived constants (:func:`minhash_ab`) — integer
+    arithmetic the oracle replays exactly. One crypto hash per shingle
+    instead of one per (shingle, permutation): the previous
+    sha256-per-pair scheme spent ~n_perm * |shingles| microseconds of
+    SHA per doc and dominated the streaming fold's wall clock; a_i < p
+    and x < p keep a_i*x + b_i < 2^62, inside BIGINT under ANSI mode.
 
     Scale shape: one pass — per-doc signature via a single running-minimum
-    aggregate expression over the shingle array (no per-permutation
-    rescan), then posexplode to (g, perm, minv) rows (n_perm per doc) and
-    a map-side-combinable grouped MIN. State: n_perm rows per group.
-    Output: (g, perm, minv).
+    aggregate expression over the pre-hashed shingle array (no
+    per-permutation rescan), then posexplode to (g, perm, minv) rows
+    (n_perm per doc) and a map-side-combinable grouped MIN. State: n_perm
+    rows per group. Output: (g, perm, minv).
     """
     from knowledgegraphbuilder_spark.functions.hashing import spark_word_shingles
 
     long_max = (1 << 63) - 1
-    h = ("cast(conv(substring(sha2(concat(cast(i as string), ',', s), 256), "
-         "1, 15), 16, 10) as bigint)")
+    p = MINHASH_GROUP_PRIME
+    ab = ", ".join(
+        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))"
+        for a, b in minhash_ab(n_perm)
+    )
     sig = (
         df.select(
             F.col(group_col).alias("g"),
@@ -550,12 +577,20 @@ def minhash_group_signatures(
         .select(
             "g",
             F.expr(
+                f"transform(shingles, s -> "
+                f"cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
+                f" % {p})"
+            ).alias("hs"),
+        )
+        .select(
+            "g",
+            F.expr(
                 f"""
                 aggregate(
-                  shingles,
+                  hs,
                   array_repeat(cast({long_max} as bigint), {n_perm}),
-                  (acc, s) -> zip_with(acc, sequence(0, {n_perm - 1}),
-                                       (m, i) -> least(m, {h})))
+                  (acc, x) -> zip_with(acc, array({ab}),
+                                       (m, ab) -> least(m, (ab.a * x + ab.b) % {p})))
                 """
             ).alias("sig"),
         )

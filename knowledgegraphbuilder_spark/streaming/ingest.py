@@ -760,6 +760,7 @@ def run_minhash_available_now(
     group_col: str = "source", text_col: str = "text",
     schema: str = "doc_id long, text string, lang string, source string, "
                   "n_chars long",
+    max_files_per_trigger: int | None = 1,
 ) -> None:
     """Streaming per-source MinHash signature maintenance: each micro-batch
     reduces to its (g, perm, minv) group-signature rows
@@ -779,12 +780,10 @@ def run_minhash_available_now(
     )
     from knowledgegraphbuilder_spark.sources.sinks import merge_min
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .format("parquet")
-        .load(input_dir)
-    )
+    rs = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = rs.format("parquet").load(input_dir)
 
     def process(batch_df, batch_id: int) -> None:
         sig = minhash_group_signatures(batch_df, group_col, text_col)
