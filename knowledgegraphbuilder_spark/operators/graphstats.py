@@ -1560,6 +1560,14 @@ def global_clustering(
         edges, src_col=src_col, dst_col=dst_col,
         assume_canonical=assume_canonical,
     )
+    return global_clustering_from_tc(tc)
+
+
+def global_clustering_from_tc(tc: DataFrame) -> DataFrame:
+    """The transitivity rollup on top of an ALREADY-COMPUTED per-node
+    triangle table (triangle_clustering output) — callers that need both
+    the per-node view and the global summary pay the wedge enumeration
+    once and roll this up from the materialized result."""
     s = tc.agg(
         F.count("*").cast("long").alias("n_nodes"),
         F.sum("degree").cast("long").alias("deg2"),
