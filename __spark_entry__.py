@@ -3427,6 +3427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas": q_kg_sameas,
         "g41_eigen": q_g41_eigen,
         "kg_disjoint": q_kg_disjoint,
+        # tranche 71 (defs at end of file): KG-completion eval, RDF-star
+        # fused export, media near-dup resolution
+        "kg_embed_rank": q_kg_embed_rank,
+        "kg_export_rdfstar": q_kg_export_rdfstar,
+        "mm_dedup": q_mm_dedup,
     }
 
 
@@ -12300,6 +12305,155 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.type = 'agent' AND b.type = 'artifact'
     """
 
+
+    # ------------------------------------------------------------------
+    # tranche 71: KG-completion eval, RDF-star fused export, media dedup
+    # ------------------------------------------------------------------
+    # TransE replay: sha256-derived integer embeddings, exact L1 scores,
+    # strict-inferiority ranks over type-constrained candidates
+    o["kg_embed_rank"] = f"""
+        WITH {_DIRECTED_CTES},
+        core AS (
+          SELECT a AS n FROM eu WHERE w >= 3
+          UNION SELECT b FROM eu WHERE w >= 3
+        ),
+        ec AS MATERIALIZED (
+          SELECT a, b, w FROM eu
+          WHERE a IN (SELECT n FROM core) AND b IN (SELECT n FROM core)
+        ),
+        tri AS MATERIALIZED (
+          SELECT a AS subj, 'tie' AS pred, b AS obj FROM ec
+          UNION ALL
+          SELECT b, 'strong_tie', a FROM ec WHERE w >= 3
+        ),
+        ents AS (SELECT DISTINCT e FROM (
+          SELECT subj AS e FROM tri UNION ALL SELECT obj FROM tri)),
+        ev AS MATERIALIZED (
+          SELECT e, list_transform(range(4), d ->
+            ('0x' || substr(sha256('ent' || chr(31) || e || chr(31)
+                                   || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+            % 1000) AS v
+          FROM ents
+        ),
+        rv AS (
+          SELECT pred, list_transform(range(4), d ->
+            ('0x' || substr(sha256('rel' || chr(31) || pred || chr(31)
+                                   || CAST(d AS VARCHAR)), 1, 15))::BIGINT
+            % 1000) AS v
+          FROM (SELECT DISTINCT pred FROM tri)
+        ),
+        cand AS MATERIALIZED (
+          SELECT t.pred, t.obj AS cand, e.v AS cv
+          FROM (SELECT DISTINCT pred, obj FROM tri) t
+          JOIN ev e ON e.e = t.obj
+        ),
+        csize AS (
+          SELECT pred, CAST(count(*) AS BIGINT) AS n_candidates
+          FROM cand GROUP BY pred
+        ),
+        pos AS MATERIALIZED (
+          SELECT t.subj, t.pred, t.obj, sv.v AS sv, rv.v AS rv,
+                 list_sum(list_transform(range(4), d ->
+                   abs(sv.v[d + 1] + rv.v[d + 1] - xv.v[d + 1])))
+                   AS true_score
+          FROM (SELECT DISTINCT subj, pred, obj FROM tri) t
+          JOIN ev sv ON sv.e = t.subj
+          JOIN rv ON rv.pred = t.pred
+          JOIN ev xv ON xv.e = t.obj
+        ),
+        ranks AS (
+          SELECT p.subj, p.pred, p.obj,
+                 1 + sum(CASE WHEN list_sum(list_transform(range(4), d ->
+                   abs(p.sv[d + 1] + p.rv[d + 1] - c.cv[d + 1])))
+                   < p.true_score THEN 1 ELSE 0 END) AS rnk
+          FROM pos p JOIN cand c ON c.pred = p.pred
+          GROUP BY 1, 2, 3
+        )
+        SELECT r.pred,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               cs.n_candidates,
+               CAST(sum(rnk) AS BIGINT) AS sum_rank,
+               CAST(sum(CASE WHEN rnk <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits_at1,
+               CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS hits_at3,
+               CAST(sum(1000000 // rnk) AS BIGINT) AS mrr_micro_floor
+        FROM ranks r JOIN csize cs ON cs.pred = r.pred
+        GROUP BY r.pred, cs.n_candidates
+    """
+    # RDF-star: the kg_fuse replay wrapped in quoted-triple lines with the
+    # kg_export_nt IRI algebra
+    o["kg_export_rdfstar"] = f"""
+        WITH {_REL_CTE},
+        ev AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred,
+                 tail_text AS obj, doc_id,
+                 CASE WHEN CAST(regexp_extract(doc_id, '([0-9]+)$', 1)
+                            AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS c
+          FROM rels_id
+        ),
+        g AS (
+          SELECT subj, pred, obj,
+                 CAST(sum(CASE WHEN c = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS k_a,
+                 CAST(sum(CASE WHEN c = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS k_b
+          FROM ev GROUP BY 1, 2, 3
+        ),
+        fused AS (
+          SELECT subj, pred, obj,
+                 CAST(CASE WHEN k_a + k_b > 6 THEN 1000000
+                      ELSE 1000000
+                           - CAST(power(3, k_a) AS BIGINT)
+                             * CAST(power(10, 6 - k_a - k_b) AS BIGINT)
+                      END AS BIGINT) AS p_micro
+          FROM g
+        )
+        SELECT DISTINCT 'conf' AS kind,
+               '<< <urn:kg:node:' || sha256(concat_ws(chr(31), 'node', subj))
+               || '> <urn:kg:rel:'
+               || regexp_replace(pred, '[^A-Za-z0-9_]', '_', 'g')
+               || '> <urn:kg:node:' || sha256(concat_ws(chr(31), 'node', obj))
+               || '> >> <urn:kg:meta:confidence_micro> "'
+               || CAST(p_micro AS VARCHAR)
+               || '"^^<http://www.w3.org/2001/XMLSchema#integer> .' AS nt
+        FROM fused
+    """
+    # media dedup: 16-bit codes, quadratic Hamming<=1 verify (the banding
+    # join is a lossless pigeonhole, so the pair sets are identical),
+    # recursive min-reach closure, full assignment
+    o["mm_dedup"] = """
+        WITH RECURSIVE refs AS (
+          SELECT 'media://img/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+                   AS media_ref
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'media://aud/doc_' || CAST(doc_id AS VARCHAR) || '/0'
+          FROM documents WHERE doc_id % 10 = 0
+        ),
+        coded AS (
+          SELECT media_ref,
+                 ('0x' || substr(sha256(media_ref), 1, 4))::BIGINT % 65536
+                   AS code
+          FROM refs
+        ),
+        pr AS (
+          SELECT a.media_ref AS s, b.media_ref AS d
+          FROM coded a JOIN coded b ON a.media_ref < b.media_ref
+          WHERE bit_count(xor(a.code, b.code)) <= 1
+        ),
+        edges AS (SELECT s, d FROM pr UNION SELECT d, s FROM pr),
+        verts AS (SELECT DISTINCT s AS v FROM edges),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT e.d AS v, reach.r FROM reach JOIN edges e ON e.s = reach.v
+        ),
+        assign AS (SELECT v, min(r) AS canon FROM reach GROUP BY v)
+        SELECT c.media_ref,
+               coalesce(a.canon, c.media_ref) AS canon_ref,
+               CAST(c.code AS BIGINT) AS code
+        FROM coded c LEFT JOIN assign a ON a.v = c.media_ref
+    """
+
     return o
 
 
@@ -15902,3 +16056,74 @@ def q_kg_disjoint(spark, sf_dir):
     return disjointness_violations(
         types.unionAll(planted).distinct(), _ONTOLOGY, [("artifact", "agent")]
     )
+
+
+def q_kg_embed_rank(spark, sf_dir):
+    """KG-completion ranking evaluation (fusion.py:transe_rank_eval,
+    TransE scoring, Bordes et al. 2013) over the cycle-bearing
+    co-purchase core rendered as a 2-relation KG — 'tie' for every
+    weight>=2 core edge, 'strong_tie' for the weight>=3 reverse edges
+    (the _directed_copurchase construction) — so candidate sets are
+    ~100 entities and ranks genuinely spread. Deterministic sha256
+    integer embeddings, exact-integer L1 ranking, filtered-candidate
+    protocol; the oracle replays the whole evaluation."""
+    from knowledgegraphbuilder_spark.operators.fusion import transe_rank_eval
+
+    eu = _copurchase_edges(spark, sf_dir).filter(F.col("weight") >= 2)
+    core = (
+        eu.filter(F.col("weight") >= 3)
+        .select(F.col("src").alias("node"))
+        .unionAll(eu.filter(F.col("weight") >= 3).select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ec = (
+        eu.join(core.select(F.col("node").alias("src")), "src", "left_semi")
+        .join(core.select(F.col("node").alias("dst")), "dst", "left_semi")
+    )
+    triples = (
+        ec.select(F.col("src").alias("subj"), F.lit("tie").alias("pred"),
+                  F.col("dst").alias("obj"))
+        .unionAll(
+            ec.filter(F.col("weight") >= 3).select(
+                F.col("dst").alias("subj"),
+                F.lit("strong_tie").alias("pred"),
+                F.col("src").alias("obj"),
+            )
+        )
+    )
+    return transe_rank_eval(triples)
+
+
+def q_kg_export_rdfstar(spark, sf_dir):
+    """RDF-star export of the FUSED graph (export.py:to_rdfstar): each
+    statement serialized as a quoted triple annotated with its noisy-OR
+    posterior in integer micro-units — the statement-level-metadata
+    surface plain N-Triples reification needs 4 lines for; composes
+    kg_fuse's fusion with kg_export_nt's IRI algebra, and the oracle
+    composes both replays."""
+    from knowledgegraphbuilder_spark.operators.export import to_rdfstar
+    from knowledgegraphbuilder_spark.operators.fusion import fuse_extractions
+
+    fused = fuse_extractions(
+        _kg(spark, sf_dir).triples,
+        "CASE WHEN cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint)"
+        " % 2 = 0 THEN 'a' ELSE 'b' END",
+        {"a": 3, "b": 1},
+    )
+    return to_rdfstar(fused)
+
+
+def q_mm_dedup(spark, sf_dir):
+    """Media near-dup resolution (multimodal.py:phash_dedup_resolve):
+    16-bit perceptual-hash codes over every distinct media ref,
+    Hamming<=1 candidate pairs via the simhash banding pigeonhole (an
+    equi-join on (band, value) — never refs^2), exact popcount verify,
+    large/small-star CC closure, full (media_ref, canon_ref, code)
+    assignment — the join table that makes a 100 TB pipeline fetch and
+    decode each near-duplicate image once. Oracle replays codes, the
+    Hamming-verified pair set, and a recursive min-reach closure."""
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        phash_dedup_resolve,
+    )
+
+    return phash_dedup_resolve(read_documents_parquet(spark, sf_dir))

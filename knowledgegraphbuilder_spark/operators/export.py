@@ -123,3 +123,36 @@ def to_nquads(triples: DataFrame, base: str = "urn:kg:") -> DataFrame:
         )
         .distinct()
     )
+
+
+def to_rdfstar(fused: DataFrame, base: str = "urn:kg:") -> DataFrame:
+    """RDF-star export of FUSED statements (W3C RDF-star CG report):
+    one quoted-triple line per statement carrying its noisy-OR posterior
+    (fusion.fuse_extractions' p_fused_micro) as statement-level
+    metadata —
+
+        << <s> <p> <o> >> <{base}meta:confidence_micro>
+          "<micro>"^^xsd:integer .
+
+    — the statement-annotation surface plain reification needs 4 triples
+    for. Same IRI algebra as to_ntriples (content-hash node IRIs, no
+    joins); one projection + distinct, no shuffle beyond it.
+    """
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    return (
+        fused.select(
+            F.lit("conf").alias("kind"),
+            F.concat(
+                F.lit("<< "),
+                node_iri(F.col("subj"), base),
+                F.lit(" "),
+                pred_iri(F.col("pred"), base),
+                F.lit(" "),
+                node_iri(F.col("obj"), base),
+                F.lit(f" >> <{base}meta:confidence_micro> \""),
+                F.col("p_fused_micro").cast("string"),
+                F.lit(f'"^^<{xsd_int}> .'),
+            ).alias("nt"),
+        )
+        .distinct()
+    )

@@ -282,3 +282,98 @@ def sameas_rewrite(
         )
         .distinct()
     )
+
+
+def transe_rank_eval(
+    triples: DataFrame,
+    dim: int = 4,
+    mod: int = 1000,
+    max_candidates: int = 10000,
+) -> DataFrame:
+    """KG-completion ranking evaluation with TransE-style scoring
+    (Bordes et al., NeurIPS 2013): score(s, r, o) = ||E(s) + R(r) -
+    E(o)||_1 with deterministic sha256-derived integer embeddings
+    (entity/relation vectors of ``dim`` components in [0, mod)), true
+    objects ranked against the TYPE-CONSTRAINED candidate set (objects
+    observed with the same relation — the standard filtered-candidate
+    protocol) by strict-inferiority count.
+
+    Everything is exact integer arithmetic — L1 distances of integer
+    vectors, ranks as counts, MRR in floor-divided micro-units — so the
+    DuckDB oracle replays the evaluation bit-for-bit; no trained floats
+    anywhere (the point is the EVALUATION operator: plug a real KGE
+    model's scores into the same plan at deployment).
+
+    Scale shape: the only pairwise work is sum_r |T_r| * |C_r| — the
+    candidate join is an equi-join on the relation, never |T| x |E| —
+    and relations whose candidate set exceeds ``max_candidates`` are
+    excluded (documented cap; hubs drown ranking signal anyway). Vector
+    tables are dim-sized and broadcast.
+
+    Output per relation: (pred, n_triples, n_candidates, sum_rank,
+    hits_at1, hits_at3, mrr_micro_floor = sum(10^6 div rank)).
+    """
+    ed = triples.select("subj", "pred", "obj").distinct()
+
+    def vec_expr(tag: str, col: str) -> str:
+        return (
+            f"transform(sequence(0, {dim - 1}), d -> "
+            f"cast(conv(substring(sha2(concat_ws(chr(31), '{tag}', {col}, "
+            f"cast(d as string)), 256), 1, 15), 16, 10) as bigint) % {mod})"
+        )
+
+    ents = (
+        ed.select(F.col("subj").alias("e"))
+        .unionAll(ed.select(F.col("obj").alias("e")))
+        .distinct()
+        .selectExpr("e", f"{vec_expr('ent', 'e')} AS ev")
+    )
+    rels = ed.select("pred").distinct().selectExpr(
+        "pred", f"{vec_expr('rel', 'pred')} AS rv"
+    )
+    cand = (
+        ed.select("pred", F.col("obj").alias("cand")).distinct()
+        .join(F.broadcast(ents.selectExpr("e AS cand", "ev AS cv")), "cand")
+    )
+    csize = cand.groupBy("pred").agg(
+        F.count("*").cast("long").alias("n_candidates")
+    ).filter(F.col("n_candidates") <= max_candidates)
+    score = (
+        "aggregate(zip_with(zip_with(sv, rv, (a, b) -> a + b), xv, "
+        "(x, y) -> abs(x - y)), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    pos = (
+        ed.join(F.broadcast(ents.selectExpr("e AS subj", "ev AS sv")), "subj")
+        .join(F.broadcast(rels), "pred")
+        .join(F.broadcast(ents.selectExpr("e AS obj", "ev AS xv")), "obj")
+        .selectExpr("subj", "pred", "obj", "sv", "rv",
+                    f"{score} AS true_score")
+        .join(csize.select("pred"), "pred")
+    )
+    scored = (
+        pos.join(cand, "pred")
+        .selectExpr(
+            "subj", "pred", "obj", "true_score",
+            f"CASE WHEN {score.replace('xv', 'cv')} < true_score "
+            f"THEN 1 ELSE 0 END AS beats",
+        )
+    )
+    ranks = scored.groupBy("subj", "pred", "obj").agg(
+        (F.sum("beats") + F.lit(1)).cast("long").alias("rnk")
+    )
+    return (
+        ranks.groupBy("pred")
+        .agg(
+            F.count("*").cast("long").alias("n_triples"),
+            F.sum("rnk").cast("long").alias("sum_rank"),
+            F.sum(F.expr("CASE WHEN rnk <= 1 THEN 1 ELSE 0 END"))
+            .cast("long").alias("hits_at1"),
+            F.sum(F.expr("CASE WHEN rnk <= 3 THEN 1 ELSE 0 END"))
+            .cast("long").alias("hits_at3"),
+            F.sum(F.expr("1000000 div rnk")).cast("long")
+            .alias("mrr_micro_floor"),
+        )
+        .join(F.broadcast(csize), "pred")
+        .select("pred", "n_triples", "n_candidates", "sum_rank",
+                "hits_at1", "hits_at3", "mrr_micro_floor")
+    )

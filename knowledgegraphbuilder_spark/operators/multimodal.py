@@ -379,3 +379,79 @@ def context_profile(spans_df: DataFrame) -> DataFrame:
             F.sum("context_chars") / F.count("*").cast("double"), 6
         ).alias("mean_context"),
     )
+
+
+def phash_dedup_resolve(
+    spans_df: DataFrame,
+    bits: int = 16,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Media near-dup RESOLUTION — the verify-and-cluster step
+    phash_buckets only estimates the cost of: every distinct media ref
+    gets a ``bits``-bit perceptual-hash code (content-hash stand-in,
+    same key shape as phash_buckets), candidate pairs are generated by
+    the SIMHASH banding pigeonhole (codes within Hamming distance
+    ``max_hamming`` must agree on at least one of max_hamming+1 code
+    bands — an equi-join on (band, band-value), never refs^2), verified
+    by exact popcount, and closed into clusters with the large/small-star
+    CC; output is the full assignment (media_ref, canon_ref, code) with
+    canon_ref the lexicographic-min member (singletons map to
+    themselves) — the table a dedup pass joins against to drop
+    redundant media fetches/decodes.
+
+    A real deployment swaps the code expression for a pHash UDF
+    (dedup.py simhash discipline); every join stays the same. All
+    arithmetic is integer (codes, xor, popcount) so the oracle replays
+    the clustering exactly.
+    """
+    from .canonicalize import connected_components
+
+    n_bands = max_hamming + 1
+    band_w = max(bits // n_bands, 1)
+    hex_chars = (bits + 3) // 4
+    refs = media_refs(spans_df).select(
+        "media_ref",
+        (
+            F.conv(
+                F.substring(F.sha2(F.col("media_ref"), 256), 1, hex_chars),
+                16, 10,
+            ).cast("long") % (1 << bits)
+        ).alias("code"),
+    )
+    bands = refs.select(
+        "media_ref", "code",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> "
+                f"named_struct('band', b, 'val', "
+                f"(code div cast(pow(2, b * {band_w}) as bigint)) % {1 << band_w}))"
+            )
+        ).alias("bv"),
+    ).select("media_ref", "code", F.col("bv.band").alias("band"),
+             F.col("bv.val").alias("val"))
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "val"])
+        .filter(F.col("a.media_ref") < F.col("b.media_ref"))
+        .select(
+            F.col("a.media_ref").alias("src"),
+            F.col("b.media_ref").alias("dst"),
+            F.col("a.code").alias("ca"),
+            F.col("b.code").alias("cb"),
+        )
+        .distinct()
+        .filter(F.expr(f"bit_count(ca ^ cb) <= {max_hamming}"))
+        .select("src", "dst")
+    )
+    assign = connected_components(pairs).select(
+        F.col("vertex").alias("media_ref"),
+        F.col("component").alias("canon_ref"),
+    )
+    return (
+        refs.join(assign, "media_ref", "left")
+        .select(
+            "media_ref",
+            F.coalesce("canon_ref", "media_ref").alias("canon_ref"),
+            F.col("code").cast("long").alias("code"),
+        )
+    )

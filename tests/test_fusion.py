@@ -205,3 +205,65 @@ def test_disjointness_pair_order_normalized(spark):
     a = disjointness_violations(ty, ONTO, [("artifact", "agent")]).collect()
     b = disjointness_violations(ty, ONTO, [("agent", "artifact")]).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_transe_rank_ranks_true_object(spark):
+    from knowledgegraphbuilder_spark.operators.fusion import transe_rank_eval
+
+    rows = [(f"e{i}", "r", f"e{(i + 1) % 6}", 1) for i in range(6)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    out = transe_rank_eval(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n_triples == 6 and r.n_candidates == 6
+    # every rank in [1, n_candidates]; aggregates are consistent
+    assert 6 <= r.sum_rank <= 36
+    assert 0 <= r.hits_at1 <= r.hits_at3 <= 6
+    assert r.mrr_micro_floor <= 1000000 * 6
+
+
+def test_transe_rank_candidate_cap_excludes_relation(spark):
+    from knowledgegraphbuilder_spark.operators.fusion import transe_rank_eval
+
+    rows = [("s", "r", f"o{i}", 1) for i in range(5)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    assert transe_rank_eval(df, max_candidates=3).count() == 0
+    assert transe_rank_eval(df, max_candidates=5).count() == 1
+
+
+def test_rdfstar_line_shape_and_confidence(spark):
+    from knowledgegraphbuilder_spark.operators.export import to_rdfstar
+    from knowledgegraphbuilder_spark.operators.fusion import fuse_extractions
+
+    df = spark.createDataFrame([("a", "p", "b", 1)], TRIPLE_SCHEMA)
+    fused = fuse_extractions(df, "'b'", {"a": 3, "b": 1})
+    rows = to_rdfstar(fused).collect()
+    assert len(rows) == 1
+    nt = rows[0].nt
+    assert nt.startswith("<< <urn:kg:node:") and nt.endswith(
+        '"^^<http://www.w3.org/2001/XMLSchema#integer> .'
+    )
+    assert '"900000"' in nt and "<urn:kg:meta:confidence_micro>" in nt
+
+
+def test_phash_dedup_assignment_covers_all_refs(spark, sf_dir):
+    from knowledgegraphbuilder_spark.operators.multimodal import (
+        media_refs, phash_dedup_resolve,
+    )
+    from knowledgegraphbuilder_spark.sources.interleaved import (
+        read_documents_parquet,
+    )
+
+    spans = read_documents_parquet(spark, sf_dir)
+    out = phash_dedup_resolve(spans)
+    n_refs = media_refs(spans).count()
+    rows = out.collect()
+    assert len(rows) == n_refs
+    # canon is a member-or-self and clusters are Hamming-consistent via
+    # chains; every canon_ref is itself an assigned ref
+    refs = {r.media_ref for r in rows}
+    assert all(r.canon_ref in refs for r in rows)
+    # canon is the component MIN, so it never exceeds the member
+    assert all(r.canon_ref <= r.media_ref for r in rows)
+    canon_self = {r.media_ref: r.canon_ref for r in rows}
+    assert all(canon_self[r.canon_ref] == r.canon_ref for r in rows)
