@@ -3432,6 +3432,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_embed_rank": q_kg_embed_rank,
         "kg_export_rdfstar": q_kg_export_rdfstar,
         "mm_dedup": q_mm_dedup,
+        # tranche 72 (defs at end of file): quantified/negated property
+        # paths, density clustering
+        "kg_path_quant": q_kg_path_quant,
+        "kg_npath": q_kg_npath,
+        "ml_dbscan": q_ml_dbscan,
     }
 
 
@@ -12454,6 +12459,98 @@ def oracle_sql() -> dict[str, str]:
         FROM coded c LEFT JOIN assign a ON a.v = c.media_ref
     """
 
+
+    # ------------------------------------------------------------------
+    # tranche 72: quantified/negated property paths, density clustering
+    # ------------------------------------------------------------------
+    # BFS-minimal quantified path: per-level frontier minus everything
+    # already reached (the path_closure semantics, hops 2..3 kept)
+    o["kg_path_quant"] = f"""
+        WITH {_REL_CTE},
+        e AS (
+          SELECT DISTINCT head_text AS src, tail_text AS dst
+          FROM rels_id WHERE rel_type = 'technology_near_technology'
+        ),
+        h2 AS (
+          SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
+          WHERE NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.src = a.src AND e.dst = b.dst)
+        ),
+        h3 AS (
+          SELECT DISTINCT h2.src, e.dst FROM h2 JOIN e ON e.src = h2.dst
+        )
+        SELECT src, dst, CAST(2 AS BIGINT) AS hops FROM h2
+        UNION ALL
+        SELECT src, dst, CAST(3 AS BIGINT) AS hops FROM (
+          SELECT h3.src, h3.dst FROM h3
+          WHERE NOT EXISTS (SELECT 1 FROM e
+                            WHERE e.src = h3.src AND e.dst = h3.dst)
+            AND NOT EXISTS (SELECT 1 FROM h2
+                            WHERE h2.src = h3.src AND h2.dst = h3.dst)
+        )
+    """
+    o["kg_npath"] = f"""
+        WITH {_REL_CTE}
+        SELECT DISTINCT head_text AS src, tail_text AS dst
+        FROM rels_id
+        WHERE rel_type NOT IN ('technology_near_organization',
+                               'organization_near_technology')
+    """
+    # DBSCAN replay: quadratic eps-ball (oracle-side only; the operator
+    # is grid-bucketed), recursive min-reach closure over core edges,
+    # min-cluster border pin
+    o["ml_dbscan"] = """
+        WITH RECURSIVE p AS (
+          SELECT CAST(vec_id AS VARCHAR) AS id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+                   + 4096 AS x,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+                   + 4096 AS y
+          FROM embeddings
+        ),
+        nbrs AS MATERIALIZED (
+          SELECT a.id, b.id AS nid
+          FROM p a JOIN p b
+            ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 625
+        ),
+        cores AS MATERIALIZED (
+          SELECT id FROM nbrs GROUP BY id HAVING count(*) >= 4
+        ),
+        ce AS MATERIALIZED (
+          SELECT n.id AS s, n.nid AS d FROM nbrs n
+          JOIN cores ca ON ca.id = n.id
+          JOIN cores cb ON cb.id = n.nid
+          WHERE n.id <> n.nid
+        ),
+        verts AS (SELECT DISTINCT s AS v FROM ce),
+        reach AS (
+          SELECT v, v AS r FROM verts
+          UNION
+          SELECT ce.d AS v, reach.r FROM reach JOIN ce ON ce.s = reach.v
+        ),
+        cc AS (SELECT v AS id, min(r) AS component FROM reach GROUP BY v),
+        core_assign AS (
+          SELECT cores.id, coalesce(cc.component, cores.id) AS cluster
+          FROM cores LEFT JOIN cc ON cc.id = cores.id
+        ),
+        border AS (
+          SELECT n.id, min(ca.cluster) AS bcluster
+          FROM nbrs n
+          JOIN core_assign ca ON ca.id = n.nid
+          WHERE n.id <> n.nid
+            AND n.id NOT IN (SELECT id FROM cores)
+          GROUP BY n.id
+        )
+        SELECT p.id AS vec_id,
+               CASE WHEN ca.id IS NOT NULL THEN 'core'
+                    WHEN b.bcluster IS NOT NULL THEN 'border'
+                    ELSE 'noise' END AS role,
+               coalesce(ca.cluster, b.bcluster) AS cluster
+        FROM p
+        LEFT JOIN core_assign ca ON ca.id = p.id
+        LEFT JOIN border b ON b.id = p.id
+    """
+
     return o
 
 
@@ -16127,3 +16224,45 @@ def q_mm_dedup(spark, sf_dir):
     )
 
     return phash_dedup_resolve(read_documents_parquet(spark, sf_dir))
+
+
+def q_kg_path_quant(spark, sf_dir):
+    """SPARQL quantified property path technology_near_technology{2,3}
+    (bgp.py:path_quantified): pairs whose BFS-minimal typed distance is
+    2 or 3 — the bounded-quantifier surface on top of kg_pathplus'
+    semi-naive closure; the lower bound is a filter on minimal hops
+    (semantics pinned in the operator docstring). Oracle = 3-hop
+    frontier unroll with per-level anti-joins."""
+    from knowledgegraphbuilder_spark.operators.bgp import path_quantified
+
+    return path_quantified(
+        _kg(spark, sf_dir).triples, "technology_near_technology", 2, 3
+    )
+
+
+def q_kg_npath(spark, sf_dir):
+    """SPARQL negated property set !(technology_near_organization |
+    organization_near_technology) (bgp.py:negated_property_set):
+    distinct pairs connected by any OTHER predicate — one NOT-IN filter
+    Catalyst pushes into the statement scan (prunes rel_type partitions
+    on the sinked edge table) + distinct."""
+    from knowledgegraphbuilder_spark.operators.bgp import negated_property_set
+
+    return negated_property_set(
+        _kg(spark, sf_dir).triples,
+        ["technology_near_organization", "organization_near_technology"],
+    )
+
+
+def q_ml_dbscan(spark, sf_dir):
+    """Grid-accelerated DBSCAN over the first two embedding dims
+    (clustering.py:grid_dbscan, Ester et al. KDD'96): integer milli-unit
+    coordinates, eps-cell equi-join (3x3 probe — cost tracks density,
+    never corpus^2), exact d^2 <= eps^2 verify, core/border/noise roles
+    with CC-closed clusters and the deterministic min-cluster border
+    pin. The density-based complement of ml_kmeans; oracle replays the
+    quadratic neighborhood + recursive closure."""
+    from knowledgegraphbuilder_spark.operators.clustering import grid_dbscan
+
+    return grid_dbscan(_t(spark, sf_dir, "embeddings"), eps_milli=25,
+                       min_pts=4)

@@ -288,6 +288,14 @@ def main() -> None:
         "kg_bgp", "kg_bgp_optional", "kg_bgp_union", "kg_pathplus",
         "kg_infer", "kg_entity_profile", "layout_edgecut",
         "g38_lp_eval", "g39_percolation", "ml_silhouette",
+        "kg_bgp_filter", "kg_bgp_minus", "kg_bgp_agg", "kg_ask",
+        "kg_describe", "kg_shacl", "g40_wl", "kg_rdfs_types",
+        "kg_path_alt", "ts_textrank", "ml_bcubed", "g42_bipartite",
+        "layout_conductance", "ml_kanonymity", "g45_butterfly",
+        "kg_cardinality", "kg_inverse_detect", "kg_rule_mine",
+        "kg_fuse", "kg_truth", "kg_construct", "kg_pra", "kg_sameas",
+        "g41_eigen", "kg_disjoint",
+        "kg_embed_rank", "kg_export_rdfstar", "mm_dedup",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

@@ -397,3 +397,45 @@ def path_alt(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+def path_quantified(
+    triples: DataFrame, pred: str, min_hops: int, max_hops: int
+) -> DataFrame:
+    """SPARQL quantified property path ``pred{min_hops, max_hops}``
+    (SPARQL 1.1 property-path quantifier, the bounded form every engine
+    actually evaluates): pairs whose BFS-minimal typed distance lies in
+    [min_hops, max_hops]. Reuses path_closure's semi-naive frontier
+    evaluation — the lower bound is a FILTER on the minimal hop count,
+    not a separate traversal, so p{2,3} costs exactly what p+ (to 3)
+    costs.
+
+    Note the semantics pin: SPARQL path quantifiers are defined over
+    path EXISTENCE, so a pair reachable in 1 hop AND in 2 hops matches
+    p{2,3}; this operator reports the stricter BFS-minimal reading
+    (pairs whose SHORTEST typed path is in range) which is the useful
+    graph-analytic contract — callers wanting pure existence compose
+    closure hops differently. The docstring states it; the oracle
+    replays it.
+    """
+    if not (1 <= min_hops <= max_hops):
+        raise ValueError("need 1 <= min_hops <= max_hops")
+    closure = path_closure(triples, pred, max_hops=max_hops)
+    return closure.filter(F.col("hops") >= min_hops)
+
+
+def negated_property_set(
+    triples: DataFrame, excluded: list[str]
+) -> DataFrame:
+    """SPARQL negated property set ``?s !(p1|...|pn) ?o`` (SPARQL 1.1
+    §9.1): distinct subject-object pairs connected by at least one
+    predicate OUTSIDE the excluded set. One NOT-IN filter pushed into
+    the statement scan + distinct — Catalyst folds the negated set into
+    the scan predicate, so this prunes partitions when the edge table
+    is partitioned by rel_type (sinks.py layout).
+    """
+    return (
+        triples.filter(~F.col("pred").isin(excluded))
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .distinct()
+    )

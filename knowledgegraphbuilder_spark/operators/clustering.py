@@ -321,3 +321,113 @@ def silhouette_oracle_sql(
                      / count(*), 6) AS mean_sil
         FROM su GROUP BY cluster
     """
+
+
+def grid_dbscan(
+    embs: DataFrame,
+    eps_milli: int = 25,
+    min_pts: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Grid-accelerated DBSCAN (Ester et al., KDD 1996) over the first
+    two embedding dimensions, held entirely in exact integers: points
+    quantize to milli-unit coordinates (floor(v * 1000) — one IEEE
+    multiply+floor per value, bit-identical in any engine), the
+    eps-neighborhood test is an integer d^2 <= eps^2 compare, and the
+    only pairwise work is an equi-join on eps-sized grid cells (each
+    point probes its 3x3 cell neighborhood — the classic grid index, so
+    cost tracks local density, never corpus^2).
+
+    Coordinates are shifted by +4096 before the cell floor-division so
+    ``div`` (truncation) and floor agree — negative-coordinate cells
+    would otherwise straddle zero differently in engines that truncate
+    vs floor.
+
+    Full DBSCAN role semantics, deterministically: core = |eps-ball|
+    (self included) >= min_pts; clusters = connected components of the
+    core-core eps-graph (the large/small-star CC — density-reachability
+    IS transitive closure over cores); border = non-core with >= 1 core
+    eps-neighbor, assigned the LEXICOGRAPHIC-MIN neighboring cluster
+    (the reference algorithm is arrival-order-dependent here; min is
+    the deterministic pin, stated and oracle-replayed); noise = rest.
+
+    Output: (vec_id, role in {'core','border','noise'}, cluster —
+    min member vec_id string, NULL for noise).
+    """
+    from .canonicalize import connected_components
+
+    eps2 = eps_milli * eps_milli
+    # explicit f32 -> f64 cast BEFORE the multiply: f32*int and
+    # f64*int round differently at floor boundaries across engines
+    pts = embs.selectExpr(
+        f"cast({id_col} as string) AS id",
+        f"cast(floor(cast({vec_col}[0] as double) * 1000) as bigint)"
+        " + 4096 AS x",
+        f"cast(floor(cast({vec_col}[1] as double) * 1000) as bigint)"
+        " + 4096 AS y",
+    )
+    cells = pts.selectExpr(
+        "id", "x", "y",
+        f"x div {eps_milli} AS cx", f"y div {eps_milli} AS cy",
+    )
+    probes = cells.selectExpr(
+        "id", "x", "y",
+        "explode(transform(sequence(-1, 1), dx -> cx + dx)) AS px",
+        "cy",
+    ).selectExpr(
+        "id", "x", "y", "px",
+        "explode(transform(sequence(-1, 1), dy -> cy + dy)) AS py",
+    )
+    # candidate pairs: probe cells vs home cells; keep true eps-neighbors
+    nbrs = (
+        probes.alias("a")
+        .join(
+            cells.selectExpr("id AS nid", "x AS nx", "y AS ny",
+                             "cx AS px", "cy AS py").alias("b"),
+            ["px", "py"],
+        )
+        .filter(
+            F.expr(f"(x - nx) * (x - nx) + (y - ny) * (y - ny) <= {eps2}")
+        )
+        .select("id", "nid")
+    )
+    deg = nbrs.groupBy("id").agg(F.count("*").cast("long").alias("n_ball"))
+    cores = deg.filter(F.col("n_ball") >= min_pts).select("id")
+    core_edges = (
+        nbrs.filter(F.col("id") < F.col("nid"))
+        .join(cores, "id", "left_semi")
+        .join(cores.selectExpr("id AS nid"), "nid", "left_semi")
+        .selectExpr("id AS src", "nid AS dst")
+    )
+    cc = connected_components(core_edges).selectExpr(
+        "vertex AS id", "component"
+    )
+    # isolated cores (min_pts-dense but no core neighbor) are their own
+    # single-member cluster
+    core_assign = (
+        cores.join(cc, "id", "left")
+        .selectExpr("id", "coalesce(component, id) AS cluster")
+    )
+    border = (
+        nbrs.join(cores.selectExpr("id AS nid"), "nid", "left_semi")
+        .join(cores, "id", "left_anti")
+        .filter(F.col("id") != F.col("nid"))
+        .join(core_assign.selectExpr("id AS nid", "cluster"), "nid")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        pts.select("id")
+        .join(core_assign.withColumn("role", F.lit("core")), "id", "left")
+        .join(
+            border.selectExpr("id", "cluster AS bcluster"), "id", "left"
+        )
+        .selectExpr(
+            "id AS vec_id",
+            "CASE WHEN role = 'core' THEN 'core' "
+            "WHEN bcluster IS NOT NULL THEN 'border' "
+            "ELSE 'noise' END AS role",
+            "coalesce(cluster, bcluster) AS cluster",
+        )
+    )
