@@ -3437,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_path_quant": q_kg_path_quant,
         "kg_npath": q_kg_npath,
         "ml_dbscan": q_ml_dbscan,
+        "stream_fuse": q_stream_fuse,
     }
 
 
@@ -12551,6 +12552,8 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN border b ON b.id = p.id
     """
 
+    # streamed fusion state must equal the batch fold exactly
+    o["stream_fuse"] = o["kg_fuse"]
     return o
 
 
@@ -16266,3 +16269,25 @@ def q_ml_dbscan(spark, sf_dir):
 
     return grid_dbscan(_t(spark, sf_dir, "embeddings"), eps_milli=25,
                        min_pts=4)
+
+
+def q_stream_fuse(spark, sf_dir):
+    """STREAMING noisy-OR fusion maintenance under the value-exact gate
+    (streaming/ingest.py:run_fusion_available_now): the spans corpus
+    arrives as three doc-ranged files, each micro-batch runs the
+    batch RE chain and replace-MERGEs its per-statement extractor-class
+    EVENT COUNTS under a content-derived batch key (the stream_cms
+    discipline — counts add, so idempotency comes from batch keying,
+    not the fold), the whole input REPLAYS against a fresh checkpoint,
+    and read_fused folds the partials into the saturating posterior —
+    which must equal batch kg_fuse exactly (same oracle)."""
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_fused, run_fusion_available_now,
+    )
+
+    base = _stream_span_files(spark, sf_dir, "kg_stream_fuse")
+    run_fusion_available_now(spark, f"{base}/in/*", f"{base}/st",
+                             f"{base}/ck")
+    run_fusion_available_now(spark, f"{base}/in/*", f"{base}/st",
+                             f"{base}/ck2")
+    return read_fused(spark, f"{base}/st")

@@ -81,6 +81,24 @@ def fuse_extractions(
         for c in classes
     ]
     g = ev.groupBy("subj", "pred", "obj").agg(*counts)
+    return fuse_from_counts(g, residual_tenths)
+
+
+def fuse_from_counts(
+    counts: DataFrame, residual_tenths: dict[str, int]
+) -> DataFrame:
+    """The noisy-OR posterior over PRE-AGGREGATED per-statement event
+    counts (columns k_<class> — possibly several partial rows per
+    statement, e.g. one per micro-batch from the streaming fold): sum
+    the partials and apply fuse_extractions' saturating micro-unit
+    formula. Counts are plain integers, so partial rows from any
+    batching/sharding sum to exactly the full-corpus counts — this is
+    the read side of streaming fusion maintenance
+    (streaming/ingest.py:run_fusion_available_now)."""
+    classes = sorted(residual_tenths)
+    g = counts.groupBy("subj", "pred", "obj").agg(
+        *[F.sum(f"k_{c}").cast("long").alias(f"k_{c}") for c in classes]
+    )
     total = "(" + " + ".join(f"k_{c}" for c in classes) + ")"
     prod = " * ".join(
         f"CAST(power({residual_tenths[c]}, k_{c}) AS BIGINT)" for c in classes

@@ -1450,3 +1450,101 @@ def read_nt_triples(spark: SparkSession, output_dir: str) -> "DataFrame":
         .select("subj", "pred", "obj")
         .distinct()
     )
+
+
+def run_fusion_available_now(
+    spark: SparkSession, input_dir: str, table_dir: str, checkpoint_dir: str,
+    config: KGConfig | None = None,
+    class_expr: str = "CASE WHEN cast(regexp_extract(doc_id, '([0-9]+)$', 1)"
+                      " as bigint) % 2 = 0 THEN 'a' ELSE 'b' END",
+    residual_tenths: dict[str, int] | None = None,
+) -> None:
+    """Streaming noisy-OR fusion maintenance (the Knowledge Vault fold,
+    operators/fusion.py): each micro-batch of complete documents runs
+    the batch RE chain (run_relations_available_now's per-document
+    argument), reduces its relations to per-statement per-extractor-class
+    EVENT COUNTS, and lands them under a content-derived batch key via
+    replace-MERGE — the stream_cms discipline, because counts are
+    additive (associative/commutative) but not idempotent, and batch
+    keying makes replay rewrite identical rows instead of
+    double-counting.
+
+    Documents partition across batches (files are the batch unit), so a
+    (statement, doc) event lands in exactly one batch and the keyed
+    partial counts SUM to the full-corpus counts under any batching or
+    replay; read_fused folds them and applies the exact saturating
+    posterior — byte-equal to batch fuse_extractions over the same
+    corpus, which is what the gate checks.
+
+    At scale this is how statement confidence stays current against a
+    document firehose: state is one small row per (batch, statement),
+    compactable once replays are impossible, and the posterior is always
+    derivable from state alone — no corpus rescan."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.ner import extract_mentions
+    from knowledgegraphbuilder_spark.operators.relations import extract_relations
+    from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
+
+    cfg = config or KGConfig()
+    residuals = residual_tenths or {"a": 3, "b": 1}
+    classes = sorted(residuals)
+    spans = read_span_stream(spark, input_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        agg = batch_df.agg(
+            F.count("*").alias("n"),
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+            F.sum(
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                       F.lit(1_000_000_007)).cast("decimal(38,0)")
+            ).alias("hsum"),
+        ).first()
+        if agg["n"] == 0:
+            return
+        bkey = f"{agg['n']}|{agg['lo']}|{agg['hi']}|{agg['hsum']}"
+        docs = flatten_documents(batch_df)
+        mentions = extract_mentions(
+            chunk_documents(docs, cfg.ner_chunk_size, cfg.ner_chunk_overlap),
+            cfg,
+        )
+        rels = extract_relations(
+            chunk_documents(docs, cfg.re_chunk_size, cfg.re_chunk_overlap),
+            mentions, cfg,
+        )
+        ev = rels.selectExpr(
+            "head_text AS subj", "rel_type AS pred", "tail_text AS obj",
+            "doc_id", f"({class_expr}) AS ex_class",
+        ).distinct()
+        counts = ev.groupBy("subj", "pred", "obj").agg(
+            *[
+                F.sum(F.when(F.col("ex_class") == c, F.lit(1))
+                      .otherwise(F.lit(0))).cast("long").alias(f"k_{c}")
+                for c in classes
+            ]
+        ).select(F.sha2(F.lit(bkey), 256).alias("bkey"), "*")
+        merge_upsert(batch_df.sparkSession, table_dir, counts,
+                     ["bkey", "subj", "pred", "obj"])
+
+    q = (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_fused(
+    spark: SparkSession, table_dir: str,
+    residual_tenths: dict[str, int] | None = None,
+) -> "DataFrame":
+    """Fold the streaming fusion state (per-batch partial counts) into
+    the per-statement posterior — operators/fusion.fuse_from_counts over
+    the keyed partials; equals batch fuse_extractions exactly."""
+    from knowledgegraphbuilder_spark.operators.fusion import fuse_from_counts
+
+    return fuse_from_counts(
+        spark.read.parquet(table_dir), residual_tenths or {"a": 3, "b": 1}
+    )

@@ -304,3 +304,35 @@ def test_stream_mg_heavy_hitters_equals_batch_any_batching(spark, tmp_path):
             ).collect()
         }
         assert got == expected, f"stream != batch under {name} batching"
+
+
+def test_streaming_fusion_equals_batch_and_replay_idempotent(
+    spark, corpus_df, tmp_path_factory
+):
+    """run_fusion_available_now partial counts, folded by read_fused,
+    equal batch fuse_extractions over the pipeline triples — under
+    multi-file batching AND after a fresh-checkpoint replay."""
+    from knowledgegraphbuilder_spark.operators.fusion import fuse_extractions
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_fused, run_fusion_available_now,
+    )
+
+    base = str(tmp_path_factory.mktemp("stream_fuse"))
+    in_dir, st_dir = f"{base}/in", f"{base}/st"
+    corpus_df.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    run_fusion_available_now(spark, in_dir, st_dir, f"{base}/ck")
+    run_fusion_available_now(spark, in_dir, st_dir, f"{base}/ck2")  # replay
+    streamed = {tuple(r) for r in read_fused(spark, st_dir).collect()}
+
+    kg = run_pipeline(corpus_df, KGConfig())
+    batch = {
+        tuple(r)
+        for r in fuse_extractions(
+            kg.triples,
+            "CASE WHEN cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint)"
+            " % 2 = 0 THEN 'a' ELSE 'b' END",
+            {"a": 3, "b": 1},
+        ).collect()
+    }
+    assert streamed == batch
