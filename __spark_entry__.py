@@ -3438,6 +3438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_npath": q_kg_npath,
         "ml_dbscan": q_ml_dbscan,
         "stream_fuse": q_stream_fuse,
+        "g46_temporal": q_g46_temporal,
     }
 
 
@@ -12554,6 +12555,45 @@ def oracle_sql() -> dict[str, str]:
 
     # streamed fusion state must equal the batch fold exactly
     o["stream_fuse"] = o["kg_fuse"]
+
+    # temporal motifs: exact integer-microsecond window tests, quadratic
+    # within-type replay (the operator itself is bucket-banded)
+    o["g46_temporal"] = """
+        WITH ev AS (
+          SELECT event_type AS et, CAST(user_id AS VARCHAR) AS u,
+                 epoch_us(ts) AS t, event_id AS eid
+          FROM events
+        ),
+        contacts AS MATERIALIZED (
+          SELECT a.et, a.u, a.eid, b.u AS u2, b.eid AS eid2
+          FROM ev a JOIN ev b
+            ON a.et = b.et AND b.t - a.t > 0
+           AND b.t - a.t <= 3600000000 AND b.u <> a.u
+        ),
+        paths AS (
+          SELECT c1.et, c1.u, c2.u2 AS u3
+          FROM contacts c1 JOIN contacts c2
+            ON c1.et = c2.et AND c1.eid2 = c2.eid
+          WHERE c2.u2 <> c1.u
+        ),
+        nev AS (SELECT et, CAST(count(*) AS BIGINT) AS n_events
+                FROM ev GROUP BY et),
+        nc AS (SELECT et, CAST(count(*) AS BIGINT) AS n_contacts
+               FROM contacts GROUP BY et),
+        np AS (
+          SELECT et, CAST(count(*) AS BIGINT) AS n_2paths,
+                 CAST(count(DISTINCT (u, u3)) AS BIGINT)
+                   AS n_influence_pairs
+          FROM paths GROUP BY et
+        )
+        SELECT nev.et AS event_type, nev.n_events,
+               coalesce(nc.n_contacts, 0) AS n_contacts,
+               coalesce(np.n_2paths, 0) AS n_2paths,
+               coalesce(np.n_influence_pairs, 0) AS n_influence_pairs
+        FROM nev LEFT JOIN nc ON nc.et = nev.et
+        LEFT JOIN np ON np.et = nev.et
+    """
+
     return o
 
 
@@ -16291,3 +16331,17 @@ def q_stream_fuse(spark, sf_dir):
     run_fusion_available_now(spark, f"{base}/in/*", f"{base}/st",
                              f"{base}/ck2")
     return read_fused(spark, f"{base}/st")
+
+
+def q_g46_temporal(spark, sf_dir):
+    """Time-respecting temporal motifs over the event stream
+    (graphstats.py:temporal_motifs, Paranjape et al. WSDM 2017): per
+    event type, windowed contacts (0 < dt <= 1h, users distinct) and
+    2-path influence motifs chained through the shared middle event —
+    candidates from a lossless (type, time-bucket) equi-join probing
+    self + next bucket, exact integer microsecond arithmetic. Oracle
+    replays quadratically within type (test-scale only; the operator
+    never goes quadratic)."""
+    from knowledgegraphbuilder_spark.operators.graphstats import temporal_motifs
+
+    return temporal_motifs(_t(spark, sf_dir, "events"))

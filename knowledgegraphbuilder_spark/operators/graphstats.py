@@ -2590,3 +2590,86 @@ def eigenvector_centrality(
     return nodes.join(v, "node", "left").select(
         "node", F.expr("cast(coalesce(v, 0) as bigint)").alias("eig_micro")
     )
+
+
+def temporal_motifs(
+    events: DataFrame,
+    window_us: int = 3_600_000_000,
+    type_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-respecting contact and 2-path motif counting over an event
+    stream (the delta-windowed temporal-motif family of Paranjape,
+    Benson & Leskovec, WSDM 2017): within each event type, event a
+    CONTACTS event b when 0 < t_b - t_a <= window, users differ; a
+    time-respecting 2-path is contact (a -> b) chained with contact
+    (b -> c) THROUGH THE SAME MIDDLE EVENT, end users distinct — the
+    influence-propagation motif (A acts, B follows within the window,
+    C follows B).
+
+    Timestamps are exact integer MICROSECONDS (unix_micros — no float
+    epochs, no timezone arithmetic; the session is pinned UTC), so every
+    window test and count replays exactly.
+
+    Scale shape: candidate pairs come from an equi-join on (type, time
+    bucket) with each event probing its own and the NEXT window-sized
+    bucket — 0 < dt <= window implies the partner is in one of those
+    two, so the banding is lossless (the intervals.py discipline) and
+    cost tracks events-per-window density, never |events|^2. The 2-path
+    chain is an equi-join on the shared middle event id.
+
+    Output per type: (event_type, n_events, n_contacts, n_2paths,
+    n_influence_pairs = distinct ordered (first_user, last_user) over
+    2-paths). Exact BIGINTs.
+    """
+    W = int(window_us)
+    ev = events.selectExpr(
+        f"{type_col} AS et",
+        f"cast({user_col} as string) AS u",
+        # TIMESTAMP_NTZ -> TIMESTAMP under the pinned-UTC session: the
+        # naive wall time IS the UTC instant, matching epoch_us
+        f"unix_micros(cast({ts_col} as timestamp)) AS t",
+        "event_id AS eid",
+    ).withColumn("bkt", F.expr(f"t div {W}"))
+    probes = ev.selectExpr(
+        "et", "u", "t", "eid",
+        "explode(array(bkt, bkt + 1)) AS pb",
+    )
+    contacts = (
+        probes.alias("a")
+        .join(
+            ev.selectExpr("et", "u AS u2", "t AS t2", "eid AS eid2",
+                          "bkt AS pb").alias("b"),
+            ["et", "pb"],
+        )
+        .filter(F.expr(f"t2 - t > 0 AND t2 - t <= {W} AND u2 <> u"))
+        .select("et", "u", "t", "eid", "u2", "t2", "eid2")
+        .distinct()
+    )
+    paths = (
+        contacts.alias("c1")
+        .join(
+            contacts.selectExpr("et", "eid AS eid2", "u2 AS u3",
+                                "eid2 AS eid3").alias("c2"),
+            ["et", "eid2"],
+        )
+        .filter(F.col("u3") != F.col("u"))
+    )
+    nev = ev.groupBy("et").agg(F.count("*").cast("long").alias("n_events"))
+    nc = contacts.groupBy("et").agg(
+        F.count("*").cast("long").alias("n_contacts")
+    )
+    np_ = paths.groupBy("et").agg(
+        F.count("*").cast("long").alias("n_2paths"),
+        F.countDistinct("u", "u3").cast("long").alias("n_influence_pairs"),
+    )
+    return (
+        nev.join(nc, "et", "left").join(np_, "et", "left")
+        .selectExpr(
+            "et AS event_type", "n_events",
+            "coalesce(n_contacts, 0) AS n_contacts",
+            "coalesce(n_2paths, 0) AS n_2paths",
+            "coalesce(n_influence_pairs, 0) AS n_influence_pairs",
+        )
+    )

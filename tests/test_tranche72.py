@@ -93,3 +93,56 @@ def test_dbscan_two_separate_clusters(spark):
 def test_dbscan_empty_input(spark):
     df = spark.createDataFrame([], DB_SCHEMA)
     assert grid_dbscan(df).count() == 0
+
+
+def test_temporal_motifs_hand_computed(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import temporal_motifs
+
+    # type x: u1@0s -> u2@10s -> u3@20s (one 2-path); u9@2h isolated
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "x"),
+        (2, "2024-01-01 00:00:10", 2, "x"),
+        (3, "2024-01-01 00:00:20", 3, "x"),
+        (4, "2024-01-01 02:30:00", 9, "x"),
+        (5, "2024-01-01 00:00:05", 7, "y"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string")
+    df = df.selectExpr("event_id", "cast(ts as timestamp_ntz) as ts",
+                       "user_id", "event_type")
+    out = {r.event_type: r for r in temporal_motifs(df).collect()}
+    x = out["x"]
+    # contacts: (1->2), (1->3), (2->3); 2-paths through shared middle
+    # events: (1->2)+(2->3) = 1; (u1 -> u3)
+    assert (x.n_events, x.n_contacts, x.n_2paths, x.n_influence_pairs) == (4, 3, 1, 1)
+    y = out["y"]
+    assert (y.n_events, y.n_contacts, y.n_2paths) == (1, 0, 0)
+
+
+def test_temporal_motifs_same_user_and_reverse_time_excluded(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import temporal_motifs
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "x"),
+        (2, "2024-01-01 00:00:10", 1, "x"),   # same user: no contact
+        (3, "2024-01-01 00:00:05", 2, "x"),   # 1->3 forward only
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string")
+    df = df.selectExpr("event_id", "cast(ts as timestamp_ntz) as ts",
+                       "user_id", "event_type")
+    x = temporal_motifs(df).collect()[0]
+    # contacts: e1(u1)->e3(u2), e3(u2)->e2(u1); 2-path e1->e3->e2 has
+    # u3 == u1 (backtracking) so it is excluded
+    assert x.n_contacts == 2 and x.n_2paths == 0
+
+
+def test_temporal_motifs_window_boundary_inclusive(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import temporal_motifs
+
+    rows = [(1, "2024-01-01 00:00:00", 1, "x"),
+            (2, "2024-01-01 01:00:00", 2, "x"),    # dt == W: contact
+            (3, "2024-01-01 02:00:00.000001", 3, "x")]  # dt > W from e2
+    df = spark.createDataFrame(rows, "event_id long, ts string, user_id long, event_type string")
+    df = df.selectExpr("event_id", "cast(ts as timestamp_ntz) as ts",
+                       "user_id", "event_type")
+    x = temporal_motifs(df).collect()[0]
+    assert x.n_contacts == 1
