@@ -1079,6 +1079,54 @@ def main() -> None:
         "independent node-keyed aggs joined at |V| size.",
         entry.q_kg_entity_profile(spark, args.sf),
     )
+    add(
+        "Noisy-OR fusion: one distinct + one statement-keyed aggregate",
+        "The whole Knowledge Vault fold is two map-side-combinable "
+        "hash aggregates over the statement key (event distinct, then "
+        "class-count sums) with the saturating posterior as a codegen "
+        "projection — no join, no window, no floats in the fold.",
+        entry.q_kg_fuse(spark, args.sf),
+    )
+    add(
+        "Truth discovery: vote agg + min(struct) argmax, never a window",
+        "Both levels are hash aggregates; the winner per (subj, pred) "
+        "is min(struct(-votes, obj)) so a hub subject costs its "
+        "candidate count, not candidates*log(candidates).",
+        entry.q_kg_truth(spark, args.sf),
+    )
+    add(
+        "sameAs rewrite: CC assignment broadcast into two probe joins",
+        "The component assignment table is entity-sized (dim vs the "
+        "statement table), so both subject and object rewrites are "
+        "broadcast hash joins; the only full shuffle is the final "
+        "distinct over canonical triples.",
+        entry.q_kg_sameas(spark, args.sf),
+    )
+    add(
+        "TransE ranking: broadcast vectors, relation-keyed candidate join",
+        "Entity/relation embedding tables are dim-sized broadcasts; the "
+        "only pairwise work is the positives-x-candidates equi-join ON "
+        "THE RELATION (type-constrained protocol), never |T| x |E|; "
+        "ranks and hits@k collapse in two hash aggregates.",
+        entry.q_kg_embed_rank(spark, args.sf),
+    )
+    add(
+        "Grid DBSCAN: 3x3 cell equi-join, CC only over core edges",
+        "Candidates come from the (cell) hash join after a 9-way probe "
+        "explode — per-point work is bounded by its eps-neighborhood "
+        "density; the eps verify is an integer codegen filter; the CC "
+        "closure runs only on core-core edges.",
+        entry.q_ml_dbscan(spark, args.sf),
+    )
+    add(
+        "Temporal motifs: lossless time-bucket band join + mid-event chain",
+        "Contact candidates are an equi-join on (type, bucket) with a "
+        "2-way bucket probe (0 < dt <= W pins the partner to self/next "
+        "bucket — lossless banding); the 2-path chain is an equi-join "
+        "on the shared middle event id; all window tests are integer "
+        "microsecond codegen filters.",
+        entry.q_g46_temporal(spark, args.sf),
+    )
 
     header = (
         "# PLANS — physical-plan evidence\n\n"
