@@ -3439,6 +3439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ml_dbscan": q_ml_dbscan,
         "stream_fuse": q_stream_fuse,
         "g46_temporal": q_g46_temporal,
+        "kg_summary": q_kg_summary,
+        "kg_explain": q_kg_explain,
     }
 
 
@@ -12594,6 +12596,82 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN np ON np.et = nev.et
     """
 
+
+    # WL quotient: the g40_wl color replay embedded as a CTE (inner WITH
+    # shadows the outer), two assignment joins, one grouped count
+    o["kg_summary"] = f"""
+        WITH {_REL_CTE},
+        colors AS ({o["g40_wl"]}),
+        t AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        groups AS (
+          SELECT color, CAST(count(*) AS BIGINT) AS n_nodes,
+                 min(node) AS exemplar
+          FROM colors GROUP BY color
+        ),
+        q AS (
+          SELECT cs.color AS sc, t.p, co.color AS dc,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM t
+          JOIN colors cs ON cs.node = t.s
+          JOIN colors co ON co.node = t.o
+          GROUP BY 1, 2, 3
+        )
+        SELECT q.sc AS src_color, q.p AS pred, q.dc AS dst_color,
+               q.n AS n_statements, gs.n_nodes AS n_src_nodes,
+               gd.n_nodes AS n_dst_nodes, gs.exemplar AS src_exemplar,
+               gd.exemplar AS dst_exemplar
+        FROM q
+        JOIN groups gs ON gs.color = q.sc
+        JOIN groups gd ON gd.color = q.dc
+    """
+    # rule explanation: witness aggregate over the body binding set +
+    # per-atom doc-support probes
+    o["kg_explain"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o
+          FROM rels_id
+        ),
+        bind AS (
+          SELECT DISTINCT l.s AS a, l.o AS b, r.o AS c
+          FROM ed l JOIN ed r ON r.s = l.o
+          WHERE l.p = 'technology_near_organization'
+            AND r.p = 'organization_near_technology'
+        ),
+        wit AS (
+          SELECT a, c, CAST(count(DISTINCT b) AS BIGINT) AS n_witnesses,
+                 min(b) AS example_witness
+          FROM bind GROUP BY 1, 2
+        ),
+        trd AS (
+          SELECT DISTINCT head_text AS s, rel_type AS p, tail_text AS o,
+                 doc_id
+          FROM rels_id
+        ),
+        sup AS (
+          SELECT bind.a, bind.c, t.doc_id
+          FROM bind JOIN trd t
+            ON t.s = bind.a AND t.o = bind.b
+           AND t.p = 'technology_near_organization'
+          UNION ALL
+          SELECT bind.a, bind.c, t.doc_id
+          FROM bind JOIN trd t
+            ON t.s = bind.b AND t.o = bind.c
+           AND t.p = 'organization_near_technology'
+        ),
+        docs AS (
+          SELECT a, c, CAST(count(DISTINCT doc_id) AS BIGINT)
+                   AS n_support_docs
+          FROM sup GROUP BY 1, 2
+        )
+        SELECT w.a, w.c, w.n_witnesses, w.example_witness,
+               d.n_support_docs
+        FROM wit w JOIN docs d ON d.a = w.a AND d.c = w.c
+    """
+
     return o
 
 
@@ -16345,3 +16423,35 @@ def q_g46_temporal(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.graphstats import temporal_motifs
 
     return temporal_motifs(_t(spark, sf_dir, "events"))
+
+
+def q_kg_summary(spark, sf_dir):
+    """SNAP-style KG summarization by structural equivalence
+    (graphstats.py:wl_quotient, Tian et al. SIGMOD 2008): quotient the
+    graph over 2-round WL colors — one summary node per color, one
+    summary edge per (src color, pred, dst color) with statement and
+    member counts plus deterministic exemplars. The schema-shaped view
+    a billion-statement graph is explored through; |summary| is bounded
+    by structural diversity, not |V|. Oracle composes the g40_wl color
+    replay with two joins and a grouped count."""
+    from knowledgegraphbuilder_spark.operators.graphstats import wl_quotient
+
+    return wl_quotient(_kg(spark, sf_dir).triples, rounds=2)
+
+
+def q_kg_explain(spark, sf_dir):
+    """Why-provenance for rule derivations (bgp.py:explain_rule, the
+    count+exemplar restriction of Green et al. PODS 2007 lineage): for
+    every (a, c) the kg_infer rule derives, the number of distinct
+    intermediate witnesses, a deterministic example, and the distinct
+    source documents asserting any participating body atom — the
+    curation-UI explanation surface. One planned BGP join + one
+    aggregate + one narrow probe join per body atom."""
+    from knowledgegraphbuilder_spark.operators.bgp import explain_rule
+
+    body = [
+        ("?a", "technology_near_organization", "?b"),
+        ("?b", "organization_near_technology", "?c"),
+    ]
+    return explain_rule(_kg(spark, sf_dir).triples, body,
+                        ("?a", "inferred_tech_link", "?c"))

@@ -439,3 +439,64 @@ def negated_property_set(
         .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
         .distinct()
     )
+
+
+def explain_rule(
+    triples: DataFrame,
+    body: list[Pattern],
+    head: Pattern,
+) -> DataFrame:
+    """Explanation / provenance for rule derivations: for every head
+    binding apply_rule would emit, report HOW it is supported — the
+    number of distinct witness bindings of the body's non-head
+    variables, a deterministic example witness, and the number of
+    distinct source documents asserting any body atom instance that
+    participates in a derivation of this head.
+
+    The why-provenance surface (Green et al., PODS 2007 lineage
+    semantics, restricted to counts + exemplar): a curation UI shows
+    "a -> c because of 3 intermediate entities across 7 documents"
+    without materializing the full derivation forest.
+
+    Plan shape: the body BGP join runs ONCE (same planned join as
+    apply_rule); witness stats are one grouped aggregate over the
+    binding set; document support is one equi-join per body atom from
+    the bindings back to the doc-stamped statement table, unioned and
+    distinct-counted — each join is on the atom's full (s, p, o)
+    instantiation, so it probes narrow.
+    """
+    bindings = bgp_match(triples, body)
+    head_vars = [t[1:] for t in head if _is_var(t)]
+    witness_vars = [c for c in bindings.columns if c not in head_vars]
+    if not witness_vars:
+        wit = bindings.groupBy(*head_vars).agg(
+            F.count("*").cast("long").alias("n_witnesses"),
+            F.lit(None).cast("string").alias("example_witness"),
+        )
+    else:
+        wit = bindings.groupBy(*head_vars).agg(
+            F.countDistinct(*witness_vars).cast("long").alias("n_witnesses"),
+            F.min(witness_vars[0]).alias("example_witness"),
+        )
+    tr = triples.select("subj", "pred", "obj", "doc_id")
+    support = None
+    for s, p, o in body:
+        df = tr
+        cond = []
+        for term, col in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if _is_var(term):
+                cond.append((term[1:], col))
+            else:
+                df = df.filter(F.col(col) == F.lit(term))
+        atom = bindings.join(
+            df.select(
+                *[F.col(col).alias(v) for v, col in cond], "doc_id"
+            ),
+            [v for v, _ in cond],
+        ).select(*head_vars, "doc_id")
+        support = atom if support is None else support.unionAll(atom)
+    assert support is not None
+    docs = support.groupBy(*head_vars).agg(
+        F.countDistinct("doc_id").cast("long").alias("n_support_docs")
+    )
+    return wit.join(docs, head_vars)

@@ -2673,3 +2673,60 @@ def temporal_motifs(
             "coalesce(n_influence_pairs, 0) AS n_influence_pairs",
         )
     )
+
+
+def wl_quotient(
+    triples: DataFrame,
+    rounds: int = 2,
+    src_col: str = "subj",
+    pred_col: str = "pred",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """SNAP-style graph summarization (Tian et al., SIGMOD 2008) by
+    structural equivalence: quotient the KG over its WL colors
+    (wl_refine, ``rounds`` refinements) — one summary node per color,
+    one summary edge per (src color, predicate, dst color) with the
+    statement count it aggregates, plus the member counts of both
+    endpoint groups and a deterministic exemplar (min node) per side.
+
+    This is the schema-shaped view a 10^9-statement graph is explored
+    through: |colors| is bounded by structural diversity, not |V|, and
+    the whole summary is two broadcast-sized joins (color assignment
+    is node-keyed) plus one grouped count over the statement table.
+
+    Output: (src_color, pred, dst_color, n_statements, n_src_nodes,
+    n_dst_nodes, src_exemplar, dst_exemplar).
+    """
+    colors = wl_refine(triples, rounds=rounds, src_col=src_col,
+                       pred_col=pred_col, dst_col=dst_col)
+    groups = colors.groupBy("color").agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.min("node").alias("exemplar"),
+    )
+    t = triples.select(
+        F.col(src_col).cast("string").alias("src"),
+        F.col(pred_col).cast("string").alias("pred"),
+        F.col(dst_col).cast("string").alias("dst"),
+    ).distinct()
+    q = (
+        t.join(colors.selectExpr("node AS src", "color AS src_color"), "src")
+        .join(colors.selectExpr("node AS dst", "color AS dst_color"), "dst")
+        .groupBy("src_color", "pred", "dst_color")
+        .agg(F.count("*").cast("long").alias("n_statements"))
+    )
+    return (
+        q.join(
+            F.broadcast(groups.selectExpr(
+                "color AS src_color", "n_nodes AS n_src_nodes",
+                "exemplar AS src_exemplar")),
+            "src_color",
+        )
+        .join(
+            F.broadcast(groups.selectExpr(
+                "color AS dst_color", "n_nodes AS n_dst_nodes",
+                "exemplar AS dst_exemplar")),
+            "dst_color",
+        )
+        .select("src_color", "pred", "dst_color", "n_statements",
+                "n_src_nodes", "n_dst_nodes", "src_exemplar", "dst_exemplar")
+    )

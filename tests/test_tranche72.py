@@ -146,3 +146,52 @@ def test_temporal_motifs_window_boundary_inclusive(spark):
                        "user_id", "event_type")
     x = temporal_motifs(df).collect()[0]
     assert x.n_contacts == 1
+
+
+def test_wl_quotient_path_graph(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import wl_quotient
+
+    # directed path a -p-> b -p-> c: after 2 WL rounds all three nodes
+    # are structurally distinct (source / middle / sink)
+    tr = spark.createDataFrame(
+        [("a", "p", "b"), ("b", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    rows = wl_quotient(tr, rounds=2).collect()
+    assert len(rows) == 2
+    assert all(r.n_statements == 1 and r.n_src_nodes == 1 for r in rows)
+    assert {r.src_exemplar for r in rows} == {"a", "b"}
+
+
+def test_wl_quotient_merges_equivalent_nodes(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import wl_quotient
+
+    # two leaves with identical typed neighborhoods collapse into one
+    # summary node with n_nodes = 2
+    tr = spark.createDataFrame(
+        [("hub", "p", "l1"), ("hub", "p", "l2")],
+        "subj string, pred string, obj string",
+    )
+    rows = wl_quotient(tr, rounds=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_statements == 2 and r.n_dst_nodes == 2
+    assert r.dst_exemplar == "l1"
+
+
+def test_explain_rule_witness_and_doc_counts(spark):
+    from knowledgegraphbuilder_spark.operators.bgp import explain_rule
+
+    rows = [
+        ("a", "p", "m1", "d1"), ("m1", "q", "c", "d2"),
+        ("a", "p", "m2", "d3"), ("m2", "q", "c", "d1"),
+        ("x", "p", "y", "d4"),  # no q continuation
+    ]
+    tr = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string")
+    out = explain_rule(tr, [("?a", "p", "?b"), ("?b", "q", "?c")],
+                       ("?a", "derived", "?c")).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a, r.c, r.n_witnesses, r.example_witness) == ("a", "c", 2, "m1")
+    assert r.n_support_docs == 3  # d1, d2, d3
