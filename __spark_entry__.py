@@ -3441,6 +3441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g46_temporal": q_g46_temporal,
         "kg_summary": q_kg_summary,
         "kg_explain": q_kg_explain,
+        "kg_vacuum": q_kg_vacuum,
     }
 
 
@@ -12672,6 +12673,25 @@ def oracle_sql() -> dict[str, str]:
         FROM wit w JOIN docs d ON d.a = w.a AND d.c = w.c
     """
 
+
+    # vacuum: the retained (snapshot, table, rows) matrix — snapshot 2
+    # resolves triples via FALLBACK to the v1 the vacuum must not delete
+    o["kg_vacuum"] = f"""
+        WITH {_REL_CTE},
+        tr_n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rels_id),
+        nd_n AS (
+          SELECT CAST(count(DISTINCT text) AS BIGINT) AS n FROM mentions_id
+        )
+        SELECT 2 AS snapshot_id, 'nodes' AS table_name, nd_n.n AS n_rows
+        FROM nd_n
+        UNION ALL
+        SELECT 2, 'triples', tr_n.n FROM tr_n
+        UNION ALL
+        SELECT 3, 'nodes', nd_n.n FROM nd_n
+        UNION ALL
+        SELECT 3, 'triples', tr_n.n FROM tr_n
+    """
+
     return o
 
 
@@ -16455,3 +16475,40 @@ def q_kg_explain(spark, sf_dir):
     ]
     return explain_rule(_kg(spark, sf_dir).triples, body,
                         ("?a", "inferred_tech_link", "?c"))
+
+
+def q_kg_vacuum(spark, sf_dir):
+    """Snapshot retention under the value-exact gate
+    (sinks.py:vacuum_snapshots, the expireSnapshots analog): three
+    snapshots land (triples / nodes-only / triples again), the oldest
+    is expired with keep_last=2, and the result re-reads EVERY retained
+    snapshot through read_graph_snapshot — so the invariant that a
+    fallback-live table version (nodes v2, triples v1) survives the
+    vacuum is exercised against the real filesystem: a wrongly deleted
+    version would change the counts or fail the read. Oracle replays
+    the retained (snapshot, table, n_rows) matrix from the statement
+    CTEs."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        read_graph_snapshot, read_snapshot_log, vacuum_snapshots,
+        write_graph_snapshot,
+    )
+
+    kg = _kg(spark, sf_dir)
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_vacuum_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    write_graph_snapshot(base, {"triples": kg.triples})
+    write_graph_snapshot(base, {"nodes": kg.nodes})
+    write_graph_snapshot(base, {"triples": kg.triples})
+    vacuum_snapshots(base, keep_last=2)
+    rows = []
+    for entry in read_snapshot_log(base):
+        sid = entry["snapshot_id"]
+        for name, df in sorted(read_graph_snapshot(spark, base, sid).items()):
+            rows.append((sid, name, df.count()))
+    return spark.createDataFrame(
+        rows, "snapshot_id long, table_name string, n_rows long"
+    )

@@ -324,3 +324,99 @@ def snapshot_growth(spark: SparkSession, base_dir: str,
     return spark.createDataFrame(
         rows, "version long, n_rows long, n_added long, n_removed long"
     )
+
+
+def vacuum_snapshots(base_dir: str, keep_last: int = 2) -> dict:
+    """Snapshot retention (Iceberg ``expireSnapshots`` analog): expire
+    every snapshot older than the newest ``keep_last``, delete the data
+    files ONLY they reference, and rewrite the log atomically.
+
+    Correctness constraint honored: a table version directory
+    ``<table>/v=<n>`` is deleted only when NO retained snapshot resolves
+    to it — retained snapshots fall back to the newest version at or
+    before their id (read_graph_snapshot's per-table rule), so a version
+    written long ago can still be live for every retained snapshot and
+    must survive. Time travel to an expired id afterwards raises on the
+    reader side (the log no longer lists it), exactly Iceberg's
+    contract; replays of the vacuum are no-ops.
+
+    Returns {"expired": [...ids], "deleted_paths": [...], "kept": n}.
+    """
+    import json
+    import shutil
+
+    log = read_snapshot_log(base_dir)
+    if len(log) <= keep_last:
+        return {"expired": [], "deleted_paths": [], "kept": len(log)}
+    retained = log[-keep_last:]
+    expired = log[:-keep_last]
+    # every path a retained snapshot can resolve (incl. fallback to
+    # older versions for tables absent from newer snapshots)
+    live: set[str] = set()
+    for snap in retained:
+        sid = snap["snapshot_id"]
+        latest: dict[str, str] = {}
+        for entry in log:
+            if entry["snapshot_id"] > sid:
+                break
+            for name, meta in entry["tables"].items():
+                latest[name] = meta["path"]
+        live.update(latest.values())
+    deleted = []
+    for entry in expired:
+        for meta in entry["tables"].values():
+            if meta["path"] not in live and os.path.exists(meta["path"]):
+                shutil.rmtree(meta["path"], ignore_errors=True)
+                deleted.append(meta["path"])
+    # the OLDEST retained entry absorbs its full resolved table map (the
+    # Iceberg-manifest rule): dropping expired entries must not break
+    # fallback resolution for retained snapshots, so versions they still
+    # reach through older snapshots are re-listed on the retention floor
+    floor = dict(retained[0])
+    floor_sid = floor["snapshot_id"]
+    resolved: dict[str, dict] = {}
+    for entry in log:
+        if entry["snapshot_id"] > floor_sid:
+            break
+        for name, meta in entry["tables"].items():
+            resolved[name] = meta
+    floor["tables"] = resolved
+    rewritten = [floor] + [dict(e) for e in retained[1:]]
+    tmp = os.path.join(base_dir, "_snapshots.jsonl__tmp")
+    with open(tmp, "w") as f:
+        for entry in rewritten:
+            f.write(json.dumps(entry) + "\n")
+    os.replace(tmp, os.path.join(base_dir, "_snapshots.jsonl"))
+    return {
+        "expired": [e["snapshot_id"] for e in expired],
+        "deleted_paths": sorted(deleted),
+        "kept": len(retained),
+    }
+
+
+def compact_batched_state(
+    spark: SparkSession, table_dir: str, key_cols: list[str],
+    sum_cols: list[str], bkey_col: str = "bkey",
+) -> None:
+    """Compaction for batch-keyed additive streaming state (the
+    stream_cms / stream_fuse discipline): fold every per-batch partial
+    row into ONE row per logical key under the reserved batch key
+    'compacted', via exact integer sums — run once replay of the folded
+    batches is no longer possible (their checkpoint is retired), this
+    bounds state size by |logical keys| instead of |batches x keys|.
+
+    The read-side fold (sum over all rows per logical key) is invariant
+    under compaction — sums are associative — so readers need no
+    change; a replayed batch arriving AFTER compaction would insert its
+    batch key afresh and double-count, which is exactly why the
+    precondition is 'replay impossible' (same contract as Iceberg
+    compaction vs time travel). Idempotent: compacting a compacted
+    table is a no-op rewrite of the same rows.
+    """
+    if not os.path.exists(os.path.join(table_dir, "_SUCCESS")):
+        return
+    cur = spark.read.parquet(table_dir)
+    folded = cur.groupBy(*key_cols).agg(
+        *[F.sum(c).cast("long").alias(c) for c in sum_cols]
+    ).select(F.lit("compacted").alias(bkey_col), *key_cols, *sum_cols)
+    _commit_table(folded, table_dir)
