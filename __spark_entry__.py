@@ -3442,6 +3442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary": q_kg_summary,
         "kg_explain": q_kg_explain,
         "kg_vacuum": q_kg_vacuum,
+        "stream_cc": q_stream_cc,
     }
 
 
@@ -12692,6 +12693,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT 3, 'triples', tr_n.n FROM tr_n
     """
 
+    # incrementally maintained CC must equal batch CC exactly
+    o["stream_cc"] = o["g4_cc"]
     return o
 
 
@@ -16512,3 +16515,40 @@ def q_kg_vacuum(spark, sf_dir):
     return spark.createDataFrame(
         rows, "snapshot_id long, table_name string, n_rows long"
     )
+
+
+def q_stream_cc(spark, sf_dir):
+    """STREAMING incremental connected components under the value-exact
+    gate (streaming/ingest.py:run_cc_available_now): the near-dup pair
+    edges (the g4_cc substrate) arrive as three hash-split files; each
+    micro-batch recomputes ONLY the components its new edges touch
+    (affected-component recompute — per-batch cost tracks the touched
+    neighborhood, never the accumulated graph), the whole input REPLAYS
+    against a fresh checkpoint (confluent: ids are component-min, so
+    the fold is monotone and replays rewrite identical rows), and the
+    final assignment must equal batch CC — the g4_cc oracle verbatim."""
+    import hashlib
+    import shutil
+
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_cc_assign, run_cc_available_now,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.9, k=3
+    )
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/kg_stream_cc_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    for b in range(3):
+        (edges.filter(F.expr(f"pmod(xxhash64(src, dst), 3) = {b}")
+                      ).coalesce(1)
+         .write.mode("overwrite").parquet(f"{base}/in/b{b}"))
+    run_cc_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    # single-batch replay against a fresh checkpoint: a DIFFERENT trigger
+    # shape must converge to the same assignment (the fold is confluent)
+    run_cc_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2",
+                         max_files_per_trigger=None)
+    return read_cc_assign(spark, f"{base}/st")

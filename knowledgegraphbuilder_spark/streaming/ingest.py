@@ -1548,3 +1548,106 @@ def read_fused(
     return fuse_from_counts(
         spark.read.parquet(table_dir), residual_tenths or {"a": 3, "b": 1}
     )
+
+
+def run_cc_available_now(
+    spark: SparkSession, input_dir: str, state_dir: str, checkpoint_dir: str,
+    schema: str = "src string, dst string",
+    max_files_per_trigger: int | None = 1,
+) -> None:
+    """Incremental connected-components maintenance over an EDGE stream —
+    the affected-component recompute pattern: each micro-batch of new
+    edges (1) looks up which existing components its endpoints touch,
+    (2) pulls ONLY those components' edges from state, (3) re-runs the
+    large/small-star CC on that induced subgraph plus the new edges, and
+    (4) upserts the resulting assignments — vertices in untouched
+    components never move, so per-batch cost tracks the touched
+    neighborhood, not the accumulated graph.
+
+    Confluence (why replay/out-of-order is safe): component ids are
+    component-min vertex ids, so merging is monotone (ids only ever
+    decrease), the edge state is first-wins keyed by the edge itself,
+    and replaying a batch whose edges are already in state recomputes an
+    already-fixed assignment — both MERGEs rewrite identical rows. The
+    final assignment equals batch CC of the full edge multiset under
+    ANY batching, ordering, or replay, which is exactly what the oracle
+    (batch CC replay) checks.
+
+    State: <state>/edges (first-wins by edge key), <state>/assign
+    (vertex -> component, upsert by vertex)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from knowledgegraphbuilder_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from knowledgegraphbuilder_spark.sources.sinks import (
+        merge_insert_missing, merge_upsert,
+    )
+
+    edges_dir, assign_dir = f"{state_dir}/edges", f"{state_dir}/assign"
+    rs = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        rs = rs.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = rs.format("parquet").load(input_dir)
+
+    def process(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        new_e = (
+            batch_df.selectExpr(
+                "least(src, dst) AS src", "greatest(src, dst) AS dst"
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # condition on the EDGES table: after a crash between the two
+        # merges (assign written, edges not), the replay must treat the
+        # batch as first-contact — recomputing from new edges alone
+        # rewrites the identical assignment rows
+        if os.path.exists(os.path.join(edges_dir, "_SUCCESS")):
+            assign = s.read.parquet(assign_dir)
+            ends = (
+                new_e.select(F.col("src").alias("vertex"))
+                .unionAll(new_e.select(F.col("dst").alias("vertex")))
+                .distinct()
+            )
+            touched = (
+                assign.join(ends, "vertex", "left_semi")
+                .select("component").distinct()
+            )
+            old_edges = (
+                s.read.parquet(edges_dir).select("src", "dst")
+                .join(
+                    assign.withColumnRenamed("vertex", "src")
+                    .join(touched, "component", "left_semi")
+                    .select("src"),
+                    "src", "left_semi",
+                )
+            )
+            sub = old_edges.unionByName(new_e)
+        else:
+            sub = new_e
+        if sub.isEmpty():
+            return
+        sub_assign = connected_components(sub)
+        merge_upsert(s, assign_dir, sub_assign, "vertex")
+        key = new_e.select(
+            F.concat_ws("\x1f", "src", "dst").alias("ekey"), "src", "dst"
+        )
+        merge_insert_missing(s, edges_dir, key, "ekey")
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cc_assign(spark: SparkSession, state_dir: str) -> "DataFrame":
+    """The maintained (vertex, component) assignment."""
+    return spark.read.parquet(f"{state_dir}/assign").select(
+        "vertex", "component"
+    )

@@ -336,3 +336,38 @@ def test_streaming_fusion_equals_batch_and_replay_idempotent(
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_cc_affected_recompute_equals_batch(spark, tmp_path):
+    """Incremental CC (affected-component recompute) equals batch CC
+    after multi-batch arrival, cross-batch merges, and a fresh-checkpoint
+    replay with a DIFFERENT trigger shape (confluence)."""
+    from knowledgegraphbuilder_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from knowledgegraphbuilder_spark.streaming.ingest import (
+        read_cc_assign, run_cc_available_now,
+    )
+
+    # chain a-b-c-d built ACROSS batches (b-c arrives last and merges
+    # two existing components), plus an isolated pair
+    batches = [
+        [("a", "b"), ("x", "y")],
+        [("c", "d")],
+        [("b", "c")],
+    ]
+    base = str(tmp_path / "cc")
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "src string, dst string").coalesce(
+            1).write.mode("overwrite").parquet(f"{base}/in/b{i}")
+    run_cc_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck")
+    run_cc_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2",
+                         max_files_per_trigger=None)
+    streamed = {(r.vertex, r.component)
+                for r in read_cc_assign(spark, f"{base}/st").collect()}
+    all_edges = spark.createDataFrame(
+        [e for b in batches for e in b], "src string, dst string")
+    batch = {(r.vertex, r.component)
+             for r in connected_components(all_edges).collect()}
+    assert streamed == batch
+    assert ("d", "a") in streamed  # the cross-batch merge happened
