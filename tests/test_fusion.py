@@ -267,3 +267,20 @@ def test_phash_dedup_assignment_covers_all_refs(spark, sf_dir):
     assert all(r.canon_ref <= r.media_ref for r in rows)
     canon_self = {r.media_ref: r.canon_ref for r in rows}
     assert all(canon_self[r.canon_ref] == r.canon_ref for r in rows)
+
+
+def test_fusion_ops_empty_inputs(spark):
+    from knowledgegraphbuilder_spark.operators.fusion import transe_rank_eval
+
+    empty = spark.createDataFrame([], TRIPLE_SCHEMA)
+    assert fuse_extractions(empty, "'a'", {"a": 3, "b": 1}).count() == 0
+    assert resolve_functional(empty, ["p"]).count() == 0
+    assert pra_path_features(empty, "t").count() == 0
+    assert transe_rank_eval(empty).count() == 0
+    sa = spark.createDataFrame([], "src string, dst string")
+    assert sameas_rewrite(empty.select("subj", "pred", "obj"), sa).count() == 0
+
+
+def test_eigenvector_empty_edges(spark):
+    ed = spark.createDataFrame([], "src string, dst string")
+    assert eigenvector_centrality(ed, iters=3).count() == 0

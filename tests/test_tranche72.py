@@ -195,3 +195,20 @@ def test_explain_rule_witness_and_doc_counts(spark):
     r = out[0]
     assert (r.a, r.c, r.n_witnesses, r.example_witness) == ("a", "c", 2, "m1")
     assert r.n_support_docs == 3  # d1, d2, d3
+
+
+def test_tranche72_empty_inputs(spark):
+    from knowledgegraphbuilder_spark.operators.bgp import (
+        negated_property_set, path_quantified,
+    )
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        temporal_motifs, wl_quotient,
+    )
+
+    tr = spark.createDataFrame([], "subj string, pred string, obj string")
+    assert path_quantified(tr, "p", 2, 3).count() == 0
+    assert negated_property_set(tr, ["p"]).count() == 0
+    assert wl_quotient(tr, rounds=2).count() == 0
+    ev = spark.createDataFrame(
+        [], "event_id long, ts timestamp_ntz, user_id long, event_type string")
+    assert temporal_motifs(ev).count() == 0
