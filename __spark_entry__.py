@@ -60,6 +60,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _PIPE_CACHE: dict[str, object] = {}
 
 
+_SPANS_CACHE: dict[str, object] = {}
+
+
+def _spans_cached(spark: SparkSession, sf_dir: str):
+    """The synthesized interleaved spans table feeds 17 queries (the mm_*
+    family, the streaming fixtures, the KG pipeline); the boundary-slice
+    synthesis expressions cost ~9 s at sf0.1, so one eager localCheckpoint
+    per (session, sf_dir) pays it once — the _copurchase_edges
+    discipline. Values identical either way."""
+    key = f"{id(spark)}|{sf_dir}"
+    if key not in _SPANS_CACHE:
+        _SPANS_CACHE[key] = read_documents_parquet(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
+    return _SPANS_CACHE[key]
+
+
 def _kg(spark: SparkSession, sf_dir: str):
     """Pipeline results for sf_dir (cached per dir within a process).
 
@@ -69,7 +86,7 @@ def _kg(spark: SparkSession, sf_dir: str):
     the whole inference chain per action."""
     key = sf_dir
     if key not in _PIPE_CACHE:
-        spans = read_documents_parquet(spark, sf_dir)
+        spans = _spans_cached(spark, sf_dir)
         _PIPE_CACHE[key] = run_pipeline(spans, CFG, materialize="ckpt")
     return _PIPE_CACHE[key]
 
@@ -193,7 +210,7 @@ def q_kg_answer(spark, sf_dir):
     idx = index_edges(kg.edges, CFG.embedding_dim)
     q = "which customer stream uses spark"
     ranked = retrieve_documents(kg.edges, kg.membership, idx, q, cfg)
-    docs = read_documents_parquet(spark, sf_dir)
+    docs = _spans_cached(spark, sf_dir)
     from knowledgegraphbuilder_spark.operators.flatten import flatten_documents
 
     ans = answer_question(ranked, flatten_documents(docs), q)
@@ -880,7 +897,7 @@ def q_retrieval_batch(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     feats = extract_features(fetch_media(media_refs(spans)))
     return feats.select("media_ref", "media_type", "n_bytes", "byte_mean", "byte_entropy")
 
@@ -894,7 +911,7 @@ def q_mm_align(spark, sf_dir):
     running-window pairing."""
     from knowledgegraphbuilder_spark.operators.multimodal import align_media_to_text
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     return align_media_to_text(spans)
 
 
@@ -906,7 +923,7 @@ def q_mm_transitions(spark, sf_dir):
         modality_transitions,
     )
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     return modality_transitions(spans)
 
 
@@ -920,7 +937,7 @@ def q_mm_pack(spark, sf_dir):
     hash."""
     from knowledgegraphbuilder_spark.operators.curation import pack_sequences
 
-    spans = read_documents_parquet(spark, sf_dir).select(
+    spans = _spans_cached(spark, sf_dir).select(
         F.substring("doc_id", 5, 18).cast("long").alias("doc_id"), "spans"
     )
     # non-final text spans end in the boundary space -> drop empty tokens
@@ -1026,7 +1043,7 @@ def q_kg_incremental(spark, sf_dir):
     from knowledgegraphbuilder_spark.operators.relations import extract_relations
     from knowledgegraphbuilder_spark.sources.sinks import merge_upsert
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/kg_incr_{tag}"
     shutil.rmtree(base, ignore_errors=True)
@@ -1076,7 +1093,7 @@ def q_stream_relations(spark, sf_dir):
         run_relations_available_now,
     )
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/kg_stream_relations_{tag}"
     shutil.rmtree(base, ignore_errors=True)
@@ -1151,7 +1168,7 @@ def q_mm_frames(spark, sf_dir):
     byte-exact frame payload replay via the deterministic fake fetch."""
     from knowledgegraphbuilder_spark.operators.multimodal import frame_sample
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     frames = frame_sample(fetch_media(media_refs(spans)), n_frames=4)
     # hex-encode the BINARY payload: the gate's canonicalizer sorts column
     # values, and DuckDB returns BINARY as unhashable bytearray
@@ -14734,7 +14751,7 @@ def q_mm_audit(spark, sf_dir):
     table); ordered reassembly uses sort_array(collect_list(struct(p,
     text))) so the concat order is deterministic, never
     collect-order-dependent."""
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     ex = spans.select(
         "doc_id", F.posexplode("spans").alias("p", "s")
     ).select(
@@ -14935,7 +14952,7 @@ def q_mm_modality_mix(spark, sf_dir):
     the shard-balance view a multimodal mixture sampler needs (text-only
     sources starve the vision tower). One explode + two grouped counts;
     oracle replays the span synthesis joined back to doc sources."""
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     ex = spans.select(
         "doc_id", F.explode("spans").alias("s")
     ).select("doc_id", F.col("s.kind").alias("kind"))
@@ -15028,7 +15045,7 @@ def q_mm_caption_stats(spark, sf_dir):
     replays the span synthesis and the windows in SQL."""
     from knowledgegraphbuilder_spark.operators.multimodal import caption_stats
 
-    return caption_stats(read_documents_parquet(spark, sf_dir))
+    return caption_stats(_spans_cached(spark, sf_dir))
 
 
 def q_mm_media_budget(spark, sf_dir):
@@ -15039,7 +15056,7 @@ def q_mm_media_budget(spark, sf_dir):
     deterministic fetch size (256 + first sha256 byte) per ref in SQL."""
     from knowledgegraphbuilder_spark.operators.multimodal import media_budget
 
-    return media_budget(read_documents_parquet(spark, sf_dir))
+    return media_budget(_spans_cached(spark, sf_dir))
 
 
 def q_mm_phash_buckets(spark, sf_dir):
@@ -15050,7 +15067,7 @@ def q_mm_phash_buckets(spark, sf_dir):
     estimate of a pHash dedup verify join."""
     from knowledgegraphbuilder_spark.operators.multimodal import phash_buckets
 
-    return phash_buckets(read_documents_parquet(spark, sf_dir))
+    return phash_buckets(_spans_cached(spark, sf_dir))
 
 
 def _stream_span_files(spark, sf_dir, tag_prefix):
@@ -15060,7 +15077,7 @@ def _stream_span_files(spark, sf_dir, tag_prefix):
     import hashlib
     import shutil
 
-    spans = read_documents_parquet(spark, sf_dir)
+    spans = _spans_cached(spark, sf_dir)
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
     base = f"/tmp/{tag_prefix}_{tag}"
     shutil.rmtree(base, ignore_errors=True)
@@ -15213,7 +15230,7 @@ def q_mm_context_profile(spark, sf_dir):
         context_profile,
     )
 
-    return context_profile(read_documents_parquet(spark, sf_dir))
+    return context_profile(_spans_cached(spark, sf_dir))
 
 
 def q_ts_pack_efficiency(spark, sf_dir):
@@ -16367,7 +16384,7 @@ def q_mm_dedup(spark, sf_dir):
         phash_dedup_resolve,
     )
 
-    return phash_dedup_resolve(read_documents_parquet(spark, sf_dir))
+    return phash_dedup_resolve(_spans_cached(spark, sf_dir))
 
 
 def q_kg_path_quant(spark, sf_dir):
