@@ -3460,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_explain": q_kg_explain,
         "kg_vacuum": q_kg_vacuum,
         "stream_cc": q_stream_cc,
+        "sk_srcsim": q_sk_srcsim,
     }
 
 
@@ -12712,6 +12713,39 @@ def oracle_sql() -> dict[str, str]:
 
     # incrementally maintained CC must equal batch CC exactly
     o["stream_cc"] = o["g4_cc"]
+
+    # signature agreement over the Carter-Wegman replay (the
+    # stream_minhash signature oracle reshaped into pairwise counts)
+    o["sk_srcsim"] = f"""
+        WITH t AS (
+          SELECT source AS g, {duckdb_word_shingles('text', 3)} AS sh
+          FROM documents
+        ),
+        e AS (SELECT g, UNNEST(sh) AS s FROM t WHERE len(sh) > 0),
+        xs AS (
+          SELECT g, ('0x' || substr(sha256(s), 1, 15))::BIGINT
+                    % {_sketches.MINHASH_GROUP_PRIME} AS x
+          FROM e
+        ),
+        ab(perm, a, b) AS (VALUES {", ".join(
+            f"({i}, {a}, {b})"
+            for i, (a, b) in enumerate(_sketches.minhash_ab()))}),
+        sig AS (
+          SELECT g, ab.perm AS perm,
+                 min((ab.a * xs.x + ab.b)
+                     % {_sketches.MINHASH_GROUP_PRIME}) AS minv
+          FROM xs CROSS JOIN ab GROUP BY 1, 2
+        )
+        SELECT a.g AS src_a, b.g AS src_b,
+               CAST(sum(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_agree,
+               CAST(count(*) AS BIGINT) AS n_perm,
+               CAST(sum(CASE WHEN a.minv = b.minv THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS jaccard_micro
+        FROM sig a JOIN sig b ON a.perm = b.perm AND a.g < b.g
+        GROUP BY 1, 2
+    """
+
     return o
 
 
@@ -16569,3 +16603,18 @@ def q_stream_cc(spark, sf_dir):
     run_cc_available_now(spark, f"{base}/in/*", f"{base}/st", f"{base}/ck2",
                          max_files_per_trigger=None)
     return read_cc_assign(spark, f"{base}/st")
+
+
+def q_sk_srcsim(spark, sf_dir):
+    """Source-vs-source resemblance from the MinHash group signatures
+    (sketches.py:minhash_source_resemblance, Broder 1997 collision
+    estimator): est. Jaccard per source pair as exact integers
+    (n_agree / n_perm, micro-unit ratio) — the cross-corpus-overlap
+    question the stream_minhash state exists to answer, from 2*n_perm
+    longs per pair. Oracle replays the Carter-Wegman signatures and the
+    agreement count."""
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        minhash_source_resemblance,
+    )
+
+    return minhash_source_resemblance(_t(spark, sf_dir, "documents"))

@@ -656,3 +656,41 @@ def kmv_estimate(
         f" else ({kk} - 1.0d) * {two60}d / kth end"
         f" - {int(n_exact)}) / {int(n_exact)}, 6) as rel_err",
     )
+
+
+def minhash_source_resemblance(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n_perm: int = MINHASH_GROUP_PERMS,
+) -> DataFrame:
+    """Pairwise SOURCE resemblance from the per-group MinHash signatures
+    (minhash_group_signatures): est. Jaccard(A, B) = |{i : sig_A[i] ==
+    sig_B[i]}| / n_perm (Broder 1997's collision estimator), reported as
+    exact integers (n_agree, n_perm) plus the micro-unit ratio — THE
+    question the group signatures exist to answer (which corpora overlap
+    enough to cross-deduplicate?) from 2 * n_perm longs per pair,
+    however many billions of documents each side holds.
+
+    Plan: signatures (n_groups * n_perm rows) self-join on the
+    permutation index — the pair table is |groups|^2 * n_perm, groups
+    being dim-sized by construction — then one grouped agreement count.
+    Output: (src_a, src_b, n_agree, n_perm, jaccard_micro) for a < b.
+    """
+    sig = minhash_group_signatures(df, group_col, text_col, n_perm=n_perm)
+    a = sig.selectExpr("g AS src_a", "perm", "minv AS va")
+    b = sig.selectExpr("g AS src_b", "perm", "minv AS vb")
+    return (
+        a.join(b, "perm")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.expr("CASE WHEN va = vb THEN 1 ELSE 0 END"))
+            .cast("long").alias("n_agree"),
+            F.count("*").cast("long").alias("n_perm"),
+        )
+        .selectExpr(
+            "src_a", "src_b", "n_agree", "n_perm",
+            "CAST(n_agree * 1000000 div n_perm AS BIGINT) AS jaccard_micro",
+        )
+    )

@@ -367,3 +367,23 @@ class TestDegenerateInputs7:
         rows = minhash_group_signatures(df).collect()
         # short texts still shingle (whole-text gram); 16 perms, one group
         assert len(rows) == 16
+
+
+def test_minhash_source_resemblance_identical_and_disjoint(spark):
+    from knowledgegraphbuilder_spark.operators.sketches import (
+        minhash_source_resemblance,
+    )
+
+    rows = [
+        # sources A and B identical text -> jaccard 1.0; C disjoint
+        (1, "alpha beta gamma delta epsilon", "en", "A", 30),
+        (2, "alpha beta gamma delta epsilon", "en", "B", 30),
+        (3, "zeta eta theta iota kappa lambda", "en", "C", 32),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {(r.src_a, r.src_b): r
+           for r in minhash_source_resemblance(df).collect()}
+    assert out[("A", "B")].jaccard_micro == 1000000
+    assert out[("A", "C")].n_agree == 0 and out[("B", "C")].n_agree == 0
+    assert all(r.n_perm == 16 for r in out.values())
