@@ -3461,6 +3461,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vacuum": q_kg_vacuum,
         "stream_cc": q_stream_cc,
         "sk_srcsim": q_sk_srcsim,
+        "g47_triads": q_g47_triads,
+        "kg_cardest": q_kg_cardest,
     }
 
 
@@ -12746,6 +12748,84 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1, 2
     """
 
+
+    # closed triad census over the directed core: FFLs at their unique
+    # wedge, cycles anchored at the min node
+    o["g47_triads"] = f"""
+        WITH {_DIRECTED_CTES},
+        core AS (
+          SELECT a AS n FROM eu WHERE w >= 3
+          UNION SELECT b FROM eu WHERE w >= 3
+        ),
+        ec AS MATERIALIZED (
+          SELECT a, b, w FROM eu
+          WHERE a IN (SELECT n FROM core) AND b IN (SELECT n FROM core)
+        ),
+        de AS MATERIALIZED (
+          SELECT DISTINCT s, d FROM (
+            SELECT a AS s, b AS d FROM ec
+            UNION ALL SELECT b, a FROM ec WHERE w >= 3
+          ) WHERE s <> d
+        ),
+        wedges AS MATERIALIZED (
+          SELECT x.s AS a, x.d AS b, y.d AS c
+          FROM de x JOIN de y ON y.s = x.d
+          WHERE x.s <> y.d
+        )
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM de) AS n_edges,
+               CAST(count(*) AS BIGINT) AS n_wedges,
+               CAST(coalesce(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM de WHERE de.s = w.a AND de.d = w.c)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_ffl,
+               CAST(coalesce(sum(CASE WHEN w.a < w.b AND w.a < w.c
+                 AND EXISTS (SELECT 1 FROM de
+                             WHERE de.s = w.c AND de.d = w.a)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cycle
+        FROM wedges w
+    """
+    # System-R containment estimate vs true composition cardinality
+    o["kg_cardest"] = f"""
+        WITH {_REL_CTE},
+        ed AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred,
+                 tail_text AS obj
+          FROM rels_id
+        ),
+        oc AS (
+          SELECT pred AS p, obj AS mid, CAST(count(*) AS BIGINT) AS c_out
+          FROM ed GROUP BY 1, 2
+        ),
+        sc AS (
+          SELECT pred AS q, subj AS mid, CAST(count(*) AS BIGINT) AS c_in
+          FROM ed GROUP BY 1, 2
+        ),
+        act AS (
+          SELECT oc.p, sc.q,
+                 CAST(sum(oc.c_out * sc.c_in) AS BIGINT) AS actual_rows
+          FROM oc JOIN sc ON sc.mid = oc.mid GROUP BY 1, 2
+        ),
+        ps AS (
+          SELECT pred AS p, CAST(count(*) AS BIGINT) AS n_p,
+                 CAST(count(DISTINCT obj) AS BIGINT) AS ndv_p_obj
+          FROM ed GROUP BY 1
+        ),
+        qs AS (
+          SELECT pred AS q, CAST(count(*) AS BIGINT) AS n_q,
+                 CAST(count(DISTINCT subj) AS BIGINT) AS ndv_q_subj
+          FROM ed GROUP BY 1
+        )
+        SELECT act.p, act.q, ps.n_p, qs.n_q, ps.ndv_p_obj, qs.ndv_q_subj,
+               CAST(ps.n_p * qs.n_q
+                    // greatest(ps.ndv_p_obj, qs.ndv_q_subj) AS BIGINT)
+                 AS est_rows,
+               act.actual_rows,
+               CAST(abs(ps.n_p * qs.n_q
+                        // greatest(ps.ndv_p_obj, qs.ndv_q_subj)
+                        - act.actual_rows) * 1000000
+                    // act.actual_rows AS BIGINT) AS rel_err_micro
+        FROM act JOIN ps ON ps.p = act.p JOIN qs ON qs.q = act.q
+    """
+
     return o
 
 
@@ -16618,3 +16698,29 @@ def q_sk_srcsim(spark, sf_dir):
     )
 
     return minhash_source_resemblance(_t(spark, sf_dir, "documents"))
+
+
+def q_g47_triads(spark, sf_dir):
+    """Closed directed triad census over the cycle-bearing co-purchase
+    core (graphstats.py:triad_census, Milo et al. Science 2002):
+    feed-forward loops counted at their unique wedge, 3-cycles anchored
+    at the smallest node — the motif signature separating hierarchy from
+    feedback. One wedge equi-join + chord/back existence joins; oracle
+    replays both counts."""
+    from knowledgegraphbuilder_spark.operators.graphstats import triad_census
+
+    return triad_census(_directed_copurchase(spark, sf_dir, core_only=True))
+
+
+def q_kg_cardest(spark, sf_dir):
+    """Join-cardinality statistics for BGP planning
+    (graph_build.py:join_cardinality_stats, Selinger et al. SIGMOD'79):
+    the System-R containment estimate vs the TRUE composition-join
+    cardinality per ordered predicate pair, relative error in integer
+    micro-units — where the independence assumption breaks on this KG.
+    Oracle replays counts, estimate, and error exactly."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        join_cardinality_stats,
+    )
+
+    return join_cardinality_stats(_kg(spark, sf_dir).triples)

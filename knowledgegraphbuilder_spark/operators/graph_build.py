@@ -555,3 +555,59 @@ def mine_composition_rules(
         .select("body_p", "body_q", "head_r", "n_body", "support",
                 "confidence")
     )
+
+
+def join_cardinality_stats(triples: DataFrame) -> DataFrame:
+    """Optimizer-statistics audit for BGP planning: for every ordered
+    predicate pair (p, q) whose composition join p.obj = q.subj is
+    non-empty, compare the textbook System-R containment estimate
+
+        est = n_p * n_q div max(ndv_obj(p), ndv_subj(q))
+
+    (Selinger et al., SIGMOD 1979) against the TRUE join cardinality
+    sum_mid cnt_p(mid) * cnt_q(mid), with the relative error in integer
+    micro-units — the statistics table that tells bgp.plan_order's
+    selectivity heuristic where the independence assumption breaks
+    (skewed mid entities make the estimate collapse).
+
+    Plan: one per-(pred, mid) count table scanned twice (obj side, subj
+    side), one equi-join on mid for the exact count, dim-sized per-pred
+    aggregates broadcast for the estimate — nothing beyond the real
+    join's own cost. Exact BIGINT throughout.
+
+    Output: (p, q, n_p, n_q, ndv_p_obj, ndv_q_subj, est_rows,
+    actual_rows, rel_err_micro).
+    """
+    ed = triples.select("subj", "pred", "obj").distinct()
+    obj_cnt = ed.groupBy(F.col("pred").alias("p"),
+                         F.col("obj").alias("mid")).agg(
+        F.count("*").cast("long").alias("c_out"))
+    subj_cnt = ed.groupBy(F.col("pred").alias("q"),
+                          F.col("subj").alias("mid")).agg(
+        F.count("*").cast("long").alias("c_in"))
+    actual = (
+        obj_cnt.join(subj_cnt, "mid")
+        .groupBy("p", "q")
+        .agg(F.sum(F.expr("c_out * c_in")).cast("long").alias("actual_rows"))
+    )
+    pstats = ed.groupBy(F.col("pred").alias("p")).agg(
+        F.count("*").cast("long").alias("n_p"),
+        F.countDistinct("obj").cast("long").alias("ndv_p_obj"),
+    )
+    qstats = ed.groupBy(F.col("pred").alias("q")).agg(
+        F.count("*").cast("long").alias("n_q"),
+        F.countDistinct("subj").cast("long").alias("ndv_q_subj"),
+    )
+    return (
+        actual.join(F.broadcast(pstats), "p")
+        .join(F.broadcast(qstats), "q")
+        .selectExpr(
+            "p", "q", "n_p", "n_q", "ndv_p_obj", "ndv_q_subj",
+            "CAST(n_p * n_q div greatest(ndv_p_obj, ndv_q_subj) AS BIGINT)"
+            " AS est_rows",
+            "actual_rows",
+            "CAST(abs(n_p * n_q div greatest(ndv_p_obj, ndv_q_subj)"
+            " - actual_rows) * 1000000 div actual_rows AS BIGINT)"
+            " AS rel_err_micro",
+        )
+    )

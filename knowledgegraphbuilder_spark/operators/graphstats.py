@@ -2733,3 +2733,63 @@ def wl_quotient(
         .select("src_color", "pred", "dst_color", "n_statements",
                 "n_src_nodes", "n_dst_nodes", "src_exemplar", "dst_exemplar")
     )
+
+
+def triad_census(
+    edges: DataFrame,
+    src_col: str = "s",
+    dst_col: str = "d",
+) -> DataFrame:
+    """Closed directed triad census: count feed-forward loops (a->b,
+    b->c, a->c) and 3-cycles (a->b, b->c, c->a) — the two closed triad
+    classes whose ratio is the classic network-motif signal (Milo et
+    al., Science 2002: FFLs are overrepresented in hierarchies, cycles
+    in feedback systems).
+
+    Exactness/dedup: FFLs are counted at their unique wedge (each FFL
+    has exactly one (a, b, c) with both a->b->c and the a->c chord, so
+    the wedge join + chord semi-check counts each once); cycles are
+    counted once by anchoring at the lexicographically smallest node.
+    Self-loops and parallel edges are removed up front.
+
+    Plan: one wedge equi-join (b matches) + one edge-existence join —
+    the degree-bounded triangle pattern, never nodes^3; both counts are
+    map-side-combinable sums off the same wedge table.
+
+    Output: one row (n_edges, n_wedges, n_ffl, n_cycle).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).cast("string").alias("s"),
+            F.col(dst_col).cast("string").alias("d"),
+        )
+        .filter(F.col("s") != F.col("d"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wedges = (
+        e.selectExpr("s AS a", "d AS b")
+        .join(e.selectExpr("s AS b", "d AS c"), "b")
+        .filter(F.col("a") != F.col("c"))
+    )
+    chords = e.selectExpr("s AS a", "d AS c", "true AS has_ac")
+    back = e.selectExpr("s AS c", "d AS a", "true AS has_ca")
+    closed = (
+        wedges.join(chords, ["a", "c"], "left")
+        .join(back, ["a", "c"], "left")
+    )
+    stats = closed.agg(
+        F.count("*").cast("long").alias("n_wedges"),
+        F.sum(F.expr("CASE WHEN has_ac THEN 1 ELSE 0 END"))
+        .cast("long").alias("n_ffl"),
+        F.sum(F.expr(
+            "CASE WHEN has_ca AND a < b AND a < c THEN 1 ELSE 0 END"
+        )).cast("long").alias("n_cycle"),
+    )
+    return (
+        e.agg(F.count("*").cast("long").alias("n_edges"))
+        .crossJoin(stats)
+        .selectExpr("n_edges", "coalesce(n_wedges, 0) AS n_wedges",
+                    "coalesce(n_ffl, 0) AS n_ffl",
+                    "coalesce(n_cycle, 0) AS n_cycle")
+    )

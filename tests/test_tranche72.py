@@ -212,3 +212,51 @@ def test_tranche72_empty_inputs(spark):
     ev = spark.createDataFrame(
         [], "event_id long, ts timestamp_ntz, user_id long, event_type string")
     assert temporal_motifs(ev).count() == 0
+
+
+def test_triad_census_ffl_and_cycle(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import triad_census
+
+    # FFL: a->b, b->c, a->c ; separate cycle: x->y, y->z, z->x
+    ed = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "s string, d string",
+    )
+    r = triad_census(ed).collect()[0]
+    assert (r.n_edges, r.n_ffl, r.n_cycle) == (6, 1, 1)
+    # wedges: ab+bc, (ac has no continuation), xy+yz, yz+zx, zx+xy
+    assert r.n_wedges == 4
+
+
+def test_triad_census_self_loops_and_dups_removed(spark):
+    from knowledgegraphbuilder_spark.operators.graphstats import triad_census
+
+    ed = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("a", "b")], "s string, d string")
+    r = triad_census(ed).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_ffl, r.n_cycle) == (1, 0, 0, 0)
+
+
+def test_join_cardinality_exact_on_uniform_and_skewed(spark):
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        join_cardinality_stats,
+    )
+
+    rows = [
+        # p: 2 rows to distinct mids; q: each mid continues once ->
+        # independence holds exactly: est = 2*2/max(2,2) = 2 = actual
+        ("a1", "p", "m1", "d"), ("a2", "p", "m2", "d"),
+        ("m1", "q", "z1", "d"), ("m2", "q", "z2", "d"),
+        # r: skew — both rows hit ONE mid that fans 2 ways in s
+        ("b1", "r", "hub", "d"), ("b2", "r", "hub", "d"),
+        ("hub", "s", "w1", "d"), ("hub", "s", "w2", "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string")
+    out = {(r.p, r.q): r for r in join_cardinality_stats(df).collect()}
+    pq = out[("p", "q")]
+    assert (pq.est_rows, pq.actual_rows, pq.rel_err_micro) == (2, 2, 0)
+    rs = out[("r", "s")]
+    # est = 2*2/max(1,1) = 4 = actual here (single shared mid): err 0
+    assert rs.actual_rows == 4 and rs.est_rows == 4
