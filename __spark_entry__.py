@@ -3463,6 +3463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sk_srcsim": q_sk_srcsim,
         "g47_triads": q_g47_triads,
         "kg_cardest": q_kg_cardest,
+        "kg_asof": q_kg_asof,
+        "ml_conformal": q_ml_conformal,
     }
 
 
@@ -12826,6 +12828,96 @@ def oracle_sql() -> dict[str, str]:
         FROM act JOIN ps ON ps.p = act.p JOIN qs ON qs.q = act.q
     """
 
+
+    # as-of temporal query: validity windows over assertion times, the
+    # midpoint filter replayed
+    o["kg_asof"] = f"""
+        WITH {_REL_CTE},
+        ev AS (
+          SELECT head_text AS subj, rel_type AS pred, tail_text AS obj,
+                 CAST(regexp_extract(doc_id, '([0-9]+)$', 1) AS BIGINT)
+                   AS t
+          FROM rels_id
+        ),
+        v AS (
+          SELECT subj, pred, obj,
+                 CAST(min(t) AS BIGINT) AS t_from,
+                 CAST(max(t) AS BIGINT) AS t_to,
+                 CAST(count(DISTINCT t) AS BIGINT) AS n_assertions
+          FROM ev GROUP BY 1, 2, 3
+        ),
+        mid AS (SELECT max(t) // 2 AS m FROM ev)
+        SELECT v.* FROM v, mid WHERE v.t_from <= mid.m AND mid.m <= v.t_to
+    """
+
+
+    # split-conformal replay: HUGEINT scaled residuals, k-th order
+    # statistic via row_number, integer coverage
+    o["ml_conformal"] = """
+        WITH base AS (
+          SELECT l_returnflag AS grp,
+                 CAST(l_quantity AS HUGEINT) AS x,
+                 CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT) AS y,
+                 ('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR) || '-'
+                                 || CAST(l_linenumber AS VARCHAR)), 1, 15)
+                 )::BIGINT % 3 AS fold
+          FROM lineitem
+        ),
+        stats AS (
+          SELECT grp, CAST(count(*) AS HUGEINT) AS n_tr,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy
+          FROM base WHERE fold = 0 GROUP BY grp
+        ),
+        fit AS (
+          SELECT grp, n_tr, sx, sy,
+                 n_tr * sxy - sx * sy AS nn,
+                 n_tr * sxx - sx * sx AS dd
+          FROM stats WHERE n_tr * sxx - sx * sx <> 0
+        ),
+        cal AS (
+          SELECT b.grp,
+                 abs(f.n_tr * f.dd * b.y - f.sy * f.dd + f.nn * f.sx
+                     - f.n_tr * f.nn * b.x) AS ar
+          FROM base b JOIN fit f ON f.grp = b.grp WHERE b.fold = 1
+        ),
+        nc AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
+                 CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k
+          FROM cal GROUP BY grp
+        ),
+        qh AS (
+          SELECT c.grp, nc.n_cal, nc.k, c.ar AS q_scaled
+          FROM (
+            SELECT grp, ar,
+                   row_number() OVER (PARTITION BY grp ORDER BY ar) AS rn
+            FROM cal
+          ) c JOIN nc ON nc.grp = c.grp AND c.rn = nc.k
+        ),
+        tst AS (
+          SELECT b.grp, CAST(count(*) AS BIGINT) AS n_test,
+                 CAST(sum(CASE WHEN
+                   abs(f.n_tr * f.dd * b.y - f.sy * f.dd + f.nn * f.sx
+                       - f.n_tr * f.nn * b.x) <= q.q_scaled
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
+          FROM base b
+          JOIN fit f ON f.grp = b.grp
+          JOIN qh q ON q.grp = b.grp
+          WHERE b.fold = 2 GROUP BY b.grp
+        )
+        SELECT f.grp, CAST(f.n_tr AS BIGINT) AS n_train, q.n_cal,
+               t.n_test, q.k,
+               CAST(q.q_scaled * 1000000 // (f.n_tr * f.dd) AS BIGINT)
+                 AS qhat_micro,
+               CAST(900000 AS BIGINT) AS target_micro,
+               CAST(t.n_cov * 1000000 // t.n_test AS BIGINT)
+                 AS coverage_micro
+        FROM fit f JOIN qh q ON q.grp = f.grp JOIN tst t ON t.grp = f.grp
+    """
+
     return o
 
 
@@ -16724,3 +16816,45 @@ def q_kg_cardest(spark, sf_dir):
     )
 
     return join_cardinality_stats(_kg(spark, sf_dir).triples)
+
+
+def q_kg_asof(spark, sf_dir):
+    """Temporal as-of KG query (graph_build.py:asof_statements): each
+    statement carries a [first, last] assertion-time window over its
+    supporting documents (statement_validity — the Wikidata-qualifier
+    degradation that document provenance supports), and the query
+    returns the graph as it stood at the corpus midpoint T —
+    statement-granularity time travel complementing
+    kg_snapshot_timetravel's snapshot granularity. One grouped
+    min/max/count + a window filter; oracle replays both."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        asof_statements,
+    )
+
+    t = _kg(spark, sf_dir).triples
+    mx = t.selectExpr(
+        "max(cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint)) AS m"
+    ).first()["m"]
+    return asof_statements(t, int(mx) // 2)
+
+
+def q_ml_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals around the grouped OLS fit
+    (mlstats.py:conformal_intervals, Lei et al. JASA 2018): sha-derived
+    3-way split, the fit carried as exact integer sufficient statistics,
+    residuals as exact scaled integers in decimal(38) == HUGEINT, the
+    conformal quantile as a k-th order statistic, coverage as integer
+    compares — the distribution-free uncertainty wrapper every
+    production regression ships with, value-exact end to end."""
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        conformal_intervals,
+    )
+
+    return conformal_intervals(
+        _t(spark, sf_dir, "lineitem"),
+        x_expr="cast(l_quantity as bigint)",
+        y_expr="cast(floor(l_extendedprice * 100) as bigint)",
+        key_expr="concat(cast(l_orderkey as string), '-', "
+                 "cast(l_linenumber as string))",
+        group_col="l_returnflag",
+    )

@@ -611,3 +611,45 @@ def join_cardinality_stats(triples: DataFrame) -> DataFrame:
             " AS rel_err_micro",
         )
     )
+
+
+def statement_validity(
+    triples: DataFrame,
+    time_expr: str = "cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint)",
+) -> DataFrame:
+    """Valid-time windows for KG statements (the temporal-KG minimum):
+    each distinct (subj, pred, obj) carries [t_from, t_to] — the first
+    and last assertion times over its supporting documents (``time_expr``
+    maps a doc to its integer ingestion time) — plus the assertion
+    count. One map-side-combinable grouped min/max/count; exact BIGINTs.
+
+    This is the validity model Wikidata-style temporal qualifiers
+    degrade to when all you have is document provenance: good enough
+    for as-of queries and change audits, upgradeable in place when real
+    qualifier dates exist (swap time_expr).
+    """
+    ev = triples.selectExpr(
+        "subj", "pred", "obj", f"({time_expr}) AS t"
+    )
+    return ev.groupBy("subj", "pred", "obj").agg(
+        F.min("t").cast("long").alias("t_from"),
+        F.max("t").cast("long").alias("t_to"),
+        F.countDistinct("t").cast("long").alias("n_assertions"),
+    )
+
+
+def asof_statements(
+    triples: DataFrame,
+    t: int,
+    time_expr: str = "cast(regexp_extract(doc_id, '([0-9]+)$', 1) as bigint)",
+) -> DataFrame:
+    """AS-OF temporal KG query: the statements valid at time ``t`` under
+    statement_validity's windows (t_from <= t <= t_to) — 'the graph as
+    it stood at T', the query sinks.read_graph_snapshot answers at
+    snapshot granularity and this answers at statement granularity.
+    The filter sits on top of one aggregate; with the validity table
+    materialized and partitioned by a time bucket, partition pruning
+    makes T-queries touch only overlapping buckets.
+    """
+    v = statement_validity(triples, time_expr=time_expr)
+    return v.filter((F.col("t_from") <= F.lit(t)) & (F.lit(t) <= F.col("t_to")))

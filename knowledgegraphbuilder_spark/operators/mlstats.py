@@ -1604,3 +1604,116 @@ def bcubed_eval(
         F.round(r, 6).alias("recall_b3"),
         F.round(2 * p * r / (p + r), 6).alias("f1_b3"),
     )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    x_expr: str,
+    y_expr: str,
+    key_expr: str,
+    group_col: str = "grp",
+    alpha_tenths: int = 1,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al.; Lei et al.,
+    JASA 2018) around the per-group simple OLS fit, held EXACT end to
+    end: rows split 3 ways by a sha-derived fold (train / calibration /
+    test), the train fit is carried as integer sufficient statistics
+    (slope N/D, intercept rationals — never a rounded double), each
+    calibration/test residual is the exact SCALED integer
+
+        R_i = n*D*y_i - Sy*D + N*Sx - n*N*x_i   (= n*D * r_i)
+
+    in decimal(38) (== DuckDB HUGEINT), the conformal quantile is the
+    k-th smallest |R| with k = ceil((n_cal + 1) * (1 - alpha)), and
+    test coverage is an integer comparison against it — so the whole
+    guarantee-bearing computation replays bit-for-bit; the only
+    narrowed outputs are the descaled qhat (micro y-units, floor) and
+    the coverage ratio (micro, floor).
+
+    Scale shape: one grouped aggregate for the fit (broadcast — one row
+    per group), residuals as a codegen projection, the ONLY sort is the
+    per-group calibration order statistic (a window over the
+    calibration split; at 10^9 rows swap in the exact histogram
+    selection the MAD/winsorize operators use), coverage one aggregate.
+
+    Output: (grp, n_train, n_cal, n_test, k, qhat_micro,
+    target_micro, coverage_micro).
+    """
+    h60 = ("cast(conv(substring(sha2(cast(({k}) as string), 256), 1, 15),"
+           " 16, 10) as bigint)")
+    base = df.selectExpr(
+        f"{group_col} AS grp",
+        f"cast({x_expr} as decimal(38,0)) AS x",
+        f"cast({y_expr} as decimal(38,0)) AS y",
+        f"pmod({h60.format(k=key_expr)}, 3) AS fold",
+    )
+    stats = (
+        base.filter("fold = 0")
+        .groupBy("grp")
+        .agg(
+            F.expr("cast(count(*) as decimal(38,0))").alias("n_tr"),
+            F.expr("cast(sum(x) as decimal(38,0))").alias("sx"),
+            F.expr("cast(sum(y) as decimal(38,0))").alias("sy"),
+            F.expr("cast(sum(x * x) as decimal(38,0))").alias("sxx"),
+            F.expr("cast(sum(x * y) as decimal(38,0))").alias("sxy"),
+        )
+        .selectExpr(
+            "grp", "n_tr", "sx", "sy",
+            "cast(n_tr * sxy - sx * sy as decimal(38,0)) AS nn",
+            "cast(n_tr * sxx - sx * sx as decimal(38,0)) AS dd",
+        )
+        .filter("dd <> 0")
+    )
+    resid = (
+        "cast(n_tr * dd * y - sy * dd + nn * sx - n_tr * nn * x"
+        " as decimal(38,0))"
+    )
+    cal = (
+        base.filter("fold = 1")
+        .join(F.broadcast(stats), "grp")
+        .selectExpr("grp", f"abs({resid}) AS ar")
+    )
+    ncal = cal.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n_cal")
+    ).selectExpr(
+        "grp", "n_cal",
+        f"cast(({10 - alpha_tenths} * (n_cal + 1) + 9) div 10 as bigint)"
+        " AS k",
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("ar")
+    ranked = cal.withColumn("rn", F.row_number().over(w))
+    qhat = (
+        ranked.join(F.broadcast(ncal), "grp")
+        .filter(F.col("rn") == F.col("k"))
+        .select("grp", "n_cal", "k", F.col("ar").alias("q_scaled"))
+    )
+    test = (
+        base.filter("fold = 2")
+        .join(F.broadcast(stats), "grp")
+        .join(F.broadcast(qhat.select("grp", "q_scaled")), "grp")
+        .selectExpr(
+            "grp",
+            f"CASE WHEN abs({resid}) <= q_scaled THEN 1 ELSE 0 END"
+            " AS cov",
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.sum("cov").cast("long").alias("n_cov"),
+        )
+    )
+    return (
+        stats.select("grp", F.col("n_tr").cast("long").alias("n_train"),
+                     "nn", "dd", F.col("n_tr").alias("ntr_d"))
+        .join(qhat, "grp")
+        .join(test, "grp")
+        .selectExpr(
+            "grp", "n_train", "n_cal", "n_test", "k",
+            "cast(q_scaled * 1000000 div (ntr_d * dd) as bigint)"
+            " AS qhat_micro",
+            f"cast({(10 - alpha_tenths) * 100000} as bigint) AS target_micro",
+            "cast(n_cov * 1000000 div n_test as bigint) AS coverage_micro",
+        )
+    )

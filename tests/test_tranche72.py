@@ -260,3 +260,45 @@ def test_join_cardinality_exact_on_uniform_and_skewed(spark):
     rs = out[("r", "s")]
     # est = 2*2/max(1,1) = 4 = actual here (single shared mid): err 0
     assert rs.actual_rows == 4 and rs.est_rows == 4
+
+
+def test_kg_asof_window_semantics(spark):
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        asof_statements, statement_validity,
+    )
+
+    rows = [("a", "p", "b", "doc_1"), ("a", "p", "b", "doc_9"),
+            ("x", "q", "y", "doc_3"), ("m", "r", "n", "doc_8")]
+    tr = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string")
+    v = {(r.subj): r for r in statement_validity(tr).collect()}
+    assert (v["a"].t_from, v["a"].t_to, v["a"].n_assertions) == (1, 9, 2)
+    at5 = {(r.subj, r.pred, r.obj) for r in asof_statements(tr, 5).collect()}
+    # a: [1,9] contains 5; x: [3,3] and m: [8,8] do not
+    assert at5 == {("a", "p", "b")}
+
+
+def test_conformal_coverage_near_target_and_stable(spark, sf_dir):
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        conformal_intervals,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    args = dict(
+        x_expr="cast(l_quantity as bigint)",
+        y_expr="cast(floor(l_extendedprice * 100) as bigint)",
+        key_expr="concat(cast(l_orderkey as string), '-', "
+                 "cast(l_linenumber as string))",
+        group_col="l_returnflag",
+    )
+    out = {r.grp: r for r in conformal_intervals(li, **args).collect()}
+    for r in out.values():
+        # distribution-free validity: coverage within sampling noise of
+        # the 90% target at this calibration size
+        assert 820000 <= r.coverage_micro <= 980000
+        assert r.qhat_micro > 0 and r.k <= r.n_cal
+    # partition-order invariance of the whole exact pipeline
+    out2 = {r.grp: r
+            for r in conformal_intervals(li.repartition(13), **args).collect()}
+    assert {g: tuple(r) for g, r in out.items()} == \
+           {g: tuple(r) for g, r in out2.items()}
