@@ -3465,6 +3465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cardest": q_kg_cardest,
         "kg_asof": q_kg_asof,
         "ml_conformal": q_ml_conformal,
+        "kg_completeness": q_kg_completeness,
     }
 
 
@@ -12918,6 +12919,30 @@ def oracle_sql() -> dict[str, str]:
         FROM fit f JOIN qh q ON q.grp = f.grp JOIN tst t ON t.grp = f.grp
     """
 
+
+    # completeness: typed coverage counts, observed pairs only
+    o["kg_completeness"] = f"""
+        WITH {_REL_CTE},
+        ty AS (SELECT DISTINCT text AS subj, label FROM mentions),
+        cs AS (
+          SELECT label, CAST(count(DISTINCT subj) AS BIGINT) AS n_entities
+          FROM ty GROUP BY label
+        ),
+        sp AS (
+          SELECT DISTINCT head_text AS subj, rel_type AS pred FROM rels_id
+        ),
+        wp AS (
+          SELECT ty.label, sp.pred,
+                 CAST(count(DISTINCT sp.subj) AS BIGINT) AS n_with_pred
+          FROM sp JOIN ty ON ty.subj = sp.subj
+          GROUP BY 1, 2
+        )
+        SELECT wp.label, wp.pred, cs.n_entities, wp.n_with_pred,
+               CAST(wp.n_with_pred * 1000000 // cs.n_entities AS BIGINT)
+                 AS coverage_micro
+        FROM wp JOIN cs ON cs.label = wp.label
+    """
+
     return o
 
 
@@ -16858,3 +16883,21 @@ def q_ml_conformal(spark, sf_dir):
                  "cast(l_linenumber as string))",
         group_col="l_returnflag",
     )
+
+
+def q_kg_completeness(spark, sf_dir):
+    """Class-level completeness audit (graph_build.py:
+    completeness_profile, the Galarraga WSDM'17 question): per (entity
+    class, predicate), the fraction of the class's entities asserting
+    the predicate at least once, exact integer micro-units — the
+    acquisition-planning table. Two grouped distinct counts over a
+    broadcast typing join; oracle replays both."""
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        completeness_profile,
+    )
+
+    kg = _kg(spark, sf_dir)
+    types = kg.mentions.select(
+        F.col("text").alias("entity"), "label"
+    ).distinct()
+    return completeness_profile(kg.triples, types)

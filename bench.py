@@ -299,7 +299,7 @@ def main() -> None:
         "kg_path_quant", "kg_npath", "ml_dbscan", "stream_fuse",
         "g46_temporal", "kg_summary", "kg_explain", "kg_vacuum",
         "stream_cc", "sk_srcsim", "g47_triads", "kg_cardest",
-        "kg_asof", "ml_conformal",
+        "kg_asof", "ml_conformal", "kg_completeness",
     ]
     # JIT warm-up for the query loop (same methodology as the e2e/scaling
     # runs): the KG chain warms at the smallest sf; the similarity queries

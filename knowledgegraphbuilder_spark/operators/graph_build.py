@@ -653,3 +653,44 @@ def asof_statements(
     """
     v = statement_validity(triples, time_expr=time_expr)
     return v.filter((F.col("t_from") <= F.lit(t)) & (F.lit(t) <= F.col("t_to")))
+
+
+def completeness_profile(
+    triples: DataFrame, types: DataFrame
+) -> DataFrame:
+    """Class-level KG completeness audit (the question behind Galarraga
+    et al., WSDM 2017 'Predicting completeness in knowledge bases'):
+    for every (entity class, predicate) pair, what fraction of the
+    class's entities assert the predicate at least once — the
+    coverage table that says 'only 40% of organizations have any
+    outgoing org->tech statement', i.e. where acquisition should focus.
+
+    ``types`` is the (entity, label) typing table. Plan: distinct
+    (subject, predicate) joined to the broadcast typing (entity-keyed,
+    dim vs statements), two grouped counts, micro-unit ratio — exact
+    integers end to end. Pairs are emitted ONLY for (class, predicate)
+    combinations observed at least once (the dense class x predicate
+    shell would claim knowledge about never-seen combinations).
+
+    Output: (label, pred, n_entities, n_with_pred, coverage_micro).
+    """
+    ty = types.select(
+        F.col("entity").alias("subj"), "label"
+    ).distinct()
+    class_sizes = ty.groupBy("label").agg(
+        F.countDistinct("subj").cast("long").alias("n_entities")
+    )
+    sp = triples.select("subj", "pred").distinct()
+    with_pred = (
+        sp.join(F.broadcast(ty), "subj")
+        .groupBy("label", "pred")
+        .agg(F.countDistinct("subj").cast("long").alias("n_with_pred"))
+    )
+    return (
+        with_pred.join(F.broadcast(class_sizes), "label")
+        .selectExpr(
+            "label", "pred", "n_entities", "n_with_pred",
+            "CAST(n_with_pred * 1000000 div n_entities AS BIGINT)"
+            " AS coverage_micro",
+        )
+    )

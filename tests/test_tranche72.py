@@ -302,3 +302,22 @@ def test_conformal_coverage_near_target_and_stable(spark, sf_dir):
             for r in conformal_intervals(li.repartition(13), **args).collect()}
     assert {g: tuple(r) for g, r in out.items()} == \
            {g: tuple(r) for g, r in out2.items()}
+
+
+def test_completeness_profile_counts(spark):
+    from knowledgegraphbuilder_spark.operators.graph_build import (
+        completeness_profile,
+    )
+
+    ty = spark.createDataFrame(
+        [("a", "tech"), ("b", "tech"), ("c", "org")],
+        "entity string, label string")
+    tr = spark.createDataFrame(
+        [("a", "p", "x", "d1"), ("a", "p", "y", "d2"), ("c", "q", "a", "d1")],
+        "subj string, pred string, obj string, doc_id string")
+    out = {(r.label, r.pred): r
+           for r in completeness_profile(tr, ty).collect()}
+    # 1 of 2 tech entities asserts p; orgs fully cover q; no dense shell
+    assert out[("tech", "p")].coverage_micro == 500000
+    assert out[("org", "q")].coverage_micro == 1000000
+    assert ("org", "p") not in out
