@@ -3013,21 +3013,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_kg_triples(spark, "/root/testdata/sf0.001")
 
 
+# ROUND-5 DRIVER WINDOW: the driver oracle-checks the FIRST 50 entries of
+# queries(). The union of green driver rows across r1-r4 covers exactly the
+# 100 originally-registered queries; this window is the next 50 highest-
+# leverage never-driver-checked entries, ordered per VERDICT r4 "Next round"
+# item 1: streaming-maintenance folds (the resume/idempotency story), the
+# round-4 dedup/curation additions, the ann_knn family, the full
+# SPARQL/SHACL/RDFS surface, knowledge fusion / truth discovery, temporal
+# as-of, and conformal intervals. Every operator touched by a round-4 ADVICE
+# fix (fusion noisy-OR widening, grid-DBSCAN negative-cell guard,
+# path-quantified existence mode, conformal NULL-qhat, MinHash 61-bit
+# universe) is IN this window so the fixes land driver-verified.
+_R5_WINDOW = [
+    "stream_cc", "stream_edges", "stream_fuse", "stream_ann",
+    "stream_minhash", "stream_bloom",
+    "dd_rewrite", "dd_cdc", "dd_crossdedup", "dd_editdist", "dd_lines",
+    "ts_dsir", "ts_temperature",
+    "ann_knn", "ann_knn_cc", "ann_recall",
+    "kg_bgp", "kg_bgp_optional", "kg_bgp_union", "kg_bgp_filter",
+    "kg_bgp_minus", "kg_bgp_agg", "kg_ask", "kg_describe", "kg_shacl",
+    "kg_rdfs_types", "kg_construct", "kg_infer", "kg_pathplus",
+    "kg_path_alt", "kg_path_quant", "kg_npath",
+    "kg_fuse", "kg_truth", "kg_pra", "kg_sameas", "kg_disjoint",
+    "kg_asof", "ml_conformal", "kg_metapaths", "kg_degprofile",
+    "kg_import_nt", "kg_export_nt",
+    "mm_dedup", "ml_dbscan",
+    "sk_kmv", "stream_kmv", "sk_heavy", "stream_heavy", "stream_quantile",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # REGISTRY ORDER IS THE DRIVER GATE WINDOW: the driver oracle-checks the
-    # FIRST 50 entries only. Round-4 order: the 50-entry window covers every
-    # query never driver-checked in r1-r3 (g5..g14, sk_*, stream_*, mm_*,
-    # bpe/kmeans/resolve/tfidf/pmi/split/hybrid/interval/incremental,
-    # sql_tpch_q3/q6) plus the two ever-red rows (dd_substring, mm_frames).
-    # ROUND-5 ROTATION TODO: every registry entry past position 50 that
-    # was added in round 4 (everything from ts_dsir onward — the round-4
-    # additions section below) has NO driver row yet; all pass the strict
-    # dtype-aware local gate (GATE_LOCAL_r4.json, full registry). Rotate
-    # the 50-window to cover the NOVEL operator families first (ml_*,
-    # g15-g36, stream_*, dd_*, ts_*, ann_*, mm_*, kg_* additions) and
-    # leave out TPC-H adaptations whose plan/oracle shape is already
-    # driver-covered by checked TPC-H rows (pure-aggregate q1/q4/q5/q6
-    # style).
+    base = _registry()
+    assert all(k in base for k in _R5_WINDOW) and len(_R5_WINDOW) == 50
+    head = {k: base[k] for k in _R5_WINDOW}
+    return {**head, **{k: v for k, v in base.items() if k not in head}}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Full registry in historical (tranche) order; queries() reorders so the
+    # _R5_WINDOW sits first for the driver gate.
     return {
     # ORDER MATTERS: the driver's correctness gate checks the FIRST 50
     # entries. Round-4 rotation puts the 35 queries never driver-checked in

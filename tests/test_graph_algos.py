@@ -305,6 +305,81 @@ def test_negative_samples_are_filtered_and_deterministic(spark):
     )
 
 
+def test_negative_samples_rank_matches_global_sort(spark):
+    """The prefix-bucketed two-phase dictionary must equal row_number over
+    the global sort exactly — including nodes shorter than the 2-char
+    prefix, unicode, and shared-prefix runs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        negative_sample_edges,
+    )
+
+    names = ["a", "ab", "abc", "b", "ba", "zz", "zza", "é", "éa", "0", "00"]
+    edges = spark.createDataFrame(
+        [(names[i], names[(i + 1) % len(names)]) for i in range(len(names))],
+        "src string, dst string",
+    )
+    out = negative_sample_edges(edges, k=4)
+    # reference dictionary via the (non-scalable) global window
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ref_vocab = {
+        r.node: r.rank
+        for r in nodes.select(
+            "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("rank")
+        ).collect()
+    }
+    # replay the hash pick against the reference dictionary
+    import hashlib
+
+    n = len(ref_vocab)
+    inv = {v: k for k, v in ref_vocab.items()}
+    truth = {(r.src, r.dst) for r in edges.collect()}
+    expected = set()
+    for r in edges.collect():
+        for i in range(4):
+            h = int(hashlib.sha256(f"{r.src}|{r.dst}|{i}".encode()).hexdigest()[:15], 16)
+            neg = inv[h % n]
+            if neg != r.src and (r.src, neg) not in truth and (neg, r.src) not in truth:
+                expected.add((r.src, neg, i))
+    assert {(r.src, r.dst_neg, r.sample_idx) for r in out.collect()} == expected
+
+
+def test_negative_samples_plan_has_no_vocab_sized_global_window(spark):
+    """Plan pin for the r4 verdict's scale-killer: the node dictionary must
+    not funnel the vocabulary through a single-partition window. Any
+    remaining SinglePartition exchange may only feed from an aggregate
+    (histogram/1-row shaped), never directly from the node projection."""
+    from pyspark.sql import functions as F
+    from knowledgegraphbuilder_spark.operators.graphstats import (
+        negative_sample_edges,
+    )
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{(i * 7) % 50}") for i in range(200)],
+        "src string, dst string",
+    )
+    plan = (
+        negative_sample_edges(edges, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # the child operator must be an aggregate, not a row-level scan
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in child or "SortAggregate" in child, (
+            "vocab-sized SinglePartition exchange:\n" + child
+        )
+
+
 def test_harmonic_centrality_path_graph(spark):
     from knowledgegraphbuilder_spark.operators.graphstats import (
         harmonic_centrality,
