@@ -7626,7 +7626,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         ab(perm, a, b) AS (VALUES {_mh_ab_values})
         SELECT g, CAST(ab.perm AS INT) AS perm,
-               CAST(min((ab.a * xs.x + ab.b) % {_mh_p}) AS BIGINT) AS minv
+               CAST(min((CAST(ab.a AS HUGEINT) * xs.x + ab.b) % {_mh_p})
+                    AS BIGINT) AS minv
         FROM xs CROSS JOIN ab GROUP BY 1, 2
     """
     # exact integer class counts; the only floats are final ln/divide,
@@ -12149,8 +12150,13 @@ def oracle_sql() -> dict[str, str]:
     # ------------------------------------------------------------------
     # tranche 70: knowledge fusion & completion
     # ------------------------------------------------------------------
-    # noisy-OR fusion in saturating integer micro-units: residual
-    # 3^ka * 1^kb / 10^(ka+kb), exact while ka+kb <= 6, saturated above
+    # noisy-OR fusion in EXACT integer micro-units: the same generated
+    # ceil-division formula (HUGEINT here, DECIMAL(38,0) on the Spark
+    # side) the operator uses — shared via fusion.noisy_or_micro_sql so
+    # a formula change cannot drift between engine and oracle
+    from knowledgegraphbuilder_spark.operators.fusion import noisy_or_micro_sql
+
+    _fuse_p_micro = noisy_or_micro_sql({"a": 3, "b": 1}, dialect="duckdb")
     o["kg_fuse"] = f"""
         WITH {_REL_CTE},
         ev AS (
@@ -12167,12 +12173,7 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT subj, pred, obj, k_a, k_b,
                CAST(k_a + k_b AS BIGINT) AS n_events,
-               CAST(CASE WHEN k_a + k_b > 6 THEN 1000000
-                    ELSE 1000000
-                         - CAST(power(3, k_a) AS BIGINT)
-                           * CAST(power(1, k_b) AS BIGINT)
-                           * CAST(power(10, 6 - k_a - k_b) AS BIGINT)
-                    END AS BIGINT) AS p_fused_micro
+               {_fuse_p_micro} AS p_fused_micro
         FROM g
     """
     # majority-vote truth discovery: row_number replay of the
@@ -12458,11 +12459,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         fused AS (
           SELECT subj, pred, obj,
-                 CAST(CASE WHEN k_a + k_b > 6 THEN 1000000
-                      ELSE 1000000
-                           - CAST(power(3, k_a) AS BIGINT)
-                             * CAST(power(10, 6 - k_a - k_b) AS BIGINT)
-                      END AS BIGINT) AS p_micro
+                 {_fuse_p_micro} AS p_micro
           FROM g
         )
         SELECT DISTINCT 'conf' AS kind,
@@ -12524,23 +12521,17 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT head_text AS src, tail_text AS dst
           FROM rels_id WHERE rel_type = 'technology_near_technology'
         ),
-        h2 AS (
+        l2 AS (
           SELECT DISTINCT a.src, b.dst FROM e a JOIN e b ON a.dst = b.src
-          WHERE NOT EXISTS (SELECT 1 FROM e
-                            WHERE e.src = a.src AND e.dst = b.dst)
         ),
-        h3 AS (
-          SELECT DISTINCT h2.src, e.dst FROM h2 JOIN e ON e.src = h2.dst
+        l3 AS (
+          SELECT DISTINCT l2.src, e.dst FROM l2 JOIN e ON e.src = l2.dst
         )
-        SELECT src, dst, CAST(2 AS BIGINT) AS hops FROM h2
-        UNION ALL
-        SELECT src, dst, CAST(3 AS BIGINT) AS hops FROM (
-          SELECT h3.src, h3.dst FROM h3
-          WHERE NOT EXISTS (SELECT 1 FROM e
-                            WHERE e.src = h3.src AND e.dst = h3.dst)
-            AND NOT EXISTS (SELECT 1 FROM h2
-                            WHERE h2.src = h3.src AND h2.dst = h3.dst)
-        )
+        SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops FROM (
+          SELECT src, dst, 2 AS hops FROM l2
+          UNION ALL
+          SELECT src, dst, 3 AS hops FROM l3
+        ) GROUP BY src, dst
     """
     o["kg_npath"] = f"""
         WITH {_REL_CTE}
@@ -12761,7 +12752,7 @@ def oracle_sql() -> dict[str, str]:
             for i, (a, b) in enumerate(_sketches.minhash_ab()))}),
         sig AS (
           SELECT g, ab.perm AS perm,
-                 min((ab.a * xs.x + ab.b)
+                 min((CAST(ab.a AS HUGEINT) * xs.x + ab.b)
                      % {_sketches.MINHASH_GROUP_PRIME}) AS minv
           FROM xs CROSS JOIN ab GROUP BY 1, 2
         )
@@ -12910,21 +12901,24 @@ def oracle_sql() -> dict[str, str]:
           FROM base b JOIN fit f ON f.grp = b.grp WHERE b.fold = 1
         ),
         nc AS (
-          SELECT grp, CAST(count(*) AS BIGINT) AS n_cal,
-                 CAST((9 * (count(*) + 1) + 9) // 10 AS BIGINT) AS k
-          FROM cal GROUP BY grp
+          SELECT f.grp, CAST(coalesce(cnt.n_cal, 0) AS BIGINT) AS n_cal,
+                 CAST((9 * (coalesce(cnt.n_cal, 0) + 1) + 9) // 10
+                      AS BIGINT) AS k
+          FROM fit f LEFT JOIN (
+            SELECT grp, count(*) AS n_cal FROM cal GROUP BY grp
+          ) cnt ON cnt.grp = f.grp
         ),
         qh AS (
-          SELECT c.grp, nc.n_cal, nc.k, c.ar AS q_scaled
-          FROM (
+          SELECT nc.grp, nc.n_cal, nc.k, c.ar AS q_scaled
+          FROM nc LEFT JOIN (
             SELECT grp, ar,
                    row_number() OVER (PARTITION BY grp ORDER BY ar) AS rn
             FROM cal
-          ) c JOIN nc ON nc.grp = c.grp AND c.rn = nc.k
+          ) c ON nc.grp = c.grp AND c.rn = nc.k
         ),
         tst AS (
           SELECT b.grp, CAST(count(*) AS BIGINT) AS n_test,
-                 CAST(sum(CASE WHEN
+                 CAST(sum(CASE WHEN q.q_scaled IS NULL THEN 1 WHEN
                    abs(f.n_tr * f.dd * b.y - f.sy * f.dd + f.nn * f.sx
                        - f.n_tr * f.nn * b.x) <= q.q_scaled
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cov
@@ -12934,13 +12928,14 @@ def oracle_sql() -> dict[str, str]:
           WHERE b.fold = 2 GROUP BY b.grp
         )
         SELECT f.grp, CAST(f.n_tr AS BIGINT) AS n_train, q.n_cal,
-               t.n_test, q.k,
+               CAST(coalesce(t.n_test, 0) AS BIGINT) AS n_test, q.k,
                CAST(q.q_scaled * 1000000 // (f.n_tr * f.dd) AS BIGINT)
                  AS qhat_micro,
                CAST(900000 AS BIGINT) AS target_micro,
                CAST(t.n_cov * 1000000 // t.n_test AS BIGINT)
                  AS coverage_micro
-        FROM fit f JOIN qh q ON q.grp = f.grp JOIN tst t ON t.grp = f.grp
+        FROM fit f JOIN qh q ON q.grp = f.grp
+        LEFT JOIN tst t ON t.grp = f.grp
     """
 
 
@@ -16644,15 +16639,17 @@ def q_mm_dedup(spark, sf_dir):
 
 def q_kg_path_quant(spark, sf_dir):
     """SPARQL quantified property path technology_near_technology{2,3}
-    (bgp.py:path_quantified): pairs whose BFS-minimal typed distance is
-    2 or 3 — the bounded-quantifier surface on top of kg_pathplus'
-    semi-naive closure; the lower bound is a filter on minimal hops
-    (semantics pinned in the operator docstring). Oracle = 3-hop
-    frontier unroll with per-level anti-joins."""
+    (bgp.py:path_quantified, W3C EXISTENCE semantics — the r4-advice
+    fix): pairs with SOME typed path of length 2 or 3, hops = the
+    smallest matching length, even when a 1-hop edge also connects the
+    pair. Per-hop-length reachability (exact-length composition, no
+    minimality anti-join). Oracle = length-2 and length-3 composition
+    CTEs + min-length group."""
     from knowledgegraphbuilder_spark.operators.bgp import path_quantified
 
     return path_quantified(
-        _kg(spark, sf_dir).triples, "technology_near_technology", 2, 3
+        _kg(spark, sf_dir).triples, "technology_near_technology", 2, 3,
+        semantics="exists",
     )
 
 

@@ -339,10 +339,17 @@ def grid_dbscan(
     point probes its 3x3 cell neighborhood — the classic grid index, so
     cost tracks local density, never corpus^2).
 
-    Coordinates are shifted by +4096 before the cell floor-division so
-    ``div`` (truncation) and floor agree — negative-coordinate cells
-    would otherwise straddle zero differently in engines that truncate
-    vs floor.
+    Cell ids use a pmod-based floor division that is correct for ANY
+    sign: ``(v - pmod(v, eps)) div eps`` — pmod is the non-negative
+    modulo, so the numerator is exactly divisible and truncation equals
+    floor everywhere on the number line. (The previous +4096 shift only
+    made truncation agree with floor while shifted coordinates stayed
+    non-negative; a component <= -4.096 silently truncated cell ids
+    toward zero and could miss eps-neighbors across cell boundaries —
+    round-4 advice defect. Cell-boundary placement does not affect
+    results — the 3x3 probe plus the exact integer distance test make
+    the neighbor set boundary-invariant — but correctness of the grid
+    must not depend on the data's coordinate range.)
 
     Full DBSCAN role semantics, deterministically: core = |eps-ball|
     (self included) >= min_pts; clusters = connected components of the
@@ -362,14 +369,13 @@ def grid_dbscan(
     # f64*int round differently at floor boundaries across engines
     pts = embs.selectExpr(
         f"cast({id_col} as string) AS id",
-        f"cast(floor(cast({vec_col}[0] as double) * 1000) as bigint)"
-        " + 4096 AS x",
-        f"cast(floor(cast({vec_col}[1] as double) * 1000) as bigint)"
-        " + 4096 AS y",
+        f"cast(floor(cast({vec_col}[0] as double) * 1000) as bigint) AS x",
+        f"cast(floor(cast({vec_col}[1] as double) * 1000) as bigint) AS y",
     )
     cells = pts.selectExpr(
         "id", "x", "y",
-        f"x div {eps_milli} AS cx", f"y div {eps_milli} AS cy",
+        f"(x - pmod(x, {eps_milli})) div {eps_milli} AS cx",
+        f"(y - pmod(y, {eps_milli})) div {eps_milli} AS cy",
     )
     probes = cells.selectExpr(
         "id", "x", "y",

@@ -84,32 +84,125 @@ def fuse_extractions(
     return fuse_from_counts(g, residual_tenths)
 
 
+def _ipow_decimal38(base: int, k_expr: str) -> str:
+    """Exact ``base ** k`` as a Spark DECIMAL(38,0) expression: 6-bit
+    exponentiation-by-squaring unroll with Python-computed exact square
+    constants (base <= 7 -> base**32 ~ 1.1e27, every partial product
+    <= 7**38 ~ 1.1e32 < 10**38, so scale-0 decimal multiplication never
+    rounds). power() would go through binary64 and lose exactness past
+    2**53 — the round-4 advice defect this replaces. Valid for k <= 63;
+    every branch that evaluates it is guarded by total <= 38."""
+    if base == 0:
+        return f"CAST(CASE WHEN {k_expr} = 0 THEN 1 ELSE 0 END AS DECIMAL(38,0))"
+    if base == 1:
+        return "CAST(1 AS DECIMAL(38,0))"
+    factors = [
+        f"(CASE WHEN (shiftright({k_expr}, {b}) & 1) = 1 "
+        f"THEN CAST('{base ** (1 << b)}' AS DECIMAL(38,0)) "
+        f"ELSE CAST(1 AS DECIMAL(38,0)) END)"
+        for b in range(6)
+    ]
+    return "(" + " * ".join(factors) + ")"
+
+
+def noisy_or_micro_sql(
+    residual_tenths: dict[str, int], dialect: str = "spark"
+) -> str:
+    """The EXACT noisy-OR posterior in integer micro-units as a SQL
+    expression over per-class count columns ``k_<class>`` — shared by the
+    Spark operator and the DuckDB oracles so both replay bit-for-bit.
+
+        p_micro = 10**6 - ceil( prod_c r_c**k_c / 10**(total-6) )
+
+    (= floor(10**6 * P) for P = 1 - prod (r_c/10)**k_c), evaluated in
+    three exact regimes:
+
+    - total <= 6: plain BIGINT (numerator <= 7**6, denominator divides).
+    - 6 < total <= 38: ceil-division in DECIMAL(38,0) (Spark) / HUGEINT
+      (DuckDB) — numerator <= 7**38 ~ 1.1e32, exact; this is the
+      widened fixed point from the round-4 advice (the old code clamped
+      to 10**6 for ANY total > 6, reporting certainty when the true
+      posterior could be ~0.92 at residual 7).
+    - total > 38: with residuals capped at 7/10, the residual mass is
+      <= 0.7**39 * 10**6 < 1, so the exact floor is 999999 whenever the
+      numerator is positive and 10**6 when a zero-residual class has an
+      event (numerator exactly 0). Residuals 8 and 9 are rejected by
+      :func:`fuse_from_counts` — they would need a wider fixed point
+      than 38 digits to stay exact past 38 events.
+    """
+    classes = sorted(residual_tenths)
+    for c in classes:
+        r = int(residual_tenths[c])
+        if not 0 <= r <= 7:
+            raise ValueError(
+                f"residual_tenths[{c!r}] = {r}: must be in 0..7 — residuals"
+                " 8-9/10 exceed the exact DECIMAL(38,0)/HUGEINT fixed point"
+                " past 38 events (see noisy_or_micro_sql)"
+            )
+    duck = dialect == "duckdb"
+
+    def ipow(base: int, k_expr: str) -> str:
+        if not duck:
+            return _ipow_decimal38(base, k_expr)
+        if base == 0:
+            return f"CAST(CASE WHEN {k_expr} = 0 THEN 1 ELSE 0 END AS HUGEINT)"
+        if base == 1:
+            return "CAST(1 AS HUGEINT)"
+        factors = [
+            f"(CASE WHEN (({k_expr} >> {b}) & 1) = 1 "
+            f"THEN CAST('{base ** (1 << b)}' AS HUGEINT) "
+            f"ELSE CAST(1 AS HUGEINT) END)"
+            for b in range(6)
+        ]
+        return "(" + " * ".join(factors) + ")"
+
+    total = "(" + " + ".join(f"k_{c}" for c in classes) + ")"
+    num = " * ".join(ipow(int(residual_tenths[c]), f"k_{c}") for c in classes)
+    den = ipow(10, f"({total} - 6)")
+    zero_classes = [c for c in classes if int(residual_tenths[c]) == 0]
+    zero_hit = (
+        "(" + " OR ".join(f"k_{c} > 0" for c in zero_classes) + ")"
+        if zero_classes
+        else "FALSE"
+    )
+    small_prod = " * ".join(
+        f"CAST(power({int(residual_tenths[c])}, k_{c}) AS BIGINT)"
+        for c in classes
+    )
+    ceil_div = (
+        f"(({num}) + ({den}) - 1) // ({den})"
+        if duck
+        else f"(({num}) + ({den}) - 1) div ({den})"
+    )
+    # power() on integer base/exponent is exact in binary64 in the <= 6
+    # branch (residual**6 <= 7**6 = 117649 << 2**53)
+    return (
+        f"CAST(CASE WHEN {total} <= 6 THEN "
+        f"1000000 - ({small_prod}) * CAST(power(10, 6 - {total}) AS BIGINT) "
+        f"WHEN {total} <= 38 THEN 1000000 - ({ceil_div}) "
+        f"WHEN {zero_hit} THEN 1000000 "
+        f"ELSE 999999 END AS BIGINT)"
+    )
+
+
 def fuse_from_counts(
     counts: DataFrame, residual_tenths: dict[str, int]
 ) -> DataFrame:
     """The noisy-OR posterior over PRE-AGGREGATED per-statement event
     counts (columns k_<class> — possibly several partial rows per
     statement, e.g. one per micro-batch from the streaming fold): sum
-    the partials and apply fuse_extractions' saturating micro-unit
-    formula. Counts are plain integers, so partial rows from any
-    batching/sharding sum to exactly the full-corpus counts — this is
-    the read side of streaming fusion maintenance
+    the partials and apply the exact micro-unit formula
+    (:func:`noisy_or_micro_sql` — DECIMAL(38,0) ceil-division past 6
+    events, not a clamp). Counts are plain integers, so partial rows
+    from any batching/sharding sum to exactly the full-corpus counts —
+    this is the read side of streaming fusion maintenance
     (streaming/ingest.py:run_fusion_available_now)."""
     classes = sorted(residual_tenths)
     g = counts.groupBy("subj", "pred", "obj").agg(
         *[F.sum(f"k_{c}").cast("long").alias(f"k_{c}") for c in classes]
     )
     total = "(" + " + ".join(f"k_{c}" for c in classes) + ")"
-    prod = " * ".join(
-        f"CAST(power({residual_tenths[c]}, k_{c}) AS BIGINT)" for c in classes
-    )
-    # power() on integer base/exponent is exact in binary64 well past the
-    # 10**6 saturation bound (residual**6 <= 9**6 = 531441 < 2**53)
-    p_micro = (
-        f"CASE WHEN {total} > 6 THEN CAST(1000000 AS BIGINT) "
-        f"ELSE CAST(1000000 - ({prod}) * CAST(power(10, 6 - {total}) AS BIGINT) "
-        f"AS BIGINT) END"
-    )
+    p_micro = noisy_or_micro_sql(residual_tenths, dialect="spark")
     return g.selectExpr(
         "subj", "pred", "obj",
         *[f"k_{c}" for c in classes],

@@ -1673,30 +1673,43 @@ def conformal_intervals(
         .join(F.broadcast(stats), "grp")
         .selectExpr("grp", f"abs({resid}) AS ar")
     )
-    ncal = cal.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n_cal")
-    ).selectExpr(
-        "grp", "n_cal",
-        f"cast(({10 - alpha_tenths} * (n_cal + 1) + 9) div 10 as bigint)"
-        " AS k",
+    # n_cal anchored on the FITTED groups (left join), so a group whose
+    # calibration split is empty still surfaces with n_cal = 0 rather
+    # than silently vanishing (r4 advice defect)
+    ncal = (
+        stats.select("grp")
+        .join(cal.groupBy("grp").agg(F.count("*").cast("long").alias("n_cal")),
+              "grp", "left")
+        .selectExpr(
+            "grp", "coalesce(n_cal, 0) AS n_cal",
+            f"cast(({10 - alpha_tenths} * (coalesce(n_cal, 0) + 1) + 9)"
+            " div 10 as bigint) AS k",
+        )
     )
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("grp").orderBy("ar")
     ranked = cal.withColumn("rn", F.row_number().over(w))
-    qhat = (
+    # k > n_cal (under-calibrated: e.g. n_cal < 9 at alpha_tenths=1) has
+    # no k-th order statistic — the split-conformal interval is the whole
+    # line. LEFT-join the order-statistic match so those groups keep a
+    # row with q_scaled = NULL -> qhat_micro NULL (interval undefined,
+    # visibly) instead of disappearing from the output (r4 advice).
+    match = (
         ranked.join(F.broadcast(ncal), "grp")
         .filter(F.col("rn") == F.col("k"))
-        .select("grp", "n_cal", "k", F.col("ar").alias("q_scaled"))
+        .select("grp", F.col("ar").alias("q_scaled"))
     )
+    qhat = ncal.join(match, "grp", "left")
     test = (
         base.filter("fold = 2")
         .join(F.broadcast(stats), "grp")
         .join(F.broadcast(qhat.select("grp", "q_scaled")), "grp")
         .selectExpr(
             "grp",
-            f"CASE WHEN abs({resid}) <= q_scaled THEN 1 ELSE 0 END"
-            " AS cov",
+            # an infinite interval covers every test point by definition
+            f"CASE WHEN q_scaled IS NULL THEN 1 "
+            f"WHEN abs({resid}) <= q_scaled THEN 1 ELSE 0 END AS cov",
         )
         .groupBy("grp")
         .agg(
@@ -1708,9 +1721,10 @@ def conformal_intervals(
         stats.select("grp", F.col("n_tr").cast("long").alias("n_train"),
                      "nn", "dd", F.col("n_tr").alias("ntr_d"))
         .join(qhat, "grp")
-        .join(test, "grp")
+        .join(test, "grp", "left")
         .selectExpr(
-            "grp", "n_train", "n_cal", "n_test", "k",
+            "grp", "n_train", "n_cal",
+            "cast(coalesce(n_test, 0) as bigint) AS n_test", "k",
             "cast(q_scaled * 1000000 div (ntr_d * dd) as bigint)"
             " AS qhat_micro",
             f"cast({(10 - alpha_tenths) * 100000} as bigint) AS target_micro",

@@ -509,7 +509,15 @@ def misra_gries_heavy_hitters(
 
 
 MINHASH_GROUP_PERMS = 16     # permutations per group signature
-MINHASH_GROUP_PRIME = (1 << 31) - 1  # Mersenne prime for the a*x+b family
+# Mersenne prime for the a*x+b family. 2^61-1, NOT 2^31-1: the universe
+# must dominate the per-source shingle-set size or hash collisions bias
+# the resemblance estimate upward (r4 advice — at billions of docs per
+# source, |shingles| approaching 2^31 made collisions non-negligible).
+# The 60-bit sha prefix passes through mod-p unreduced (p > 2^60), so
+# the effective universe is the full 2^60 of the portable hash; a*x+b
+# needs ~122-bit intermediates, done exactly in DECIMAL(38,0) (Spark) /
+# HUGEINT (DuckDB) — see minhash_group_signatures.
+MINHASH_GROUP_PRIME = (1 << 61) - 1
 
 
 def minhash_ab(n_perm: int = MINHASH_GROUP_PERMS) -> list[tuple[int, int]]:
@@ -544,15 +552,19 @@ def minhash_group_signatures(
     2 * n_perm longs however many billions of docs each side holds.
 
     Hash family: each shingle is sha256-hashed ONCE to a 60-bit integer
-    reduced mod the Mersenne prime p = 2^31 - 1, and the n_perm
-    permutations are the classic universal family h_i(x) = (a_i*x + b_i)
-    mod p (Carter-Wegman; the standard MinHash construction) with
-    (a_i, b_i) sha256-derived constants (:func:`minhash_ab`) — integer
-    arithmetic the oracle replays exactly. One crypto hash per shingle
-    instead of one per (shingle, permutation): the previous
+    (< p, so mod-p is the identity and the full 60-bit universe is kept
+    — the collision margin a billion-shingle source needs), and the
+    n_perm permutations are the classic universal family h_i(x) =
+    (a_i*x + b_i) mod p over the Mersenne prime p = 2^61 - 1
+    (Carter-Wegman; the standard MinHash construction) with (a_i, b_i)
+    sha256-derived constants (:func:`minhash_ab`). One crypto hash per
+    shingle instead of one per (shingle, permutation): the previous
     sha256-per-pair scheme spent ~n_perm * |shingles| microseconds of
-    SHA per doc and dominated the streaming fold's wall clock; a_i < p
-    and x < p keep a_i*x + b_i < 2^62, inside BIGINT under ANSI mode.
+    SHA per doc and dominated the streaming fold's wall clock. a_i*x+b_i
+    reaches ~2^122, past BIGINT — the mod-mul runs in DECIMAL(38,0)
+    (exact: the product <= (p-1)^2 ~ 5.3e36 < 10^38, and scale-0
+    decimal multiply/pmod never round), then the residue (< p < 2^61)
+    casts back to BIGINT for the running minimum.
 
     Scale shape: one pass — per-doc signature via a single running-minimum
     aggregate expression over the pre-hashed shingle array (no
@@ -565,7 +577,8 @@ def minhash_group_signatures(
     long_max = (1 << 63) - 1
     p = MINHASH_GROUP_PRIME
     ab = ", ".join(
-        f"named_struct('a', cast({a} as bigint), 'b', cast({b} as bigint))"
+        f"named_struct('a', cast({a} as decimal(38,0)),"
+        f" 'b', cast({b} as decimal(38,0)))"
         for a, b in minhash_ab(n_perm)
     )
     sig = (
@@ -590,7 +603,9 @@ def minhash_group_signatures(
                   hs,
                   array_repeat(cast({long_max} as bigint), {n_perm}),
                   (acc, x) -> zip_with(acc, array({ab}),
-                                       (m, ab) -> least(m, (ab.a * x + ab.b) % {p})))
+                                       (m, ab) -> least(m, cast(pmod(
+                                         ab.a * cast(x as decimal(38,0)) + ab.b,
+                                         cast({p} as decimal(38,0))) as bigint))))
                 """
             ).alias("sig"),
         )

@@ -50,11 +50,86 @@ def test_fuse_noisy_or_exact_micro(spark, triples):
     assert out[("c", "r", "a")].p_fused_micro == 900000
 
 
-def test_fuse_saturates_beyond_six_events(spark):
+def test_fuse_exact_beyond_six_events(spark):
+    # r4 advice fix: the old code CLAMPED to 1e6 whenever total > 6; the
+    # widened DECIMAL(38,0) fixed point is exact to 38 events.
     rows = [("s", "p", "o", i) for i in range(1, 10)]  # 9 events
     df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
     r = fuse_extractions(df, "'a'", {"a": 3, "b": 1}).collect()[0]
-    assert r.n_events == 9 and r.p_fused_micro == 1000000
+    # p = 1e6 - ceil(3^9 / 10^3) = 1e6 - ceil(19.683e3/1e3)=1e6-20
+    assert r.n_events == 9 and r.p_fused_micro == 999980
+
+
+def test_fuse_high_residual_not_reported_as_certain(spark):
+    # the advice's failure scenario, at the max supported residual: 7
+    # events at residual 0.7 -> true p = 1 - 0.7^7 = 0.9176457, which the
+    # old clamp reported as exactly 1.0
+    rows = [("s", "p", "o", i) for i in range(7)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    r = fuse_extractions(df, "'a'", {"a": 7, "b": 1}).collect()[0]
+    # 1e6 - ceil(7^7 / 10^1) = 1e6 - ceil(823543/10) = 1e6 - 82355
+    assert r.p_fused_micro == 917645
+
+
+def test_fuse_tail_past_38_events_is_exact_floor(spark):
+    # for residuals <= 7 the residual mass past 38 events is < 1 micro,
+    # so floor(1e6 * p) is exactly 999999 (not the saturated 1000000)
+    rows = [("s", "p", "o", i) for i in range(40)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    r = fuse_extractions(df, "'a'", {"a": 7, "b": 1}).collect()[0]
+    assert r.n_events == 40 and r.p_fused_micro == 999999
+
+
+def test_fuse_zero_residual_class_is_certain(spark):
+    # a zero-residual extractor (never misses) drives the posterior to
+    # exactly 1.0 regardless of event count
+    rows = [("s", "p", "o", i) for i in range(40)]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    r = fuse_extractions(df, "'z'", {"z": 0, "b": 1}).collect()[0]
+    assert r.p_fused_micro == 1000000
+    r1 = fuse_extractions(
+        spark.createDataFrame(rows[:1], TRIPLE_SCHEMA), "'z'", {"z": 0, "b": 1}
+    ).collect()[0]
+    assert r1.p_fused_micro == 1000000
+
+
+def test_fuse_rejects_residuals_past_fixed_point(spark, triples):
+    with pytest.raises(ValueError, match="must be in 0..7"):
+        fuse_extractions(triples, "'a'", {"a": 9, "b": 1})
+
+
+def test_fuse_spark_matches_duckdb_oracle_formula(spark):
+    # the shared generator must produce bit-identical values in both
+    # dialects across the three exactness regimes
+    import duckdb
+
+    from knowledgegraphbuilder_spark.operators.fusion import (
+        fuse_from_counts,
+        noisy_or_micro_sql,
+    )
+
+    cases = [(ka, kb) for ka in (0, 1, 3, 6, 7, 20, 38, 39, 50)
+             for kb in (0, 2, 10)]
+    counts = spark.createDataFrame(
+        [("s", "p", f"o{i}", ka, kb) for i, (ka, kb) in enumerate(cases)],
+        "subj string, pred string, obj string, k_a long, k_b long",
+    )
+    got = {
+        r.obj: r.p_fused_micro
+        for r in fuse_from_counts(counts, {"a": 7, "b": 3}).collect()
+    }
+    duck_expr = noisy_or_micro_sql({"a": 7, "b": 3}, dialect="duckdb")
+    con = duckdb.connect()
+    for i, (ka, kb) in enumerate(cases):
+        exp = con.sql(
+            f"SELECT {duck_expr} FROM (SELECT {ka}::BIGINT AS k_a,"
+            f" {kb}::BIGINT AS k_b)"
+        ).fetchone()[0]
+        # cross-check against arbitrary-precision Python in the exact range
+        from fractions import Fraction
+
+        p = 1 - Fraction(7, 10) ** ka * Fraction(3, 10) ** kb
+        assert got[f"o{i}"] == exp == (p * 10**6).__floor__(), (ka, kb)
 
 
 def test_fuse_duplicate_events_collapse(spark):

@@ -30,12 +30,33 @@ def test_path_quantified_lower_bound_one_is_closure(spark, chain):
     assert len(full) == 6  # 3 edges + ac, bd, ad
 
 
-def test_path_quantified_minimal_hop_wins(spark):
-    # a->b directly AND via c: p{2,3} excludes (a,b) — shortest is 1
+def test_path_quantified_exists_is_sparql_spec(spark):
+    # a->b directly AND via c: W3C existence semantics INCLUDES (a,b) in
+    # p{2,3} (a 2-hop path exists), with hops = the smallest matching
+    # length — the r4-advice fix; the old minimal-hop reading excluded it
     rows = [("a", "p", "b"), ("a", "p", "c"), ("c", "p", "b")]
     df = spark.createDataFrame(rows, "subj string, pred string, obj string")
-    out = [(r.src, r.dst) for r in path_quantified(df, "p", 2, 3).collect()]
+    out = {(r.src, r.dst): r.hops for r in path_quantified(df, "p", 2, 3).collect()}
+    assert out[("a", "b")] == 2
+
+
+def test_path_quantified_minimal_mode_excludes_shorter(spark):
+    # the stricter BFS-minimal reading survives behind semantics="minimal"
+    rows = [("a", "p", "b"), ("a", "p", "c"), ("c", "p", "b")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = [(r.src, r.dst)
+           for r in path_quantified(df, "p", 2, 3,
+                                    semantics="minimal").collect()]
     assert ("a", "b") not in out
+
+
+def test_path_quantified_exists_cycle_and_min_length(spark):
+    # 2-cycle a<->b: a reaches a at every even length, b at every odd;
+    # p{2,3} must report both with the smallest matching length
+    rows = [("a", "p", "b"), ("b", "p", "a")]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    out = {(r.src, r.dst): r.hops for r in path_quantified(df, "p", 2, 3).collect()}
+    assert out == {("a", "a"): 2, ("b", "b"): 2, ("a", "b"): 3, ("b", "a"): 3}
 
 
 def test_path_quantified_validates_bounds(spark, chain):
@@ -72,13 +93,45 @@ def test_dbscan_blob_core_border_noise(spark):
 
 
 def test_dbscan_negative_coords_cells_align(spark):
-    # a dense blob entirely in negative coordinate space — the +4096
-    # shift keeps div/floor cell math consistent
+    # a dense blob entirely in negative coordinate space — the pmod
+    # floor-division keeps cell math consistent for any sign
     rows = [(i, [-0.200 - 0.003 * i, -0.300], 0) for i in range(5)]
     df = spark.createDataFrame(rows, DB_SCHEMA)
     out = grid_dbscan(df, eps_milli=25, min_pts=4).collect()
     assert all(r.role == "core" for r in out)
     assert len({r.cluster for r in out}) == 1
+
+
+def test_dbscan_deep_negative_coords_straddling_cells(spark):
+    # r4 advice regression: components <= -4.096 overflowed the old
+    # +4096 shift, truncating cell ids toward zero and silently missing
+    # eps-neighbors across cell boundaries. A blob straddling a cell
+    # boundary around -5.0 must still cluster as one component, and the
+    # result must equal a brute-force DBSCAN replay.
+    rows = [(i, [-5.000 - 0.004 * i, -5.000], 0) for i in range(6)]
+    rows += [(10, [-5.044, -5.000], 0),  # within eps only of point 5
+             (11, [-6.000, -6.000], 0)]  # isolated
+    df = spark.createDataFrame(rows, DB_SCHEMA)
+    out = {r.vec_id: r for r in grid_dbscan(df, eps_milli=25,
+                                            min_pts=4).collect()}
+    # brute-force replay on quantized integer coords (float32 storage,
+    # as the array<float> schema — mirror the engine's f32->f64 cast)
+    import math
+
+    import numpy as np
+
+    q = {str(i): (math.floor(float(np.float32(v[0])) * 1000),
+                  math.floor(float(np.float32(v[1])) * 1000))
+         for i, v, _ in rows}
+    ball = {a: {b for b in q
+                if (q[a][0] - q[b][0]) ** 2 + (q[a][1] - q[b][1]) ** 2 <= 625}
+            for a in q}
+    cores = {a for a in q if len(ball[a]) >= 4}
+    assert {k for k, r in out.items() if r.role == "core"} == cores
+    assert all(out[str(i)].role == "core" for i in range(6))
+    assert {out[str(i)].cluster for i in range(6)} == {"0"}
+    assert out["10"].role == "border" and out["10"].cluster == "0"
+    assert out["11"].role == "noise"
 
 
 def test_dbscan_two_separate_clusters(spark):
@@ -302,6 +355,30 @@ def test_conformal_coverage_near_target_and_stable(spark, sf_dir):
             for r in conformal_intervals(li.repartition(13), **args).collect()}
     assert {g: tuple(r) for g, r in out.items()} == \
            {g: tuple(r) for g, r in out2.items()}
+
+
+def test_conformal_under_calibrated_group_visible(spark):
+    # r4 advice regression: a group whose calibration split is smaller
+    # than k (here a handful of rows at alpha=0.1 -> k = ceil(0.9*(n+1))
+    # > n_cal) must SURFACE with qhat_micro NULL (interval = whole line,
+    # coverage trivially 1), not silently vanish from the output.
+    from knowledgegraphbuilder_spark.operators.mlstats import (
+        conformal_intervals,
+    )
+
+    # keys chosen so every fold is populated but fold-1 (calibration)
+    # stays tiny; y = 3x + noise keeps dd <> 0
+    rows = [("g", i, 3 * i + (i % 3), str(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "grp string, x long, y long, k string")
+    out = conformal_intervals(
+        df, x_expr="x", y_expr="y", key_expr="k", group_col="grp",
+        alpha_tenths=1,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k > r.n_cal          # genuinely under-calibrated fixture
+    assert r.qhat_micro is None   # interval undefined — visible, not dropped
+    assert r.coverage_micro == 1000000 or r.n_test == 0
 
 
 def test_completeness_profile_counts(spark):
