@@ -357,6 +357,31 @@ def main() -> None:
     # ~20-min query loop (the per-query numbers of a full run stay valid)
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") == "1":
         bench_queries = []
+    # Shared-substrate materialization as EXPLICIT line items (r4 verdict:
+    # the eager localCheckpoint substrates — spans table, KG pipeline,
+    # co-purchase projection, triangle table, LPA labels, kNN graph,
+    # near-dup CC, ANF hop plot — used to land their one-time build cost on
+    # whichever consumer query the loop hit first, making per-query numbers
+    # attribution-unstable round-over-round: sk_hll read 9.6 s in BENCH_r04
+    # vs 1.18 s same-code). Each builder caches per (session, sf_dir), so
+    # timing it here removes the cost from every consumer below; the
+    # per-query timings then isolate per-operator incremental cost.
+    substrates: dict[str, float] = {}
+    if bench_queries:
+        for sname, build in [
+            ("spans_table", lambda: entry._spans_cached(spark, SF_DIR)),
+            ("kg_pipeline", lambda: entry._kg(spark, SF_DIR)),
+            ("copurchase_edges",
+             lambda: entry._copurchase_edges(spark, SF_DIR)),
+            ("triangle_table", lambda: entry._triangle_table(spark, SF_DIR)),
+            ("lpa_labels", lambda: entry._lpa_labels(spark, SF_DIR)),
+            ("knn_edges", lambda: entry._knn_edges(spark, SF_DIR)),
+            ("neardup_cc", lambda: entry.q_g4_cc(spark, SF_DIR)),
+            ("anf_hopplot", lambda: entry._anf_hopplot(spark, SF_DIR)),
+        ]:
+            t0 = time.time()
+            build()
+            substrates[sname] = round(time.time() - t0, 3)
     for name in bench_queries:
         best = None
         for _rep in range(2):
@@ -385,6 +410,7 @@ def main() -> None:
         "sf": _sf_of(SF_DIR),
         "n_docs": n_docs,
         "kg_docs_per_sec": round(n_docs / kg_sec, 2) if kg_sec > 0 else None,
+        "substrates": substrates,
         "bench_wall_sec": round(time.time() - t_total0, 3),
         "cpus": CPUS,
     }

@@ -42,6 +42,41 @@ def _d18(e: str) -> str:
     return f"cast({e} as decimal(18,0))"
 
 
+def _guard_histogram(df: DataFrame, limit: int, what: str) -> DataFrame:
+    """Loud-degradation guard for the cumulative-window-over-histogram
+    discipline (r4 verdict watch item): the operators below run an
+    UNPARTITIONED window over a per-distinct-value histogram — single
+    task by design, bounded by feature cardinality, never corpus size.
+    A continuous high-cardinality feature (raw doubles, timestamps)
+    would silently turn that into a corpus-sized single-task sort; this
+    makes it raise instead, telling the caller to bin first.
+
+    Implementation: a full-frame window count + filter (the filter
+    REFERENCES the guard column, so Catalyst cannot prune the check
+    away); it costs one extra pass over the same single-partition input
+    it protects — negligible at the sizes where it passes, and the
+    whole point at the sizes where it doesn't."""
+    from pyspark.sql import Window as W
+
+    n = F.count("*").over(W.partitionBy())
+    guarded = df.withColumn(
+        "_hist_guard",
+        F.when(n <= F.lit(int(limit)), F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what}: "), n.cast("string"),
+                    F.lit(
+                        f" distinct values exceed the unpartitioned-window"
+                        f" bound ({int(limit)}); bin/bucket the feature"
+                        f" (e.g. equi_width_histogram) before this operator"
+                    ),
+                )
+            )
+        ),
+    )
+    return guarded.filter("_hist_guard").drop("_hist_guard")
+
+
 def _sums(x: str, y: str) -> list:
     """Exact integer sufficient statistics for one (x, y) pair."""
     dx, dy = _d18(x), _d18(y)
@@ -424,6 +459,7 @@ def decision_stump(
     df: DataFrame,
     x_expr: str = "cast(n_chars as bigint)",
     label_expr: str = "cast(lang = 'en' as int)",
+    max_distinct: int = 500_000,
 ) -> DataFrame:
     """Best single-threshold decision stump (depth-1 CART split) on a
     numeric feature against a binary label, by exact Gini impurity
@@ -458,6 +494,7 @@ def decision_stump(
             F.sum("y").cast("long").alias("p"),
         )
     )
+    hist = _guard_histogram(hist, max_distinct, "decision_stump")
     w = W.orderBy("x").rowsBetween(W.unboundedPreceding, W.currentRow)
     cum = hist.select(
         F.col("x").alias("threshold"),
@@ -490,6 +527,7 @@ def roc_auc(
     df: DataFrame,
     score_expr: str = "cast(n_chars as bigint)",
     label_expr: str = "cast(lang = 'en' as int)",
+    max_distinct: int = 500_000,
 ) -> DataFrame:
     """EXACT ROC AUC of a numeric score against a binary label via the
     Mann-Whitney rank statistic — the classifier-quality metric every
@@ -518,6 +556,7 @@ def roc_auc(
             F.sum("y").cast("long").alias("p"),
         )
     )
+    hist = _guard_histogram(hist, max_distinct, "roc_auc")
     w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     ranked = hist.select(
         "c",
@@ -657,16 +696,48 @@ def lorenz_deciles(
 
     Exactness: per-decile sums and the running cumulative are exact
     BIGINTs; only the final share divides (6 dp). Scale shape: the rank
-    is one global sort of (value, id) pairs — the one operation here
-    that is intrinsically a sort; Spark's range-partitioned exchange IS
-    the distributed algorithm for it (sample boundaries, scatter,
-    per-partition sort). Everything after is decile-cardinality-sized.
+    is a DISTRIBUTED range sort, never an unpartitioned ntile window
+    (which would move the whole corpus to one task — r4 verdict watch
+    item): rows range-repartition on (value, id), rank per partition,
+    and tiny per-partition counts broadcast back as base offsets (the
+    interleaved.py / negative_sample_edges two-phase discipline); the
+    ntile(10) allocation — first (n mod 10) tiles one row larger — is
+    then a closed-form expression over the exact global rank, replaying
+    window-ntile semantics bit-for-bit. (x, id) is a total order (ids
+    unique), so ranks are deterministic; the repartitioned frame is
+    pinned with localCheckpoint so both passes see one partitioning.
+    Everything after is decile-cardinality-sized.
     """
     from pyspark.sql import Window as W
 
     d = df.selectExpr(f"{value_expr} as x", f"{id_expr} as id")
-    t = d.select(
-        "x", F.ntile(10).over(W.orderBy("x", "id")).alias("decile")
+    nparts = max(d.sparkSession.sparkContext.defaultParallelism, 2)
+    part = (
+        d.repartitionByRange(nparts, "x", "id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wp = W.partitionBy("_pid").orderBy("x", "id")
+    ranked = part.withColumn("_rn", F.row_number().over(wp))
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_pn"))
+    wo = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_pn").over(wo), F.lit(0)).cast("long").alias("_off"),
+        F.sum("_pn").over(W.partitionBy()).cast("long").alias("_n"),
+    )
+    t = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .selectExpr("x", "_off + _rn - 1 AS k", "_n")
+        .selectExpr(
+            "x",
+            # ntile(10): q = n div 10, r = n mod 10; tiles 1..r hold q+1
+            # rows, tiles r+1..10 hold q — replayed from the 0-based rank
+            "CASE WHEN k < (_n % 10) * (_n div 10 + 1)"
+            " THEN cast(k div (_n div 10 + 1) + 1 as int)"
+            " ELSE cast((_n % 10) + (k - (_n % 10) * (_n div 10 + 1))"
+            "      div (_n div 10) + 1 as int) END AS decile",
+        )
     )
     per = t.groupBy("decile").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -884,6 +955,7 @@ def mann_whitney(
     df: DataFrame,
     score_expr: str = "cast(n_chars as bigint)",
     side_expr: str = "side",
+    max_distinct: int = 500_000,
 ) -> DataFrame:
     """Two-sample Mann-Whitney U test (tie-corrected normal z) — the
     nonparametric companion to Welch's t: does group a's score
@@ -915,6 +987,7 @@ def mann_whitney(
             F.sum("y").cast("long").alias("a"),
         )
     )
+    hist = _guard_histogram(hist, max_distinct, "mann_whitney")
     w = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
     ranked = hist.select(
         "c",
@@ -961,6 +1034,7 @@ def spearman(
     df: DataFrame,
     x_expr: str,
     y_expr: str,
+    max_distinct: int = 500_000,
 ) -> DataFrame:
     """Spearman rank correlation rho between two numeric expressions —
     the monotone-association measure that survives outliers and
@@ -986,6 +1060,7 @@ def spearman(
 
     def midranks(col: str) -> DataFrame:
         hist = rows.groupBy(col).agg(F.count("*").cast("long").alias("c"))
+        hist = _guard_histogram(hist, max_distinct, "spearman")
         w = W.orderBy(col).rowsBetween(W.unboundedPreceding, -1)
         return hist.select(
             col,
