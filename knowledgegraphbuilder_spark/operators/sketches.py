@@ -561,10 +561,14 @@ def minhash_group_signatures(
     shingle instead of one per (shingle, permutation): the previous
     sha256-per-pair scheme spent ~n_perm * |shingles| microseconds of
     SHA per doc and dominated the streaming fold's wall clock. a_i*x+b_i
-    reaches ~2^122, past BIGINT — the mod-mul runs in DECIMAL(38,0)
-    (exact: the product <= (p-1)^2 ~ 5.3e36 < 10^38, and scale-0
-    decimal multiply/pmod never round), then the residue (< p < 2^61)
-    casts back to BIGINT for the running minimum.
+    reaches ~2^121, past BIGINT — the mod-mul is exact MERSENNE FOLDING
+    in plain 64-bit integers (2^61 === 1 mod p): split a = a1*2^31 + a0
+    and x = x1*2^30 + x0, reduce each cross term's power-of-two factor
+    by the identity, and the folded sum stays < 2^60 + 3*2^61 < 2^63 —
+    never overflows a signed long, ~10 integer ops per (shingle, perm)
+    where the DECIMAL(38,0) alternative measured 2.6x slower end-to-end
+    (BENCH r5). The oracle replays the same residues via HUGEINT
+    arithmetic; values are identical because both compute a*x+b mod p.
 
     Scale shape: one pass — per-doc signature via a single running-minimum
     aggregate expression over the pre-hashed shingle array (no
@@ -576,10 +580,28 @@ def minhash_group_signatures(
 
     long_max = (1 << 63) - 1
     p = MINHASH_GROUP_PRIME
+    # a split ONCE python-side: a = a1*2^31 + a0 (a1 < 2^30, a0 < 2^31)
     ab = ", ".join(
-        f"named_struct('a', cast({a} as decimal(38,0)),"
-        f" 'b', cast({b} as decimal(38,0)))"
+        f"named_struct('a1', cast({a >> 31} as bigint),"
+        f" 'a0', cast({a & ((1 << 31) - 1)} as bigint),"
+        f" 'b', cast({b} as bigint))"
         for a, b in minhash_ab(n_perm)
+    )
+    # exact (a*x + b) mod p via Mersenne folding, all in signed 64-bit:
+    # with x = x1*2^30 + x0,
+    #   a*x = a1*x1*2^61 + (a1*x0)*2^31 + (a0*x1)*2^30 + a0*x0
+    # and 2^61 === 1 (mod p) folds every term under 2^62; the sum is
+    # < 2^60 + 3*2^61 + 2^31 < 2^63. u = a1*x0 < 2^60 splits at 2^30;
+    # v = a0*x1 < 2^61 splits at 2^31.
+    fold = (
+        "pmod(pmod("
+        "ab.a1 * s.x1"
+        " + (ab.a1 * s.x0) div 1073741824"                     # u1 = u >> 30
+        " + pmod(ab.a1 * s.x0, 1073741824) * 2147483648"       # u0 << 31
+        " + (ab.a0 * s.x1) div 2147483648"                     # v1 = v >> 31
+        " + pmod(ab.a0 * s.x1, 2147483648) * 1073741824"       # v0 << 30
+        " + ab.a0 * s.x0"
+        f", {p}) + ab.b, {p})"
     )
     sig = (
         df.select(
@@ -589,10 +611,14 @@ def minhash_group_signatures(
         .filter(F.size("shingles") > 0)
         .select(
             "g",
+            # x < 2^60 < p, so mod-p is the identity; split each hash once
+            # into (x1, x0) at bit 30 for the per-perm Mersenne folding
             F.expr(
-                f"transform(shingles, s -> "
-                f"cast(conv(substring(sha2(s, 256), 1, 15), 16, 10) as bigint)"
-                f" % {p})"
+                f"transform(shingles, v -> named_struct("
+                f"'x1', cast(conv(substring(sha2(v, 256), 1, 15), 16, 10)"
+                f" as bigint) div 1073741824,"
+                f"'x0', pmod(cast(conv(substring(sha2(v, 256), 1, 15), 16, 10)"
+                f" as bigint), 1073741824)))"
             ).alias("hs"),
         )
         .select(
@@ -602,10 +628,8 @@ def minhash_group_signatures(
                 aggregate(
                   hs,
                   array_repeat(cast({long_max} as bigint), {n_perm}),
-                  (acc, x) -> zip_with(acc, array({ab}),
-                                       (m, ab) -> least(m, cast(pmod(
-                                         ab.a * cast(x as decimal(38,0)) + ab.b,
-                                         cast({p} as decimal(38,0))) as bigint))))
+                  (acc, s) -> zip_with(acc, array({ab}),
+                                       (m, ab) -> least(m, {fold})))
                 """
             ).alias("sig"),
         )
