@@ -59,6 +59,15 @@ NEEDS_CORPUS = {
     "stream_lines", "stream_resample",
     # round-4 session-3 additions, same min/max-id batch synthesis
     "stream_cusum", "stream_kmv",
+    # round-5 review of the remaining additions (r5 sweep): ann_mips /
+    # ann_range / ann_filtered collect the vec_id=0 query vector;
+    # g33_pathrecon / g34_betweenness collect their seed/target node from
+    # the corpus projection; kg_asof derives its as-of point from
+    # max(doc id); stream_cc / stream_fuse synthesize micro-batch files
+    # from table ids before the fold. All verified wrapper-side
+    # (collect()[0] / first()["m"] / batch-writer), operators empty-safe.
+    "ann_mips", "ann_range", "ann_filtered", "g33_pathrecon",
+    "g34_betweenness", "kg_asof", "stream_cc", "stream_fuse",
 }
 
 
